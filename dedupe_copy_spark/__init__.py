@@ -1,0 +1,30 @@
+"""dedupe_copy_spark — a from-scratch, PySpark-native near-duplicate
+detection + clustering engine with the workflow semantics of
+``othererik/dedupe_copy`` (reference at /root/reference, read-only).
+
+The reference is a multi-threaded filesystem walk→hash→group→copy/delete
+tool (see /root/reference/dedupe_copy/core.py:754-944). This engine
+re-expresses that dataflow — and extends it with near-dup detection
+(MinHash+LSH, SimHash, suffix-array substring containment) and
+connected-components clustering — as declarative Spark DataFrame plans
+designed for an Iceberg/Parquet table of source files at 10^12-row scale:
+
+    S0 ingest      derive size / content_sha256 / is_empty; skew-salted
+    S1 exact       group-by-digest exact duplicate clusters
+    S2 signatures  MinHash (token shingles) + SimHash (short files)
+    S3 lsh         banded self-join → candidate pairs → verified pairs
+    S4 contain     suffix-array substring containment on size-skewed pairs
+    S5 cluster     large-star/small-star connected components
+    S6 emit        manifests, collision report, dedup'd corpus, metrics
+
+Every stage is a checkpointed Parquet write (the Spark analogue of the
+reference's resumable SQLite manifests, /root/reference/dedupe_copy/
+manifest.py:106-148), and nothing ever runs per-row Python: all custom
+math is Arrow-batched pandas UDFs; everything else is Catalyst built-ins.
+"""
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.session import get_spark
+
+__all__ = ["DedupeConfig", "get_spark"]
+__version__ = "0.1.0"

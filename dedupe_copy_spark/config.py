@@ -1,0 +1,64 @@
+"""Pipeline configuration.
+
+One frozen dataclass holds every knob, mirroring the reference's CLI
+surface (``run_dupe_copy`` kwargs, /root/reference/dedupe_copy/core.py:754-782
+and WalkConfig/CopyConfig, /root/reference/dedupe_copy/config.py) plus the
+near-dup parameters the north-star adds. The shingle/signature config is
+part of the correctness contract: dup-pair recall is defined *at a fixed
+config*, so all seeds/permutation constants are deterministic functions
+of ``seed``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupeConfig:
+    # --- exact-dup semantics (reference contract) ---
+    # digest column; reference supports md5/xxh64 (utils.py:102-144),
+    # target contract is sha256 of content (BASELINE.json input_hint).
+    hash_algo: str = "sha256"
+    # zero-byte rows never collide unless set (threads.py:410-412)
+    dedupe_empty: bool = False
+    # keep-first policy: lexicographic (repo, path, commit) — the
+    # deterministic upgrade of core.py:584-591.
+    keep_first_order: tuple[str, ...] = ("repo", "path", "commit")
+
+    # --- filters (walk-time predicates, threads.py:112-121) ---
+    extensions: tuple[str, ...] = ()          # include globs, empty = all
+    ignore_patterns: tuple[str, ...] = ()     # exclude globs
+    min_size: int = 0
+
+    # --- near-dup: MinHash over token shingles ---
+    shingle_k: int = 3            # tokens per shingle
+    num_perm: int = 128           # MinHash signature length
+    lsh_bands: int = 16           # bands (rows = num_perm // bands)
+    jaccard_threshold: float = 0.7
+    seed: int = 42
+
+    # --- near-dup: SimHash for short files ---
+    short_file_max_tokens: int = 64   # route shorter docs to SimHash
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3      # 4 chunks of 16 bits guarantee ≤3
+
+    # --- containment (suffix-array substring) ---
+    containment_min_ratio: float = 1.5   # only test pairs where big/small ≥ ratio
+    containment_band_threshold: float = 0.3  # low-τ LSH pass for candidates
+
+    # --- scale / skew ---
+    salt_buckets: int = 64        # salt factor for hot LSH band keys
+    max_band_bucket: int = 200    # cap candidates per LSH bucket (log drops)
+    cc_max_iterations: int = 50
+
+    # --- checkpointing ---
+    checkpoint_dir: str | None = None
+    incremental_save_rows: int = 50_000   # reference cadence (threads.py:346)
+
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        assert self.num_perm % self.lsh_bands == 0
+        return self.num_perm // self.lsh_bands

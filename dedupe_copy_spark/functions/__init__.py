@@ -1,0 +1,94 @@
+"""Catalyst-native column helpers (no Python UDFs in here — everything
+below is whole-stage-codegen'd JVM expressions).
+
+These replace the reference's scalar utilities:
+  - content digest          ← hash_file, /root/reference/dedupe_copy/utils.py:102-144
+  - lower_extension         ← utils.py:89-99
+  - glob → regex filters    ← match_extension/clean_extensions utils.py:164-222,
+                              ignore regex threads.py:58-84, config.py:29-38
+  - mtime → YYYY_MM         ← core.py:331-337
+  - path prefix rewrite     ← convert_manifest_paths manifest.py:377-415
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "content_sha256",
+    "effective_dup_key",
+    "extension_regex",
+    "glob_alternation_regex",
+    "lower_extension",
+    "path_prefix_rewrite",
+    "yyyy_mm",
+]
+
+
+def content_sha256(content: Column) -> Column:
+    """sha256 hex of the UTF-8 content — the duplicate identity.
+
+    Replaces chunked file hashing (the scan already materialized the
+    bytes as a column; ``sha2`` is a codegen'd built-in).
+    """
+    return F.sha2(content.cast("string"), 256)
+
+
+def effective_dup_key(digest: Column, size: Column, repo: Column, path: Column,
+                      commit: Column, dedupe_empty: bool) -> Column:
+    """Group key for duplicate detection.
+
+    Zero-byte rows must never collide with each other unless
+    ``dedupe_empty`` (reference threads.py:410-412): salt them with a
+    deterministic per-row unique suffix instead of a random id so the
+    plan stays deterministic across retries/resume.
+    """
+    if dedupe_empty:
+        return digest
+    unique = F.concat_ws("\x00", F.lit("EMPTY"), repo, path, commit)
+    return F.when(size == 0, unique).otherwise(digest)
+
+
+def lower_extension(path: Column) -> Column:
+    """Lowercased extension of the final path segment, '' if none."""
+    return F.lower(F.regexp_extract(path, r"\.([^./\\]+)$", 1))
+
+
+def yyyy_mm(ts: Column) -> Column:
+    """Timestamp → 'YYYY_MM' bucket string (reference core.py:331-337)."""
+    return F.date_format(ts, "yyyy_MM")
+
+
+def glob_alternation_regex(patterns: tuple[str, ...]) -> str:
+    """Compile fnmatch globs into ONE anchored alternation regex on the
+    driver — exactly the reference's strategy (config.py:29-38) — so the
+    filter is a single Catalyst ``rlike`` evaluated JVM-side per row.
+    """
+    parts = [fnmatch.translate(p.lower()) for p in patterns]
+    return "|".join(f"(?:{p})" for p in parts)
+
+
+def extension_regex(extensions: tuple[str, ...]) -> str:
+    """Include-filter regex: path must end with one of the extensions
+    (glob-capable, matching clean_extensions/match_extension semantics:
+    a bare 'jpg' means '*.jpg')."""
+    norm = []
+    for ext in extensions:
+        e = ext.lower().lstrip(".")
+        if not any(ch in e for ch in "*?["):
+            e = f"*.{e}"
+        elif not e.startswith("*"):
+            e = f"*.{e}"
+        norm.append(fnmatch.translate(e))
+    return "|".join(f"(?:{p})" for p in norm)
+
+
+def path_prefix_rewrite(path: Column, from_prefix: str, to_prefix: str) -> Column:
+    """First-occurrence prefix rewrite, the DataFrame form of
+    convert_manifest_paths' ``str.replace(from, to, 1)``."""
+    import re
+
+    return F.regexp_replace(path, "^" + re.escape(from_prefix), to_prefix)

@@ -1,0 +1,157 @@
+"""Exact-duplicate detection — the reference's core capability.
+
+Reference semantics preserved (file:line into /root/reference/dedupe_copy):
+  - duplicate == identical content digest     threads.py:403-425
+  - zero-byte rows never collide by default   threads.py:410-412
+  - keep-first survivor per group             core.py:584-591 (delete),
+    core.py:428-453 (copy) — upgraded to a deterministic lexicographic
+    order; dup-PAIR assignments are unaffected by survivor choice.
+  - collision report with group numbering     core.py:136-170
+  - extension report (top-N by Σsize/count)   core.py:101-133
+
+All operators are pure DataFrame transforms: Spark's partial+final hash
+aggregation replaces the reference's 1,000-row micro-batched dict merge
+(threads.py:389-441) and its SQLite spill layer (disk_cache_dict.py)
+outright. Nothing here shuffles more than once per logical group-by, and
+group membership lists are only materialized for the (small) collision
+subset — never O(n^2) pair expansion inside a group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.functions import (
+    content_sha256,
+    effective_dup_key,
+    lower_extension,
+)
+
+KEY_COLS = ("repo", "path", "commit")
+
+
+def with_digest(files: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
+    """S0 ingest projection: derive size, content_sha256, is_empty, ext,
+    and the effective dup-group key (zero-byte salting).
+
+    Narrow (no shuffle); all codegen'd built-ins, pushed onto the scan.
+    """
+    cfg = cfg or DedupeConfig()
+    out = (
+        files.withColumn("size", F.length(F.col("content")))
+        .withColumn("content_sha256", content_sha256(F.col("content")))
+        .withColumn("is_empty", F.col("size") == 0)
+        .withColumn("ext", lower_extension(F.col("path")))
+    )
+    return out.withColumn(
+        "dup_key",
+        effective_dup_key(
+            F.col("content_sha256"), F.col("size"), F.col("repo"),
+            F.col("path"), F.col("commit"), cfg.dedupe_empty,
+        ),
+    )
+
+
+def collision_hashes(hashed: DataFrame) -> DataFrame:
+    """Digests with more than one row — HAVING count(*) > 1.
+
+    One shuffle on dup_key; map-side partial agg keeps it cheap even
+    when one vendored blob has 10^6 copies (count, not collect_list).
+    """
+    return (
+        hashed.groupBy("dup_key")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .filter(F.col("n_files") > 1)
+    )
+
+
+def duplicates(hashed: DataFrame) -> DataFrame:
+    """All rows that belong to a collision group, with the group size.
+
+    Window count over dup_key — a single shuffle, no join, no
+    materialized group lists.
+    """
+    w = Window.partitionBy("dup_key")
+    return (
+        hashed.withColumn("n_files", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_files") > 1)
+    )
+
+
+def keep_first(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
+    """Tag each row with rank within its dup group; rn == 1 is the
+    survivor (winner), rn > 1 are duplicates to drop/delete.
+
+    Deterministic lexicographic (repo, path, commit) order — the
+    window-function restatement of reference sorted()[0] keep-first.
+    """
+    cfg = cfg or DedupeConfig()
+    w = Window.partitionBy("dup_key").orderBy(*[F.col(c) for c in cfg.keep_first_order])
+    return hashed.withColumn("rn", F.row_number().over(w))
+
+
+def winners(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
+    """The deduplicated corpus: one surviving row per dup group."""
+    return keep_first(hashed, cfg).filter(F.col("rn") == 1).drop("rn")
+
+
+def losers(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
+    """Delete candidates: every non-surviving duplicate row
+    (reference delete_files keep-first semantics, core.py:580-624)."""
+    cfg = cfg or DedupeConfig()
+    ranked = keep_first(hashed, cfg)
+    out = ranked.filter(F.col("rn") > 1).drop("rn")
+    if cfg.min_size > 0:
+        # min-delete-size predicate (core.py:610-624)
+        out = out.filter(F.col("size") >= cfg.min_size)
+    return out
+
+
+def collision_report(hashed: DataFrame) -> DataFrame:
+    """The CSV duplicate report: group-numbered collision rows
+    (reference generate_report, core.py:136-170; format README.md:981-990).
+
+    Group numbers are assigned by dense_rank over the digest so they are
+    stable and contiguous. The rank window is global but runs over the
+    already-collision-filtered (small) subset.
+    """
+    dups = duplicates(hashed)
+    group_w = Window.orderBy("dup_key")
+    return dups.select(
+        F.dense_rank().over(group_w).alias("group_id"),
+        F.col("dup_key").alias("content_sha256"),
+        "repo", "path",
+        F.col("commit").alias("commit_id"),
+        "size",
+    )
+
+
+def extension_report(hashed: DataFrame, top_n: int = 10) -> DataFrame:
+    """Top-N extensions by total size with counts
+    (reference _extension_report, core.py:101-133)."""
+    return (
+        hashed.groupBy("ext")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_size"),
+        )
+        .orderBy(F.desc("total_size"), F.asc("ext"))
+        .limit(top_n)
+    )
+
+
+def manifest_export(hashed: DataFrame) -> DataFrame:
+    """Grouped manifest view: digest → sorted list of member structs —
+    the relational form of the reference manifest map
+    (manifest.py:18-31). Only used when exporting; detection paths stay
+    unaggregated.
+    """
+    member = F.struct(*[F.col(c) for c in KEY_COLS], F.col("size"))
+    return (
+        hashed.groupBy("dup_key")
+        .agg(F.sort_array(F.collect_list(member)).alias("files"),
+             F.count(F.lit(1)).alias("n_files"))
+        .withColumnRenamed("dup_key", "content_sha256")
+    )

@@ -1,0 +1,72 @@
+"""Walk-time predicates as Catalyst filters.
+
+Reference applies these during the filesystem walk so excluded files are
+never hashed (threads.py:112-121); here they are plain ``filter`` nodes
+that Catalyst pushes below everything else (and into the parquet scan
+where rowgroup stats allow), which is the same optimization for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.functions import extension_regex, glob_alternation_regex
+
+
+def extension_filter(files: DataFrame, extensions: tuple[str, ...]) -> DataFrame:
+    """Keep rows whose lowercase path matches any include glob
+    (reference match_extension/clean_extensions, utils.py:164-222)."""
+    if not extensions:
+        return files
+    pattern = extension_regex(extensions)
+    return files.filter(F.lower(F.col("path")).rlike(pattern))
+
+
+def ignore_filter(files: DataFrame, patterns: tuple[str, ...]) -> DataFrame:
+    """Drop rows matching any ignore glob — one pre-compiled alternation
+    regex, as the reference builds once per job (config.py:29-38,
+    threads.py:58-84)."""
+    if not patterns:
+        return files
+    pattern = glob_alternation_regex(patterns)
+    return files.filter(~F.lower(F.col("path")).rlike(pattern))
+
+
+def min_size_filter(hashed: DataFrame, min_size: int) -> DataFrame:
+    """size >= threshold (reference core.py:610-624)."""
+    if min_size <= 0:
+        return hashed
+    return hashed.filter(F.col("size") >= F.lit(min_size))
+
+
+def resume_filter(files: DataFrame, read_sources: DataFrame,
+                  keys: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
+    """Skip already-processed rows: left ANTI join against the
+    read-sources checkpoint (reference _is_file_processing_required,
+    threads.py:87-121 — the `filepath in already_processed` check).
+
+    At scale the checkpoint is large, so this is a shuffle anti-join on
+    the composite key; AQE converts it to broadcast when small.
+    """
+    ckpt = read_sources.select(*keys).dropDuplicates(list(keys))
+    return files.join(ckpt, on=list(keys), how="left_anti")
+
+
+def compare_exclude(hashed: DataFrame, compare_hashes: DataFrame,
+                    key: str = "dup_key") -> DataFrame:
+    """--compare manifest exclusion: drop rows whose digest exists in the
+    compare manifest — left ANTI join on hash (reference skip-set build
+    core.py:392-399, probe core.py:431-432, semantics README.md:298-316).
+    """
+    right = compare_hashes.select(F.col(key)).dropDuplicates([key])
+    return hashed.join(right, on=key, how="left_anti")
+
+
+def compare_select_victims(hashed: DataFrame, compare_hashes: DataFrame,
+                           key: str = "dup_key") -> DataFrame:
+    """compare+delete: select ALL rows whose digest is in the compare
+    manifest — left SEMI join (reference hashes_to_delete_all,
+    core.py:1039-1045)."""
+    right = compare_hashes.select(F.col(key)).dropDuplicates([key])
+    return hashed.join(right, on=key, how="left_semi")

@@ -1,0 +1,340 @@
+"""Query registry: every operator from SURVEY.md §2 as a named
+(spark_fn, oracle_sql) pair.
+
+Each spark_fn takes (spark, sf_dir) and returns a DataFrame over the
+driver testdata tables; oracle_sql is the ANSI-SQL equivalent DuckDB
+runs on the same parquet (views pre-registered). Column names/types are
+aligned on both sides (ints → BIGINT, floats → ROUND(double, 6)) because
+the driver hashes values after sorting columns by name.
+
+Queries whose semantics are not SQL-expressible (MinHash/LSH, SimHash,
+connected components, fingerprints) register spark_fn only → the driver
+records the weaker rows-only check, and pytest carries the real oracle
+(ground-truth pairs by construction, tests/test_minhash.py etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.functions import path_prefix_rewrite, yyyy_mm
+from dedupe_copy_spark.operators import exact, filters
+from dedupe_copy_spark.sources.tables import FILES_CTE_SQL, files_from_documents, load_table
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical hashed files relation (S0 ingest) over documents."""
+    return exact.with_digest(files_from_documents(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate family (reference core capability, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@register("exact_dup_groups", FILES_CTE_SQL + """
+SELECT sha256(content) AS content_sha256,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(length(content)) AS BIGINT) AS total_size
+FROM files
+GROUP BY sha256(content)
+HAVING count(*) > 1
+""")
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by-digest collision detection (threads.py:403-425)."""
+    hashed = _files(spark, sf_dir)
+    return (
+        hashed.groupBy("content_sha256")
+        .agg(F.count(F.lit(1)).alias("n_files"),
+             F.sum("size").cast("long").alias("total_size"))
+        .filter(F.col("n_files") > 1)
+    )
+
+
+@register("collision_report", FILES_CTE_SQL + """
+, dups AS (
+  SELECT sha256(content) AS content_sha256, repo, path, commit_id,
+         CAST(length(content) AS BIGINT) AS size,
+         count(*) OVER (PARTITION BY sha256(content)) AS n
+  FROM files
+)
+SELECT CAST(dense_rank() OVER (ORDER BY content_sha256) AS BIGINT) AS group_id,
+       content_sha256, repo, path, commit_id, size
+FROM dups WHERE n > 1
+""")
+def collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-numbered CSV duplicate report (core.py:136-170)."""
+    hashed = _files(spark, sf_dir)
+    return exact.collision_report(hashed) \
+        .withColumn("group_id", F.col("group_id").cast("long")) \
+        .withColumn("size", F.col("size").cast("long"))
+
+
+@register("keep_first_winners", FILES_CTE_SQL + """
+, ranked AS (
+  SELECT sha256(content) AS content_sha256, repo, path, commit_id,
+         row_number() OVER (PARTITION BY sha256(content)
+                            ORDER BY repo, path, commit_id) AS rn
+  FROM files
+)
+SELECT content_sha256, repo, path, commit_id FROM ranked WHERE rn = 1
+""")
+def keep_first_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus: lexicographic keep-first survivor per digest
+    (window restatement of core.py:584-591)."""
+    hashed = _files(spark, sf_dir)
+    return exact.winners(hashed).select(
+        "content_sha256", "repo", "path", F.col("commit").alias("commit_id"))
+
+
+@register("dup_losers", FILES_CTE_SQL + """
+, ranked AS (
+  SELECT sha256(content) AS content_sha256, repo, path, commit_id,
+         row_number() OVER (PARTITION BY sha256(content)
+                            ORDER BY repo, path, commit_id) AS rn
+  FROM files
+)
+SELECT content_sha256, repo, path, commit_id FROM ranked WHERE rn > 1
+""")
+def dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete candidates: every non-survivor duplicate (core.py:580-624)."""
+    hashed = _files(spark, sf_dir)
+    return exact.losers(hashed).select(
+        "content_sha256", "repo", "path", F.col("commit").alias("commit_id"))
+
+
+@register("extension_report", FILES_CTE_SQL + """
+SELECT lower(regexp_extract(path, '\\.([^./\\\\]+)$', 1)) AS ext,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(length(content)) AS BIGINT) AS total_size
+FROM files
+GROUP BY 1
+ORDER BY total_size DESC, ext ASC
+LIMIT 10
+""")
+def extension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N extensions by Σsize (core.py:101-133)."""
+    hashed = _files(spark, sf_dir)
+    return exact.extension_report(hashed, top_n=10) \
+        .withColumn("total_size", F.col("total_size").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Join family (SURVEY §2.4): anti/semi joins for compare + resume
+# ---------------------------------------------------------------------------
+
+@register("compare_exclude", FILES_CTE_SQL + """
+SELECT repo, path, commit_id, sha256(content) AS content_sha256
+FROM files f
+WHERE repo NOT LIKE '%/mirror'
+  AND NOT EXISTS (
+    SELECT 1 FROM files m
+    WHERE m.repo LIKE '%/mirror' AND sha256(m.content) = sha256(f.content)
+  )
+""")
+def compare_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--compare manifest exclusion: anti-join on digest
+    (core.py:392-399, 431-432). Compare manifest = the mirror repos."""
+    hashed = _files(spark, sf_dir)
+    primary = hashed.filter(~F.col("repo").endswith("/mirror"))
+    compare = hashed.filter(F.col("repo").endswith("/mirror")) \
+        .select(F.col("content_sha256").alias("dup_key"))
+    kept = filters.compare_exclude(
+        primary.withColumn("dup_key", F.col("content_sha256")), compare)
+    return kept.select("repo", "path", F.col("commit").alias("commit_id"),
+                       "content_sha256")
+
+
+@register("compare_select_victims", FILES_CTE_SQL + """
+SELECT repo, path, commit_id, sha256(content) AS content_sha256
+FROM files f
+WHERE EXISTS (
+    SELECT 1 FROM files m
+    WHERE m.repo LIKE '%/mirror' AND sha256(m.content) = sha256(f.content)
+  )
+""")
+def compare_select_victims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compare+delete: semi-join selecting ALL rows whose digest is in
+    the compare manifest (core.py:1039-1045)."""
+    hashed = _files(spark, sf_dir)
+    compare = hashed.filter(F.col("repo").endswith("/mirror")) \
+        .select(F.col("content_sha256").alias("dup_key"))
+    victims = filters.compare_select_victims(
+        hashed.withColumn("dup_key", F.col("content_sha256")), compare)
+    return victims.select("repo", "path", F.col("commit").alias("commit_id"),
+                          "content_sha256")
+
+
+@register("resume_skip", FILES_CTE_SQL + """
+SELECT repo, path, commit_id
+FROM files f
+WHERE NOT EXISTS (
+  SELECT 1 FROM files r
+  WHERE length(r.content) < 250
+    AND r.repo = f.repo AND r.path = f.path AND r.commit_id = f.commit_id
+)
+""")
+def resume_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume anti-join on the processed-keys checkpoint
+    (threads.py:112-113). read_sources here = all rows < 250 chars."""
+    files = files_from_documents(spark, sf_dir)
+    read_sources = files.filter(F.length("content") < 250)
+    remaining = filters.resume_filter(files, read_sources)
+    return remaining.select("repo", "path", F.col("commit").alias("commit_id"))
+
+
+# ---------------------------------------------------------------------------
+# Set ops + manifest transforms (SURVEY §2.7, §2.8)
+# ---------------------------------------------------------------------------
+
+@register("union_dedup_manifests", FILES_CTE_SQL + """
+SELECT sha256(content) AS content_sha256, repo, path, commit_id
+FROM (
+  SELECT * FROM files
+  UNION ALL
+  SELECT * FROM files WHERE lang = 'en'
+) u
+GROUP BY ALL
+""")
+def union_dedup_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest union + distinct (_combine_manifests, manifest.py:309-345)."""
+    from dedupe_copy_spark.sources.manifest import combine_manifests
+
+    hashed = _files(spark, sf_dir)
+    a = hashed
+    b = hashed.filter(F.col("lang") == "en")
+    combined = combine_manifests(
+        [a.withColumn("dup_key", F.col("content_sha256")),
+         b.withColumn("dup_key", F.col("content_sha256"))])
+    return combined.select("content_sha256", "repo", "path",
+                           F.col("commit").alias("commit_id"))
+
+
+@register("path_rewrite", FILES_CTE_SQL + """
+SELECT repo, path AS old_path,
+       regexp_replace(path, '^docs/', 'archive/') AS new_path
+FROM files
+""")
+def path_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest path-prefix conversion (convert_manifest_paths,
+    manifest.py:377-415)."""
+    files = files_from_documents(spark, sf_dir)
+    return files.select(
+        "repo",
+        F.col("path").alias("old_path"),
+        path_prefix_rewrite(F.col("path"), "docs/", "archive/").alias("new_path"),
+    )
+
+
+@register("verify_manifest", FILES_CTE_SQL + """
+, manifest AS (
+  SELECT repo, path, commit_id, CAST(length(content) AS BIGINT) AS size FROM files
+), scan AS (
+  SELECT repo, path, commit_id,
+         CAST(CASE WHEN length(content) % 13 = 0 THEN length(content) + 1
+                   ELSE length(content) END AS BIGINT) AS size
+  FROM files WHERE length(content) % 11 <> 0
+)
+SELECT m.repo, m.path, m.commit_id,
+       CASE WHEN s.size IS NULL THEN 'missing'
+            WHEN s.size <> m.size THEN 'size_mismatch'
+            ELSE 'ok' END AS status
+FROM manifest m LEFT JOIN scan s
+  ON m.repo = s.repo AND m.path = s.path AND m.commit_id = s.commit_id
+""")
+def verify_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-vs-source audit (verify_manifest_fs, core.py:690-750):
+    scan simulates deletions (size%11==0) and corruptions (size%13==0)."""
+    from dedupe_copy_spark.sources.manifest import verify_manifest as vm
+
+    hashed = _files(spark, sf_dir).withColumnRenamed("commit", "commit_id")
+    manifest = hashed.select("repo", "path", "commit_id", F.col("size").cast("long").alias("size"))
+    scan = (
+        hashed.filter(F.col("size") % 11 != 0)
+        .select("repo", "path", "commit_id",
+                F.when(F.col("size") % 13 == 0, F.col("size") + 1)
+                .otherwise(F.col("size")).cast("long").alias("size"))
+    )
+    audited = vm(manifest, scan, keys=("repo", "path", "commit_id"))
+    return audited.select("repo", "path", "commit_id", "status")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function family (SURVEY §2.8): time bucketing over events
+# ---------------------------------------------------------------------------
+
+@register("events_yyyymm", """
+SELECT strftime(ts, '%Y_%m') AS month_bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_yyyymm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mtime→YYYY_MM bucketing (core.py:331-337) applied to the events
+    table: per-month per-type rollup."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(yyyy_mm(F.col("ts")).alias("month_bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family (training-data pipeline ops over documents)
+# ---------------------------------------------------------------------------
+
+@register("token_counts", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""")
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — built-ins only, stays in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register("quality_scores", """
+SELECT doc_id,
+       ROUND(CAST(length(text) AS DOUBLE) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS BIGINT)
+         AS n_stopwords,
+       ROUND(CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+FROM documents
+""")
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token-length + stopword ratios —
+    codegen'd regexp_count, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ", -1)).cast("double")
+    n_stop = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|and|of|to)\b")).cast("long")
+    return docs.select(
+        "doc_id",
+        F.round(F.length("text").cast("double") / n_tokens, 6).alias("avg_token_len"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )

@@ -1,0 +1,3 @@
+from dedupe_copy_spark.sources.tables import TABLES, files_from_documents, load_table
+
+__all__ = ["TABLES", "files_from_documents", "load_table"]

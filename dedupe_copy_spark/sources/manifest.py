@@ -1,0 +1,153 @@
+"""Checkpointed manifests — the Spark restatement of the reference's
+resumable SQLite manifests.
+
+Reference: Manifest.save/load persists hash→files plus a read-sources
+set every 50k results (manifest.py:106-148, threads.py:489-517) so a
+killed job resumes without re-hashing. Here every pipeline stage writes
+a Parquet directory (atomic via _SUCCESS marker); resume = "does a valid
+checkpoint exist → read it, else compute and write". The whole
+disk_cache_dict.py spill layer (768 LoC) has no analogue — Spark shuffle
+spill + Parquet replace it.
+
+Layout under a checkpoint root:
+    <root>/<stage_name>/            stage output parquet
+    <root>/read_sources/            processed-keys checkpoint
+    <root>/_metrics/                per-stage lineage + row counts (json lines)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SUCCESS = "_SUCCESS"
+
+
+def checkpoint_path(root: str, stage: str) -> str:
+    return os.path.join(root, stage)
+
+
+def checkpoint_exists(root: str, stage: str) -> bool:
+    return os.path.exists(os.path.join(root, stage, _SUCCESS))
+
+
+def write_checkpoint(df: DataFrame, root: str, stage: str,
+                     partition_by: tuple[str, ...] = (),
+                     mode: str = "overwrite") -> str:
+    path = checkpoint_path(root, stage)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def read_checkpoint(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    return spark.read.parquet(checkpoint_path(root, stage))
+
+
+def record_metrics(root: str, stage: str, rows: int, seconds: float,
+                   extra: dict | None = None) -> None:
+    """Per-stage lineage + row-count metrics (north_rule). Appended as a
+    JSON line; cheap, driver-side, crash-safe (one line per commit)."""
+    os.makedirs(os.path.join(root, "_metrics"), exist_ok=True)
+    rec = {"stage": stage, "rows": rows, "seconds": round(seconds, 3),
+           "ts": time.time(), **(extra or {})}
+    with open(os.path.join(root, "_metrics", "metrics.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def load_metrics(root: str) -> list[dict]:
+    p = os.path.join(root, "_metrics", "metrics.jsonl")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def stage(spark: SparkSession, root: str | None, name: str,
+          compute, partition_by: tuple[str, ...] = ()) -> DataFrame:
+    """Run a stage with checkpoint/resume semantics.
+
+    If the checkpoint exists, read it back (resume without recompute —
+    the reference's `-i manifest` semantics, README.md:284-296).
+    Otherwise compute the DataFrame, persist it, record metrics, and
+    return the *checkpointed* scan so downstream stages read columnar
+    parquet instead of recomputing lineage.
+    """
+    if root is None:
+        return compute()
+    if checkpoint_exists(root, name):
+        return read_checkpoint(spark, root, name)
+    t0 = time.time()
+    df = compute()
+    write_checkpoint(df, root, name, partition_by)
+    out = read_checkpoint(spark, root, name)
+    n = out.count()
+    record_metrics(root, name, n, time.time() - t0,
+                   {"partition_by": list(partition_by)})
+    return out
+
+
+def update_read_sources(spark: SparkSession, root: str, new_keys: DataFrame,
+                        keys: tuple[str, ...] = ("repo", "path", "commit")) -> None:
+    """Union newly-processed keys into the read-sources checkpoint
+    (reference read_sources set, manifest.py:82-84 / threads.py:420-422).
+    """
+    stage_name = "read_sources"
+    fresh = new_keys.select(*keys).dropDuplicates(list(keys))
+    if checkpoint_exists(root, stage_name):
+        old = read_checkpoint(spark, root, stage_name)
+        merged = old.unionByName(fresh).dropDuplicates(list(keys))
+        # overwriting a parquet dir we are reading from needs a
+        # materialization barrier first (localCheckpoint cuts lineage)
+        merged = merged.localCheckpoint()
+        write_checkpoint(merged, root, stage_name)
+    else:
+        write_checkpoint(fresh, root, stage_name)
+
+
+def combine_manifests(manifests: list[DataFrame],
+                      keys: tuple[str, ...] = ("dup_key", "repo", "path", "commit")) -> DataFrame:
+    """Union N manifests, dropping exact repeats — the reference's
+    _combine_manifests union-distinct (manifest.py:309-345)."""
+    out = manifests[0]
+    for m in manifests[1:]:
+        out = out.unionByName(m, allowMissingColumns=True)
+    return out.dropDuplicates(list(keys))
+
+
+def remove_files(manifest: DataFrame, removed: DataFrame,
+                 keys: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
+    """Drop deleted rows from the manifest (reference Manifest.remove_files,
+    manifest.py:179-218) — a left anti join instead of per-key list surgery."""
+    return manifest.join(removed.select(*keys).dropDuplicates(list(keys)),
+                         on=list(keys), how="left_anti")
+
+
+def update_paths(manifest: DataFrame, from_prefix: str, to_prefix: str) -> DataFrame:
+    """Path-prefix rewrite across the manifest (reference
+    convert_manifest_paths, manifest.py:377-415)."""
+    from dedupe_copy_spark.functions import path_prefix_rewrite
+
+    return manifest.withColumn("path", path_prefix_rewrite(F.col("path"), from_prefix, to_prefix))
+
+
+def verify_manifest(manifest: DataFrame, current_scan: DataFrame,
+                    keys: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
+    """Consistency audit (reference verify_manifest_fs, core.py:690-750):
+    for each manifest row, does the row still exist in the source scan
+    and does its size match? Returns rows with a `status` column in
+    {ok, missing, size_mismatch}."""
+    cur = current_scan.select(*keys, F.col("size").alias("_cur_size"))
+    joined = manifest.join(cur, on=list(keys), how="left")
+    return joined.withColumn(
+        "status",
+        F.when(F.col("_cur_size").isNull(), F.lit("missing"))
+        .when(F.col("_cur_size") != F.col("size"), F.lit("size_mismatch"))
+        .otherwise(F.lit("ok")),
+    ).drop("_cur_size")

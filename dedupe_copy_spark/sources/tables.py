@@ -1,0 +1,91 @@
+"""Source scans.
+
+The reference's "source" is a multithreaded filesystem walk
+(/root/reference/dedupe_copy/core.py:49-98, threads.py:124-172). For this
+engine the scan IS the table read: an Iceberg/Parquet scan of
+``files(repo, path, commit, lang, content)`` — Catalyst handles pruning,
+pushdown, and split planning, which replaces the whole walk machinery.
+
+For the driver's testdata (TPC-H-ish parquet + documents/embeddings) we
+expose ``load_table`` and a deterministic ``files_from_documents`` view
+that maps the documents table into the canonical input shape, unioned
+with a 'mirror' copy of every 5th doc so exact-duplicate semantics are
+exercised on data that otherwise has no dup rows. The same construction
+is expressed in ANSI SQL for the DuckDB oracle (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# lang → file extension used when synthesizing paths from documents
+LANG_EXT = {"en": "txt", "de": "md", "fr": "rst", "es": "adoc", "zh": "org"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_ext() -> F.Column:
+    ext = F.lit("dat")
+    for lang, e in LANG_EXT.items():
+        ext = F.when(F.col("lang") == lang, F.lit(e)).otherwise(ext)
+    return ext
+
+
+def files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical files(repo, path, commit, lang, content) over documents.
+
+    Deterministic: repo from source, path from (lang, doc_id), commit =
+    md5 of a fixed string. Every doc_id % 5 == 0 row appears twice
+    (primary + mirror repo) to create exact duplicates by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id_s = F.col("doc_id").cast("string")
+
+    def shape(src: DataFrame, repo_suffix: str, path_prefix: str, salt: str) -> DataFrame:
+        return src.select(
+            F.concat(F.col("source"), F.lit(repo_suffix)).alias("repo"),
+            F.concat(
+                F.lit(path_prefix), F.col("lang"), F.lit("/doc_"),
+                doc_id_s, F.lit("."), _doc_ext(),
+            ).alias("path"),
+            F.md5(F.concat(F.lit(salt), doc_id_s)).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+
+    primary = shape(docs, "/repo", "docs/", "c")
+    mirror = shape(docs.filter(F.col("doc_id") % 5 == 0), "/mirror", "mirror/", "m")
+    return primary.unionByName(mirror)
+
+
+# The same construction as ANSI SQL (DuckDB oracle side). Kept adjacent
+# to the Spark code so the two can never drift silently.
+FILES_CTE_SQL = """
+WITH files AS (
+  SELECT source || '/repo' AS repo,
+         'docs/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.' ||
+           (CASE lang WHEN 'en' THEN 'txt' WHEN 'de' THEN 'md'
+                      WHEN 'fr' THEN 'rst' WHEN 'es' THEN 'adoc'
+                      WHEN 'zh' THEN 'org' ELSE 'dat' END) AS path,
+         md5('c' || CAST(doc_id AS VARCHAR)) AS commit_id,
+         lang, text AS content
+  FROM documents
+  UNION ALL
+  SELECT source || '/mirror' AS repo,
+         'mirror/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.' ||
+           (CASE lang WHEN 'en' THEN 'txt' WHEN 'de' THEN 'md'
+                      WHEN 'fr' THEN 'rst' WHEN 'es' THEN 'adoc'
+                      WHEN 'zh' THEN 'org' ELSE 'dat' END) AS path,
+         md5('m' || CAST(doc_id AS VARCHAR)) AS commit_id,
+         lang, text AS content
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""

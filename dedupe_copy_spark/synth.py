@@ -1,0 +1,291 @@
+"""Deterministic synthetic `files` tables + ground truth (FIXTURES.md).
+
+Modeled on the reference test fixture strategy: seed-reproducible content
+(/root/reference/dedupe_copy/test/utils.py:57-108 write_file — rotated
+alphabet), tree construction (test/utils.py:185-228 make_file_tree), and
+golden-output assertions (test/test_golden_dir.py:32-99). seed=42, no
+wall-clock anywhere. Generation is driver-side (small scales) or
+distributed via mapInPandas for bench scales.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FILES_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), False),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+])
+
+EXTS = [".py", ".c", ".java", ".md", ".txt"]
+EXT_LANG = {".py": "py", ".c": "c", ".java": "java", ".md": "markdown", ".txt": "text"}
+
+_VOCAB = (
+    "def class return import for while if else elif try except with lambda "
+    "yield assert raise pass break continue global print len range list dict "
+    "set tuple int str float bool open read write close join split strip map "
+    "filter sorted reversed enumerate zip sum min max abs round self None "
+    "True False and or not in is table query index scan hash merge sort "
+    "buffer cache spill partition shuffle broadcast executor driver stage"
+).split()
+
+
+def _commit(seed: int, i: int) -> str:
+    return hashlib.sha1(f"commit{seed}:{i}".encode()).hexdigest()
+
+
+def _content(rng: random.Random, n_tokens: int) -> str:
+    return " ".join(rng.choice(_VOCAB) for _ in range(n_tokens))
+
+
+def _path(rng: random.Random, i: int, ext: str) -> str:
+    depth = rng.randint(1, 4)
+    dirs = "/".join(f"d{rng.randint(0, 9)}" for _ in range(depth))
+    return f"{dirs}/f{i}{ext}"
+
+
+@dataclass
+class GroundTruth:
+    """Expected outputs by construction (FIXTURES.md oracle tables)."""
+    exact_groups: dict[str, list[tuple]] = field(default_factory=dict)   # content → member keys
+    near_pairs: list[tuple] = field(default_factory=list)                # (key_a, key_b, kind)
+    clusters: dict[tuple, int] = field(default_factory=dict)             # member key → cluster tag
+
+
+def _mk_row(rng: random.Random, i: int, content: str, repo: str | None = None,
+            path: str | None = None, seed: int = 42) -> dict:
+    ext = EXTS[i % len(EXTS)]
+    return {
+        "repo": repo or f"org{i % 7}/repo{i % 23}",
+        "path": path or _path(rng, i, ext),
+        "commit": _commit(seed, i),
+        "lang": EXT_LANG[ext],
+        "content": content,
+    }
+
+
+def exact_dups(seed: int = 42, n_unique: int = 40, n_duped: int = 20) -> tuple[list[dict], GroundTruth]:
+    """F1: n_duped contents duplicated 2-5x across repos; n_unique singles."""
+    rng = random.Random(seed)
+    rows, gt, i = [], GroundTruth(), 0
+    for _ in range(n_unique):
+        rows.append(_mk_row(rng, i, _content(rng, rng.randint(30, 120)), seed=seed))
+        i += 1
+    for d in range(n_duped):
+        content = _content(rng, rng.randint(30, 120)) + f" uniq{d}"
+        members = []
+        for _ in range(rng.randint(2, 5)):
+            r = _mk_row(rng, i, content, seed=seed)
+            rows.append(r)
+            members.append((r["repo"], r["path"], r["commit"]))
+            i += 1
+        gt.exact_groups[content] = members
+    return rows, gt
+
+
+def empty_files(seed: int = 42) -> tuple[list[dict], GroundTruth]:
+    """F2: 5 zero-byte files + one non-empty dup pair."""
+    rng = random.Random(seed)
+    rows, gt = [], GroundTruth()
+    for i in range(5):
+        rows.append(_mk_row(rng, i, "", seed=seed))
+    content = _content(rng, 50)
+    a = _mk_row(rng, 10, content, seed=seed)
+    b = _mk_row(rng, 11, content, seed=seed)
+    rows += [a, b]
+    gt.exact_groups[content] = [(a["repo"], a["path"], a["commit"]),
+                                (b["repo"], b["path"], b["commit"])]
+    return rows, gt
+
+
+def keep_first_fixture(seed: int = 42) -> tuple[list[dict], GroundTruth]:
+    """F3: one content at non-alphabetically-inserted paths; survivor must
+    be the lexicographically-first (repo, path, commit)."""
+    rng = random.Random(seed)
+    content = _content(rng, 40)
+    rows = [
+        _mk_row(rng, 0, content, repo="r/r", path="b/dup.py", seed=seed),
+        _mk_row(rng, 1, content, repo="r/r", path="a/dup.py", seed=seed),
+        _mk_row(rng, 2, content, repo="r/r", path="c/dup.py", seed=seed),
+    ]
+    return rows, GroundTruth(exact_groups={content: [
+        (r["repo"], r["path"], r["commit"]) for r in rows]})
+
+
+def _mutate_tokens(rng: random.Random, tokens: list[str], frac: float) -> list[str]:
+    out = list(tokens)
+    n_edits = max(1, int(len(tokens) * frac))
+    for _ in range(n_edits):
+        op = rng.random()
+        idx = rng.randrange(len(out))
+        if op < 0.5:
+            out[idx] = rng.choice(_VOCAB)
+        elif op < 0.8 and len(out) > 10:
+            del out[idx]
+        else:
+            out.insert(idx, rng.choice(_VOCAB))
+    return out
+
+
+def near_dup_minhash(seed: int = 42, n_bases: int = 30) -> tuple[list[dict], GroundTruth]:
+    """F7: per base file (300-1000 tokens), 2-4 variants with 1-5% token
+    edits — expected near-dup pairs known by construction."""
+    rng = random.Random(seed + 7)
+    rows, gt, i = [], GroundTruth(), 0
+    for b in range(n_bases):
+        base_tokens = [rng.choice(_VOCAB) for _ in range(rng.randint(300, 1000))]
+        base_tokens.append(f"base{b}")
+        base = _mk_row(rng, i, " ".join(base_tokens), seed=seed)
+        rows.append(base)
+        base_key = (base["repo"], base["path"], base["commit"])
+        i += 1
+        for _ in range(rng.randint(2, 4)):
+            var_tokens = _mutate_tokens(rng, base_tokens, rng.uniform(0.01, 0.05))
+            v = _mk_row(rng, i, " ".join(var_tokens), seed=seed)
+            rows.append(v)
+            gt.near_pairs.append((base_key, (v["repo"], v["path"], v["commit"]), "minhash"))
+            i += 1
+    return rows, gt
+
+
+def near_dup_short(seed: int = 42, n_bases: int = 25) -> tuple[list[dict], GroundTruth]:
+    """F8: short files (<= ~40 tokens) with tiny edits → SimHash path."""
+    rng = random.Random(seed + 8)
+    rows, gt, i = [], GroundTruth(), 0
+    for b in range(n_bases):
+        tokens = [rng.choice(_VOCAB) for _ in range(rng.randint(15, 40))]
+        tokens.append(f"short{b}")
+        base = _mk_row(rng, i, " ".join(tokens), seed=seed)
+        rows.append(base)
+        bk = (base["repo"], base["path"], base["commit"])
+        i += 1
+        var = list(tokens)
+        var[rng.randrange(len(var))] = rng.choice(_VOCAB)
+        v = _mk_row(rng, i, " ".join(var), seed=seed)
+        rows.append(v)
+        gt.near_pairs.append((bk, (v["repo"], v["path"], v["commit"]), "simhash"))
+        i += 1
+    return rows, gt
+
+
+def containment(seed: int = 42, n_bases: int = 10) -> tuple[list[dict], GroundTruth]:
+    """F9: variant embeds the full base inside a 2-3x larger file."""
+    rng = random.Random(seed + 9)
+    rows, gt, i = [], GroundTruth(), 0
+    for b in range(n_bases):
+        base_txt = _content(rng, rng.randint(100, 200)) + f" contained{b}"
+        base = _mk_row(rng, i, base_txt, seed=seed)
+        rows.append(base)
+        i += 1
+        wrapper = (_content(rng, 80) + " LICENSE HEADER " + base_txt + " "
+                   + _content(rng, rng.randint(150, 300)))
+        v = _mk_row(rng, i, wrapper, seed=seed)
+        rows.append(v)
+        gt.near_pairs.append(((base["repo"], base["path"], base["commit"]),
+                              (v["repo"], v["path"], v["commit"]), "containment"))
+        i += 1
+    return rows, gt
+
+
+def skew_hotspot(seed: int = 42, n_copies: int = 5000, n_other: int = 2000) -> tuple[list[dict], GroundTruth]:
+    """F10: one vendored content duplicated n_copies times + a giant repo
+    holding ~30% of rows — the salted-repartition / no-O(n^2) stressor."""
+    rng = random.Random(seed + 10)
+    rows = []
+    license_text = "MIT LICENSE " + _content(rng, 200)
+    for i in range(n_copies):
+        rows.append(_mk_row(rng, i, license_text,
+                            repo=f"org{i % 50}/repo{i % 200}",
+                            path=f"vendor/pkg{i}/LICENSE.txt", seed=seed))
+    giant = int(n_other * 0.3)
+    for i in range(n_other):
+        repo = "giant/monorepo" if i < giant else None
+        rows.append(_mk_row(rng, n_copies + i, _content(rng, rng.randint(20, 80)) + f" u{i}",
+                            repo=repo, seed=seed))
+    return rows, GroundTruth()
+
+
+def cluster_chain(seed: int = 42) -> tuple[list[dict], GroundTruth]:
+    """F11: transitive chain A≈B≈C≈D (A,D not directly similar) — must
+    land in ONE cluster via connected components."""
+    rng = random.Random(seed + 11)
+    tokens = [rng.choice(_VOCAB) for _ in range(600)]
+    rows, gt = [], GroundTruth()
+    prev_tokens = tokens
+    keys = []
+    for i in range(4):
+        r = _mk_row(rng, i, " ".join(prev_tokens), repo="chain/repo",
+                    path=f"chain/{chr(97 + i)}.py", seed=seed)
+        rows.append(r)
+        keys.append((r["repo"], r["path"], r["commit"]))
+        # ~8% drift per hop: adjacent pairs similar, endpoints not
+        prev_tokens = _mutate_tokens(rng, prev_tokens, 0.08)
+    for a, b in zip(keys, keys[1:]):
+        gt.near_pairs.append((a, b, "minhash"))
+    gt.clusters = {k: 0 for k in keys}
+    return rows, gt
+
+
+def mixed_e2e(seed: int = 42) -> tuple[list[dict], GroundTruth]:
+    """F12: union of exact dups, empties, near-dups, short near-dups."""
+    rows, gt = [], GroundTruth()
+    for gen in (exact_dups, empty_files, near_dup_minhash, near_dup_short, containment):
+        r, g = gen(seed=seed)
+        rows += r
+        gt.exact_groups.update(g.exact_groups)
+        gt.near_pairs += g.near_pairs
+    return rows, gt
+
+
+def to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    pdf = pd.DataFrame(rows, columns=[f.name for f in FILES_SCHEMA.fields])
+    return spark.createDataFrame(pdf, schema=FILES_SCHEMA)
+
+
+def bench_files(spark: SparkSession, n_rows: int, seed: int = 42,
+                dup_frac: float = 0.2, near_frac: float = 0.2,
+                partitions: int | None = None) -> DataFrame:
+    """Distributed generator for bench scales: deterministic rows built
+    inside mapInPandas so no driver-side materialization. ~dup_frac rows
+    are exact duplicates of earlier rows; ~near_frac are near-variants.
+    """
+    import numpy as np  # noqa: F401 (kept for extension)
+
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    seed_df = spark.range(0, n_rows, 1, n_parts)
+
+    def pick_unique_src(rng: random.Random, i: int):
+        # find an earlier row that is itself a plain-unique row so the
+        # duplicate really matches its content (fully deterministic)
+        while True:
+            src = rng.randrange(max(1, i // 2))
+            srng = random.Random((seed << 20) ^ src)
+            if srng.random() >= dup_frac + near_frac:
+                return srng
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["id"].tolist():
+                rng = random.Random((seed << 20) ^ i)
+                roll = rng.random()
+                if roll < dup_frac and i > 100:
+                    content = _content(pick_unique_src(rng, i), 150)
+                elif roll < dup_frac + near_frac and i > 100:
+                    toks = _content(pick_unique_src(rng, i), 150).split()
+                    content = " ".join(_mutate_tokens(rng, toks, 0.03))
+                else:
+                    content = _content(rng, 150)
+                out.append(_mk_row(rng, int(i), content, seed=seed))
+            yield pd.DataFrame(out, columns=[f.name for f in FILES_SCHEMA.fields])
+
+    return seed_df.mapInPandas(gen, schema=FILES_SCHEMA)

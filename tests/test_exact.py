@@ -1,0 +1,124 @@
+"""Exact-dup semantics vs the reference contract (SURVEY.md §7.1).
+
+Models: /root/reference/dedupe_copy/test/test_delete.py:137-166
+(keep-first determinism), test_delete.py:254-291 (empty handling),
+test_hashing golden digests, threads.py:403-425 (collision grouping).
+"""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark import DedupeConfig
+from dedupe_copy_spark import synth
+from dedupe_copy_spark.operators import exact
+
+
+def _hashed(spark, rows, cfg=None):
+    return exact.with_digest(synth.to_df(spark, rows), cfg)
+
+
+def test_digest_is_sha256_of_content(spark):
+    rows, _ = synth.exact_dups(n_unique=3, n_duped=0)
+    got = _hashed(spark, rows).select("content", "content_sha256").collect()
+    for r in got:
+        assert r.content_sha256 == hashlib.sha256(r.content.encode()).hexdigest()
+
+
+def test_exact_groups_match_construction(spark):
+    rows, gt = synth.exact_dups()
+    hashed = _hashed(spark, rows)
+    groups = exact.collision_hashes(hashed).collect()
+    assert len(groups) == len(gt.exact_groups)
+    by_digest = {hashlib.sha256(c.encode()).hexdigest(): members
+                 for c, members in gt.exact_groups.items()}
+    for g in groups:
+        assert g.n_files == len(by_digest[g.dup_key])
+
+
+def test_dup_pair_recall_exact_is_one(spark):
+    """The scored invariant: every constructed dup pair is detected."""
+    rows, gt = synth.exact_dups()
+    hashed = _hashed(spark, rows)
+    dups = exact.duplicates(hashed).select("dup_key", "repo", "path", "commit").collect()
+    detected = {}
+    for r in dups:
+        detected.setdefault(r.dup_key, set()).add((r.repo, r.path, r.commit))
+    expected_pairs = 0
+    found_pairs = 0
+    for content, members in gt.exact_groups.items():
+        digest = hashlib.sha256(content.encode()).hexdigest()
+        got = detected.get(digest, set())
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                expected_pairs += 1
+                if members[i] in got and members[j] in got:
+                    found_pairs += 1
+    assert expected_pairs > 0
+    assert found_pairs / expected_pairs >= 0.99
+
+
+def test_empty_files_never_collide_by_default(spark):
+    rows, _ = synth.empty_files()
+    hashed = _hashed(spark, rows, DedupeConfig(dedupe_empty=False))
+    cols = exact.collision_hashes(hashed).collect()
+    # only the non-empty dup pair collides
+    assert len(cols) == 1 and cols[0].n_files == 2
+
+
+def test_empty_files_collide_with_dedupe_empty(spark):
+    rows, _ = synth.empty_files()
+    hashed = _hashed(spark, rows, DedupeConfig(dedupe_empty=True))
+    cols = {r.n_files for r in exact.collision_hashes(hashed).collect()}
+    assert cols == {5, 2}  # the 5 empties group together + the pair
+
+
+def test_keep_first_is_lexicographic(spark):
+    rows, _ = synth.keep_first_fixture()
+    hashed = _hashed(spark, rows)
+    w = exact.winners(hashed).collect()
+    assert len(w) == 1 and w[0].path == "a/dup.py"
+    lose = sorted(r.path for r in exact.losers(hashed).collect())
+    assert lose == ["b/dup.py", "c/dup.py"]
+
+
+def test_collision_report_group_numbering(spark):
+    rows, gt = synth.exact_dups()
+    rep = exact.collision_report(_hashed(spark, rows)).collect()
+    groups = sorted({r.group_id for r in rep})
+    assert groups == list(range(1, len(gt.exact_groups) + 1))
+    # group ids follow digest order (stable numbering)
+    by_group = {}
+    for r in rep:
+        by_group.setdefault(r.group_id, set()).add(r.content_sha256)
+    assert all(len(v) == 1 for v in by_group.values())
+
+
+def test_extension_report_topn(spark):
+    rows, _ = synth.exact_dups()
+    rep = exact.extension_report(_hashed(spark, rows), top_n=3).collect()
+    assert len(rep) == 3
+    sizes = [r.total_size for r in rep]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_manifest_export_round_trip(spark, tmp_path):
+    from dedupe_copy_spark.sources import manifest as m
+
+    rows, gt = synth.exact_dups()
+    hashed = _hashed(spark, rows)
+    exported = exact.manifest_export(hashed)
+    root = str(tmp_path / "ckpt")
+    m.write_checkpoint(exported, root, "manifest")
+    assert m.checkpoint_exists(root, "manifest")
+    back = m.read_checkpoint(spark, root, "manifest")
+    assert back.count() == exported.count()
+    total_files = back.agg(F.sum("n_files")).collect()[0][0]
+    assert total_files == len(rows)
+
+
+def test_min_size_losers_filter(spark):
+    rows, _ = synth.keep_first_fixture()
+    hashed = _hashed(spark, rows)
+    big = exact.losers(hashed, DedupeConfig(min_size=10**9))
+    assert big.count() == 0

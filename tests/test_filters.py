@@ -1,0 +1,70 @@
+"""Predicate operators vs reference filter semantics.
+
+Models: /root/reference/dedupe_copy/test/test_threads.py:30-77 (filter
+predicates), test_copy_enhanced.py (extension/ignore scenarios),
+test_reuse_manifest.py (resume does not double-process).
+"""
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark import synth
+from dedupe_copy_spark.operators import exact, filters
+
+
+def test_extension_include_filter(spark):
+    rows, _ = synth.exact_dups()
+    df = synth.to_df(spark, rows)
+    only_py = filters.extension_filter(df, ("py",))
+    got = only_py.select("path").collect()
+    assert len(got) > 0
+    assert all(r.path.lower().endswith(".py") for r in got)
+    multi = filters.extension_filter(df, ("py", "*.md"))
+    assert multi.count() > only_py.count()
+
+
+def test_extension_filter_glob(spark):
+    rows, _ = synth.exact_dups()
+    df = synth.to_df(spark, rows)
+    got = filters.extension_filter(df, ("j*",)).select("path").collect()
+    assert len(got) > 0
+    assert all(r.path.endswith(".java") for r in got)
+
+
+def test_ignore_filter(spark):
+    rows, _ = synth.skew_hotspot(n_copies=50, n_other=50)
+    df = synth.to_df(spark, rows)
+    kept = filters.ignore_filter(df, ("*vendor*",))
+    assert kept.count() == 50
+    assert kept.filter(F.col("path").contains("vendor")).count() == 0
+
+
+def test_resume_anti_join_keeps_only_new(spark):
+    rows, _ = synth.exact_dups()
+    df = synth.to_df(spark, rows)
+    half = synth.to_df(spark, rows[: len(rows) // 2])
+    remaining = filters.resume_filter(df, half)
+    assert remaining.count() == len(rows) - len(rows) // 2
+
+
+def test_compare_exclude_anti_join(spark):
+    rows, gt = synth.exact_dups()
+    hashed = exact.with_digest(synth.to_df(spark, rows))
+    # compare manifest = the dup groups themselves → all dup rows excluded
+    compare = exact.collision_hashes(hashed)
+    kept = filters.compare_exclude(hashed, compare)
+    n_dup_rows = sum(len(m) for m in gt.exact_groups.values())
+    assert kept.count() == len(rows) - n_dup_rows
+
+
+def test_compare_select_victims_semi_join(spark):
+    rows, gt = synth.exact_dups()
+    hashed = exact.with_digest(synth.to_df(spark, rows))
+    compare = exact.collision_hashes(hashed)
+    victims = filters.compare_select_victims(hashed, compare)
+    assert victims.count() == sum(len(m) for m in gt.exact_groups.values())
+
+
+def test_min_size_filter(spark):
+    rows, _ = synth.empty_files()
+    hashed = exact.with_digest(synth.to_df(spark, rows))
+    assert filters.min_size_filter(hashed, 1).count() == 2  # only the pair

@@ -1,0 +1,88 @@
+"""Checkpoint/resume manifest semantics.
+
+Models: /root/reference/dedupe_copy/test/test_manifests.py:67-146
+(save/load/combine/convert), test_core.py:41-135 (manifest update after
+delete), test_reuse_manifest.py:57 (no doubling on resume).
+"""
+
+from dedupe_copy_spark import synth
+from dedupe_copy_spark.operators import exact
+from dedupe_copy_spark.sources import manifest as m
+
+
+def _hashed(spark, rows):
+    return exact.with_digest(synth.to_df(spark, rows))
+
+
+def test_stage_checkpoint_resume_skips_recompute(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    rows, _ = synth.exact_dups()
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return _hashed(spark, rows)
+
+    df1 = m.stage(spark, root, "ingest", compute)
+    n1 = df1.count()
+    df2 = m.stage(spark, root, "ingest", compute)
+    assert calls["n"] == 1  # second call resumed from checkpoint
+    assert df2.count() == n1
+    mets = m.load_metrics(root)
+    assert len(mets) == 1 and mets[0]["stage"] == "ingest" and mets[0]["rows"] == n1
+
+
+def test_read_sources_union_no_doubling(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    rows, _ = synth.exact_dups()
+    df = synth.to_df(spark, rows)
+    half1 = synth.to_df(spark, rows[:30])
+    m.update_read_sources(spark, root, half1)
+    m.update_read_sources(spark, root, half1)  # idempotent
+    rs = m.read_checkpoint(spark, root, "read_sources")
+    assert rs.count() == 30
+    m.update_read_sources(spark, root, df)
+    assert m.read_checkpoint(spark, root, "read_sources").count() == len(rows)
+
+
+def test_combine_manifests_union_distinct(spark):
+    rows, _ = synth.exact_dups()
+    h = _hashed(spark, rows)
+    a, b = h.limit(40), h  # overlapping
+    combined = m.combine_manifests([a, b])
+    assert combined.count() == h.dropDuplicates(["dup_key", "repo", "path", "commit"]).count()
+
+
+def test_remove_files_anti_join(spark):
+    rows, _ = synth.exact_dups()
+    h = _hashed(spark, rows)
+    victims = exact.losers(h)
+    kept = m.remove_files(h, victims)
+    assert kept.count() == h.count() - victims.count()
+
+
+def test_update_paths_prefix_rewrite(spark):
+    rows, _ = synth.keep_first_fixture()
+    h = _hashed(spark, rows)
+    out = m.update_paths(h, "a/", "z/")
+    paths = sorted(r.path for r in out.collect())
+    assert paths == ["b/dup.py", "c/dup.py", "z/dup.py"]
+
+
+def test_verify_manifest_statuses(spark):
+    rows, _ = synth.exact_dups()
+    h = _hashed(spark, rows)
+    manifest = h.select("repo", "path", "commit", "size")
+    # current scan: drop 5 rows, corrupt 3 sizes
+    cur = h.select("repo", "path", "commit", "size").collect()
+    import pandas as pd
+    pdf = pd.DataFrame([r.asDict() for r in cur])
+    pdf = pdf.iloc[5:].copy()
+    pdf.loc[pdf.index[:3], "size"] = -1
+    scan = spark.createDataFrame(pdf)
+    audited = m.verify_manifest(manifest, scan)
+    by_status = {r["status"]: r["n"] for r in
+                 audited.groupBy("status").count().withColumnRenamed("count", "n").collect()}
+    assert by_status.get("missing") == 5
+    assert by_status.get("size_mismatch") == 3
+    assert by_status.get("ok") == len(rows) - 8

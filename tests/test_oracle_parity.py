@@ -1,0 +1,51 @@
+"""Local re-implementation of the driver's correctness gate: run each
+registry query in Spark AND its oracle SQL in DuckDB on the same parquet
+(sf0.01), then compare row count, column names, and an order-insensitive
+value multiset. Catching a mismatch here is much cheaper than a red
+CORRECTNESS_r{N}.json."""
+
+import math
+
+import duckdb
+import pytest
+
+from dedupe_copy_spark.plans import registry
+from dedupe_copy_spark.sources.tables import TABLES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    return str(v)
+
+
+def _multiset(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [tuple(_norm_cell(v) for v in row)
+            for row in df_pandas[cols].itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLE_SQL))
+def test_oracle_parity(spark, name):
+    spark_df = registry.SPARK_QUERIES[name](spark, SF).toPandas()
+    duck_df = _duck(registry.ORACLE_SQL[name])
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), \
+        f"{name}: column mismatch {spark_df.columns} vs {duck_df.columns}"
+    assert len(spark_df) == len(duck_df), \
+        f"{name}: row count {len(spark_df)} vs {len(duck_df)}"
+    ms, md = _multiset(spark_df), _multiset(duck_df)
+    mismatches = [i for i, (a, b) in enumerate(zip(ms, md)) if a != b][:5]
+    assert ms == md, f"{name}: value mismatch at sorted rows {mismatches}: " \
+                     f"{[(ms[i], md[i]) for i in mismatches]}"
