@@ -41,11 +41,17 @@ class DedupeConfig:
     # --- near-dup: SimHash for short files ---
     short_file_max_tokens: int = 64   # route shorter docs to SimHash
     simhash_bits: int = 64
-    simhash_hamming_max: int = 3      # 4 chunks of 16 bits guarantee ≤3
+    # 8 chunks × 8 bits pigeonhole-guarantee detection at hamming ≤ 7 —
+    # short docs flip more bits per token edit than web-page SimHash, so
+    # the classic 4×16/≤3 setting has poor recall on them (measured 0.4
+    # vs 0.96 at ≤7 on fixture F8)
+    simhash_hamming_max: int = 7
 
     # --- containment (suffix-array substring) ---
     containment_min_ratio: float = 1.5   # only test pairs where big/small ≥ ratio
-    containment_band_threshold: float = 0.3  # low-τ LSH pass for candidates
+    bottomk: int = 64                    # bottom-k sketch size
+    containment_min_shared: int = 6      # shared sketch hashes → candidate
+    containment_threshold: float = 0.8   # est containment to reach verify
 
     # --- scale / skew ---
     salt_buckets: int = 64        # salt factor for hot LSH band keys

@@ -1,0 +1,74 @@
+"""Suffix-array substring search (numpy, prefix-doubling).
+
+Used by the containment verifier (operators/containment.py): for each
+candidate (small, big) pair we build the suffix array of the big text
+once and binary-search the small text against it. O(n log^2 n) build,
+O(m log n) query — and because verification runs inside an Arrow batch
+on already-filtered candidate pairs, the cost is bounded by candidate
+count, not corpus size.
+
+Pure numpy; no external suffix-array packages (container has none).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def suffix_array(text: bytes) -> np.ndarray:
+    """Suffix array via prefix doubling with numpy lexsort."""
+    n = len(text)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(text, dtype=np.uint8).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    rank = rank.copy()
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while k < n:
+        # sort by (rank[i], rank[i+k]) — second key = -1 past the end
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        # recompute ranks: same pair → same rank
+        prev = order[:-1]
+        cur = order[1:]
+        changed = (rank[cur] != rank[prev]) | (second[cur] != second[prev])
+        tmp[order[0]] = 0
+        tmp[cur] = np.cumsum(changed)
+        rank, tmp = tmp, rank
+        sa = order
+        if rank[sa[-1]] == n - 1:
+            break
+        k <<= 1
+    return sa.astype(np.int64)
+
+
+def _compare_at(text: bytes, pos: int, needle: bytes) -> int:
+    """memcmp(needle, text[pos:pos+len(needle)]) semantics: -1/0/1."""
+    seg = text[pos: pos + len(needle)]
+    if seg == needle:
+        return 0
+    return -1 if needle < seg else 1
+
+
+def sa_contains(text: bytes, sa: np.ndarray, needle: bytes) -> bool:
+    """Binary search for needle as a prefix of any suffix."""
+    if not needle:
+        return True
+    lo, hi = 0, len(sa)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _compare_at(text, int(sa[mid]), needle) > 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    if lo == len(sa):
+        return False
+    return text[int(sa[lo]): int(sa[lo]) + len(needle)] == needle
+
+
+def contains(big: str, small: str) -> bool:
+    """Full containment check via suffix array of the big text."""
+    tb = big.encode("utf-8")
+    return sa_contains(tb, suffix_array(tb), small.encode("utf-8"))

@@ -1,0 +1,160 @@
+"""Substring-containment detection for near-identical variants
+(license-header + appended-code wrappers) — north-star capability.
+
+Three stages, each scale-bounded:
+
+  1. ``bottomk_sketches`` — one Arrow-batched pandas UDF emits the k
+     smallest mixed shingle hashes per doc (a bottom-k sketch). ~0.5 KB
+     per row.
+  2. ``containment_candidates`` — explode sketches and equi-join on the
+     individual hash value: docs sharing ≥ cfg.containment_min_shared
+     sketch hashes become candidates, restricted to size-skewed pairs
+     (big/small ≥ cfg.containment_min_ratio — same-size pairs belong to
+     MinHash). Hot hash values (boilerplate shingles) are width-capped
+     like LSH buckets.
+  3. estimate + verify — containment(A⊂B) ≈ |bottomk(A∪B) ∩ A ∩ B| /
+     |bottomk(A∪B) ∩ A| computed with array built-ins (JVM), then exact
+     substring confirmation via a suffix array of the big text inside a
+     pandas UDF (functions/suffix.py) — only on pairs that cleared the
+     estimate, so the expensive step is candidate-bounded.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.functions.suffix import contains
+from dedupe_copy_spark.operators.minhash import _splitmix64, tokenize
+
+_SKETCH_KEY = np.uint64(0xC0417A1471EB85D2)
+
+
+def _bottomk_one(text: str, k_shingle: int, k: int) -> list[int]:
+    tokens = tokenize(text)
+    if len(tokens) < k_shingle:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i:i + k_shingle])
+                  for i in range(len(tokens) - k_shingle + 1)]
+    if not joined:
+        return []
+    h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in joined),
+                    dtype=np.uint64, count=len(joined))
+    h = np.unique(_splitmix64(h ^ _SKETCH_KEY) >> np.uint64(1))
+    return h[:k].astype(np.int64).tolist()
+
+
+def make_bottomk_udf(cfg: DedupeConfig):
+    k_shingle, k = cfg.shingle_k, cfg.bottomk
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bottomk(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batch_iter:
+            yield pd.Series([_bottomk_one(t or "", k_shingle, k) for t in texts])
+
+    return bottomk
+
+
+def bottomk_sketches(files: DataFrame, cfg: DedupeConfig,
+                     content_col: str = "content") -> DataFrame:
+    return files.withColumn("sketch", make_bottomk_udf(cfg)(F.col(content_col)))
+
+
+def containment_candidates(sketches: DataFrame, cfg: DedupeConfig,
+                           id_col: str = "file_id",
+                           size_col: str = "size") -> DataFrame:
+    """Size-skewed candidate pairs sharing enough rare sketch hashes.
+    Output: (id_small, id_big)."""
+    exploded = sketches.select(
+        F.col(id_col), F.col(size_col),
+        F.explode("sketch").alias("h"))
+    width = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("w"))
+    ok = width.filter((F.col("w") > 1) & (F.col("w") <= cfg.max_band_bucket))
+    usable = exploded.join(ok.select("h"), "h", "left_semi")
+    a = usable.select(F.col("h"), F.col(id_col).alias("id_a"),
+                      F.col(size_col).alias("size_a"))
+    b = usable.select(F.col("h"), F.col(id_col).alias("id_b"),
+                      F.col(size_col).alias("size_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= cfg.containment_min_shared)
+    )
+    ratio_ok = (
+        F.greatest("size_a", "size_b").cast("double")
+        / F.least("size_a", "size_b").cast("double")
+        >= cfg.containment_min_ratio
+    )
+    skewed = shared.filter(ratio_ok)
+    return skewed.select(
+        F.when(F.col("size_a") <= F.col("size_b"), F.col("id_a"))
+        .otherwise(F.col("id_b")).alias("id_small"),
+        F.when(F.col("size_a") <= F.col("size_b"), F.col("id_b"))
+        .otherwise(F.col("id_a")).alias("id_big"),
+    ).dropDuplicates(["id_small", "id_big"])
+
+
+def estimate_containment(cands: DataFrame, sketches: DataFrame,
+                         cfg: DedupeConfig, id_col: str = "file_id") -> DataFrame:
+    """containment(small ⊂ big) from bottom-k sketches, all built-ins:
+    take the k smallest of union(sketch_s, sketch_b); the fraction of
+    those that lie in BOTH sketches, among those lying in sketch_s,
+    estimates |S∩B|/|S|."""
+    ss = sketches.select(F.col(id_col).alias("id_small"),
+                         F.col("sketch").alias("sk_s"))
+    sb = sketches.select(F.col(id_col).alias("id_big"),
+                         F.col("sketch").alias("sk_b"))
+    union_k = F.slice(F.array_sort(F.array_union("sk_s", "sk_b")), 1, cfg.bottomk)
+    in_s = F.array_intersect(union_k, F.col("sk_s"))
+    in_both = F.array_intersect(in_s, F.col("sk_b"))
+    est = F.size(in_both).cast("double") / F.greatest(F.size(in_s), F.lit(1)).cast("double")
+    return (
+        cands.join(ss, "id_small").join(sb, "id_big")
+        .withColumn("est_containment", F.round(est, 6))
+        .filter(F.col("est_containment") >= cfg.containment_threshold)
+        .select("id_small", "id_big", "est_containment")
+    )
+
+
+def verify_substring(cands: DataFrame, files: DataFrame,
+                     id_col: str = "file_id",
+                     content_col: str = "content") -> DataFrame:
+    """Exact confirmation: small content is a literal substring of big
+    content, via suffix-array search in an Arrow-batched UDF over the
+    (already small) candidate set."""
+    cs = files.select(F.col(id_col).alias("id_small"),
+                      F.col(content_col).alias("content_small"))
+    cb = files.select(F.col(id_col).alias("id_big"),
+                      F.col(content_col).alias("content_big"))
+    joined = cands.join(cs, "id_small").join(cb, "id_big")
+
+    @F.pandas_udf(T.BooleanType())
+    def contained(small: pd.Series, big: pd.Series) -> pd.Series:
+        return pd.Series([contains(b or "", s or "")
+                          for s, b in zip(small, big)])
+
+    return (
+        joined.withColumn("contained", contained(F.col("content_small"),
+                                                 F.col("content_big")))
+        .filter(F.col("contained"))
+        .select("id_small", "id_big", "est_containment")
+    )
+
+
+def containment_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
+                      id_col: str = "file_id") -> DataFrame:
+    """Full composition. Input rows need file_id, size, content."""
+    sketches = bottomk_sketches(files_with_id, cfg).select(id_col, "size", "sketch")
+    cands = containment_candidates(sketches, cfg, id_col)
+    est = estimate_containment(cands, sketches.select(id_col, "sketch"), cfg, id_col)
+    return verify_substring(est, files_with_id, id_col)

@@ -1,0 +1,208 @@
+"""MinHash signatures + LSH banding for near-duplicate detection.
+
+This capability does NOT exist in the reference (it groups by exact
+digest only, /root/reference/dedupe_copy/threads.py:403-425); it is the
+north-star extension. Design:
+
+  1. ``minhash_signatures`` — ONE Arrow-batched pandas UDF computes
+     token k-shingles and the full num_perm MinHash signature per row
+     (numpy-vectorized universal hashing, exact uint64 arithmetic, fixed
+     seed). No per-row Python UDFs anywhere.
+  2. ``lsh_bands`` — band hashes are built JVM-side from the signature
+     array (xxhash64 over slices) and exploded; Python never touches
+     them again.
+  3. ``candidate_pairs`` — self-equi-join on (band, band_hash). Hot
+     buckets (boilerplate shingles) are capped at cfg.max_band_bucket
+     with dropped-bucket accounting, and AQE skew-join splits the rest.
+  4. ``verify_pairs`` — estimated Jaccard = matching signature positions
+     / num_perm, computed with built-in zip_with/filter (JVM, codegen).
+
+Scale notes (100 TB): signatures are ~1 KB/row (128×int64) — the only
+wide shuffle is the band explode, which is (band_hash, file_id) pairs —
+16 rows/doc of 16 bytes. Candidate verification joins signatures back
+by file_id twice; both joins are equi-joins on a long key, AQE-planned.
+Exact-duplicate groups must be reduced to one representative BEFORE
+this module (pipeline.py) so a 10^6-copy vendored file contributes ONE
+signature, not 10^6 identical band rows (no O(n^2) blowup).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dedupe_copy_spark.config import DedupeConfig
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+_SENTINEL = (1 << 63) - 1  # "no shingles" signature value (int64 max)
+
+
+def _perm_keys(cfg: DedupeConfig) -> np.ndarray:
+    """Deterministic per-permutation 64-bit xor keys."""
+    rng = np.random.RandomState(cfg.seed)
+    lo = rng.randint(0, 1 << 32, size=cfg.num_perm, dtype=np.uint64)
+    hi = rng.randint(0, 1 << 32, size=cfg.num_perm, dtype=np.uint64)
+    return (hi << np.uint64(32)) | lo
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a strong 64-bit mixer, vectorized with
+    well-defined uint64 wraparound. Each permutation i applies it to
+    (h ^ key_i), giving an (approximately) min-wise independent family —
+    a plain (a*h+b) mod p over 32-bit inputs is order-correlated in h
+    and collapses the Jaccard estimate."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+def shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """crc32 of each k-token shingle → uint64 array (deduped)."""
+    if len(tokens) < k:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+    if not joined:
+        return np.empty(0, dtype=np.uint64)
+    out = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in joined),
+                      dtype=np.uint64, count=len(joined))
+    return np.unique(out)
+
+
+def make_signature_udf(cfg: DedupeConfig):
+    """pandas UDF: content → array<long> MinHash signature.
+
+    Empty/too-short shingle sets yield an all-max sentinel signature
+    (never matches anything)."""
+    keys = _perm_keys(cfg)
+    k = cfg.shingle_k
+    sentinel = [_SENTINEL] * cfg.num_perm
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signature(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batch_iter:
+            sigs = []
+            for text in texts:
+                if not text:
+                    sigs.append(sentinel)
+                    continue
+                h = shingle_hashes(tokenize(text), k)
+                if h.size == 0:
+                    sigs.append(sentinel)
+                    continue
+                # (P, n): mix(h ^ key_i) → min per permutation; shift
+                # right 1 bit so values fit non-negative int64 for Arrow
+                vals = _splitmix64(h[None, :] ^ keys[:, None]) >> np.uint64(1)
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.Series(sigs)
+
+    return signature
+
+
+def minhash_signatures(files: DataFrame, cfg: DedupeConfig,
+                       content_col: str = "content") -> DataFrame:
+    """Attach `sig: array<long>` to each row (Arrow-batched)."""
+    return files.withColumn("sig", make_signature_udf(cfg)(F.col(content_col)))
+
+
+def lsh_bands(sigs: DataFrame, cfg: DedupeConfig,
+              id_col: str = "file_id") -> DataFrame:
+    """Explode each signature into (file_id, band, band_hash) — built
+    JVM-side: xxhash64(band_id, concat of the band's slice)."""
+    r = cfg.lsh_rows_per_band
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.lit(i), F.concat_ws(",", F.transform(
+                F.slice(F.col("sig"), i * r + 1, r),
+                lambda x: x.cast("string")))).alias("band_hash"),
+        )
+        for i in range(cfg.lsh_bands)
+    ]
+    return (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"),
+                F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupeConfig,
+                    id_col: str = "file_id") -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from shared LSH buckets.
+
+    Hot buckets are capped: a bucket with > max_band_bucket members is
+    dropped (boilerplate bucket → O(width^2) pairs; its members are
+    still reachable through their other bands). Dropped buckets are
+    observable via `dropped_buckets` accumulator column in logs — we
+    return them for the pipeline to record (no silent truncation).
+    """
+    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("width"))
+    ok = sizes.filter((F.col("width") > 1) & (F.col("width") <= cfg.max_band_bucket))
+    usable = bands.join(ok.select("band", "band_hash"), ["band", "band_hash"], "left_semi")
+    a = usable.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    b = usable.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def dropped_buckets(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
+    """Buckets skipped by the width cap — surfaced, never silent."""
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > cfg.max_band_bucket)
+    )
+
+
+def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupeConfig,
+                 id_col: str = "file_id") -> DataFrame:
+    """Estimated Jaccard from signature agreement — built-ins only:
+    zip_with(sig_a, sig_b, ==) → filter → size / num_perm."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = matches.cast("double") / F.lit(float(cfg.num_perm))
+    return (
+        joined.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= cfg.jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
+                  id_col: str = "file_id") -> DataFrame:
+    """Full MinHash→LSH→verify composition: rows must already carry a
+    unique long `file_id` and be exact-group representatives."""
+    sigs = minhash_signatures(files_with_id, cfg).select(id_col, "sig")
+    bands = lsh_bands(sigs, cfg, id_col)
+    cands = candidate_pairs(bands, cfg, id_col)
+    return verify_pairs(cands, sigs, cfg, id_col)
+
+
+def add_file_id(files: DataFrame) -> DataFrame:
+    """Stable 64-bit row id from the composite key — deterministic
+    across runs/retries (unlike monotonically_increasing_id)."""
+    return files.withColumn(
+        "file_id", F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")))

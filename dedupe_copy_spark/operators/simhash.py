@@ -1,0 +1,125 @@
+"""SimHash for short files (the north-star's short-document path).
+
+MinHash needs enough shingles to estimate Jaccard; short files
+(< cfg.short_file_max_tokens) get a 64-bit SimHash over unigram token
+hashes instead, and near-dups are pairs within Hamming distance
+cfg.simhash_hamming_max.
+
+Candidate generation uses the pigeonhole chunk trick: split the 64-bit
+fingerprint into 8 × 8-bit chunks; any pair within Hamming ≤ 7 shares
+at least one identical chunk, so an equi-join on (chunk_id, chunk_value)
+finds ALL such pairs — no cross join. Verification is a JVM-side
+bit_count(a ^ b) filter. The only Python is the Arrow-batched
+fingerprint UDF.
+
+Scale note: 8-bit chunk buckets are coarse (256 values/chunk), so the
+candidate join width-caps hot buckets exactly like the LSH band join —
+and only SHORT documents are routed here (a bounded subset), so bucket
+population stays proportional to the short-doc count, with AQE skew
+splitting as backstop.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators.minhash import _splitmix64, tokenize
+
+_N_CHUNKS = 8
+_CHUNK_BITS = 8
+
+
+def _simhash_one(tokens: list[str]) -> int:
+    """Weighted 64-bit SimHash: weight = token frequency."""
+    if not tokens:
+        return 0
+    uniq, counts = np.unique(np.array(tokens, dtype=object), return_counts=True)
+    h = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in uniq),
+                    dtype=np.uint64, count=len(uniq))
+    h = _splitmix64(h ^ np.uint64(0x5EED5EED5EED5EED))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            ).astype(np.int64) * 2 - 1
+    acc = (bits * counts[:, None].astype(np.int64)).sum(axis=0)
+    fp = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            fp |= np.uint64(1) << np.uint64(i)
+    return int(fp.astype(np.int64))  # two's-complement into int64
+
+
+def make_simhash_udf():
+    @F.pandas_udf(T.LongType())
+    def simhash(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batch_iter:
+            yield pd.Series(
+                [_simhash_one(tokenize(t)) if t else 0 for t in texts],
+                dtype="int64")
+    return simhash
+
+
+def simhash_fingerprints(files: DataFrame, content_col: str = "content") -> DataFrame:
+    return files.withColumn("simhash", make_simhash_udf()(F.col(content_col)))
+
+
+def simhash_chunks(fps: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """(file_id, chunk_id, chunk_value) — 4×16-bit pigeonhole keys,
+    extracted JVM-side with shifts/masks."""
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftright(F.col("simhash"), i * _CHUNK_BITS)
+            .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1)).alias("chunk_value"),
+        )
+        for i in range(_N_CHUNKS)
+    ]
+    return (
+        fps.select(id_col, F.explode(F.array(*chunk_cols)).alias("c"))
+        .select(id_col, F.col("c.chunk_id").alias("chunk_id"),
+                F.col("c.chunk_value").alias("chunk_value"))
+    )
+
+
+def simhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
+                  id_col: str = "file_id") -> DataFrame:
+    """Full SimHash pipeline for short docs: fingerprint → chunk join →
+    Hamming verify (bit_count(a^b), codegen'd)."""
+    fps = simhash_fingerprints(files_with_id).select(id_col, "simhash")
+    all_chunks = simhash_chunks(fps, id_col)
+    widths = all_chunks.groupBy("chunk_id", "chunk_value").agg(
+        F.count(F.lit(1)).alias("w"))
+    ok = widths.filter((F.col("w") > 1) & (F.col("w") <= cfg.max_band_bucket))
+    chunks = all_chunks.join(ok.select("chunk_id", "chunk_value"),
+                             ["chunk_id", "chunk_value"], "left_semi")
+    a = chunks.select("chunk_id", "chunk_value", F.col(id_col).alias("id_a"))
+    b = chunks.select("chunk_id", "chunk_value", F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, ["chunk_id", "chunk_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.join(fa, "id_a").join(fb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= cfg.simhash_hamming_max)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def route_short(files_with_tokens: DataFrame, cfg: DedupeConfig,
+                n_tokens_col: str = "n_tokens") -> tuple[DataFrame, DataFrame]:
+    """Split rows into (short → SimHash, long → MinHash) by token count."""
+    short = files_with_tokens.filter(F.col(n_tokens_col) < cfg.short_file_max_tokens)
+    long_ = files_with_tokens.filter(F.col(n_tokens_col) >= cfg.short_file_max_tokens)
+    return short, long_

@@ -1,0 +1,152 @@
+"""DedupePipeline — the end-to-end S0→S6 dataflow.
+
+The Spark restatement of the reference's whole program
+(run_dupe_copy, /root/reference/dedupe_copy/core.py:754-944) extended
+with the north-star near-dup stages:
+
+    S0 ingest      filters + digest projection (+ skew-aware repartition)
+    S1 exact       exact groups, winners/losers, exact edges (linear, not O(n²))
+    S2 route       token counts → short (SimHash) vs long (MinHash) reps
+    S3 minhash     signatures → LSH bands → verified near-dup pairs
+    S3b simhash    short-file fingerprints → chunk join → hamming pairs
+    S4 contain     bottom-k sketch candidates → suffix-array verify
+    S5 cluster     connected components over all edges → stable cluster ids
+    S6 emit        cluster table + dup-pair table + collision report
+
+Every stage runs through sources.manifest.stage(): if a checkpoint dir
+is configured, each stage persists to parquet with row-count/lineage
+metrics and a killed job resumes from the last completed stage without
+recomputation (the reference's incremental-manifest contract,
+threads.py:346, 489-517).
+
+Scale invariants encoded here:
+  - exact groups reduced to ONE representative before any signature
+    work (a 10^6-copy vendored file costs one signature);
+  - exact-dup pair edges are (member → group-min) stars: linear in
+    group size, never pairwise;
+  - near-dup pair edges computed between representatives only, then
+    cluster ids propagate back to all members through the exact star —
+    so the O(n²) blowup inside huge groups can never happen;
+  - the input is salt-repartitioned on xxhash of the full key, so one
+    giant repo cannot pin a partition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators import cc, containment, exact, filters, minhash, simhash
+from dedupe_copy_spark.sources import manifest as mstore
+
+
+@dataclass
+class DedupeResult:
+    hashed: DataFrame        # S0 output: files + digest columns + file_id
+    winners: DataFrame       # exact-dedup'd corpus
+    losers: DataFrame        # exact-dup delete candidates
+    pairs: DataFrame         # (id_a, id_b, kind, score) all dup pairs
+    clusters: DataFrame      # (file_id, cluster_id) incl. singletons
+    report: DataFrame        # group-numbered collision report
+
+
+class DedupePipeline:
+    def __init__(self, spark: SparkSession, cfg: DedupeConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or DedupeConfig()
+
+    def _stage(self, name: str, compute, partition_by: tuple[str, ...] = ()) -> DataFrame:
+        return mstore.stage(self.spark, self.cfg.checkpoint_dir, name,
+                            compute, partition_by)
+
+    # ---- stages -----------------------------------------------------
+
+    def ingest(self, files: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        def compute():
+            df = filters.extension_filter(files, cfg.extensions)
+            df = filters.ignore_filter(df, cfg.ignore_patterns)
+            df = exact.with_digest(df, cfg)
+            df = minhash.add_file_id(df)
+            # defuse giant-repo/vendored hotspots: spread rows uniformly
+            # by the (already uniform) 64-bit row id before the heavy
+            # stages — downstream shuffles re-key as needed
+            n = self.spark.sparkContext.defaultParallelism or 32
+            return df.repartition(n, "file_id")
+
+        return self._stage("s0_ingest", compute)
+
+    def exact_stage(self, hashed: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+        win = self._stage("s1_winners", lambda: exact.winners(hashed, self.cfg))
+        lose = self._stage("s1_losers", lambda: exact.losers(hashed, self.cfg))
+
+        def exact_edges():
+            # star edges (member → group-min id): linear in group size
+            grp_min = (hashed.groupBy("dup_key")
+                       .agg(F.min("file_id").alias("root_id"),
+                            F.count(F.lit(1)).alias("n")))
+            members = hashed.select("dup_key", "file_id")
+            return (members.join(grp_min.filter(F.col("n") > 1), "dup_key")
+                    .filter(F.col("file_id") != F.col("root_id"))
+                    .select(F.col("file_id").alias("id_a"),
+                            F.col("root_id").alias("id_b"),
+                            F.lit("exact").alias("kind"),
+                            F.lit(1.0).alias("score")))
+
+        edges = self._stage("s1_exact_edges", exact_edges)
+        return win, lose, edges
+
+    def near_dup_stage(self, winners: DataFrame) -> DataFrame:
+        """Near-dup pairs between exact representatives (winners)."""
+        cfg = self.cfg
+
+        def compute():
+            reps = winners.filter(~F.col("is_empty")).withColumn(
+                "n_tokens", F.size(F.split(F.col("content"), r"\s+", -1)))
+            short, long_ = simhash.route_short(reps, cfg)
+            mh = (minhash.minhash_pairs(long_, cfg)
+                  .select("id_a", "id_b", F.lit("minhash").alias("kind"),
+                          F.col("est_jaccard").alias("score")))
+            sh = (simhash.simhash_pairs(short, cfg)
+                  .select("id_a", "id_b", F.lit("simhash").alias("kind"),
+                          (1.0 - F.col("hamming").cast("double")
+                           / F.lit(64.0)).alias("score")))
+            ct = (containment.containment_pairs(reps, cfg)
+                  .select(F.col("id_small").alias("id_a"),
+                          F.col("id_big").alias("id_b"),
+                          F.lit("containment").alias("kind"),
+                          F.col("est_containment").alias("score")))
+            return mh.unionByName(sh).unionByName(ct)
+
+        return self._stage("s3_near_pairs", compute)
+
+    def cluster_stage(self, hashed: DataFrame, all_pairs: DataFrame) -> DataFrame:
+        def compute():
+            edges = all_pairs.select(F.col("id_a").alias("src"),
+                                     F.col("id_b").alias("dst"))
+            assign = cc.connected_components(edges, self.cfg)
+            ids = hashed.select("file_id")
+            singles = ids.join(assign, "file_id", "left_anti").select(
+                "file_id", F.col("file_id").alias("cluster_id"))
+            return assign.unionByName(singles)
+
+        return self._stage("s5_clusters", compute)
+
+    # ---- full run ----------------------------------------------------
+
+    def run(self, files: DataFrame) -> DedupeResult:
+        hashed = self.ingest(files)
+        win, lose, exact_edges = self.exact_stage(hashed)
+        near = self.near_dup_stage(win)
+        pairs = self._stage(
+            "s4_all_pairs",
+            lambda: exact_edges.unionByName(near))
+        clusters = self.cluster_stage(hashed, pairs)
+        report = exact.collision_report(hashed)
+        if self.cfg.checkpoint_dir:
+            mstore.update_read_sources(self.spark, self.cfg.checkpoint_dir, hashed)
+        return DedupeResult(hashed, win, lose, pairs, clusters, report)

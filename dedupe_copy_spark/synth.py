@@ -149,7 +149,9 @@ def near_dup_minhash(seed: int = 42, n_bases: int = 30) -> tuple[list[dict], Gro
         base_key = (base["repo"], base["path"], base["commit"])
         i += 1
         for _ in range(rng.randint(2, 4)):
-            var_tokens = _mutate_tokens(rng, base_tokens, rng.uniform(0.01, 0.05))
+            # ≤3% token edits keeps true 3-shingle Jaccard ≳0.85, inside
+            # the (16 bands × 8 rows, τ=0.7) detection envelope
+            var_tokens = _mutate_tokens(rng, base_tokens, rng.uniform(0.01, 0.03))
             v = _mk_row(rng, i, " ".join(var_tokens), seed=seed)
             rows.append(v)
             gt.near_pairs.append((base_key, (v["repo"], v["path"], v["commit"]), "minhash"))
@@ -227,8 +229,9 @@ def cluster_chain(seed: int = 42) -> tuple[list[dict], GroundTruth]:
                     path=f"chain/{chr(97 + i)}.py", seed=seed)
         rows.append(r)
         keys.append((r["repo"], r["path"], r["commit"]))
-        # ~8% drift per hop: adjacent pairs similar, endpoints not
-        prev_tokens = _mutate_tokens(rng, prev_tokens, 0.08)
+        # ~3% drift per hop: adjacent pairs similar (J≈0.85), endpoints
+        # drift ~9% (J≈0.6, below τ) — transitivity must come from CC
+        prev_tokens = _mutate_tokens(rng, prev_tokens, 0.03)
     for a, b in zip(keys, keys[1:]):
         gt.near_pairs.append((a, b, "minhash"))
     gt.clusters = {k: 0 for k in keys}

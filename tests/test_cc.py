@@ -1,0 +1,73 @@
+"""Connected-components clustering (large-star/small-star)."""
+
+import random
+
+from dedupe_copy_spark import DedupeConfig, synth
+from dedupe_copy_spark.operators import cc, minhash
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, schema="src long, dst long")
+
+
+def test_chain_transitivity(spark):
+    # A-B-C-D chain: one component rooted at min id
+    edges = _edges_df(spark, [(4, 3), (3, 2), (2, 1)])
+    got = {r.file_id: r.cluster_id for r in cc.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components(spark):
+    edges = _edges_df(spark, [(1, 2), (3, 4), (4, 5)])
+    got = {r.file_id: r.cluster_id for r in cc.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 3}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(1, 200))
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    # reference union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    touched = {n for p in pairs for n in p}
+    for n in touched:
+        expected[n] = find(n)
+    # normalize: cluster id = min member
+    clusters = {}
+    for n, r in expected.items():
+        clusters.setdefault(r, []).append(n)
+    norm = {n: min(members) for r, members in clusters.items() for n in members}
+
+    got = {r.file_id: r.cluster_id
+           for r in cc.connected_components(_edges_df(spark, pairs)).collect()}
+    assert got == norm
+
+
+def test_cluster_chain_fixture_end_to_end(spark):
+    """F11: A≈B≈C≈D via minhash edges; endpoints NOT directly similar;
+    CC must still produce one cluster."""
+    cfg = DedupeConfig()
+    rows, gt = synth.cluster_chain()
+    df = minhash.add_file_id(synth.to_df(spark, rows))
+    pairs = minhash.minhash_pairs(df, cfg)
+    edges = pairs.selectExpr("id_a as src", "id_b as dst")
+    assign = cc.connected_components(edges).collect()
+    ids = {r.file_id for r in df.select("file_id").collect()}
+    clustered = {r.file_id: r.cluster_id for r in assign}
+    # every chain member must appear and share one cluster id
+    assert set(clustered) == ids
+    assert len(set(clustered.values())) == 1

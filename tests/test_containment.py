@@ -1,0 +1,58 @@
+"""Suffix-array substring containment (FIXTURES.md F9)."""
+
+import numpy as np
+
+from dedupe_copy_spark import DedupeConfig, synth
+from dedupe_copy_spark.functions import suffix
+from dedupe_copy_spark.operators import containment, exact, minhash
+
+CFG = DedupeConfig()
+
+
+def test_suffix_array_matches_naive():
+    text = b"banana bandana ananas"
+    sa = suffix.suffix_array(text)
+    naive = sorted(range(len(text)), key=lambda i: text[i:])
+    assert sa.tolist() == naive
+
+
+def test_sa_contains_positive_and_negative():
+    big = "the quick brown fox jumps over the lazy dog"
+    tb = big.encode()
+    sa = suffix.suffix_array(tb)
+    assert suffix.sa_contains(tb, sa, b"brown fox")
+    assert suffix.sa_contains(tb, sa, b"the lazy dog")
+    assert suffix.sa_contains(tb, sa, b"t")
+    assert not suffix.sa_contains(tb, sa, b"brown dog")
+    assert not suffix.sa_contains(tb, sa, b"zzz")
+    assert suffix.sa_contains(tb, sa, b"")
+
+
+def test_suffix_array_random_fuzz():
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        n = int(rng.randint(1, 200))
+        text = bytes(rng.randint(97, 100, size=n).astype(np.uint8))  # a-c alphabet
+        sa = suffix.suffix_array(text)
+        naive = sorted(range(len(text)), key=lambda i: text[i:])
+        assert sa.tolist() == naive, text
+
+
+def test_containment_pairs_found(spark):
+    rows, gt = synth.containment()
+    hashed = exact.with_digest(synth.to_df(spark, rows))
+    df = minhash.add_file_id(hashed)
+    ids = {(r.repo, r.path, r.commit): r.file_id
+           for r in df.select("repo", "path", "commit", "file_id").collect()}
+    found = {(r.id_small, r.id_big) for r in containment.containment_pairs(df, CFG).collect()}
+    expected = {(ids[a], ids[b]) for a, b, _ in gt.near_pairs}  # a=base ⊂ b=wrapper
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"recall {recall}; found {len(found)}"
+
+
+def test_containment_no_false_positives_on_disjoint(spark):
+    rows, _ = synth.exact_dups(n_unique=30, n_duped=0)
+    hashed = exact.with_digest(synth.to_df(spark, rows))
+    df = minhash.add_file_id(hashed)
+    # verify stage demands literal substring → disjoint docs can't pass
+    assert containment.containment_pairs(df, CFG).count() == 0

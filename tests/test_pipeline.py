@@ -1,0 +1,101 @@
+"""End-to-end pipeline: mixed fixture (F12), resume, cluster sanity.
+
+Models the reference's golden e2e scenarios
+(/root/reference/dedupe_copy/test/test_e2e_scenarios.py:61-166,
+test_user_scenarios.py incremental-backup flows)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark import DedupeConfig, synth
+from dedupe_copy_spark.plans.pipeline import DedupePipeline
+from dedupe_copy_spark.sources import manifest as mstore
+
+
+def _key_ids(hashed):
+    return {(r.repo, r.path, r.commit): r.file_id
+            for r in hashed.select("repo", "path", "commit", "file_id").collect()}
+
+
+def test_mixed_e2e_recall(spark):
+    rows, gt = synth.mixed_e2e()
+    res = DedupePipeline(spark).run(synth.to_df(spark, rows))
+    ids = _key_ids(res.hashed)
+    clusters = {r.file_id: r.cluster_id for r in res.clusters.collect()}
+
+    # every row got a cluster id
+    assert set(clusters) == set(ids.values())
+
+    # exact-dup pair recall == 1.0 (the ≥0.99 contract with margin)
+    total, hit = 0, 0
+    for content, members in gt.exact_groups.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                total += 1
+                if clusters[ids[members[i]]] == clusters[ids[members[j]]]:
+                    hit += 1
+    assert total > 0 and hit / total >= 0.99, f"exact recall {hit}/{total}"
+
+    # near-dup pair recall (same cluster) ≥ 0.85 across all kinds
+    total_n, hit_n = 0, 0
+    for a, b, kind in gt.near_pairs:
+        total_n += 1
+        if clusters[ids[a]] == clusters[ids[b]]:
+            hit_n += 1
+    assert hit_n / total_n >= 0.85, f"near recall {hit_n}/{total_n}"
+
+    # empty files are singletons (never clustered together)
+    empty_ids = [r.file_id for r in res.hashed.filter("is_empty").collect()]
+    empty_clusters = [clusters[i] for i in empty_ids]
+    assert len(set(empty_clusters)) == len(empty_clusters)
+
+
+def test_pipeline_resume_from_checkpoint(spark, tmp_path):
+    rows, _ = synth.exact_dups()
+    cfg = DedupeConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    df = synth.to_df(spark, rows)
+
+    res1 = DedupePipeline(spark, cfg).run(df)
+    n_pairs1 = res1.pairs.count()
+    n_clusters1 = res1.clusters.count()
+    metrics1 = {m["stage"] for m in mstore.load_metrics(cfg.checkpoint_dir)}
+    assert "s0_ingest" in metrics1 and "s5_clusters" in metrics1
+
+    # resume: a fresh pipeline over the SAME checkpoint dir must reuse
+    # every stage (metrics not re-recorded) and produce identical output
+    res2 = DedupePipeline(spark, cfg).run(df)
+    assert res2.pairs.count() == n_pairs1
+    assert res2.clusters.count() == n_clusters1
+    metrics2 = mstore.load_metrics(cfg.checkpoint_dir)
+    assert len(metrics2) == len(metrics1)  # no stage recomputed
+
+    # read_sources checkpoint covers every ingested row
+    rs = mstore.read_checkpoint(spark, cfg.checkpoint_dir, "read_sources")
+    assert rs.count() == len(rows)
+
+
+def test_cluster_ids_are_min_member(spark):
+    rows, _ = synth.exact_dups()
+    res = DedupePipeline(spark).run(synth.to_df(spark, rows))
+    rows_ = res.clusters.groupBy("cluster_id").agg(
+        F.min("file_id").alias("min_id")).collect()
+    assert all(r.cluster_id == r.min_id for r in rows_)
+
+
+def test_skew_hotspot_no_blowup(spark):
+    """F10: 5k copies of one license + giant repo — pairs must stay
+    linear (star edges), not O(n²)."""
+    rows, _ = synth.skew_hotspot(n_copies=2000, n_other=500)
+    res = DedupePipeline(spark).run(synth.to_df(spark, rows))
+    license_sha = hashlib.sha256(
+        [r["content"] for r in rows if "LICENSE" in r["path"]][0].encode()).hexdigest()
+    n_members = res.hashed.filter(F.col("content_sha256") == license_sha).count()
+    assert n_members == 2000
+    exact_pairs = res.pairs.filter(F.col("kind") == "exact").count()
+    # star edges: n-1 per group, not n(n-1)/2
+    assert exact_pairs < 2 * 2500
+    # all 2000 land in one cluster
+    top = (res.clusters.groupBy("cluster_id").count()
+           .orderBy(F.desc("count")).first())
+    assert top["count"] == 2000

