@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery — schema, partition-preserving mapInPandas,
+Arrow batch shapes, deterministic routing — is real and tested. The
+actual codec work (JPEG decode, resampling, frame extraction) depends
+on libs not present in this container (PIL/ffmpeg/librosa), so each
+codec is an injectable function: the default implementations are
+deterministic fakes clearly marked as stubs; passing ``strict=True``
+raises NotImplementedError instead, which is what a production deploy
+with real codecs would replace.
+
+Design for 100 TB of media: binary payloads never leave the executor
+(mapInPandas streams Arrow record batches; one batch ≈
+spark.sql.execution.arrow.maxRecordsPerBatch rows), feature outputs are
+small fixed-width arrays, and partition counts follow bytes, not rows
+(use spark.sql.files.maxPartitionBytes on the parquet scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),      # image/video
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),   # audio/video
+    T.StructField("payload", T.BinaryType(), True),     # opaque bytes
+])
+
+FEATURE_DIM = 32
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("payload_sha256", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("features", T.ArrayType(T.FloatType()), False),
+])
+
+
+def synth_media(spark: SparkSession, n_rows: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n_rows):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append({
+            "media_id": i, "kind": kind,
+            "mime": {"image": "image/jpeg", "audio": "audio/wav",
+                     "video": "video/mp4"}[kind],
+            "width": 640 if kind != "audio" else None,
+            "height": 480 if kind != "audio" else None,
+            "duration_ms": None if kind == "image" else 1000 * (i % 30 + 1),
+            "payload": payload,
+        })
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
+    """STUB codec: deterministic pseudo-features from payload bytes.
+    A real deployment replaces this with PIL/ffmpeg decode + model
+    features; the Spark plumbing around it is identical."""
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))[: FEATURE_DIM * 4],
+                        dtype=np.uint32)
+    return (raw.astype(np.float32) / np.float32(2**32)).astype(np.float32)
+
+
+def extract_features(media: DataFrame,
+                     decode: Callable[[bytes, str], np.ndarray] | None = None,
+                     strict: bool = False) -> DataFrame:
+    """mapInPandas feature extraction: binary payload → fixed-width
+    float features + content digest, streamed per Arrow batch."""
+    if strict and decode is None:
+        raise NotImplementedError(
+            "real media codecs (PIL/ffmpeg) are not available in this "
+            "environment; inject decode= or use the deterministic stub")
+    decode_fn = decode or _stub_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_fn(p, k).tolist()
+                     for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload_sha256": [hashlib.sha256(p or b"").hexdigest()
+                                   for p in pdf["payload"]],
+                "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                "features": feats,
+            })
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  strict: bool = False) -> DataFrame:
+    """Image resize plumbing: filters to images, tags the target shape;
+    the pixel work is the stub (payload passthrough) unless a real codec
+    is injected."""
+    if strict:
+        raise NotImplementedError("image resize requires PIL — not in container")
+    return (
+        media.filter(F.col("kind") == "image")
+        .withColumn("width", F.lit(width))
+        .withColumn("height", F.lit(height))
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  strict: bool = False) -> DataFrame:
+    """Video frame sampling plumbing: emits (media_id, frame_ts_ms) rows
+    via sequence+explode (JVM-side); frame decode itself is the stub."""
+    if strict:
+        raise NotImplementedError("frame extraction requires ffmpeg — not in container")
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1,
+                             F.lit(every_ms))).alias("frame_ts_ms"),
+    )
+
+
+def media_dedupe_keys(features: DataFrame) -> DataFrame:
+    """Exact media dedup: group by payload digest — the binary-column
+    analogue of the text pipeline's S1."""
+    return (
+        features.groupBy("payload_sha256")
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min("media_id").alias("keep_media_id"))
+        .filter(F.col("n_copies") > 1)
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+Two paths:
+  - ``cosine_topk`` — exact brute-force top-k: broadcast the (small)
+    query set against the corpus; dot products via zip_with/aggregate
+    (JVM-side, codegen'd doubles — no Python), rank window per query.
+    The baseline and the verifier for the approximate path.
+  - ``lsh_topk`` — random-hyperplane (sign) LSH: 16-bit bucket key per
+    table × n_tables; candidates share a bucket in ANY table; exact
+    re-rank within candidates. At 100 TB the bucket join replaces the
+    corpus-wide cross product; multiple tables recover recall.
+
+Embeddings ride as array<float>; math is done in double for cross-engine
+determinism (the DuckDB oracle casts to DOUBLE[] the same way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast the
+    query side; rank by (rounded score desc, neighbor id asc) so results
+    are deterministic and FP-noise-proof across engines."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine_similarity_col(F.col("q_vec"),
+                                                           F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                "score")
+    )
+
+
+def hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes: n_tables × bits × dim."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, bits, dim)).tolist()
+
+
+def lsh_bucket_keys(df: DataFrame, planes: list[list[list[float]]],
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, table_id, bucket) — sign-LSH key per table, built with
+    array built-ins: bit i = dot(vec, plane_i) > 0."""
+    out_cols = []
+    for t, table in enumerate(planes):
+        bit_cols = []
+        for i, plane in enumerate(table):
+            lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+            bit = (_dot(F.col(vec_col), lit_plane) > 0).cast("long") * F.lit(1 << i)
+            bit_cols.append(bit)
+        key = bit_cols[0]
+        for b in bit_cols[1:]:
+            key = key + b
+        out_cols.append(F.struct(F.lit(t).alias("table_id"), key.alias("bucket")))
+    return (
+        df.select(F.col(id_col), F.explode(F.array(*out_cols)).alias("tb"))
+        .select(id_col, F.col("tb.table_id").alias("table_id"),
+                F.col("tb.bucket").alias("bucket"))
+    )
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_tables: int = 4, bits: int = 8, dim: int = 64, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates share any LSH bucket with the
+    query; exact cosine re-rank on candidates only."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_tables, bits, seed)
+    ck = lsh_bucket_keys(corpus, planes, id_col, vec_col) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    qk = lsh_bucket_keys(queries, planes, id_col, vec_col) \
+        .withColumnRenamed(id_col, "query_id")
+    cands = (
+        qk.join(ck, ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").dropDuplicates()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+        .withColumn("score", F.round(cosine_similarity_col(F.col("q_vec"),
+                                                           F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                "score")
+    )

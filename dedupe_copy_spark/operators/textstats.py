@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting, exact n-gram
+Jaccard. Everything except the fingerprint is pure Catalyst built-ins
+(whole-stage codegen); the fingerprint is one Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# marker stopwords per language — tiny n-gram-free heuristic profiles
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+
+def _marker_count(col, words: tuple[str, ...]):
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax of marker-word counts, deterministic tie-break by language
+    code order; 'und' when no markers hit."""
+    counts = {lang: _marker_count(F.col(text_col), words)
+              for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    out = docs.withColumn("predicted_lang", pred)
+    for lang in LANG_MARKERS:
+        out = out.withColumn(f"n_{lang}", counts[lang].cast("long"))
+    return out
+
+
+def token_ngrams(col, n: int = 3):
+    """Token n-grams with array built-ins (1-based element_at, matching
+    the DuckDB list-indexing oracle)."""
+    arr = F.split(col, " ", -1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(n)]),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
+                        block_cols: tuple[str, ...] = ("lang", "source"),
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """EXACT n-gram Jaccard between documents in the same block
+    (blocking keeps the self-join linear-ish at scale; the unblocked
+    all-pairs version is MinHash's job). All array built-ins."""
+    grams = docs.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.array_distinct(token_ngrams(F.col(text_col), n)).alias("grams"))
+    a = grams.select(*block_cols, F.col(id_col).alias("id_a"),
+                     F.col("grams").alias("grams_a"))
+    b = grams.select(*block_cols, F.col(id_col).alias("id_b"),
+                     F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_FP_BASE = np.uint64(1099511628211)       # FNV-ish rolling base
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def make_fingerprint_udf():
+    """Rolling polynomial 64-bit fingerprint of whitespace-normalized
+    content: h = Σ byte_i · base^(n-1-i) (mod 2^64) + offset. The
+    power-series form makes the whole hash one numpy dot product per
+    document (wraparound uint64), instead of a per-byte loop."""
+    _pow_cache = {"powers": np.array([np.uint64(1)], dtype=np.uint64)}
+
+    def _powers(n: int) -> np.ndarray:
+        # geometric doubling: p[k+i] = p[i] * base^k (wraparound uint64)
+        p = _pow_cache["powers"]
+        while len(p) < n:
+            p = np.concatenate([p, p * (_FP_BASE ** np.uint64(len(p)))])
+            _pow_cache["powers"] = p
+        return p[:n]
+
+    @F.pandas_udf(T.LongType())
+    def fingerprint(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batch_iter:
+            out = []
+            for t in texts:
+                norm = " ".join((t or "").lower().split())
+                data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                n = len(data)
+                if n == 0:
+                    out.append(int(_FP_OFFSET.astype(np.int64)))
+                    continue
+                with np.errstate(over="ignore"):  # wraparound is the point
+                    h = (data * _powers(n)[::-1]).sum(dtype=np.uint64) + _FP_OFFSET
+                out.append(int(h.astype(np.int64)))
+            yield pd.Series(out, dtype="int64")
+
+    return fingerprint
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("fingerprint", make_fingerprint_udf()(F.col(text_col)))

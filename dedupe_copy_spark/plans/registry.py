@@ -338,3 +338,216 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stopwords"),
         F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (training-data op; oracle-checked argmax)
+# ---------------------------------------------------------------------------
+
+_LANGID_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|is)\\b')) AS BIGINT) AS n_en,
+         CAST(len(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS BIGINT) AS n_de,
+         CAST(len(regexp_extract_all(text, '\\b(le|la|les|et|est)\\b')) AS BIGINT) AS n_fr,
+         CAST(len(regexp_extract_all(text, '\\b(el|la|los|que|es)\\b')) AS BIGINT) AS n_es
+  FROM documents
+)
+SELECT doc_id, n_en, n_de, n_fr, n_es,
+       CASE WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+            WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+            WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+            WHEN n_es = greatest(n_en, n_de, n_fr, n_es) THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+"""
+
+
+@register("lang_id", _LANGID_SQL)
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax, deterministic de<en<es<fr
+    tie-break matching the CASE order)."""
+    from dedupe_copy_spark.operators.textstats import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lang_id(docs)
+    return out.select("doc_id", "n_en", "n_de", "n_fr", "n_es", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (blocked self-join; oracle-checked)
+# ---------------------------------------------------------------------------
+
+_NGRAM_SQL = """
+WITH grams AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS g
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+             greatest(CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 1.0),
+             6) AS jaccard
+FROM grams a JOIN grams b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+      greatest(CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 1.0) >= 0.2
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_SQL)
+def ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard within (lang, source) blocks."""
+    from dedupe_copy_spark.operators.textstats import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (exact top-k oracle-checked; LSH
+# variant rows-only)
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS score
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, score FROM ranked WHERE rank <= 5
+"""
+
+
+@register("cosine_topk", _COSINE_SQL)
+def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id<10."""
+    from dedupe_copy_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries_df, k=5)
+
+
+@register("ann_lsh_topk")  # rows-only: approximate results ≠ SQL oracle
+def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets + exact
+    re-rank (the scale path; recall vs cosine_topk is pytest-asserted)."""
+    from dedupe_copy_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup + clustering over the canonical files view (rows-only checks;
+# real oracles are construction-time ground truth in tests/)
+# ---------------------------------------------------------------------------
+
+def _near_cfg() -> DedupeConfig:
+    # documents are ~50-90 token word-salad: route everything to MinHash
+    # and keep the default banding
+    return DedupeConfig(short_file_max_tokens=2)
+
+
+@register("minhash_near_pairs")
+def minhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs between exact representatives of the
+    canonical files view (mirror copies collapse to reps first)."""
+    from dedupe_copy_spark.operators import exact as ex
+    from dedupe_copy_spark.operators import minhash as mh
+
+    hashed = _files(spark, sf_dir)
+    reps = mh.add_file_id(ex.winners(hashed))
+    return mh.minhash_pairs(reps, _near_cfg()).orderBy("id_a", "id_b")
+
+
+@register("simhash_short_pairs")
+def simhash_short_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming pairs over short documents (< 64 tokens)."""
+    from dedupe_copy_spark.operators import exact as ex
+    from dedupe_copy_spark.operators import minhash as mh
+    from dedupe_copy_spark.operators import simhash as sh
+
+    hashed = _files(spark, sf_dir)
+    reps = mh.add_file_id(ex.winners(hashed)).withColumn(
+        "n_tokens", F.size(F.split(F.col("content"), r"\s+", -1)))
+    short, _ = sh.route_short(reps, DedupeConfig())
+    return sh.simhash_pairs(short, DedupeConfig()).orderBy("id_a", "id_b")
+
+
+@register("containment_pairs")
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-verified substring containment pairs. The documents
+    table has no natural substring structure, so every 10th doc gets a
+    deterministic 'wrapped' variant (header + full text + trailer ≥1.5×
+    longer) — the query must recover exactly those contained pairs."""
+    from dedupe_copy_spark.operators import containment as ct
+    from dedupe_copy_spark.operators import exact as ex
+    from dedupe_copy_spark.operators import minhash as mh
+
+    files = files_from_documents(spark, sf_dir)
+    wrapped = (
+        files.filter(
+            (F.col("path").startswith("docs/")) &
+            (F.xxhash64("path") % 10 == 0))
+        .withColumn("path", F.concat(F.lit("wrapped/"), F.col("path")))
+        .withColumn("content", F.concat(
+            F.lit("license header boilerplate preamble " * 8),
+            F.col("content"),
+            F.lit(" appended build metadata trailer section " * 8)))
+    )
+    hashed = exact.with_digest(files.unionByName(wrapped))
+    reps = mh.add_file_id(ex.winners(hashed))
+    return ct.containment_pairs(reps, DedupeConfig()).orderBy("id_small", "id_big")
+
+
+@register("dedupe_clusters")
+def dedupe_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline cluster assignments over the canonical files view
+    (exact + near edges → connected components → stable min-id labels)."""
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    files = files_from_documents(spark, sf_dir)
+    res = DedupePipeline(spark, _near_cfg()).run(files)
+    return (
+        res.clusters.join(
+            res.hashed.select("file_id", "repo", "path"), "file_id")
+        .select("repo", "path", "cluster_id")
+    )
+
+
+@register("doc_fingerprints")
+def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial 64-bit document fingerprints (Arrow-batched)."""
+    from dedupe_copy_spark.operators.textstats import doc_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprints(docs).select("doc_id", "fingerprint")
+
+
+@register("media_dedupe")
+def media_dedupe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media table → mapInPandas
+    feature extraction (stub codec) → exact payload dedup."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_media(spark, n_rows=96)
+    # duplicate every 4th payload to create binary-level dups
+    dup = media.filter(F.col("media_id") % 4 == 0).withColumn(
+        "media_id", F.col("media_id") + 1000)
+    feats = mm.extract_features(media.unionByName(dup))
+    return mm.media_dedupe_keys(feats).orderBy("payload_sha256")

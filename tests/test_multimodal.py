@@ -1,0 +1,52 @@
+"""Multimodal binary-column plumbing (stub codecs, real Spark paths)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import multimodal as mm
+
+
+def test_feature_extraction_shapes_and_determinism(spark):
+    media = mm.synth_media(spark, n_rows=30)
+    f1 = mm.extract_features(media).collect()
+    assert len(f1) == 30
+    assert all(len(r.features) == mm.FEATURE_DIM for r in f1)
+    assert all(0.0 <= v <= 1.0 for r in f1 for v in r.features)
+    f2 = {r.media_id: r.features for r in mm.extract_features(media).collect()}
+    assert all(f2[r.media_id] == r.features for r in f1)
+
+
+def test_media_dedupe_finds_binary_dups(spark):
+    media = mm.synth_media(spark, n_rows=24)
+    dup = media.filter(F.col("media_id") % 3 == 0).withColumn(
+        "media_id", F.col("media_id") + 100)
+    feats = mm.extract_features(media.unionByName(dup))
+    groups = mm.media_dedupe_keys(feats).collect()
+    assert len(groups) == 8  # 24/3 duplicated payloads
+    assert all(g.n_copies == 2 for g in groups)
+    assert all(g.keep_media_id < 100 for g in groups)
+
+
+def test_strict_mode_raises_for_missing_codecs(spark):
+    media = mm.synth_media(spark, n_rows=3)
+    with pytest.raises(NotImplementedError):
+        mm.extract_features(media, strict=True)
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(media, 224, 224, strict=True)
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(media, strict=True)
+
+
+def test_frame_sampling_plumbing(spark):
+    media = mm.synth_media(spark, n_rows=9)
+    frames = mm.sample_frames(media, every_ms=1000).collect()
+    vids = media.filter(F.col("kind") == "video").collect()
+    expected = sum((v.duration_ms + 999) // 1000 for v in vids)
+    assert len(frames) == expected
+    assert all(f.frame_ts_ms % 1000 == 0 for f in frames)
+
+
+def test_resize_plumbing_tags_targets(spark):
+    media = mm.synth_media(spark, n_rows=9)
+    out = mm.resize_images(media, 224, 224).collect()
+    assert all(r.kind == "image" and r.width == 224 and r.height == 224 for r in out)

@@ -1,0 +1,70 @@
+"""Text-analysis operators: fingerprints, n-gram jaccard, lang-id."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import textstats
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_fingerprint_deterministic_and_normalizing(spark):
+    rows = [
+        (1, "Hello  World"),
+        (2, "hello world"),        # same after normalization
+        (3, "hello worlds"),       # different
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint
+           for r in textstats.doc_fingerprints(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    got2 = {r.doc_id: r.fingerprint
+            for r in textstats.doc_fingerprints(df).collect()}
+    assert got == got2
+
+
+def test_fingerprint_matches_reference_formula():
+    """Pin the polynomial-hash definition (catch accidental re-seeding)."""
+    base, offset = 1099511628211, 14695981039346656037
+    text = "ab c"
+    norm = "ab c"
+    h = 0
+    data = norm.encode()
+    for i, byte in enumerate(data):
+        h = (h + byte * pow(base, len(data) - 1 - i, 2**64)) % 2**64
+    expected = np.uint64((h + offset) % 2**64).astype(np.int64)
+    # run through the UDF machinery locally via the numpy path
+    from dedupe_copy_spark.operators.textstats import _FP_BASE, _FP_OFFSET
+    arr = np.frombuffer(norm.encode(), dtype=np.uint8).astype(np.uint64)
+    powers = np.array([pow(int(_FP_BASE), e, 2**64) for e in range(len(arr))],
+                      dtype=np.uint64)
+    got = (arr * powers[::-1]).sum(dtype=np.uint64) + _FP_OFFSET
+    assert int(got.astype(np.int64)) == int(expected)
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    rows = [
+        (1, "en", "s1", "a b c d e f g h"),
+        (2, "en", "s1", "a b c d e f g h"),
+        (3, "en", "s1", "z y x w v u t s"),
+        (4, "en", "s2", "a b c d e f g h"),  # other block: never paired
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = textstats.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(got) == 1
+    assert (got[0].id_a, got[0].id_b, got[0].jaccard) == (1, 2, 1.0)
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog is to go"),
+        (2, "der hund und die katze ist das"),
+        (3, "le chat et la maison est les"),
+        (4, "el perro que los gatos es la"),
+        (5, "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.predicted_lang for r in textstats.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
