@@ -1,0 +1,113 @@
+"""spark-submit job entry — the reference CLI re-expressed.
+
+Reference: ``dedupecopy -p SRC -c DEST -m manifest --compare other
+--delete ...`` (/root/reference/dedupe_copy/bin/dedupecopy_cli.py:54-301).
+Here the filesystem flags become table paths:
+
+  spark-submit --py-files dedupe_copy_spark.zip -m dedupe_copy_spark.cli \\
+      --input /path/files_parquet \\
+      --output /path/out \\
+      --checkpoint /path/ckpt \\
+      [--compare /path/other_manifest_parquet] \\
+      [--read-sources /path/ckpt2/read_sources] \\
+      [--extensions py,md] [--ignore '*vendor*'] \\
+      [--min-size 1] [--dedupe-empty] [--no-near-dup]
+
+Outputs under --output:
+  corpus/        exact+near dedup'd winning rows        (≈ copy sink)
+  losers/        duplicate rows to drop                 (≈ delete sink)
+  pairs/         (id_a, id_b, kind, score) dup edges
+  clusters/      (file_id, cluster_id) assignments
+  report/        group-numbered collision report CSV    (≈ -r report.csv)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dedupe_copy_spark",
+                                description="near-duplicate detection + clustering")
+    p.add_argument("--input", required=True, help="parquet path of files(repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None, help="stage checkpoint root (resume)")
+    p.add_argument("--compare", default=None,
+                   help="manifest parquet whose digests are excluded (anti-join)")
+    p.add_argument("--read-sources", default=None,
+                   help="processed-keys parquet; matching rows skipped (resume)")
+    p.add_argument("--extensions", default="", help="comma-separated include globs")
+    p.add_argument("--ignore", default="", help="comma-separated ignore globs")
+    p.add_argument("--min-size", type=int, default=0)
+    p.add_argument("--dedupe-empty", action="store_true")
+    p.add_argument("--no-near-dup", action="store_true",
+                   help="exact-only mode (the reference's capability)")
+    p.add_argument("--cores", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import exact, filters
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+    from dedupe_copy_spark.session import get_spark
+
+    cfg = DedupeConfig(
+        extensions=tuple(x for x in args.extensions.split(",") if x),
+        ignore_patterns=tuple(x for x in args.ignore.split(",") if x),
+        min_size=args.min_size,
+        dedupe_empty=args.dedupe_empty,
+        checkpoint_dir=args.checkpoint,
+    )
+    spark = get_spark(app_name="dedupe-copy-spark-job", cores=args.cores)
+    t0 = time.time()
+    files = spark.read.parquet(args.input)
+
+    if args.read_sources:
+        rs = spark.read.parquet(args.read_sources)
+        files = filters.resume_filter(files, rs)
+
+    pipe = DedupePipeline(spark, cfg)
+    if args.no_near_dup:
+        hashed = pipe.ingest(files)
+        win, lose, pairs = pipe.exact_stage(hashed)
+        clusters = pipe.cluster_stage(hashed, pairs)
+        report = exact.collision_report(hashed)
+    else:
+        res = pipe.run(files)
+        hashed, win, lose = res.hashed, res.winners, res.losers
+        pairs, clusters, report = res.pairs, res.clusters, res.report
+
+    if args.compare:
+        compare = spark.read.parquet(args.compare)
+        key = "dup_key" if "dup_key" in compare.columns else "content_sha256"
+        compare = compare.select(F.col(key).alias("dup_key"))
+        win = filters.compare_exclude(win, compare)
+
+    out = args.output
+    win.drop("dup_key").write.mode("overwrite").parquet(f"{out}/corpus")
+    lose.drop("dup_key").write.mode("overwrite").parquet(f"{out}/losers")
+    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+    clusters.write.mode("overwrite").parquet(f"{out}/clusters")
+    report.write.mode("overwrite").option("header", True).csv(f"{out}/report")
+
+    stats = {
+        "input_rows": hashed.count(),
+        "corpus_rows": spark.read.parquet(f"{out}/corpus").count(),
+        "loser_rows": spark.read.parquet(f"{out}/losers").count(),
+        "pairs": spark.read.parquet(f"{out}/pairs").count(),
+        "seconds": round(time.time() - t0, 2),
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,22 +73,20 @@ def containment_candidates(sketches: DataFrame, cfg: DedupeConfig,
                            size_col: str = "size") -> DataFrame:
     """Size-skewed candidate pairs sharing enough rare sketch hashes.
     Output: (id_small, id_big)."""
-    exploded = sketches.select(
-        F.col(id_col), F.col(size_col),
-        F.explode("sketch").alias("h"))
-    width = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("w"))
-    ok = width.filter((F.col("w") > 1) & (F.col("w") <= cfg.max_band_bucket))
-    usable = exploded.join(ok.select("h"), "h", "left_semi")
-    a = usable.select(F.col("h"), F.col(id_col).alias("id_a"),
-                      F.col(size_col).alias("size_a"))
-    b = usable.select(F.col("h"), F.col(id_col).alias("id_b"),
-                      F.col(size_col).alias("size_b"))
+    from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
+
+    exploded = sketches.select(F.col(id_col), F.explode("sketch").alias("h"))
     shared = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        bucket_pairs_counted(exploded, ["h"], id_col, cfg.max_band_bucket)
         .filter(F.col("n_shared") >= cfg.containment_min_shared)
+    )
+    sizes = sketches.select(F.col(id_col), F.col(size_col))
+    shared = (
+        shared
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col(size_col).alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col(size_col).alias("size_b")), "id_b")
     )
     ratio_ok = (
         F.greatest("size_a", "size_b").cast("double")

@@ -145,33 +145,22 @@ def candidate_pairs(bands: DataFrame, cfg: DedupeConfig,
                     id_col: str = "file_id") -> DataFrame:
     """Distinct candidate (id_a < id_b) pairs from shared LSH buckets.
 
-    Hot buckets are capped: a bucket with > max_band_bucket members is
-    dropped (boilerplate bucket → O(width^2) pairs; its members are
-    still reachable through their other bands). Dropped buckets are
-    observable via `dropped_buckets` accumulator column in logs — we
-    return them for the pipeline to record (no silent truncation).
+    One groupBy + JVM-side combination explode (operators/pairs.py) —
+    two shuffles total instead of the self-join's five. Hot buckets are
+    capped: a bucket with > max_band_bucket members is dropped
+    (boilerplate bucket → O(width²) pairs; its members are still
+    reachable through their other bands); see ``dropped_buckets``.
     """
-    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("width"))
-    ok = sizes.filter((F.col("width") > 1) & (F.col("width") <= cfg.max_band_bucket))
-    usable = bands.join(ok.select("band", "band_hash"), ["band", "band_hash"], "left_semi")
-    a = usable.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a"))
-    b = usable.select(F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b"))
-    pairs = (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return pairs
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
+    return bucket_pairs(bands, ["band", "band_hash"], id_col, cfg.max_band_bucket)
 
 
 def dropped_buckets(bands: DataFrame, cfg: DedupeConfig) -> DataFrame:
     """Buckets skipped by the width cap — surfaced, never silent."""
-    return (
-        bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("width"))
-        .filter(F.col("width") > cfg.max_band_bucket)
-    )
+    from dedupe_copy_spark.operators.pairs import bucket_stats
+
+    return bucket_stats(bands, ["band", "band_hash"], "file_id", cfg.max_band_bucket)
 
 
 def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupeConfig,

@@ -1,0 +1,80 @@
+"""Candidate-pair generation from bucket keys — the shared core of the
+LSH band join, the SimHash chunk join, and the containment sketch join.
+
+Instead of the textbook self-equi-join (which costs: widths groupBy +
+left-semi + two shuffles for the two join sides + a distinct — and
+recomputes the upstream signature lineage for each side), we exploit the
+bucket-width cap the pipeline enforces anyway: ONE groupBy collects each
+bucket's member ids (bounded by the cap), pairs are expanded JVM-side
+with array combinatorics (transform × transform → flatten), and one
+dropDuplicates de-dups across buckets. Two shuffles total, upstream
+computed once.
+
+A bucket wider than the cap is dropped (its members remain reachable
+through their other bands/chunks); drops are returned by
+``bucket_stats`` so pipelines can log them — no silent truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_pairs(buckets: DataFrame, key_cols: list[str], id_col: str,
+                 max_bucket: int) -> DataFrame:
+    """buckets(key_cols..., id_col) → distinct (id_a < id_b) pairs of
+    ids sharing a bucket, skipping buckets wider than max_bucket."""
+    grouped = (
+        buckets.groupBy(*key_cols)
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    # all i<j combinations, built by codegen'd array expressions
+    pair_array = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    return (
+        grouped.select(F.explode(pair_array).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def bucket_pairs_counted(buckets: DataFrame, key_cols: list[str], id_col: str,
+                         max_bucket: int) -> DataFrame:
+    """Like bucket_pairs but returns (id_a, id_b, n_shared) — how many
+    buckets each pair co-occurred in (the containment candidate signal)."""
+    grouped = (
+        buckets.groupBy(*key_cols)
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pair_array = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    return (
+        grouped.select(F.explode(pair_array).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def bucket_stats(buckets: DataFrame, key_cols: list[str], id_col: str,
+                 max_bucket: int) -> DataFrame:
+    """Buckets skipped by the width cap (observability)."""
+    return (
+        buckets.groupBy(*key_cols)
+        .agg(F.count_distinct(F.col(id_col)).alias("width"))
+        .filter(F.col("width") > max_bucket)
+    )

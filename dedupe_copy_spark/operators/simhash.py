@@ -91,21 +91,12 @@ def simhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
                   id_col: str = "file_id") -> DataFrame:
     """Full SimHash pipeline for short docs: fingerprint → chunk join →
     Hamming verify (bit_count(a^b), codegen'd)."""
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
     fps = simhash_fingerprints(files_with_id).select(id_col, "simhash")
     all_chunks = simhash_chunks(fps, id_col)
-    widths = all_chunks.groupBy("chunk_id", "chunk_value").agg(
-        F.count(F.lit(1)).alias("w"))
-    ok = widths.filter((F.col("w") > 1) & (F.col("w") <= cfg.max_band_bucket))
-    chunks = all_chunks.join(ok.select("chunk_id", "chunk_value"),
-                             ["chunk_id", "chunk_value"], "left_semi")
-    a = chunks.select("chunk_id", "chunk_value", F.col(id_col).alias("id_a"))
-    b = chunks.select("chunk_id", "chunk_value", F.col(id_col).alias("id_b"))
-    cands = (
-        a.join(b, ["chunk_id", "chunk_value"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cands = bucket_pairs(all_chunks, ["chunk_id", "chunk_value"], id_col,
+                         cfg.max_band_bucket)
     fa = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     fb = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -62,6 +62,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     grams = docs.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.array_distinct(token_ngrams(F.col(text_col), n)).alias("grams"))
+    # materialize once: the self-join would otherwise rebuild every gram
+    # array twice; repartition by block so each block's pairs co-locate
+    # (AQE picks the partition count)
+    grams = grams.repartition(*block_cols).persist()
     a = grams.select(*block_cols, F.col(id_col).alias("id_a"),
                      F.col("grams").alias("grams_a"))
     b = grams.select(*block_cols, F.col(id_col).alias("id_b"),

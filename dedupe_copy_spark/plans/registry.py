@@ -463,27 +463,36 @@ def _near_cfg() -> DedupeConfig:
     return DedupeConfig(short_file_max_tokens=2)
 
 
+def _reps(spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None) -> DataFrame:
+    """Exact-group representatives, spread across the cluster before the
+    Arrow-UDF stages. A small local parquet arrives as ONE split; on a
+    real Iceberg table the scan has thousands — the repartition makes
+    the plan shape identical in both worlds (and it's keyed by file_id,
+    which the LSH joins reuse)."""
+    from dedupe_copy_spark.operators import exact as ex
+    from dedupe_copy_spark.operators import minhash as mh
+
+    hashed = hashed if hashed is not None else _files(spark, sf_dir)
+    # keyed repartition WITHOUT a fixed count: AQE right-sizes the
+    # shuffle (tiny local inputs coalesce, 100 TB inputs spread)
+    return mh.add_file_id(ex.winners(hashed)).repartition("file_id")
+
+
 @register("minhash_near_pairs")
 def minhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-dup pairs between exact representatives of the
     canonical files view (mirror copies collapse to reps first)."""
-    from dedupe_copy_spark.operators import exact as ex
     from dedupe_copy_spark.operators import minhash as mh
 
-    hashed = _files(spark, sf_dir)
-    reps = mh.add_file_id(ex.winners(hashed))
-    return mh.minhash_pairs(reps, _near_cfg()).orderBy("id_a", "id_b")
+    return mh.minhash_pairs(_reps(spark, sf_dir), _near_cfg()).orderBy("id_a", "id_b")
 
 
 @register("simhash_short_pairs")
 def simhash_short_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming pairs over short documents (< 64 tokens)."""
-    from dedupe_copy_spark.operators import exact as ex
-    from dedupe_copy_spark.operators import minhash as mh
     from dedupe_copy_spark.operators import simhash as sh
 
-    hashed = _files(spark, sf_dir)
-    reps = mh.add_file_id(ex.winners(hashed)).withColumn(
+    reps = _reps(spark, sf_dir).withColumn(
         "n_tokens", F.size(F.split(F.col("content"), r"\s+", -1)))
     short, _ = sh.route_short(reps, DedupeConfig())
     return sh.simhash_pairs(short, DedupeConfig()).orderBy("id_a", "id_b")
@@ -511,7 +520,7 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" appended build metadata trailer section " * 8)))
     )
     hashed = exact.with_digest(files.unionByName(wrapped))
-    reps = mh.add_file_id(ex.winners(hashed))
+    reps = _reps(spark, sf_dir, hashed)
     return ct.containment_pairs(reps, DedupeConfig()).orderBy("id_small", "id_big")
 
 

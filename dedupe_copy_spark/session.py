@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import SparkSession
 
 
@@ -53,6 +54,33 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Force-create the Python worker pools BEFORE timing anything.
+
+    Each pandas-UDF eval type (scalar-iter vs mapInPandas) lazily builds
+    its own worker pool on first use — a measured one-time ~2.4 s cost
+    per type, independent of data size or core count. On a long-lived
+    cluster this happens once per executor lifetime; warming it keeps
+    local benchmarks from charging it to the first stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    n = spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf(T.LongType())
+    def _scalar(s: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F401 — preload into workers
+        return s.astype("int64")
+
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    base = spark.range(0, n * 100, 1, n)
+    base.select(_scalar("id")).agg(F.count("*")).collect()
+    base.mapInPandas(_ident, "id long").write.format("noop").mode("overwrite").save()
 
 
 def stop_spark() -> None:
