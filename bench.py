@@ -118,33 +118,36 @@ def _scaling_job(cores: int) -> dict:
     n_pairs = pairs.count()
     dt = time.perf_counter() - t0
     spark.stop()
-    load1, load5, _ = os.getloadavg()
     return {"cores": cores, "rows": SCALING_ROWS, "seconds": round(dt, 2),
-            "rows_per_sec": round(SCALING_ROWS / dt, 1), "pairs": n_pairs,
-            "loadavg_1m": round(load1, 1), "loadavg_5m": round(load5, 1)}
+            "rows_per_sec": round(SCALING_ROWS / dt, 1), "pairs": n_pairs}
 
 
-def run_scaling(n: int = 8, trials: int = 2) -> None:
-    """Fresh subprocess per (cores, trial); best trial per parallelism.
+def run_scaling(n: int = 8, trials: int = 3) -> None:
+    """Interleaved fresh-subprocess trials (N, 4N, N, 4N, ...); best
+    trial per parallelism.
 
     This sandbox shares hardware with invisible external load (observed
     loadavg ~10 with zero local processes), so a single trial can be
-    arbitrarily contended; the best-of-K per level is the least-noisy
-    estimate of the job's actual cost. loadavg is recorded with every
-    run for honesty."""
+    arbitrarily contended; interleaving + best-of-K per level is the
+    least-noisy estimate of the job's actual cost. The PRE-run idle
+    loadavg is recorded with each trial (loadavg during a run mostly
+    measures the run itself)."""
     import subprocess
 
-    results = []
-    for cores in (n, 4 * n):
-        best = None
-        for _ in range(trials):
+    best: dict[int, dict] = {}
+    for _ in range(trials):
+        for cores in (n, 4 * n):
+            idle_load = round(os.getloadavg()[0], 1)
             out = subprocess.run(
                 [sys.executable, __file__, "--scaling-worker", str(cores)],
                 capture_output=True, text=True, check=True)
             run = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or run["seconds"] < best["seconds"]:
-                best = run
-        results.append(best)
+            run["pre_run_loadavg"] = idle_load
+            print(f"# trial cores={cores}: {run['seconds']}s "
+                  f"(pre-load {idle_load})", file=sys.stderr)
+            if cores not in best or run["seconds"] < best[cores]["seconds"]:
+                best[cores] = run
+    results = [best[n], best[4 * n]]
     r_n, r_4n = results
     eff = (r_4n["rows_per_sec"] / r_n["rows_per_sec"]) / 4.0
     print(json.dumps({

@@ -93,8 +93,22 @@ def keep_first(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
 
 
 def winners(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
-    """The deduplicated corpus: one surviving row per dup group."""
-    return keep_first(hashed, cfg).filter(F.col("rn") == 1).drop("rn")
+    """The deduplicated corpus: one surviving row per dup group.
+
+    Implemented as min_by over the lexicographic key struct rather than
+    a row_number window: an aggregate gets a map-side partial pass
+    (each input partition pre-reduces its local groups before the
+    shuffle) and skips the full per-partition sort a window needs — at
+    10^12 rows with huge dup groups that is the difference between
+    shuffling every row and shuffling one candidate per group per
+    partition. Semantics identical to keep_first(rn == 1).
+    """
+    cfg = cfg or DedupeConfig()
+    order_key = F.struct(*[F.col(c) for c in cfg.keep_first_order])
+    row = F.struct(*[F.col(c) for c in hashed.columns])
+    agg = hashed.groupBy("dup_key").agg(F.min_by(row, order_key).alias("w"))
+    return agg.select(*[F.col(f"w.{c}").alias(c) for c in hashed.columns
+                        if c != "dup_key"], F.col("dup_key"))
 
 
 def losers(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:

@@ -303,15 +303,20 @@ def events_yyyymm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("token_counts", """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT)
+         AS n_tokens_bpe,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """)
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting — built-ins only, stays in codegen."""
+    """Token counting: whitespace split + a BPE-ish regex (word pieces
+    and standalone punctuation) — built-ins only, stays in codegen."""
     docs = load_table(spark, sf_dir, "documents")
+    bpe_pattern = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
     return docs.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(bpe_pattern)).cast("long").alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars"),
     )
 
@@ -560,3 +565,39 @@ def media_dedupe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("media_id") + 1000)
     feats = mm.extract_features(media.unionByName(dup))
     return mm.media_dedupe_keys(feats).orderBy("payload_sha256")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (exact, label-blocked; oracle-checked)
+# ---------------------------------------------------------------------------
+
+_EMB_NEAR_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+
+@register("embedding_near_dups", _EMB_NEAR_SQL)
+def embedding_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within label blocks
+    (blocking bounds the self-join; the unblocked scale path is
+    ann_lsh_topk's bucket join). All JVM-side double math."""
+    from dedupe_copy_spark.operators.similarity import cosine_similarity_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity_col(F.col("e_a"), F.col("e_b")), 6))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,43 @@
+"""Enforce the input_hint contract: vectorized pandas/Arrow UDFs only —
+no row-at-a-time Python UDFs anywhere in the package (SURVEY.md §7.5)."""
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "dedupe_copy_spark"
+
+# row-at-a-time constructs that must never appear
+FORBIDDEN = [
+    re.compile(r"@F\.udf\b"),
+    re.compile(r"\bF\.udf\("),
+    re.compile(r"from pyspark\.sql\.functions import .*\budf\b"),
+    re.compile(r"\.rdd\.map\("),
+    re.compile(r"\.rdd\.flatMap\("),
+]
+
+
+def test_no_row_at_a_time_python():
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        text = py.read_text()
+        for pat in FORBIDDEN:
+            for m in pat.finditer(text):
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{py.relative_to(PKG.parent)}:{line} {m.group(0)}")
+    assert not offenders, "row-at-a-time Python found:\n" + "\n".join(offenders)
+
+
+def test_no_driver_side_collect_loops():
+    """collect() in library code only where documented (CC convergence
+    checksum — a 1-row aggregate)."""
+    # cc.py: 1-row convergence checksum; session.py: worker warmup agg
+    allowed = {"operators/cc.py", "session.py"}
+    offenders = []
+    for py in PKG.rglob("*.py"):
+        rel = str(py.relative_to(PKG))
+        if rel in allowed:
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".collect()" in line and not line.strip().startswith("#"):
+                offenders.append(f"{rel}:{i}")
+    assert not offenders, "unexpected driver collect():\n" + "\n".join(offenders)

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the pure-python kernels that
+back the Arrow UDFs. No SparkSession — these run anywhere, fast."""
+
+import fnmatch
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.functions import extension_regex, glob_alternation_regex
+from dedupe_copy_spark.functions.suffix import contains, suffix_array
+from dedupe_copy_spark.operators.minhash import shingle_hashes, tokenize
+
+# --- suffix array ----------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_suffix_array_is_sorted_permutation(text):
+    sa = suffix_array(text)
+    assert sorted(sa.tolist()) == list(range(len(text)))
+    suffixes = [text[i:] for i in sa]
+    assert suffixes == sorted(suffixes)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(min_size=0, max_size=200), st.text(min_size=0, max_size=20))
+def test_sa_contains_matches_python_in(big, small):
+    assert contains(big, small) == (small in big)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(min_size=1, max_size=150), st.integers(0, 140), st.integers(1, 60))
+def test_sa_contains_every_substring(big, start, length):
+    small = big[start: start + length]
+    assert contains(big, small)
+
+
+# --- glob → regex ----------------------------------------------------------
+
+_GLOB_ALPHABET = st.text(
+    alphabet=st.sampled_from("abcz019._-*?/"), min_size=1, max_size=12)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_GLOB_ALPHABET, min_size=1, max_size=4),
+       st.text(alphabet=st.sampled_from("abcz019._-/"), min_size=0, max_size=20))
+def test_glob_alternation_matches_fnmatch(patterns, candidate):
+    regex = glob_alternation_regex(tuple(patterns))
+    got = re.match(regex, candidate.lower()) is not None
+    expected = any(fnmatch.fnmatch(candidate.lower(), p.lower()) for p in patterns)
+    assert got == expected
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.sampled_from(["py", ".py", "J*", "tar.gz", "?z"]),
+       st.text(alphabet=st.sampled_from("abcz019._-/"), min_size=0, max_size=20))
+def test_extension_regex_semantics(ext, candidate):
+    regex = extension_regex((ext,))
+    got = re.match(regex, candidate.lower()) is not None
+    e = ext.lower().lstrip(".")
+    if not any(ch in e for ch in "*?["):
+        expected = fnmatch.fnmatch(candidate.lower(), f"*.{e}")
+    else:
+        expected = fnmatch.fnmatch(candidate.lower(), f"*.{e}" if not e.startswith("*") else e)
+    assert got == expected
+
+
+# --- shingles / minhash ----------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=400))
+def test_shingle_hashes_deterministic_and_sorted(text):
+    cfg = DedupeConfig()
+    h1 = shingle_hashes(tokenize(text), cfg.shingle_k)
+    h2 = shingle_hashes(tokenize(text), cfg.shingle_k)
+    assert np.array_equal(h1, h2)
+    assert np.all(np.diff(h1.astype(np.int64)) > 0) or len(h1) <= 1  # unique+sorted
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from("alpha beta gamma delta".split()),
+                min_size=3, max_size=60))
+def test_shingles_invariant_to_case_and_spacing(tokens):
+    cfg = DedupeConfig()
+    text = " ".join(tokens)
+    noisy = "  ".join(t.upper() for t in tokens) + " "
+    a = shingle_hashes(tokenize(text), cfg.shingle_k)
+    b = shingle_hashes(tokenize(noisy), cfg.shingle_k)
+    assert np.array_equal(a, b)
