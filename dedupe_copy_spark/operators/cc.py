@@ -68,13 +68,25 @@ def connected_components(edges: DataFrame, cfg: DedupeConfig | None = None) -> D
     cfg = cfg or DedupeConfig()
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
-    prev_sig = None
-    for _ in range(cfg.cc_max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint()
-        sig = _checksum(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # size the loop's shuffles from the ACTUAL edge count (known for
+    # free via the first checksum): the edge relation is usually tiny
+    # relative to the corpus, and with AQE coalescing disabled a fixed
+    # 32-way shuffle per iteration would dominate small graphs.
+    n, prev_sig = _checksum(cur)[0], None
+    spark = edges.sparkSession
+    max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(1, min(max_parts, n // 50_000 + 1))
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        for _ in range(cfg.cc_max_iterations):
+            cur = _small_star(_large_star(cur)).localCheckpoint()
+            sig = _checksum(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     # converged edge set is a star forest: src → root(dst)
     assign = cur.select(F.col("src").alias("file_id"), F.col("dst").alias("cluster_id"))
     roots = cur.select(F.col("dst").alias("file_id"),

@@ -132,9 +132,15 @@ def collision_report(hashed: DataFrame) -> DataFrame:
     already-collision-filtered (small) subset.
     """
     dups = duplicates(hashed)
+    # number GROUPS, not rows: the unavoidable global ordering window
+    # runs over one row per collision group (≪ collision rows), then a
+    # distributed join fans the id back out. dense_rank over all rows
+    # would funnel every duplicate row through one task.
+    groups = dups.select("dup_key").distinct()
     group_w = Window.orderBy("dup_key")
-    return dups.select(
-        F.dense_rank().over(group_w).alias("group_id"),
+    numbered = groups.withColumn("group_id", F.row_number().over(group_w))
+    return dups.join(numbered, "dup_key").select(
+        "group_id",
         F.col("dup_key").alias("content_sha256"),
         "repo", "path",
         F.col("commit").alias("commit_id"),

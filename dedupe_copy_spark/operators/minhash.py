@@ -185,7 +185,11 @@ def minhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
     """Full MinHash→LSH→verify composition: rows must already carry a
     unique long `file_id` and be exact-group representatives."""
     sigs = minhash_signatures(files_with_id, cfg).select(id_col, "sig")
-    bands = lsh_bands(sigs, cfg, id_col)
+    # sentinel signatures (empty/shingle-less docs) are identical to each
+    # other — they must never band-match (mirrors the zero-byte salting
+    # of the exact stage, reference threads.py:410-412)
+    bandable = sigs.filter(F.element_at("sig", 1) != F.lit(_SENTINEL))
+    bands = lsh_bands(bandable, cfg, id_col)
     cands = candidate_pairs(bands, cfg, id_col)
     return verify_pairs(cands, sigs, cfg, id_col)
 

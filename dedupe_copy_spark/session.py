@@ -40,11 +40,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing merges post-shuffle partitions by BYTES; our wide
+        # stages feed CPU-heavy work (Arrow UDFs, collect_set pair
+        # expansion) where byte-small partitions are still compute-large,
+        # so coalescing serializes them (measured 28% job slowdown).
+        # shuffle.partitions is already sized to the core count, so
+        # there is nothing useful left to coalesce.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # worker reuse exhibited a rare recv/send socket deadlock here
+        # (worker blocked in tcp_sendmsg with the JVM epoll-waiting);
+        # fork-per-task from the daemon costs ~ms and sidesteps it
+        .config("spark.python.worker.reuse", "false")
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

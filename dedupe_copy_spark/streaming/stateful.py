@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator: per-key duplicate tracking with
+applyInPandasWithState.
+
+The batch pipeline detects duplicates corpus-wide; this operator answers
+the streaming question "is this digest a duplicate of anything seen so
+far on this stream?" with per-digest state — the streaming restatement
+of the reference's collision store (hash already in manifest ⇒ collision,
+/root/reference/dedupe_copy/threads.py:403-417) without re-reading a
+manifest table per micro-batch.
+
+State per dup_key: (n_seen, first_repo, first_path, first_commit).
+Emitted per incoming row: is_duplicate + the keep-first original.
+GroupStateTimeout: none (dedupe state must not expire); production
+deployments bound state by routing through an exact-manifest compaction
+job — noted here rather than hidden.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import functions as F
+
+OUTPUT_SCHEMA = (
+    "dup_key string, repo string, path string, commit string, "
+    "is_duplicate boolean, n_seen_before long, "
+    "first_repo string, first_path string, first_commit string"
+)
+STATE_SCHEMA = "n_seen long, first_repo string, first_path string, first_commit string"
+
+
+def track_duplicates(key: tuple, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Grouped-map-with-state fn: key = (dup_key,); state counts prior
+    sightings and pins the keep-first original (lexicographic within
+    each batch, first-arrival across batches — matching the incremental
+    semantics of the reference's streaming-ish resume mode)."""
+    if state.exists:
+        n_seen, first_repo, first_path, first_commit = state.get
+    else:
+        n_seen, first_repo, first_path, first_commit = 0, None, None, None
+
+    outputs = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["repo", "path", "commit"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            is_dup = n_seen > 0
+            if n_seen == 0:
+                first_repo, first_path, first_commit = row.repo, row.path, row.commit
+            outputs.append((key[0], row.repo, row.path, row.commit,
+                            is_dup, n_seen, first_repo, first_path, first_commit))
+            n_seen += 1
+
+    state.update((n_seen, first_repo, first_path, first_commit))
+    yield pd.DataFrame(outputs, columns=[
+        "dup_key", "repo", "path", "commit", "is_duplicate",
+        "n_seen_before", "first_repo", "first_path", "first_commit"])
+
+
+def streaming_duplicate_tracker(stream_df: DataFrame) -> DataFrame:
+    """Wire the stateful operator onto a stream that already carries
+    dup_key (use operators.exact.with_digest upstream)."""
+    return (
+        stream_df.groupBy("dup_key")
+        .applyInPandasWithState(
+            track_duplicates,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_batchwise(spark, watch_dir: str, out_dir: str):
+    """availableNow smoke-runner: digest the incoming file stream, track
+    duplicate state, append annotated rows to parquet."""
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import exact
+    from dedupe_copy_spark.synth import FILES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(watch_dir)
+    )
+    hashed = exact.with_digest(stream, DedupeConfig()).select(
+        "dup_key", "repo", "path", "commit")
+    annotated = streaming_duplicate_tracker(hashed)
+    return (
+        annotated.writeStream
+        .format("parquet")
+        .option("path", f"{out_dir}/annotated")
+        .option("checkpointLocation", f"{out_dir}/_state_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,59 @@
+"""CLI integration via subprocess — models the reference's child-process
+CLI tests (/root/reference/dedupe_copy/test/test_user_scenarios.py:472-740)
+and the north_rule's spark-submit operability requirement."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from dedupe_copy_spark import synth
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def input_parquet(tmp_path_factory):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("cli") / "files.parquet")
+    rows, _ = synth.mixed_e2e()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), path)
+    return path, len(rows)
+
+
+def _run_cli(args):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "dedupe_copy_spark", "cli.py"), *args],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_full_run_and_resume(input_parquet, tmp_path):
+    path, n_rows = input_parquet
+    ckpt = str(tmp_path / "ckpt")
+    stats = _run_cli(["--input", path, "--output", str(tmp_path / "out1"),
+                      "--checkpoint", ckpt, "--cores", "4"])
+    assert stats["input_rows"] == n_rows
+    assert stats["corpus_rows"] < n_rows          # dups removed
+    assert stats["corpus_rows"] + stats["loser_rows"] == n_rows
+
+    # resume from the same checkpoint: identical results, faster path
+    stats2 = _run_cli(["--input", path, "--output", str(tmp_path / "out2"),
+                       "--checkpoint", ckpt, "--cores", "4"])
+    assert stats2["corpus_rows"] == stats["corpus_rows"]
+    assert stats2["pairs"] == stats["pairs"]
+
+
+def test_cli_exact_only_and_filters(input_parquet, tmp_path):
+    path, n_rows = input_parquet
+    stats = _run_cli(["--input", path, "--output", str(tmp_path / "out"),
+                      "--no-near-dup", "--extensions", "py,md",
+                      "--cores", "4"])
+    assert 0 < stats["input_rows"] < n_rows       # extension filter applied

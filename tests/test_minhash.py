@@ -102,10 +102,9 @@ def test_empty_and_tiny_content_get_sentinel_sig(spark):
         {"repo": "r", "path": "c.py", "commit": "c3", "lang": "py", "content": "x"},
     ]
     df = minhash.add_file_id(synth.to_df(spark, rows))
-    pairs = minhash.minhash_pairs(df, CFG)
-    # sentinel signatures are identical → they WOULD pair; the pipeline
-    # must route empties away before minhash. Assert the sentinel shape
-    # so the contract is explicit.
+    # sentinel signatures are identical to each other, but minhash_pairs
+    # excludes them from banding — empty docs never pair
+    assert minhash.minhash_pairs(df, CFG).count() == 0
     sigs = minhash.minhash_signatures(df, CFG).collect()
     empties = [r for r in sigs if r.content == ""]
     assert all(all(v == minhash._SENTINEL for v in r.sig) for r in empties)

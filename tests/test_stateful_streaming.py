@@ -1,0 +1,47 @@
+"""applyInPandasWithState duplicate tracker."""
+
+from dedupe_copy_spark import synth
+from dedupe_copy_spark.streaming import stateful
+
+
+def _write_batch(spark, rows, path):
+    synth.to_df(spark, rows).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stateful_tracker_marks_cross_batch_dups(spark, tmp_path):
+    watch = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    rows, gt = synth.exact_dups(n_unique=6, n_duped=4)
+
+    # batch 1
+    cut = len(rows) // 2
+    _write_batch(spark, rows[:cut], watch)
+    q = stateful.run_batchwise(spark, watch, out)
+    q.awaitTermination(180)
+
+    a1 = spark.read.parquet(f"{out}/annotated")
+    n1 = a1.count()
+    assert n1 == cut
+    # within batch 1: first sighting per key not duplicate
+    firsts = a1.filter("n_seen_before = 0")
+    assert firsts.filter("is_duplicate").count() == 0
+
+    # batch 2: rest of rows, incl. dups of batch-1 contents
+    _write_batch(spark, rows[cut:], watch)
+    q2 = stateful.run_batchwise(spark, watch, out)
+    q2.awaitTermination(180)
+
+    a2 = spark.read.parquet(f"{out}/annotated")
+    assert a2.count() == len(rows)
+    # state carried across batches: per key, exactly one non-duplicate
+    from pyspark.sql import functions as F
+
+    per_key = a2.groupBy("dup_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_duplicate").cast("int")).alias("n_dup")).collect()
+    for r in per_key:
+        assert r.n - r.n_dup == 1
+    # the keep-first original is stable per key
+    originals = a2.select("dup_key", "first_repo", "first_path",
+                          "first_commit").distinct()
+    assert originals.count() == a2.select("dup_key").distinct().count()
