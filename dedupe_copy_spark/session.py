@@ -34,6 +34,15 @@ def get_spark(
     ~2-3x total executor cores instead).
     """
     n = cores or default_parallelism()
+    # the preloading daemon module (spark.python.daemon.module) is
+    # imported by a SUBPROCESS `python -m ...`, which sees env
+    # PYTHONPATH, not the driver's sys.path — make sure the package
+    # root is visible to it
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else ""))
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -52,9 +61,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # worker reuse exhibited a rare recv/send socket deadlock here
-        # (worker blocked in tcp_sendmsg with the JVM epoll-waiting);
-        # fork-per-task from the daemon costs ~ms and sidesteps it
+        # (worker blocked in tcp_sendmsg with the JVM epoll-waiting).
+        # Disable reuse, and make fork-per-task cheap by preloading
+        # numpy/pandas/pyarrow in a custom daemon (COW for every fork —
+        # without it each task re-imports, ~0.7 s/task measured).
         .config("spark.python.worker.reuse", "false")
+        .config("spark.python.daemon.module", "dedupe_copy_spark.spark_daemon")
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

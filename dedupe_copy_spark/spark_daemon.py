@@ -1,0 +1,22 @@
+"""Custom PySpark worker daemon: preload the heavy imports ONCE in the
+daemon process so every forked worker inherits them copy-on-write.
+
+With spark.python.worker.reuse disabled (see session.py — reuse showed
+a rare fatal socket deadlock), each task forks a fresh worker; without
+preloading, every fork re-imports numpy/pandas/pyarrow (~0.7 s/task
+measured). Preloading in the daemon makes forks ~free again: reuse-off
+safety at reuse-on speed.
+
+Wired via spark.python.daemon.module in session.get_spark.
+"""
+
+# Preload before pyspark.daemon starts forking workers.
+import numpy  # noqa: F401
+import pandas  # noqa: F401
+import pyarrow  # noqa: F401
+import pyarrow.pandas_compat  # noqa: F401  (lazy-loaded otherwise)
+
+from pyspark.daemon import manager
+
+if __name__ == "__main__":
+    manager()
