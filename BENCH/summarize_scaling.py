@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Distill BENCH/scaling_runs.jsonl into the N-vs-4N evidence:
+best trial per parallelism (least external contention) + efficiency.
+
+Usage: python BENCH/summarize_scaling.py [--since-attempt K]
+(--since-attempt filters to trials after a code change; attempt 6+ runs
+include the preloading worker daemon.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> int:
+    since = 0
+    if "--since-attempt" in sys.argv:
+        since = int(sys.argv[sys.argv.index("--since-attempt") + 1])
+    best: dict[int, dict] = {}
+    with open(__file__.rsplit("/", 1)[0] + "/scaling_runs.jsonl") as f:
+        for line in f:
+            line = line.strip()
+            if not line or not line.startswith("{"):
+                continue
+            rec = json.loads(line)
+            if rec.get("attempt", 0) < since or not isinstance(rec.get("run"), dict):
+                continue
+            run = rec["run"]
+            run["pre_load"] = rec.get("pre_load")
+            run["attempt"] = rec.get("attempt")
+            c = run["cores"]
+            if c not in best or run["seconds"] < best[c]["seconds"]:
+                best[c] = run
+    cores = sorted(best)
+    if len(cores) < 2:
+        print(json.dumps({"error": "need two parallelism levels", "have": cores}))
+        return 1
+    lo, hi = best[cores[0]], best[cores[-1]]
+    ratio = hi["rows_per_sec"] / lo["rows_per_sec"]
+    factor = cores[-1] / cores[0]
+    print(json.dumps({
+        "metric": "scaling_efficiency_Nx4N",
+        "value": round(ratio / factor, 3),
+        "unit": "ratio",
+        "N": cores[0], "4N": cores[-1],
+        "runs": [lo, hi],
+        "criterion": ">=0.8",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
