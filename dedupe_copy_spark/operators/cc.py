@@ -77,16 +77,25 @@ def connected_components(edges: DataFrame, cfg: DedupeConfig | None = None) -> D
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(1, min(max_parts, n // 50_000 + 1))
     saved = spark.conf.get("spark.sql.shuffle.partitions")
+    converged = False
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         for _ in range(cfg.cc_max_iterations):
             cur = _small_star(_large_star(cur)).localCheckpoint()
             sig = _checksum(cur)
             if sig == prev_sig:
+                converged = True
                 break
             prev_sig = sig
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+    if not converged:
+        # a non-converged edge set is NOT a star forest; reading it as
+        # one would silently emit wrong cluster ids
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{cfg.cc_max_iterations} iterations (last checksum {prev_sig}); "
+            f"raise cfg.cc_max_iterations")
     # converged edge set is a star forest: src → root(dst)
     assign = cur.select(F.col("src").alias("file_id"), F.col("dst").alias("cluster_id"))
     roots = cur.select(F.col("dst").alias("file_id"),

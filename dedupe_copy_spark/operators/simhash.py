@@ -70,8 +70,9 @@ def simhash_fingerprints(files: DataFrame, content_col: str = "content") -> Data
 
 
 def simhash_chunks(fps: DataFrame, id_col: str = "file_id") -> DataFrame:
-    """(file_id, chunk_id, chunk_value) — 4×16-bit pigeonhole keys,
-    extracted JVM-side with shifts/masks."""
+    """(file_id, chunk_id, chunk_value) — 8×8-bit pigeonhole keys
+    (any pair within Hamming ≤ 7 shares at least one chunk), extracted
+    JVM-side with shifts/masks."""
     chunk_cols = [
         F.struct(
             F.lit(i).alias("chunk_id"),

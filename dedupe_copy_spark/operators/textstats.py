@@ -45,12 +45,22 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_ngrams(col, n: int = 3):
     """Token n-grams with array built-ins (1-based element_at, matching
-    the DuckDB list-indexing oracle)."""
+    the DuckDB list-indexing oracle).
+
+    Docs with fewer than n tokens yield an EMPTY gram array: without the
+    guard, sequence(1, size-(n-1)) would generate a DESCENDING [1, 0]
+    for 2-token docs and element_at would then hit index 0 / past-end
+    (ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT aborts the job). The inner
+    bound is additionally clamped to >= 1 so the untaken branch can
+    never build a descending sequence even under expression re-ordering.
+    """
     arr = F.split(col, " ", -1)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(0))),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(n)]),
     )
+    empty = F.slice(arr, 1, 0)  # typed empty array<string>
+    return F.when(F.size(arr) >= n, grams).otherwise(empty)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,

@@ -70,7 +70,9 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 , dups AS (
   SELECT sha256(content) AS content_sha256, repo, path, commit_id,
          CAST(length(content) AS BIGINT) AS size,
-         count(*) OVER (PARTITION BY sha256(content)) AS n
+         count(*) OVER (PARTITION BY CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+             ELSE sha256(content) END) AS n
   FROM files
 )
 SELECT CAST(dense_rank() OVER (ORDER BY content_sha256) AS BIGINT) AS group_id,
@@ -88,7 +90,9 @@ def collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("keep_first_winners", FILES_CTE_SQL + """
 , ranked AS (
   SELECT sha256(content) AS content_sha256, repo, path, commit_id,
-         row_number() OVER (PARTITION BY sha256(content)
+         row_number() OVER (PARTITION BY CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+             ELSE sha256(content) END
                             ORDER BY repo, path, commit_id) AS rn
   FROM files
 )
@@ -105,7 +109,9 @@ def keep_first_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dup_losers", FILES_CTE_SQL + """
 , ranked AS (
   SELECT sha256(content) AS content_sha256, repo, path, commit_id,
-         row_number() OVER (PARTITION BY sha256(content)
+         row_number() OVER (PARTITION BY CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+             ELSE sha256(content) END
                             ORDER BY repo, path, commit_id) AS rn
   FROM files
 )

@@ -9,9 +9,13 @@ threads.py:346,489-517). The streaming restatement: watch a directory
   2. append survivors to the corpus table and their digests to the
      manifest.
 
-foreachBatch gives exactly-once-per-batch parquet appends with the
-stream's own checkpointLocation providing replay on crash — the same
-guarantee the reference builds by pairing .db saves with read-set saves.
+foreachBatch is AT-LEAST-once: a crash mid-batch replays the batch with
+the same batch_id. Plain appends would duplicate rows on replay, so
+every write lands in a batch_id-named subdirectory with OVERWRITE
+semantics — re-running batch N rewrites exactly its own output and
+nothing else, making the whole sink idempotent (effective
+exactly-once) without a transactional table format. Readers scan the
+directory root; `batch_id` surfaces as a partition column.
 """
 
 from __future__ import annotations
@@ -46,14 +50,23 @@ class IncrementalDedupe:
         hashed = exact.with_digest(batch_df, self.cfg)
         # dedupe within the batch (keep-first) ...
         fresh = exact.winners(hashed, self.cfg)
-        # ... then against everything already ingested (anti join)
+        # ... then against everything already ingested (anti join).
+        # foreachBatch replays a crashed batch with the SAME batch_id: a
+        # partial prior attempt of this batch must not shadow its own
+        # rows, so the anti-join only sees digests from OTHER batches.
         known = self._known_hashes()
         if known is not None:
+            if "batch_id" in known.columns:
+                known = known.filter(F.col("batch_id") != batch_id)
             fresh = fresh.join(known.select("dup_key"), "dup_key", "left_anti")
-        fresh = fresh.localCheckpoint()  # barrier: we append to what we read
-        fresh.drop("dup_key").write.mode("append").parquet(self.corpus_path)
+        fresh = fresh.localCheckpoint()  # barrier: we overwrite what we read
+        # idempotent sink: overwrite THIS batch's own subdirectory only —
+        # a replayed batch rewrites its previous (possibly partial) output
+        fresh.drop("dup_key").write.mode("overwrite") \
+            .parquet(f"{self.corpus_path}/batch_id={batch_id}")
         fresh.select("dup_key", "content_sha256", "repo", "path", "commit") \
-            .write.mode("append").parquet(self.manifest_path)
+            .write.mode("overwrite") \
+            .parquet(f"{self.manifest_path}/batch_id={batch_id}")
 
     def start(self, watch_dir: str, trigger_once: bool = True):
         stream = (

@@ -45,3 +45,27 @@ def test_incremental_dedupe_across_microbatches(spark, tmp_path):
 
     # stream checkpoint directory exists (crash-replay point)
     assert os.path.exists(f"{out}/_stream_checkpoint")
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running process_batch with the
+    SAME batch_id (crash-replay) must not duplicate corpus rows."""
+    out = str(tmp_path / "out_replay")
+    rows, _ = synth.exact_dups(n_unique=8, n_duped=4)
+    df = synth.to_df(spark, rows)
+
+    job = IncrementalDedupe(spark, out)
+    job.process_batch(df, batch_id=0)
+    n_first = spark.read.parquet(f"{out}/corpus").count()
+    # replay batch 0 (same data, same id) — overwrite, not append
+    job.process_batch(df, batch_id=0)
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == n_first
+    # a genuinely NEW batch with already-seen digests adds nothing ...
+    job.process_batch(df, batch_id=1)
+    assert spark.read.parquet(f"{out}/corpus").count() == n_first
+    # ... and new content in a new batch lands exactly once
+    rows2, _ = synth.exact_dups(n_unique=3, n_duped=0)
+    job.process_batch(synth.to_df(spark, rows2), batch_id=2)
+    final = spark.read.parquet(f"{out}/corpus")
+    assert final.count() == final.select("content_sha256").distinct().count()

@@ -68,3 +68,22 @@ def test_lang_id_markers(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.predicted_lang for r in textstats.lang_id(df).collect()}
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_ngram_short_docs_yield_empty_grams(spark):
+    """Docs with < n tokens must not crash (ANSI element_at) and must
+    produce no grams/pairs — matching the DuckDB oracle's empty range."""
+    rows = [
+        (1, "en", "s1", "one two"),          # 2 tokens < n=3
+        (2, "en", "s1", "one two"),
+        (3, "en", "s1", "single"),
+        (4, "en", "s1", "a b c d e"),
+        (5, "en", "s1", "a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    grams = df.select(
+        "doc_id", F.size(textstats.token_ngrams(F.col("text"), 3)).alias("n"))
+    got = {r.doc_id: r.n for r in grams.collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 3, 5: 3}
+    pairs = textstats.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(4, 5)]
