@@ -123,22 +123,66 @@ def losers(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
     return out
 
 
+def _bucket_ranked(keys: DataFrame, key_col: str, prefix_len: int) -> DataFrame:
+    """Per-bucket ranking stage of _number_keys, exposed pre-checkpoint
+    so plan tests can assert it shuffles on _bucket (parallel), never
+    SinglePartition."""
+    bucket = F.substring(F.col(key_col), 1, prefix_len)
+    w_local = Window.partitionBy("_bucket").orderBy(key_col)
+    return (
+        keys.withColumn("_bucket", bucket)
+        .withColumn("_local_rn", F.row_number().over(w_local))
+    )
+
+
+def _number_keys(keys: DataFrame, key_col: str, out_col: str = "group_id",
+                 prefix_len: int = 2) -> DataFrame:
+    """Contiguous 1-based rank of each distinct key, WITHOUT a global
+    single-task window: keys are bucketed by their first `prefix_len`
+    characters (prefix order == key order, so bucket boundaries respect
+    the global sort), ranked per bucket in parallel, and shifted by
+    per-bucket offsets computed from bucket counts (a driver-side
+    cumulative sum over ≤ |alphabet|^prefix_len rows — 256 for hex
+    digests, never data-proportional). Equivalent to
+    dense_rank() OVER (ORDER BY key) on distinct keys.
+    """
+    local = (
+        _bucket_ranked(keys, key_col, prefix_len)
+        # materialization barrier: the offsets collect below and the
+        # final join must see the SAME ranking computation exactly once
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_bucket"], r["n"]) for r in
+        local.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    spark = keys.sparkSession
+    off_df = spark.createDataFrame(offsets or [("", 0)],
+                                   "_bucket string, _offset long")
+    return (
+        local.join(F.broadcast(off_df), "_bucket")
+        .withColumn(out_col, F.col("_offset") + F.col("_local_rn"))
+        .drop("_bucket", "_local_rn", "_offset")
+    )
+
+
 def collision_report(hashed: DataFrame) -> DataFrame:
     """The CSV duplicate report: group-numbered collision rows
     (reference generate_report, core.py:136-170; format README.md:981-990).
 
-    Group numbers are assigned by dense_rank over the digest so they are
-    stable and contiguous. The rank window is global but runs over the
-    already-collision-filtered (small) subset.
+    Group numbers are assigned per GROUP (one row per collision digest,
+    ≪ collision rows) with prefix-bucketed parallel numbering — at
+    10^8-10^9 collision groups a global ORDER BY window would funnel one
+    task; _number_keys keeps every stage partition-parallel. A
+    distributed join then fans the id back out to member rows.
     """
     dups = duplicates(hashed)
-    # number GROUPS, not rows: the unavoidable global ordering window
-    # runs over one row per collision group (≪ collision rows), then a
-    # distributed join fans the id back out. dense_rank over all rows
-    # would funnel every duplicate row through one task.
     groups = dups.select("dup_key").distinct()
-    group_w = Window.orderBy("dup_key")
-    numbered = groups.withColumn("group_id", F.row_number().over(group_w))
+    numbered = _number_keys(groups, "dup_key")
     return dups.join(numbered, "dup_key").select(
         "group_id",
         F.col("dup_key").alias("content_sha256"),

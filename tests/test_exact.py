@@ -122,3 +122,23 @@ def test_min_size_losers_filter(spark):
     hashed = _hashed(spark, rows)
     big = exact.losers(hashed, DedupeConfig(min_size=10**9))
     assert big.count() == 0
+
+
+def test_collision_group_numbering_is_parallel_and_contiguous(spark):
+    """group_id must equal dense_rank over the digest (contiguous from
+    1) AND the numbering stage must shuffle on the prefix bucket, never
+    a SinglePartition exchange (the 10^9-group scale hazard)."""
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.operators.exact import _bucket_ranked, _number_keys
+
+    keys = spark.range(0, 1000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("k"))
+    plan = _bucket_ranked(keys, "k", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_bucket" in plan
+
+    numbered = _number_keys(keys, "k").orderBy("k").collect()
+    assert [r.group_id for r in numbered] == list(range(1, 1001))
+    in_order = sorted(r.k for r in numbered)
+    assert [r.k for r in numbered] == in_order  # rank follows key order
