@@ -71,7 +71,7 @@ def run_headline() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry.SPARK_QUERIES[name]
+        fn = registry.BENCH_QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()

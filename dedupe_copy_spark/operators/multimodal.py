@@ -50,12 +50,16 @@ FEATURES_SCHEMA = T.StructType([
 
 
 def synth_media(spark: SparkSession, n_rows: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic fake media table. The payload is a repeated ASCII
+    hexdigest rather than raw digest bytes so a SQL oracle (DuckDB
+    sha256 takes VARCHAR only) can rebuild identical payloads and
+    digests — the bytes are opaque to every operator either way."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_rows):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        payload = (hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()
+                   * (4 + i % 7)).encode()
         rows.append({
             "media_id": i, "kind": kind,
             "mime": {"image": "image/jpeg", "audio": "audio/wav",

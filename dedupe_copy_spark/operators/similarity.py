@@ -16,9 +16,13 @@ determinism (the DuckDB oracle casts to DOUBLE[] the same way).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -63,31 +67,47 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> list[list[list[float]]]:
-    """Deterministic random hyperplanes: n_tables × bits × dim."""
+def hyperplanes(dim: int, n_tables: int, bits: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (n_tables, bits, dim)."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_tables, bits, dim)).tolist()
+    return rng.standard_normal((n_tables, bits, dim))
 
 
-def lsh_bucket_keys(df: DataFrame, planes: list[list[list[float]]],
+def make_bucket_udf(planes: np.ndarray):
+    """Arrow-batched sign-LSH: ONE numpy matmul per batch computes all
+    n_tables × bits projections (vs the previous 2,048 float literals +
+    32 aggregate/zip_with trees inlined into the plan, whose Catalyst
+    compile + interpreted eval cost grew with dims×bits×tables and made
+    this the slowest bench query). Returns array<long> of n_tables
+    bucket keys per row."""
+    n_tables, bits, _dim = planes.shape
+    proj_t = planes.reshape(n_tables * bits, -1).T.copy()   # (dim, T*B)
+    weights = 1 << np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_keys(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch_iter:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            bit_signs = (v @ proj_t > 0).astype(np.uint64)       # (n, T*B)
+            keys = (bit_signs.reshape(len(v), n_tables, bits) * weights) \
+                .sum(axis=2).astype(np.int64)                    # (n, T)
+            yield pd.Series(list(keys))
+
+    return bucket_keys
+
+
+def lsh_bucket_keys(df: DataFrame, planes: np.ndarray,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, table_id, bucket) — sign-LSH key per table, built with
-    array built-ins: bit i = dot(vec, plane_i) > 0."""
-    out_cols = []
-    for t, table in enumerate(planes):
-        bit_cols = []
-        for i, plane in enumerate(table):
-            lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-            bit = (_dot(F.col(vec_col), lit_plane) > 0).cast("long") * F.lit(1 << i)
-            bit_cols.append(bit)
-        key = bit_cols[0]
-        for b in bit_cols[1:]:
-            key = key + b
-        out_cols.append(F.struct(F.lit(t).alias("table_id"), key.alias("bucket")))
+    """(id, table_id, bucket) — sign-LSH key per table. The per-row math
+    is one Arrow UDF call; the explode and everything downstream (the
+    bucket join) stays JVM-side."""
+    keys = make_bucket_udf(planes)(F.col(vec_col)).alias("keys")
     return (
-        df.select(F.col(id_col), F.explode(F.array(*out_cols)).alias("tb"))
-        .select(id_col, F.col("tb.table_id").alias("table_id"),
-                F.col("tb.bucket").alias("bucket"))
+        df.select(F.col(id_col), keys)
+        .select(id_col, F.posexplode("keys").alias("table_id", "bucket"))
     )
 
 

@@ -54,7 +54,12 @@ def token_ngrams(col, n: int = 3):
     bound is additionally clamped to >= 1 so the untaken branch can
     never build a descending sequence even under expression re-ordering.
     """
-    arr = F.split(col, " ", -1)
+    return array_ngrams(F.split(col, " ", -1), n)
+
+
+def array_ngrams(arr, n: int = 3):
+    """n-grams over an array<string> column (space-joined), empty array
+    when the input has fewer than n elements."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(n)]),

