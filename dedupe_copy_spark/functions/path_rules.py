@@ -1,0 +1,154 @@
+"""Path-rules destination builder — the Spark restatement of the
+reference rule engine.
+
+Reference semantics preserved (file:line into /root/reference/dedupe_copy):
+  - rule grammar "<ext-pattern>:<rule>", rules ∈ {mtime, extension,
+    no_change}, multiple rules per pattern compose in order
+                                                path_rules.py:98-127
+  - extension normalization ('jpg' → exact '.jpg', 'j*' → '*.j*')
+                                                utils.py:191-222
+  - best-match selection: exact key wins; else fnmatch candidates
+    scored by |len(pattern minus wildcards) - len('.ext')|, where the
+    LAST candidate wins ties against earlier ones and only a strictly
+    smaller score replaces it             path_rules.py:74-95
+  - destination composition: dest_root [/YYYY_MM] [/ext] [/stripped
+    source dir] / filename; no_change strips every matching read-path
+    prefix in order, then one leading separator
+                                                path_rules.py:49-71
+  - ext fallback "no_extension" for bare filenames  threads.py:250
+  - default rule list (no pattern matched): ["no_change"]
+
+Architecture: the rule TABLE is parsed driver-side (it is tiny); the
+per-row work — best-match selection over the row's extension plus the
+destination composition — is ONE Catalyst expression tree built from
+array/aggregate built-ins. No Python runs per row, the expression size
+is O(#patterns), and the column composes with any scan/filter/join like
+every other projection (predicate pushdown and codegen still apply).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.functions import lower_extension, yyyy_mm
+
+PATH_RULES = ("mtime", "extension", "no_change")
+
+
+def clean_rule_extension(ext: str) -> str:
+    """Normalize one rule extension exactly like the reference
+    (utils.clean_extensions, utils.py:191-222)."""
+    ext = ext.strip().lower()
+    if ext == ".":
+        return "."
+    if ext.startswith("*"):
+        return ext
+    wild = any(c in ext for c in "*?[]")
+    if ext.startswith("."):
+        return f"*{ext}" if wild else ext
+    return f"*.{ext}" if wild else f".{ext}"
+
+
+def parse_rule_pairs(rule_pairs: list[str]) -> list[tuple[str, list[str]]]:
+    """'<pattern>:<rule>' strings → ordered (pattern, [rules]) table,
+    merging repeated patterns in first-seen order
+    (reference build_path_rules, path_rules.py:98-127)."""
+    table: dict[str, list[str]] = {}
+    for pair in rule_pairs:
+        extension, rule = pair.split(":")
+        extension = (extension.strip().lower() if extension.startswith("*")
+                     else clean_rule_extension(extension))
+        if rule not in PATH_RULES:
+            raise ValueError(f"Unexpected path rule: {rule}")
+        table.setdefault(extension, []).append(rule)
+    return list(table.items())
+
+
+def _pattern_core_len(pattern: str) -> int:
+    return len(pattern.replace("?", "").replace("*", ""))
+
+
+def _strip_read_paths(dir_col: Column, read_paths: tuple[str, ...]) -> Column:
+    """no_change prefix stripping: every matching read-path prefix is
+    removed in order (reference loops without break, path_rules.py:63-66),
+    then one leading separator."""
+    out = dir_col
+    for p in read_paths:
+        out = F.regexp_replace(out, "^" + re.escape(p), "")
+    return F.regexp_replace(out, "^/", "")
+
+
+def dest_path(rule_pairs: list[str], dest_root: str, path: Column,
+              mtime: Column | None = None,
+              read_paths: tuple[str, ...] = ()) -> Column:
+    """Destination path column for every input row.
+
+    `path` is the source-relative file path; `mtime` a timestamp column
+    (required only if any rule uses 'mtime'); `read_paths` the walk
+    roots whose prefixes no_change strips.
+    """
+    table = parse_rule_pairs(rule_pairs)
+    if any("mtime" in rules for _, rules in table) and mtime is None:
+        raise ValueError("a rule uses 'mtime' but no mtime column was given")
+
+    ext = F.coalesce(F.nullif(lower_extension(path), F.lit("")),
+                     F.lit("no_extension"))
+    ext_dot = F.concat(F.lit("."), ext)
+    filename = F.element_at(F.split(path, "/", -1), -1)
+    source_dirs = F.regexp_extract(path, r"^(.*)/[^/]*$", 1)
+
+    # --- best-match selection as one expression ---------------------------
+    entries = []
+    for i, (pattern, _rules) in enumerate(table):
+        wild = any(c in pattern for c in "*?[]")
+        if wild:
+            exact = F.lit(False)
+            matched = F.lower(ext_dot).rlike(fnmatch.translate(pattern))
+        else:
+            exact = ext_dot == F.lit(pattern)
+            matched = exact
+        score = F.abs(F.lit(_pattern_core_len(pattern)) - F.length(ext_dot))
+        entries.append(F.struct(matched.alias("m"), exact.alias("e"),
+                                score.alias("s"), F.lit(i).alias("i")))
+    no_match = F.struct(F.lit(False).alias("m"), F.lit(False).alias("e"),
+                        F.lit(0).alias("s"), F.lit(-1).alias("i"))
+    matches = F.filter(F.array(*entries), lambda e: e["m"]) if entries \
+        else F.array().cast("array<struct<m:boolean,e:boolean,s:int,i:int>>")
+    n = F.size(matches)
+    safe = F.when(n > 0, matches).otherwise(F.array(no_match))
+    last = F.element_at(safe, -1)
+    # reference scan: start from the LAST match, replace only on a
+    # strictly smaller score, walking the earlier matches in order
+    scored_best = F.aggregate(
+        F.slice(safe, 1, F.greatest(n - 1, F.lit(0))), last,
+        lambda acc, e: F.when(e["s"] < acc["s"], e).otherwise(acc))
+    exact_hit = F.filter(safe, lambda e: e["e"])
+    best_i = (
+        F.when(n == 0, F.lit(-1))
+        .when(F.size(exact_hit) > 0, F.element_at(exact_hit, 1)["i"])
+        .otherwise(scored_best["i"])
+    )
+
+    # --- destination composition per pattern -------------------------------
+    def compose(rules: list[str]) -> Column:
+        segs: list[Column] = [F.lit(dest_root)]
+        for rule in rules:
+            if rule == "mtime":
+                segs.append(yyyy_mm(mtime))
+            elif rule == "extension":
+                segs.append(ext)
+            else:  # no_change — empty remainder skipped via nullif
+                segs.append(F.nullif(_strip_read_paths(source_dirs, read_paths),
+                                     F.lit("")))
+        segs.append(filename)
+        return F.concat_ws("/", *segs)
+
+    default = compose(["no_change"])
+    out = default
+    for i, (_pattern, rules) in enumerate(table):
+        out = F.when(best_i == i, compose(rules)).otherwise(out)
+    return out

@@ -1080,6 +1080,42 @@ def manifest_export_grouped_query(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_files").cast("long").alias("n_files"))
 
 
+@register("path_rules_dest", FILES_CTE_SQL + r"""
+SELECT repo, path, commit_id,
+  CASE
+    WHEN path LIKE '%.txt' THEN
+      'out/' || strftime(DATE '2020-01-15' + to_months(CAST(
+          CAST(regexp_extract(path, 'doc_(\d+)\.', 1) AS BIGINT) % 36 AS INT)),
+          '%Y_%m') || '/' || regexp_extract(path, '([^/]+)$', 1)
+    WHEN path LIKE '%.md' THEN
+      'out/md/' || regexp_extract(path, '([^/]+)$', 1)
+    WHEN path LIKE '%.rst' THEN
+      'out/' || lang || '/rst/' || regexp_extract(path, '([^/]+)$', 1)
+    ELSE 'out/' || lang || '/' || regexp_extract(path, '([^/]+)$', 1)
+  END AS dest_path
+FROM files
+""")
+def path_rules_dest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-rules destination builder (reference path_rules.py:18-127 +
+    CLI -R, bin/dedupecopy_cli.py): exact-key rule ('.txt' -> mtime),
+    wildcard rule ('*.m*' -> extension), composed rules ('.rst' ->
+    no_change + extension) and the no-match default (no_change), with
+    read-path prefix stripping. mtime is synthesized deterministically
+    from the doc id (the files view carries no timestamp); the oracle
+    spells out the expected destination per extension family."""
+    from dedupe_copy_spark.functions.path_rules import dest_path
+
+    files = files_from_documents(spark, sf_dir)
+    mtime = F.add_months(
+        F.lit("2020-01-15").cast("date"),
+        (_doc_id_from_path(F.col("path")) % 36).cast("int"))
+    rules = ["txt:mtime", "*.m*:extension", "rst:no_change", "rst:extension"]
+    return files.select(
+        "repo", "path", F.col("commit").alias("commit_id"),
+        dest_path(rules, "out", F.col("path"), mtime=mtime,
+                  read_paths=("docs/", "mirror/")).alias("dest_path"))
+
+
 # ---------------------------------------------------------------------------
 # Bench registry: the driver-facing SPARK_QUERIES plus raw-output
 # variants of the recall-oracle queries (bench times the operator

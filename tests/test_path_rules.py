@@ -1,0 +1,127 @@
+"""Path-rules destination builder vs the REFERENCE implementation.
+
+The reference engine (path_rules.build_path_rules) is imported from
+/root/reference as a test oracle: for a grid of rule tables × paths we
+assert the Spark column computes byte-identical destinations. This pins
+best-match scoring, tie-breaks, rule composition order, read-path
+stripping, and the no_extension fallback without copying any code.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.functions.path_rules import (
+    clean_rule_extension,
+    dest_path,
+    parse_rule_pairs,
+)
+
+
+def _load_reference():
+    """Load the reference's path_rules + utils WITHOUT importing the
+    dedupe_copy package (its __init__ needs deps absent here)."""
+    if "refdc.path_rules" in sys.modules:
+        return sys.modules["refdc.path_rules"], sys.modules["refdc.utils"]
+    pkg = types.ModuleType("refdc")
+    pkg.__path__ = ["/root/reference/dedupe_copy"]
+    sys.modules["refdc"] = pkg
+    mods = {}
+    for name in ("utils", "path_rules"):
+        spec = importlib.util.spec_from_file_location(
+            f"refdc.{name}", f"/root/reference/dedupe_copy/{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refdc.{name}"] = mod
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+    return mods["path_rules"], mods["utils"]
+
+
+_ref_path_rules, _ref_utils = _load_reference()
+_best_match = _ref_path_rules._best_match
+build_path_rules = _ref_path_rules.build_path_rules
+clean_extensions = _ref_utils.clean_extensions
+
+DEST = "out"
+READ_PATHS = ("docs/", "mirror/")
+
+PATHS = [
+    "docs/en/doc_1.txt",
+    "docs/de/doc_2.md",
+    "docs/fr/deep/tree/doc_3.rst",
+    "mirror/es/doc_4.adoc",
+    "docs/zh/doc_5.org",
+    "docs/en/doc_6.jpeg",
+    "docs/en/doc_7.jpg",
+    "docs/en/noext",
+    "elsewhere/sub/doc_8.txt",
+    "topfile.txt",
+]
+
+RULE_TABLES = [
+    ["*:no_change"],
+    ["txt:mtime"],
+    ["*.m*:extension", "txt:mtime"],
+    ["rst:no_change", "rst:extension", "*:mtime"],
+    ["*.j*:extension", "*.jp*:mtime", "jpg:no_change"],
+    ["*.???:extension", "*.j??:mtime"],
+    ["no_extension:extension"],
+    ["*.t?t:mtime", "txt:extension"],  # exact beats better-scoring glob
+]
+
+
+def _reference_dest(rule_pairs, path, mtime_str):
+    fn = build_path_rules(rule_pairs)
+    ext = os.path.splitext(path)[1][1:].lower() or "no_extension"
+    dest, _ = fn(
+        DEST, ext, mtime_str, 0,
+        source_dirs=os.path.dirname(path),
+        src=os.path.basename(path),
+        read_paths=list(READ_PATHS),
+    )
+    return dest
+
+
+@pytest.mark.parametrize("rules", RULE_TABLES)
+def test_dest_matches_reference(spark, rules):
+    mtime_str = "2021_07"
+    df = spark.createDataFrame([(p,) for p in PATHS], "path string") \
+        .withColumn("mtime", F.to_timestamp(F.lit("2021-07-04 00:00:00")))
+    got = {
+        r.path: r.dest for r in df.withColumn(
+            "dest", dest_path(rules, DEST, F.col("path"),
+                              mtime=F.col("mtime"), read_paths=READ_PATHS)
+        ).collect()
+    }
+    for p in PATHS:
+        expected = _reference_dest(rules, p, mtime_str)
+        assert got[p] == expected, f"rules={rules} path={p}: " \
+                                   f"{got[p]!r} != {expected!r}"
+
+
+def test_clean_rule_extension_matches_reference():
+    cases = ["jpg", ".jpg", "*.jpg", "J?G", ".j*", "*", ".", "  TXT "]
+    for c in cases:
+        assert [clean_rule_extension(c)] == clean_extensions([c]), c
+
+
+def test_best_match_agrees_on_reference_test_cases():
+    """The reference's own _best_match cases (test_copy.py:188-214)."""
+    assert _best_match(["*.jpg", "*.png", "*.gif"], "txt") is None
+    assert _best_match(["*.j*", "*.jp*", "*.jpg", "*.jpeg"], "jpg") == "*.jpg"
+
+
+def test_parse_rule_pairs_rejects_unknown_rule():
+    with pytest.raises(ValueError):
+        parse_rule_pairs(["txt:shuffle"])
+
+
+def test_parse_rule_pairs_merges_in_order():
+    assert parse_rule_pairs(["rst:no_change", "rst:extension", "md:mtime"]) == [
+        (".rst", ["no_change", "extension"]),
+        (".md", ["mtime"]),
+    ]
