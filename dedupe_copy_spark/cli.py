@@ -1,8 +1,8 @@
 """spark-submit job entry — the reference CLI re-expressed.
 
 Reference: ``dedupecopy -p SRC -c DEST -m manifest --compare other
---delete ...`` (/root/reference/dedupe_copy/bin/dedupecopy_cli.py:54-301).
-Here the filesystem flags become table paths:
+--delete -R '*.jpg:mtime' ...`` (/root/reference/dedupe_copy/bin/
+dedupecopy_cli.py:54-301). Here the filesystem flags become table paths:
 
   spark-submit --py-files dedupe_copy_spark.zip -m dedupe_copy_spark.cli \\
       --input /path/files_parquet \\
@@ -11,14 +11,25 @@ Here the filesystem flags become table paths:
       [--compare /path/other_manifest_parquet] \\
       [--read-sources /path/ckpt2/read_sources] \\
       [--extensions py,md] [--ignore '*vendor*'] \\
-      [--min-size 1] [--dedupe-empty] [--no-near-dup]
+      [--min-size 1] [--dedupe-empty] [--no-near-dup] \\
+      [--hash-algo md5] [--dry-run] \\
+      [--path-rules '*.txt:mtime' --path-rules 'rst:extension'] \\
+      [--dest-root out] [--read-paths docs/,mirror/] \\
+      [--convert-path-prefix docs/:archive/] \\
+      [--report-extensions] [--verify /path/manifest_parquet]
 
 Outputs under --output:
-  corpus/        exact+near dedup'd winning rows        (≈ copy sink)
-  losers/        duplicate rows to drop                 (≈ delete sink)
-  pairs/         (id_a, id_b, kind, score) dup edges
-  clusters/      (file_id, cluster_id) assignments
-  report/        group-numbered collision report CSV    (≈ -r report.csv)
+  corpus/             exact+near dedup'd winning rows     (≈ copy sink)
+                      with dest_path column when --path-rules given
+  losers/             duplicate rows to drop              (≈ delete sink)
+  pairs/              (id_a, id_b, kind, score) dup edges
+  clusters/           (file_id, cluster_id) assignments
+  report/             group-numbered collision report CSV (≈ -r report.csv)
+  extension_report/   top extensions by Σsize CSV         (≈ -e)
+  verify_report/      manifest audit rows                 (--verify mode)
+
+--dry-run computes everything and prints the stats line but writes
+nothing (reference core.py:821-823 nulls the output manifest).
 """
 
 from __future__ import annotations
@@ -45,8 +56,55 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dedupe-empty", action="store_true")
     p.add_argument("--no-near-dup", action="store_true",
                    help="exact-only mode (the reference's capability)")
+    p.add_argument("--hash-algo", default="sha256",
+                   choices=["sha256", "md5", "sha1", "xxh64"],
+                   help="dup-group digest (reference --hash-algo, md5 default there)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="compute + print stats, write nothing")
+    p.add_argument("--path-rules", action="append", default=[],
+                   metavar="PATTERN:RULE",
+                   help="destination rule (repeatable), e.g. '*.jpg:mtime'")
+    p.add_argument("--dest-root", default="out",
+                   help="destination root for --path-rules")
+    p.add_argument("--read-paths", default="",
+                   help="comma-separated prefixes no_change strips")
+    p.add_argument("--mtime-col", default="mtime",
+                   help="timestamp column used by the mtime rule (if present)")
+    p.add_argument("--convert-path-prefix", default=None, metavar="FROM:TO",
+                   help="rewrite path prefixes in all outputs "
+                        "(reference convert_manifest_paths_from/to)")
+    p.add_argument("--report-extensions", action="store_true",
+                   help="also write the top-extension report (reference -e)")
+    p.add_argument("--verify", default=None, metavar="MANIFEST_PARQUET",
+                   help="audit MANIFEST against --input rows and exit "
+                        "(reference verify_manifest_fs, core.py:690-750)")
     p.add_argument("--cores", type=int, default=None)
     return p
+
+
+def _verify_mode(spark, args) -> int:
+    """--verify: manifest-vs-scan audit; writes verify_report/ unless
+    --dry-run and prints per-status counts."""
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.sources.manifest import verify_manifest
+
+    manifest = spark.read.parquet(args.verify)
+    scan = spark.read.parquet(args.input) \
+        .withColumn("size", F.length(F.col("content"))) \
+        .select("repo", "path", "commit", "size")
+    if "size" not in manifest.columns:
+        raise SystemExit("--verify manifest needs a size column")
+    audited = verify_manifest(manifest, scan)
+    if not args.dry_run:
+        audited.write.mode("overwrite").parquet(f"{args.output}/verify_report")
+    counts = {r.status: r.n for r in
+              audited.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(json.dumps({"mode": "verify",
+                      "ok": counts.get("ok", 0),
+                      "missing": counts.get("missing", 0),
+                      "size_mismatch": counts.get("size_mismatch", 0)}))
+    return 0 if not (counts.get("missing") or counts.get("size_mismatch")) else 3
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -64,9 +122,14 @@ def main(argv: list[str] | None = None) -> int:
         ignore_patterns=tuple(x for x in args.ignore.split(",") if x),
         min_size=args.min_size,
         dedupe_empty=args.dedupe_empty,
+        hash_algo=args.hash_algo,
         checkpoint_dir=args.checkpoint,
     )
     spark = get_spark(app_name="dedupe-copy-spark-job", cores=args.cores)
+
+    if args.verify:
+        return _verify_mode(spark, args)
+
     t0 = time.time()
     files = spark.read.parquet(args.input)
 
@@ -91,18 +154,39 @@ def main(argv: list[str] | None = None) -> int:
         compare = compare.select(F.col(key).alias("dup_key"))
         win = filters.compare_exclude(win, compare)
 
+    if args.path_rules:
+        from dedupe_copy_spark.functions.path_rules import dest_path
+
+        read_paths = tuple(x for x in args.read_paths.split(",") if x)
+        mtime = F.col(args.mtime_col) if args.mtime_col in win.columns else None
+        win = win.withColumn("dest_path", dest_path(
+            args.path_rules, args.dest_root, F.col("path"),
+            mtime=mtime, read_paths=read_paths))
+
+    if args.convert_path_prefix:
+        from dedupe_copy_spark.sources.manifest import update_paths
+
+        from_prefix, _, to_prefix = args.convert_path_prefix.partition(":")
+        win = update_paths(win, from_prefix, to_prefix)
+        lose = update_paths(lose, from_prefix, to_prefix)
+
     out = args.output
-    win.drop("dup_key").write.mode("overwrite").parquet(f"{out}/corpus")
-    lose.drop("dup_key").write.mode("overwrite").parquet(f"{out}/losers")
-    pairs.write.mode("overwrite").parquet(f"{out}/pairs")
-    clusters.write.mode("overwrite").parquet(f"{out}/clusters")
-    report.write.mode("overwrite").option("header", True).csv(f"{out}/report")
+    if not args.dry_run:
+        win.drop("dup_key").write.mode("overwrite").parquet(f"{out}/corpus")
+        lose.drop("dup_key").write.mode("overwrite").parquet(f"{out}/losers")
+        pairs.write.mode("overwrite").parquet(f"{out}/pairs")
+        clusters.write.mode("overwrite").parquet(f"{out}/clusters")
+        report.write.mode("overwrite").option("header", True).csv(f"{out}/report")
+        if args.report_extensions:
+            exact.extension_report(hashed).write.mode("overwrite") \
+                .option("header", True).csv(f"{out}/extension_report")
 
     stats = {
         "input_rows": hashed.count(),
-        "corpus_rows": spark.read.parquet(f"{out}/corpus").count(),
-        "loser_rows": spark.read.parquet(f"{out}/losers").count(),
-        "pairs": spark.read.parquet(f"{out}/pairs").count(),
+        "corpus_rows": win.count(),
+        "loser_rows": lose.count(),
+        "pairs": pairs.count(),
+        "dry_run": bool(args.dry_run),
         "seconds": round(time.time() - t0, 2),
     }
     print(json.dumps(stats))

@@ -11,14 +11,15 @@ of ``seed``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
 class DedupeConfig:
     # --- exact-dup semantics (reference contract) ---
-    # digest column; reference supports md5/xxh64 (utils.py:102-144),
-    # target contract is sha256 of content (BASELINE.json input_hint).
+    # dup-group digest: sha256 (engine contract) | md5 (reference
+    # default) | sha1 | xxh64 — see functions.content_digest; wired
+    # through with_digest into the dup_key.
     hash_algo: str = "sha256"
     # zero-byte rows never collide unless set (threads.py:410-412)
     dedupe_empty: bool = False
@@ -40,7 +41,7 @@ class DedupeConfig:
 
     # --- near-dup: SimHash for short files ---
     short_file_max_tokens: int = 64   # route shorter docs to SimHash
-    simhash_bits: int = 64
+    # fingerprints are structurally 64-bit (LongType, bit_count verify);
     # 8 chunks × 8 bits pigeonhole-guarantee detection at hamming ≤ 7 —
     # short docs flip more bits per token edit than web-page SimHash, so
     # the classic 4×16/≤3 setting has poor recall on them (measured 0.4
@@ -54,15 +55,27 @@ class DedupeConfig:
     containment_threshold: float = 0.8   # est containment to reach verify
 
     # --- scale / skew ---
-    salt_buckets: int = 64        # salt factor for hot LSH band keys
+    # hot-bucket control is the width cap (+ AQE skew-join as backstop);
+    # SURVEY §7.4's explicit salt columns were superseded by it — a salt
+    # spreads a hot bucket but still generates its O(width²) pairs,
+    # while the cap drops them with accounting (pairs.bucket_stats).
     max_band_bucket: int = 200    # cap candidates per LSH bucket (log drops)
     cc_max_iterations: int = 50
 
     # --- checkpointing ---
+    # save cadence is per-STAGE (manifest.stage), not per-50k-rows: the
+    # reference cadence (threads.py:346) exists because its workers
+    # stream one file at a time; Spark stages are the natural atomic
+    # resume unit, and micro-batching within a stage would only add
+    # commits.
     checkpoint_dir: str | None = None
-    incremental_save_rows: int = 50_000   # reference cadence (threads.py:346)
 
-    extra: dict = field(default_factory=dict)
+    def __post_init__(self):
+        from dedupe_copy_spark.functions import DIGEST_ALGOS
+
+        if self.hash_algo not in DIGEST_ALGOS:
+            raise ValueError(
+                f"hash_algo {self.hash_algo!r} not in {DIGEST_ALGOS}")
 
     @property
     def lsh_rows_per_band(self) -> int:

@@ -18,6 +18,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "DIGEST_ALGOS",
+    "content_digest",
     "content_sha256",
     "effective_dup_key",
     "extension_regex",
@@ -35,6 +37,36 @@ def content_sha256(content: Column) -> Column:
     bytes as a column; ``sha2`` is a codegen'd built-in).
     """
     return F.sha2(content.cast("string"), 256)
+
+
+#: digest algorithms accepted by content_digest / DedupeConfig.hash_algo.
+#: The reference ships md5 (default) + xxh64 (utils.py:102-144, CLI
+#: --hash-algo bin/dedupecopy_cli.py:228-237); sha256 is THIS engine's
+#: contract digest (BASELINE per-row invariant), sha1 comes free.
+DIGEST_ALGOS = ("sha256", "md5", "sha1", "xxh64")
+
+
+def content_digest(content: Column, algo: str = "sha256") -> Column:
+    """Content digest under a chosen algorithm — all codegen'd
+    built-ins, matching hashlib hexdigests byte-for-byte for
+    md5/sha1/sha256 (golden-value tested).
+
+    ``xxh64`` maps to Spark's native xxhash64 rendered as 16 lowercase
+    hex digits. NOTE: Spark seeds xxhash64 with 42 while the reference's
+    python-xxhash uses seed 0, so xxh64 digests are consistent within
+    this engine but are NOT bit-compatible with reference manifests —
+    use md5 (the reference default) for cross-tool manifest exchange.
+    """
+    if algo == "sha256":
+        return content_sha256(content)
+    if algo == "md5":
+        return F.md5(content.cast("string"))
+    if algo == "sha1":
+        return F.sha1(content.cast("string"))
+    if algo == "xxh64":
+        return F.lpad(F.lower(F.hex(F.xxhash64(content.cast("string")))),
+                      16, "0")
+    raise ValueError(f"unknown hash_algo {algo!r}; pick one of {DIGEST_ALGOS}")
 
 
 def effective_dup_key(digest: Column, size: Column, repo: Column, path: Column,

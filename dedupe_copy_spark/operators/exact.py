@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from dedupe_copy_spark.config import DedupeConfig
 from dedupe_copy_spark.functions import (
+    content_digest,
     content_sha256,
     effective_dup_key,
     lower_extension,
@@ -36,6 +37,14 @@ def with_digest(files: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
     """S0 ingest projection: derive size, content_sha256, is_empty, ext,
     and the effective dup-group key (zero-byte salting).
 
+    ``content_sha256`` is ALWAYS present (the engine's per-row contract
+    digest); when cfg.hash_algo selects another algorithm (reference
+    supports md5/xxh64, utils.py:102-144) an extra ``content_digest``
+    column carries it and the dup-group key uses THAT digest — the
+    reference's duplicate identity is defined under its configured
+    algorithm, and manifest exchange with md5-keyed reference manifests
+    needs the same keying.
+
     Narrow (no shuffle); all codegen'd built-ins, pushed onto the scan.
     """
     cfg = cfg or DedupeConfig()
@@ -45,10 +54,15 @@ def with_digest(files: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
         .withColumn("is_empty", F.col("size") == 0)
         .withColumn("ext", lower_extension(F.col("path")))
     )
+    key_digest = F.col("content_sha256")
+    if cfg.hash_algo != "sha256":
+        out = out.withColumn("content_digest",
+                             content_digest(F.col("content"), cfg.hash_algo))
+        key_digest = F.col("content_digest")
     return out.withColumn(
         "dup_key",
         effective_dup_key(
-            F.col("content_sha256"), F.col("size"), F.col("repo"),
+            key_digest, F.col("size"), F.col("repo"),
             F.col("path"), F.col("commit"), cfg.dedupe_empty,
         ),
     )

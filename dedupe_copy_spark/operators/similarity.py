@@ -111,6 +111,62 @@ def lsh_bucket_keys(df: DataFrame, planes: np.ndarray,
     )
 
 
+def blocked_near_dups(emb: DataFrame, threshold: float,
+                      label_col: str = "label", id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      exact_block_limit: int = 10_000,
+                      n_tables: int = 8, bits: int = 6, dim: int = 64,
+                      seed: int = 42, max_bucket: int = 5_000) -> DataFrame:
+    """Label-blocked embedding near-dup pairs with size routing.
+
+    Blocks with <= exact_block_limit members get the EXACT O(block²)
+    within-label self-join (all JVM double math). Bigger blocks — the
+    100-TB hazard: one popular label exploding a self-join — route
+    through sign-LSH bucketing instead: candidates must share
+    (label, table, bucket), generated by the capped bucket core, then
+    exact-cosine verified. The big-block path trades bounded work for
+    LSH recall < 1 on those blocks only; small blocks stay exact, so
+    results are unchanged wherever the exact path ran.
+    """
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
+    counts = emb.groupBy(label_col).agg(F.count(F.lit(1)).alias("_block_n"))
+    with_n = emb.join(counts, label_col)
+    small = with_n.filter(F.col("_block_n") <= exact_block_limit)
+    big = with_n.filter(F.col("_block_n") > exact_block_limit)
+
+    def verify(pairs: DataFrame, source: DataFrame) -> DataFrame:
+        va = source.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("e_a"))
+        vb = source.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("e_b"))
+        return (
+            pairs.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine",
+                        F.round(cosine_similarity_col(F.col("e_a"), F.col("e_b")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    a = small.select(label_col, F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("e_a"))
+    b = small.select(label_col, F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("e_b"))
+    exact_pairs = (
+        a.join(b, label_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine",
+                    F.round(cosine_similarity_col(F.col("e_a"), F.col("e_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+    planes = hyperplanes(dim, n_tables, bits, seed)
+    big_keys = lsh_bucket_keys(big, planes, id_col, vec_col) \
+        .join(big.select(id_col, label_col), id_col)
+    big_cands = bucket_pairs(big_keys, [label_col, "table_id", "bucket"],
+                             id_col, max_bucket)
+    return exact_pairs.unionByName(verify(big_cands, big))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_tables: int = 4, bits: int = 8, dim: int = 64, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

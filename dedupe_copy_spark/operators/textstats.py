@@ -70,30 +70,48 @@ def array_ngrams(arr, n: int = 3):
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
                         block_cols: tuple[str, ...] = ("lang", "source"),
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_block: int = 10_000) -> DataFrame:
     """EXACT n-gram Jaccard between documents in the same block
     (blocking keeps the self-join linear-ish at scale; the unblocked
-    all-pairs version is MinHash's job). All array built-ins."""
+    all-pairs version is MinHash's job). All array built-ins.
+
+    Pair generation rides the same capped bucket core as the LSH/chunk
+    joins (operators/pairs.py): one groupBy per block collects member
+    ids, blocks wider than ``max_block`` are DROPPED with accounting
+    (``ngram_dropped_blocks``) instead of silently going O(width²), and
+    gram arrays join back by id — no persist to leak, no unbounded
+    self-join. NOTE for oracle parity: a plain SQL restatement computes
+    ALL blocks, so keep max_block above the widest block when comparing.
+    """
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
+    ids = docs.select(F.col(id_col), *[F.col(c) for c in block_cols])
+    pairs = bucket_pairs(ids, list(block_cols), id_col, max_block)
     grams = docs.select(
-        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.col(id_col),
         F.array_distinct(token_ngrams(F.col(text_col), n)).alias("grams"))
-    # materialize once: the self-join would otherwise rebuild every gram
-    # array twice; repartition by block so each block's pairs co-locate
-    # (AQE picks the partition count)
-    grams = grams.repartition(*block_cols).persist()
-    a = grams.select(*block_cols, F.col(id_col).alias("id_a"),
-                     F.col("grams").alias("grams_a"))
-    b = grams.select(*block_cols, F.col(id_col).alias("id_b"),
-                     F.col("grams").alias("grams_b"))
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
     union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
     return (
-        a.join(b, list(block_cols))
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_dropped_blocks(docs: DataFrame,
+                         block_cols: tuple[str, ...] = ("lang", "source"),
+                         id_col: str = "doc_id",
+                         max_block: int = 10_000) -> DataFrame:
+    """Blocks skipped by the width cap — surfaced, never silent."""
+    from dedupe_copy_spark.operators.pairs import bucket_stats
+
+    ids = docs.select(F.col(id_col), *[F.col(c) for c in block_cols])
+    return bucket_stats(ids, list(block_cols), id_col, max_block)
 
 
 _FP_BASE = np.uint64(1099511628211)       # FNV-ish rolling base

@@ -893,23 +893,16 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
 
 @register("embedding_near_dups", _EMB_NEAR_SQL)
 def embedding_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact within label blocks
-    (blocking bounds the self-join; the unblocked scale path is
-    ann_lsh_topk's bucket join). All JVM-side double math."""
-    from dedupe_copy_spark.operators.similarity import cosine_similarity_col
+    """Embedding-cosine near-dup pairs via the size-routed operator:
+    label blocks up to exact_block_limit are compared exactly (the
+    oracle's semantics — every block here is far below the limit);
+    blocks beyond it would route through capped LSH bucketing instead
+    of exploding the self-join (tests/test_similarity.py pins that
+    path). All JVM-side double math on the exact path."""
+    from dedupe_copy_spark.operators.similarity import blocked_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("e_b"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity_col(F.col("e_a"), F.col("e_b")), 6))
-        .filter(F.col("cosine") >= 0.3)
-        .select("id_a", "id_b", "cosine")
-    )
+    return blocked_near_dups(emb, threshold=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -1114,6 +1107,24 @@ def path_rules_dest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", F.col("commit").alias("commit_id"),
         dest_path(rules, "out", F.col("path"), mtime=mtime,
                   read_paths=("docs/", "mirror/")).alias("dest_path"))
+
+
+@register("digest_md5", FILES_CTE_SQL + """
+SELECT md5(content) AS content_digest,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM files GROUP BY 1 HAVING count(*) > 1
+""")
+def digest_md5_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate digest algorithm end-to-end (reference hash_file
+    default md5, utils.py:102-144): dup grouping keyed by md5 via
+    cfg.hash_algo, verified against DuckDB's md5."""
+    hashed = exact.with_digest(files_from_documents(spark, sf_dir),
+                               DedupeConfig(hash_algo="md5"))
+    return (
+        hashed.groupBy(F.col("content_digest"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+        .filter(F.col("n_files") > 1)
+    )
 
 
 # ---------------------------------------------------------------------------

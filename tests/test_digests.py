@@ -1,0 +1,75 @@
+"""Digest-algorithm choice (reference hash_file md5/xxh64,
+utils.py:102-144; CLI --hash-algo, bin/dedupecopy_cli.py:228-237):
+golden values vs hashlib, dup-key wiring, and the no-dead-knobs guard."""
+
+import dataclasses
+import hashlib
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import dedupe_copy_spark
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.functions import DIGEST_ALGOS, content_digest
+from dedupe_copy_spark.operators import exact
+
+TEXTS = ["", "hello world", "The quick brown fox jumps over the lazy dog",
+         "line1\nline2\ttabbed", "ümläut ünïcode"]
+
+
+@pytest.mark.parametrize("algo,fn", [
+    ("md5", hashlib.md5), ("sha1", hashlib.sha1), ("sha256", hashlib.sha256)])
+def test_content_digest_matches_hashlib(spark, algo, fn):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "content string")
+    got = [r.d for r in
+           df.select(content_digest(F.col("content"), algo).alias("d")).collect()]
+    assert got == [fn(t.encode("utf-8")).hexdigest() for t in TEXTS]
+
+
+def test_xxh64_digest_shape_and_determinism(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], "content string")
+    col = content_digest(F.col("content"), "xxh64").alias("d")
+    a = [r.d for r in df.select(col).collect()]
+    b = [r.d for r in df.select(col).collect()]
+    assert a == b
+    assert all(len(d) == 16 and d == d.lower() and
+               set(d) <= set("0123456789abcdef") for d in a)
+    assert len(set(a)) == len(TEXTS)
+
+
+def test_unknown_algo_rejected():
+    with pytest.raises(ValueError):
+        content_digest(F.lit("x"), "crc32")
+    with pytest.raises(ValueError):
+        DedupeConfig(hash_algo="crc32")
+
+
+def test_dup_key_follows_hash_algo(spark):
+    rows = [("r1", "a.txt", "c1", "en", "same"),
+            ("r2", "b.txt", "c2", "en", "same"),
+            ("r3", "c.txt", "c3", "en", "other")]
+    df = spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    for algo in DIGEST_ALGOS:
+        hashed = exact.with_digest(df, DedupeConfig(hash_algo=algo))
+        dups = exact.collision_hashes(hashed).collect()
+        assert len(dups) == 1 and dups[0].n_files == 2, algo
+        if algo == "md5":
+            key = {r.dup_key for r in hashed.filter(F.col("content") == "same").collect()}
+            assert key == {hashlib.md5(b"same").hexdigest()}
+        # the contract digest column is ALWAYS sha256
+        row = hashed.filter(F.col("path") == "a.txt").collect()[0]
+        assert row.content_sha256 == hashlib.sha256(b"same").hexdigest()
+
+
+def test_no_dead_config_knobs():
+    """Every DedupeConfig field must be read somewhere outside config.py
+    (word-boundary match, so e.g. 'extra' can't pass via 'extract')."""
+    import re
+
+    pkg = pathlib.Path(dedupe_copy_spark.__file__).parent
+    text = "\n".join(p.read_text() for p in pkg.rglob("*.py")
+                     if p.name != "config.py")
+    missing = [f.name for f in dataclasses.fields(DedupeConfig)
+               if not re.search(rf"\b{re.escape(f.name)}\b", text)]
+    assert not missing, f"declared but never read: {missing}"

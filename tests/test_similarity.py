@@ -49,3 +49,42 @@ def test_lsh_buckets_deterministic(spark):
           for r in similarity.lsh_bucket_keys(emb, planes).collect()}
     assert k1 == k2
     assert all(0 <= b < 256 for b in k1.values())
+
+
+def test_blocked_near_dups_exact_path_matches_bruteforce(spark):
+    emb = _emb(spark)
+    got = {(r.id_a, r.id_b, r.cosine) for r in
+           similarity.blocked_near_dups(emb, 0.3).collect()}
+    a = emb.selectExpr("label", "vec_id AS id_a", "embedding AS e_a")
+    b = emb.selectExpr("label", "vec_id AS id_b", "embedding AS e_b")
+    brute = {(r.id_a, r.id_b, r.cosine) for r in
+             a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", F.round(similarity.cosine_similarity_col(
+                 F.col("e_a"), F.col("e_b")), 6))
+             .filter(F.col("cosine") >= 0.3)
+             .select("id_a", "id_b", "cosine").collect()}
+    assert got == brute and len(got) > 0
+
+
+def test_blocked_near_dups_routes_big_blocks_through_lsh(spark):
+    """Force every block over the exact limit: the LSH path must (a)
+    never emit a below-threshold pair, (b) recover the planted
+    near-identical dups, (c) stay a strict subset of brute force."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, "hot", (v / np.linalg.norm(v)).tolist()))
+    for i, v in enumerate(base[:10]):  # planted near-dups of first 10
+        w = v + 0.01 * rng.standard_normal(64)
+        rows.append((1000 + i, "hot", (w / np.linalg.norm(w)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+
+    got = {(r.id_a, r.id_b): r.cosine for r in similarity.blocked_near_dups(
+        emb, 0.9, exact_block_limit=5, n_tables=8, bits=6).collect()}
+    planted = {(float(i), float(1000 + i)) for i in range(10)}
+    planted = {(i, 1000 + i) for i in range(10)}
+    assert planted <= set(got), planted - set(got)
+    assert all(c >= 0.9 for c in got.values())
