@@ -21,7 +21,6 @@ Three stages, each scale-bounded:
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,22 +31,19 @@ from pyspark.sql import types as T
 
 from dedupe_copy_spark.config import DedupeConfig
 from dedupe_copy_spark.functions.suffix import contains
-from dedupe_copy_spark.operators.minhash import _splitmix64, tokenize
+from dedupe_copy_spark.operators.minhash import _splitmix64, shingle_hashes, tokenize
 
 _SKETCH_KEY = np.uint64(0xC0417A1471EB85D2)
 
 
-def _bottomk_one(text: str, k_shingle: int, k: int) -> list[int]:
-    tokens = tokenize(text)
-    if len(tokens) < k_shingle:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i:i + k_shingle])
-                  for i in range(len(tokens) - k_shingle + 1)]
-    if not joined:
+def _bottomk_one(text: str, k_shingle: int, k: int,
+                 cache: dict[str, int] | None = None) -> list[int]:
+    """Bottom-k of the splitmix-mixed shingle hashes (shared vectorized
+    shingle hashing from the MinHash module; own mixing key so the
+    sketch ranking is independent of every MinHash permutation)."""
+    h = shingle_hashes(tokenize(text), k_shingle, cache)
+    if h.size == 0:
         return []
-    h = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in joined),
-                    dtype=np.uint64, count=len(joined))
     h = np.unique(_splitmix64(h ^ _SKETCH_KEY) >> np.uint64(1))
     return h[:k].astype(np.int64).tolist()
 
@@ -57,8 +53,10 @@ def make_bottomk_udf(cfg: DedupeConfig):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bottomk(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        token_cache: dict[str, int] = {}
         for texts in batch_iter:
-            yield pd.Series([_bottomk_one(t or "", k_shingle, k) for t in texts])
+            yield pd.Series([_bottomk_one(t or "", k_shingle, k, token_cache)
+                             for t in texts])
 
     return bottomk
 

@@ -71,17 +71,53 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
-def shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
-    """crc32 of each k-token shingle → uint64 array (deduped)."""
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
-    if not joined:
+_SHINGLE_BASE = np.uint64(0x100000001B3)   # 64-bit FNV prime
+_TOKEN_CACHE_MAX = 1 << 20                 # bound executor memory
+
+
+def token_hash_array(tokens: list[str], cache: dict[str, int]) -> np.ndarray:
+    """crc32 per token with a memo dict — token vocabularies are
+    zipfian, so on real corpora almost every lookup hits the cache and
+    the Python-level hashing cost collapses to dict gets. The cache is
+    cleared past _TOKEN_CACHE_MAX entries (vocab-bounded, not
+    data-bounded)."""
+    if len(cache) > _TOKEN_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(tokens), dtype=np.uint64)
+    get = cache.get
+    for j, t in enumerate(tokens):
+        h = get(t)
+        if h is None:
+            h = zlib.crc32(t.encode("utf-8"))
+            cache[t] = h
+        out[j] = h
+    return out
+
+
+def shingle_hashes(tokens: list[str], k: int,
+                   cache: dict[str, int] | None = None) -> np.ndarray:
+    """k-token shingle hashes → uint64 array (deduped, sorted).
+
+    One crc32 per (cached) token, then every shingle hash is a sliding
+    polynomial over the token hashes — k vectorized multiply-adds for
+    ALL shingles of a doc, replacing a per-shingle string join + crc32
+    (the previous dominant cost inside the Arrow batches). Wraparound
+    uint64 arithmetic; fewer than k tokens hash as one whole-doc
+    shingle (matching the previous join-everything semantics).
+    Downstream consumers mix these through splitmix64 with their own
+    keys, so polynomial structure never reaches a bucket key.
+    """
+    n = len(tokens)
+    if n == 0:
         return np.empty(0, dtype=np.uint64)
-    out = np.fromiter((zlib.crc32(s.encode("utf-8")) for s in joined),
-                      dtype=np.uint64, count=len(joined))
-    return np.unique(out)
+    th = token_hash_array(tokens, cache if cache is not None else {})
+    m = min(k, n)
+    cnt = n - m + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(cnt, dtype=np.uint64)
+        for j in range(m):
+            acc = acc * _SHINGLE_BASE + th[j:j + cnt]
+    return np.unique(acc)
 
 
 def make_signature_udf(cfg: DedupeConfig):
@@ -95,13 +131,14 @@ def make_signature_udf(cfg: DedupeConfig):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def signature(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        token_cache: dict[str, int] = {}  # shared across the worker's batches
         for texts in batch_iter:
             sigs = []
             for text in texts:
                 if not text:
                     sigs.append(sentinel)
                     continue
-                h = shingle_hashes(tokenize(text), k)
+                h = shingle_hashes(tokenize(text), k, token_cache)
                 if h.size == 0:
                     sigs.append(sentinel)
                     continue

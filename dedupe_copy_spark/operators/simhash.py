@@ -21,7 +21,6 @@ splitting as backstop.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,19 +30,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dedupe_copy_spark.config import DedupeConfig
-from dedupe_copy_spark.operators.minhash import _splitmix64, tokenize
+from dedupe_copy_spark.operators.minhash import _splitmix64, token_hash_array, tokenize
 
 _N_CHUNKS = 8
 _CHUNK_BITS = 8
 
 
-def _simhash_one(tokens: list[str]) -> int:
+def _simhash_one(tokens: list[str], cache: dict[str, int] | None = None) -> int:
     """Weighted 64-bit SimHash: weight = token frequency."""
     if not tokens:
         return 0
     uniq, counts = np.unique(np.array(tokens, dtype=object), return_counts=True)
-    h = np.fromiter((zlib.crc32(t.encode("utf-8")) for t in uniq),
-                    dtype=np.uint64, count=len(uniq))
+    h = token_hash_array(list(uniq), cache if cache is not None else {})
     h = _splitmix64(h ^ np.uint64(0x5EED5EED5EED5EED))
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
             ).astype(np.int64) * 2 - 1
@@ -58,9 +56,11 @@ def _simhash_one(tokens: list[str]) -> int:
 def make_simhash_udf():
     @F.pandas_udf(T.LongType())
     def simhash(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        token_cache: dict[str, int] = {}
         for texts in batch_iter:
             yield pd.Series(
-                [_simhash_one(tokenize(t)) if t else 0 for t in texts],
+                [_simhash_one(tokenize(t), token_cache) if t else 0
+                 for t in texts],
                 dtype="int64")
     return simhash
 
