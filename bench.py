@@ -47,6 +47,8 @@ HEADLINE = [
     "quality_scores",
     "doc_fingerprints",
     "events_yyyymm",
+    "embedding_near_dups",
+    "path_rules_dest",
 ]
 
 

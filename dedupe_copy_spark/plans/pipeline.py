@@ -107,6 +107,15 @@ class DedupePipeline:
         def compute():
             reps = winners.filter(~F.col("is_empty")).withColumn(
                 "n_tokens", F.size(F.split(F.col("content"), r"\s+", -1)))
+            if not cfg.checkpoint_dir:
+                # three branches (minhash/simhash/containment) consume
+                # reps; WITH a checkpoint dir the parquet stage already
+                # materializes winners once, but without one Spark would
+                # recompute the whole ingest→winners lineage per branch
+                # (3× scan + digest + shuffle). Production at scale sets
+                # checkpoint_dir (the resume contract); this barrier
+                # covers ad-hoc/no-ckpt runs.
+                reps = reps.localCheckpoint()
             short, long_ = simhash.route_short(reps, cfg)
             mh = (minhash.minhash_pairs(long_, cfg)
                   .select("id_a", "id_b", F.lit("minhash").alias("kind"),

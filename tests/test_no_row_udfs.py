@@ -32,8 +32,10 @@ def test_no_driver_side_collect_loops():
     checksum — a 1-row aggregate)."""
     # cc.py: 1-row convergence checksum; session.py: worker warmup agg;
     # exact.py: _number_keys bucket offsets (≤ |alphabet|^2 rows — 256
-    # for hex digests — never data-proportional)
-    allowed = {"operators/cc.py", "session.py", "operators/exact.py"}
+    # for hex digests — never data-proportional); cli.py: verify-mode
+    # per-status counts (≤ 3 rows)
+    allowed = {"operators/cc.py", "session.py", "operators/exact.py",
+               "cli.py"}
     offenders = []
     for py in PKG.rglob("*.py"):
         rel = str(py.relative_to(PKG))
