@@ -746,13 +746,57 @@ def containment_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.containment_pairs(reps, DedupeConfig()).orderBy("id_small", "id_big")
 
 
-@register("dedupe_clusters")
+@register("dedupe_clusters", _TRUTH_CTE + """
+SELECT 'doc_rows_one_cluster' AS kind, doc_id AS doc_a, doc_id AS doc_b,
+       true AS ok
+FROM documents
+UNION ALL
+SELECT 'near_pair_same_cluster', a.doc_id, b.doc_id, true
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE
+      / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.8
+""")
 def dedupe_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline cluster assignments over the canonical files view
-    (exact + near edges → connected components → stable min-id labels).
-    Near edges make cluster membership non-SQL-expressible → rows-only
-    driver check; the oracle-checked restriction is
-    dedupe_clusters_exact, and recall oracles cover the near edges."""
+    """Full pipeline (exact + MinHash/SimHash/containment edges →
+    connected components), oracle-checked via its MEMBERSHIP CONTRACT:
+    raw cluster ids are xxhash64-based (not SQL-reproducible), but the
+    properties that define correct clustering are —
+      (a) every row of the same doc (primary + mirror exact copies)
+          lands in ONE cluster, and
+      (b) every constructed near-dup truth pair (shingle J >= 0.8)
+          lands in ONE cluster.
+    The query emits one row per contract case with an `ok` flag; the
+    oracle emits the same rows with ok=true, so any split or merged-away
+    cluster fails the value hash. Raw (repo, path, cluster_id)
+    assignments stay in BENCH_QUERIES under this name."""
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    files = files_from_documents(spark, sf_dir)
+    res = DedupePipeline(spark, _near_cfg()).run(files)
+    assigned = (
+        res.clusters.join(res.hashed.select("file_id", "path"), "file_id")
+        .select(_doc_id_from_path(F.col("path")).alias("doc"), "cluster_id")
+    )
+    per_doc = assigned.groupBy("doc").agg(
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.min("cluster_id").alias("cluster_id"))
+    doc_rows = per_doc.select(
+        F.lit("doc_rows_one_cluster").alias("kind"),
+        F.col("doc").alias("doc_a"), F.col("doc").alias("doc_b"),
+        (F.col("n_clusters") == 1).alias("ok"))
+    truth = _truth_pairs(spark, sf_dir, threshold=0.8)
+    ca = per_doc.select(F.col("doc").alias("doc_a"), F.col("cluster_id").alias("c_a"))
+    cb = per_doc.select(F.col("doc").alias("doc_b"), F.col("cluster_id").alias("c_b"))
+    near_rows = (
+        truth.join(ca, "doc_a").join(cb, "doc_b")
+        .select(F.lit("near_pair_same_cluster").alias("kind"),
+                "doc_a", "doc_b", (F.col("c_a") == F.col("c_b")).alias("ok"))
+    )
+    return doc_rows.unionByName(near_rows)
+
+
+def dedupe_clusters_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw full-pipeline cluster assignments (bench variant)."""
     from dedupe_copy_spark.plans.pipeline import DedupePipeline
 
     files = files_from_documents(spark, sf_dir)
@@ -1140,4 +1184,5 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_short_pairs": simhash_short_pairs_raw,
     "containment_pairs": containment_pairs_raw,
     "ann_lsh_topk": ann_lsh_topk_raw,
+    "dedupe_clusters": dedupe_clusters_raw,
 }
