@@ -71,3 +71,18 @@ def test_cluster_chain_fixture_end_to_end(spark):
     # every chain member must appear and share one cluster id
     assert set(clustered) == ids
     assert len(set(clustered.values())) == 1
+
+
+def test_cc_raises_when_iteration_cap_hit(spark):
+    """A non-converged edge set must raise, not silently emit wrong
+    cluster ids (a long path graph needs ~log(n) two-star rounds)."""
+    import pytest
+    from dedupe_copy_spark.config import DedupeConfig
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cc.connected_components(edges, DedupeConfig(cc_max_iterations=1))
+    # and with a sane cap the same graph converges to one cluster
+    out = cc.connected_components(edges, DedupeConfig())
+    assert {r.cluster_id for r in out.collect()} == {0}
