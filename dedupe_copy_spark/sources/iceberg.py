@@ -1,0 +1,79 @@
+"""Iceberg source/sink wiring (north_rule input: "Iceberg table of
+source-code repositories").
+
+The engine's operators are source-agnostic — every query consumes a
+DataFrame — so Iceberg support is session + reader configuration, not
+operator code. This container ships no iceberg-spark-runtime jar, so
+the helpers here do the real wiring and fail with an actionable error
+when the runtime is absent (no fake local emulation):
+
+  spark-submit \\
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \\
+    --conf spark.sql.catalog.lake.type=rest \\
+    --conf spark.sql.catalog.lake.uri=<catalog-uri> ...
+
+Why Iceberg matters at 100 TB (and what we rely on):
+  - metadata-level partition/file pruning: filters on repo/lang prune
+    manifests before any task launches;
+  - hidden partitioning (e.g. bucket(N, repo)) co-locates repo scans
+    without path hacking;
+  - snapshot isolation: a resumable run re-reads the SAME snapshot via
+    ``snapshot_id``, so resume never sees a moved table (the manifest
+    checkpoint analogue of the reference's frozen walk);
+  - incremental reads feed streaming/incremental.py micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+ICEBERG_CATALOG_IMPL = "org.apache.iceberg.spark.SparkCatalog"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an iceberg-spark-runtime jar is on the session
+    classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(ICEBERG_CATALOG_IMPL)
+        return True
+    except Exception:
+        return False
+
+
+def catalog_conf(name: str, uri: str, catalog_type: str = "rest") -> dict[str, str]:
+    """The spark-conf pairs a production launcher passes (documented
+    shape; pure data so tests can assert it without a jar)."""
+    return {
+        f"spark.sql.catalog.{name}": ICEBERG_CATALOG_IMPL,
+        f"spark.sql.catalog.{name}.type": catalog_type,
+        f"spark.sql.catalog.{name}.uri": uri,
+    }
+
+
+def read_files_table(spark: SparkSession, table: str,
+                     snapshot_id: int | None = None) -> DataFrame:
+    """Scan an Iceberg files table (repo, path, commit, lang, content).
+
+    ``snapshot_id`` pins the read for resumable jobs: every stage of a
+    resumed run must consume the same immutable snapshot.
+    """
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath — launch with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime-*, "
+            "or read parquet via sources.tables.load_table instead")
+    reader = spark.read.format("iceberg")
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    return reader.load(table)
+
+
+def write_corpus(df: DataFrame, table: str, mode: str = "append") -> None:
+    """Write a dedup'd corpus back as an Iceberg table (append or
+    overwrite); fails like read_files_table without the runtime."""
+    if not iceberg_available(df.sparkSession):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath — see read_files_table")
+    df.writeTo(table).append() if mode == "append" else \
+        df.writeTo(table).createOrReplace()

@@ -1,0 +1,22 @@
+"""Iceberg source adapter: config shape + honest absence behavior
+(the container ships no iceberg-spark-runtime jar)."""
+
+import pytest
+
+from dedupe_copy_spark.sources import iceberg
+
+
+def test_catalog_conf_shape():
+    conf = iceberg.catalog_conf("lake", "https://catalog.example", "rest")
+    assert conf == {
+        "spark.sql.catalog.lake": iceberg.ICEBERG_CATALOG_IMPL,
+        "spark.sql.catalog.lake.type": "rest",
+        "spark.sql.catalog.lake.uri": "https://catalog.example",
+    }
+
+
+def test_reader_raises_actionably_without_runtime(spark):
+    if iceberg.iceberg_available(spark):
+        pytest.skip("runtime present — absence behavior untestable")
+    with pytest.raises(RuntimeError, match="--packages"):
+        iceberg.read_files_table(spark, "lake.db.files")
