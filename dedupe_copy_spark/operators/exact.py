@@ -48,8 +48,14 @@ def with_digest(files: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
     Narrow (no shuffle); all codegen'd built-ins, pushed onto the scan.
     """
     cfg = cfg or DedupeConfig()
+    # NULL content normalizes to '' BEFORE hashing: otherwise every
+    # null row gets a null digest AND a null dup_key, and groupBy
+    # treats nulls as equal — all unreadable rows would silently become
+    # one giant "duplicate group". As '' they ride the zero-byte
+    # salting path (never collide unless dedupe_empty).
     out = (
-        files.withColumn("size", F.length(F.col("content")))
+        files.withColumn("content", F.coalesce(F.col("content"), F.lit("")))
+        .withColumn("size", F.length(F.col("content")))
         .withColumn("content_sha256", content_sha256(F.col("content")))
         .withColumn("is_empty", F.col("size") == 0)
         .withColumn("ext", lower_extension(F.col("path")))

@@ -142,3 +142,20 @@ def test_collision_group_numbering_is_parallel_and_contiguous(spark):
     assert [r.group_id for r in numbered] == list(range(1, 1001))
     in_order = sorted(r.k for r in numbered)
     assert [r.k for r in numbered] == in_order  # rank follows key order
+
+
+def test_null_content_never_groups_as_duplicates(spark):
+    """NULL content (unreadable rows) must behave like zero-byte rows:
+    salted apart, never one giant null-keyed 'duplicate group'."""
+    rows = [("r1", "a", "c1", "en", None), ("r2", "b", "c2", "en", None),
+            ("r3", "c", "c3", "en", "real"), ("r4", "d", "c4", "en", "real")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    hashed = exact.with_digest(df)
+    assert hashed.filter(F.col("dup_key").isNull()).count() == 0
+    dups = exact.collision_hashes(hashed).collect()
+    assert len(dups) == 1  # only the 'real' pair collides
+    # with dedupe_empty, nulls group WITH empties (same '' identity)
+    from dedupe_copy_spark.config import DedupeConfig
+    hashed2 = exact.with_digest(df, DedupeConfig(dedupe_empty=True))
+    assert exact.collision_hashes(hashed2).count() == 2
