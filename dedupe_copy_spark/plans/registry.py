@@ -1171,6 +1171,66 @@ def digest_md5_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("normalized_dup_groups", FILES_CTE_SQL + """
+SELECT sha256(lower(trim(regexp_replace(content, '\\s+', ' ', 'g'))))
+         AS norm_sha256,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(DISTINCT sha256(content)) AS BIGINT) AS n_distinct_raw
+FROM files
+GROUP BY 1 HAVING count(*) > 1
+""")
+def normalized_dup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized exact dedup — the training-data op the
+    strict byte digest misses (same doc re-wrapped or re-indented).
+    Same partial+final hash aggregation shape as exact_dup_groups, one
+    extra narrow projection; n_distinct_raw > 1 marks groups the strict
+    digest would NOT have caught."""
+    files = files_from_documents(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("content"), r"\s+", " ")))
+    return (
+        files.select(F.sha2(norm, 256).alias("norm_sha256"),
+                     F.sha2(F.col("content"), 256).alias("raw"))
+        .groupBy("norm_sha256")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+             F.count_distinct("raw").cast("long").alias("n_distinct_raw"))
+        .filter(F.col("n_files") > 1)
+    )
+
+
+@register("repo_dup_stats", FILES_CTE_SQL + """
+, keyed AS (
+  SELECT repo, length(content) AS sz,
+         count(*) OVER (PARTITION BY CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+             ELSE sha256(content) END) AS group_n
+  FROM files
+)
+SELECT repo,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       CAST(count(*) FILTER (WHERE group_n > 1) AS BIGINT) AS n_dup_rows,
+       ROUND(count(*) FILTER (WHERE group_n > 1)::DOUBLE / count(*), 6)
+         AS dup_ratio
+FROM keyed GROUP BY repo
+""")
+def repo_dup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo rollup: file count, bytes, duplicate-row count and
+    ratio — the per-source health report a corpus pipeline publishes
+    (vendored-heavy repos surface as dup_ratio ~1). One window count
+    over dup_key + one groupBy repo."""
+    hashed = _files(spark, sf_dir)
+    w_n = F.count(F.lit(1)).over(Window.partitionBy("dup_key"))
+    keyed = hashed.withColumn("group_n", w_n)
+    return (
+        keyed.groupBy("repo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+             F.sum("size").cast("long").alias("total_bytes"),
+             F.sum((F.col("group_n") > 1).cast("long")).cast("long").alias("n_dup_rows"),
+             F.round(F.sum((F.col("group_n") > 1).cast("int"))
+                     / F.count(F.lit(1)), 6).alias("dup_ratio"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench registry: the driver-facing SPARK_QUERIES plus raw-output
 # variants of the recall-oracle queries (bench times the operator
