@@ -49,6 +49,7 @@ HEADLINE = [
     "events_yyyymm",
     "embedding_near_dups",
     "path_rules_dest",
+    "ivf_topk",
 ]
 
 

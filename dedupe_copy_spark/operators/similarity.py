@@ -111,6 +111,74 @@ def lsh_bucket_keys(df: DataFrame, planes: np.ndarray,
     )
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
+    """Deterministic IVF codebook: seeded random unit vectors. A
+    production build would k-means a sample instead (one extra pass);
+    random codebooks give the same plan shape and are reproducible
+    across engines/runs — what the quality-contract oracle needs."""
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def make_cell_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched IVF assignment: one numpy matmul per batch scores
+    every vector against the whole codebook; returns the n_probe
+    nearest cell ids (corpus rows store only cell[0]; queries probe all
+    n_probe)."""
+    ct = centroids.T.copy()
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch_iter:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            scores = (v / norms) @ ct                       # (n, cells)
+            top = np.argsort(-scores, axis=1)[:, :n_probe].astype(np.int32)
+            yield pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 4, dim: int = 64,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k — the inverted-file alternative to sign-LSH:
+    corpus rows live in their single nearest cell; each query probes its
+    n_probe nearest cells; exact cosine re-rank within probed cells.
+    At scale the corpus shuffles once by cell id and each query touches
+    n_probe/n_cells of the data instead of all of it."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    c_cell = make_cell_udf(cents, 1)
+    q_cell = make_cell_udf(cents, n_probe)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      F.element_at(c_cell(F.col(vec_col)), 1).alias("cell"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       F.explode(q_cell(F.col(vec_col))).alias("cell"))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine_similarity_col(F.col("q_vec"),
+                                                           F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+                "score")
+    )
+
+
 def blocked_near_dups(emb: DataFrame, threshold: float,
                       label_col: str = "label", id_col: str = "vec_id",
                       vec_col: str = "embedding",

@@ -1231,6 +1231,43 @@ def repo_dup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS, _IVF_PROBE = 16, 6  # measured: >=1 exact-top-5 hit per
+                                # query at sf0.001 AND sf0.01, seed 42
+
+
+@register("ivf_topk", """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ann, true AS hit_floor
+FROM embeddings WHERE vec_id < 10
+""")
+def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (inverted-file cells + probe re-rank) —
+    the second ANN scale path next to sign-LSH. Same oracle-checked
+    quality contract as ann_lsh_topk: full result set per query plus an
+    exact-top-5 hit floor. Raw top-k rows in BENCH_QUERIES."""
+    from dedupe_copy_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    ann = ivf_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+    exact_nb = cosine_topk(emb, queries_df, k=5) \
+        .select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        ann.join(exact_nb, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ann"),
+             (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 1).alias("hit_floor"))
+    )
+
+
+def ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF top-k rows (bench variant)."""
+    from dedupe_copy_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+
+
 # ---------------------------------------------------------------------------
 # Bench registry: the driver-facing SPARK_QUERIES plus raw-output
 # variants of the recall-oracle queries (bench times the operator
@@ -1245,4 +1282,5 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": containment_pairs_raw,
     "ann_lsh_topk": ann_lsh_topk_raw,
     "dedupe_clusters": dedupe_clusters_raw,
+    "ivf_topk": ivf_topk_raw,
 }

@@ -88,3 +88,16 @@ def test_blocked_near_dups_routes_big_blocks_through_lsh(spark):
     planted = {(i, 1000 + i) for i in range(10)}
     assert planted <= set(got), planted - set(got)
     assert all(c >= 0.9 for c in got.values())
+
+
+def test_ivf_topk_full_results_and_recall_floor(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact_res = {(r.query_id, r.neighbor_id)
+                 for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    ivf = similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=6).collect()
+    assert len(ivf) == 50  # 10 queries x full k
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    per_q = {qi: len({n for (x, n) in exact_res & got if x == qi})
+             for qi in {x for (x, _) in exact_res}}
+    assert all(v >= 1 for v in per_q.values()), per_q
