@@ -7,10 +7,18 @@ runs on the same parquet (views pre-registered). Column names/types are
 aligned on both sides (ints → BIGINT, floats → ROUND(double, 6)) because
 the driver hashes values after sorting columns by name.
 
-Queries whose semantics are not SQL-expressible (MinHash/LSH, SimHash,
-connected components, fingerprints) register spark_fn only → the driver
-records the weaker rows-only check, and pytest carries the real oracle
-(ground-truth pairs by construction, tests/test_minhash.py etc.).
+Every registered query carries an oracle — including the approximate /
+iterative operators, which are checked through SQL-derivable CONTRACTS
+instead of raw outputs:
+  - MinHash/SimHash → recall against constructed shingle-Jaccard truth
+    (one missed truth pair fails the value hash);
+  - containment → the exact expected pair set (wrapped-corpus
+    reconstruction in SQL);
+  - ANN (LSH + IVF) → per-query result-set-size + exact-top-k hit floor;
+  - connected components → membership contract (exact copies and truth
+    near-dup pairs must share a cluster) plus an exact-edges variant
+    with SQL-reproducible labels.
+Raw pair/top-k/cluster outputs stay benchmarkable via BENCH_QUERIES.
 """
 
 from __future__ import annotations
