@@ -47,9 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None, help="stage checkpoint root (resume)")
     p.add_argument("--compare", default=None,
-                   help="manifest parquet whose digests are excluded (anti-join)")
+                   help="manifest whose digests are excluded (anti-join): "
+                        "parquet path, or a reference-format SQLite .db "
+                        "(imported via sources.reference_manifest)")
     p.add_argument("--read-sources", default=None,
-                   help="processed-keys parquet; matching rows skipped (resume)")
+                   help="processed-keys parquet (or reference .read SQLite "
+                        "db); matching rows skipped (resume)")
     p.add_argument("--extensions", default="", help="comma-separated include globs")
     p.add_argument("--ignore", default="", help="comma-separated ignore globs")
     p.add_argument("--min-size", type=int, default=0)
@@ -134,8 +137,17 @@ def main(argv: list[str] | None = None) -> int:
     files = spark.read.parquet(args.input)
 
     if args.read_sources:
-        rs = spark.read.parquet(args.read_sources)
-        files = filters.resume_filter(files, rs)
+        if args.read_sources.endswith((".db", ".read")):
+            from dedupe_copy_spark.sources.reference_manifest import (
+                read_reference_read_sources,
+            )
+
+            rs = read_reference_read_sources(spark, args.read_sources)
+            # reference read-sources carry only paths
+            files = filters.resume_filter(files, rs, keys=("path",))
+        else:
+            rs = spark.read.parquet(args.read_sources)
+            files = filters.resume_filter(files, rs)
 
     pipe = DedupePipeline(spark, cfg)
     if args.no_near_dup:
@@ -149,7 +161,16 @@ def main(argv: list[str] | None = None) -> int:
         pairs, clusters, report = res.pairs, res.clusters, res.report
 
     if args.compare:
-        compare = spark.read.parquet(args.compare)
+        if args.compare.endswith(".db"):
+            from dedupe_copy_spark.sources.reference_manifest import (
+                read_reference_manifest,
+            )
+
+            # reference manifests are md5-keyed (its default digest) —
+            # the dup_key must be computed under the same algorithm
+            compare = read_reference_manifest(spark, args.compare)
+        else:
+            compare = spark.read.parquet(args.compare)
         key = "dup_key" if "dup_key" in compare.columns else "content_sha256"
         compare = compare.select(F.col(key).alias("dup_key"))
         win = filters.compare_exclude(win, compare)

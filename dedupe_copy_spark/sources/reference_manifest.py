@@ -1,0 +1,132 @@
+"""Import the reference tool's on-disk SQLite manifests.
+
+A user migrating from the reference (`othererik/dedupe_copy`) owns
+``.db`` manifests in its CacheDict format (disk_cache_dict.py:34-95):
+one SQLite table ``sql_dict_table(key BLOB, hash INTEGER, value BLOB)``
+where key = type-prefixed digest string and value = type-prefixed
+payload — ``b"S"+utf8`` for strings, ``b"I"+ascii`` ints, ``b"P"+pickle``
+for everything else (the hash→[(path, size, mtime), ...] lists). The
+sibling ``<name>.read`` db holds the read-sources set (keys = paths).
+
+This module reads those files into DataFrames so every resume/compare
+operator works directly against reference-produced state:
+
+    manifest = read_reference_manifest(spark, "old_manifest.db")
+    kept = filters.compare_exclude(hashed_md5, manifest.select("dup_key"))
+
+Scale note: a reference manifest is produced by a single-node tool, so
+driver-side chunked reads are the honest implementation (the file is at
+most a few GB); rows land in Spark via batched Arrow conversion. This
+is a one-time migration path, not a steady-state source.
+
+Security note: the reference pickles metadata tuples. Unpickling
+attacker-controlled bytes executes code, so values go through a
+RESTRICTED unpickler that only resolves list/tuple/dict/set builtins —
+a manifest carrying anything else fails loudly instead of executing it.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import sqlite3
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+REFERENCE_TABLE = "sql_dict_table"
+
+MANIFEST_SCHEMA = T.StructType([
+    T.StructField("dup_key", T.StringType(), False),   # reference digest (md5)
+    T.StructField("path", T.StringType(), False),
+    T.StructField("size", T.LongType(), True),
+    T.StructField("mtime", T.DoubleType(), True),
+])
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    _ALLOWED = {("builtins", n) for n in
+                ("list", "tuple", "dict", "set", "frozenset")}
+
+    def find_class(self, module: str, name: str):
+        if (module, name) in self._ALLOWED:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"reference manifest pickle references {module}.{name} — "
+            "refusing to unpickle anything but plain containers")
+
+
+def decode_value(raw: bytes):
+    """Inverse of the reference's type-prefixed ``_dump``
+    (disk_cache_dict.py:150-188)."""
+    b = bytes(raw)
+    if not b:
+        return None
+    marker, content = b[:1], b[1:]
+    if marker == b"N":
+        return None
+    if marker == b"S":
+        return content.decode("utf-8")
+    if marker == b"B":
+        return content == b"1"
+    if marker == b"I":
+        return int(content)
+    if marker == b"F":
+        return float(content)
+    if marker == b"P":
+        return _RestrictedUnpickler(io.BytesIO(content)).load()
+    raise ValueError(f"unknown reference value marker {marker!r}")
+
+
+def _iter_rows(db_path: str, table: str) -> Iterator[tuple]:
+    con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    try:
+        yield from con.execute(f"SELECT key, value FROM {table}")
+    finally:
+        con.close()
+
+
+def read_reference_manifest(spark: SparkSession, db_path: str,
+                            table: str = REFERENCE_TABLE,
+                            batch_rows: int = 50_000) -> DataFrame:
+    """Reference manifest .db → DataFrame(dup_key, path, size, mtime),
+    one row per member file (the relational unrolling of the
+    hash→list-of-(path, size, mtime) map)."""
+    import pandas as pd
+
+    frames, buf = [], []
+
+    def flush():
+        if buf:
+            frames.append(pd.DataFrame(
+                buf, columns=["dup_key", "path", "size", "mtime"]))
+            buf.clear()
+
+    for key_raw, value_raw in _iter_rows(db_path, table):
+        digest = decode_value(key_raw)
+        members = decode_value(value_raw) or []
+        for m in members:
+            path, size, mtime = (list(m) + [None, None])[:3]
+            buf.append((str(digest), str(path),
+                        None if size is None else int(size),
+                        None if mtime is None else float(mtime)))
+            if len(buf) >= batch_rows:
+                flush()
+    flush()
+    if not frames:
+        return spark.createDataFrame([], schema=MANIFEST_SCHEMA)
+    out = spark.createDataFrame(frames[0], schema=MANIFEST_SCHEMA)
+    for f in frames[1:]:
+        out = out.unionByName(spark.createDataFrame(f, schema=MANIFEST_SCHEMA))
+    return out
+
+
+def read_reference_read_sources(spark: SparkSession, db_path: str,
+                                table: str = REFERENCE_TABLE) -> DataFrame:
+    """Reference ``<manifest>.read`` db → DataFrame(path) of
+    already-processed source paths (feeds filters.resume_filter)."""
+    paths = [(str(decode_value(k)),) for k, _ in _iter_rows(db_path, table)]
+    return spark.createDataFrame(
+        paths or [], schema=T.StructType(
+            [T.StructField("path", T.StringType(), False)]))

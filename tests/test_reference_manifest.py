@@ -1,0 +1,143 @@
+"""Import of reference-format SQLite manifests — round-trip against a
+.db written by the REFERENCE's own CacheDict (loaded standalone from
+/root/reference as a format oracle), plus the restricted-unpickler
+security gate."""
+
+import importlib.util
+import pickle
+import sqlite3
+import sys
+import types
+
+import pytest
+
+from dedupe_copy_spark.sources import reference_manifest as rm
+
+
+def _load_reference_cachedict():
+    if "refdc2.disk_cache_dict" in sys.modules:
+        return sys.modules["refdc2.disk_cache_dict"]
+    pkg = types.ModuleType("refdc2")
+    pkg.__path__ = ["/root/reference/dedupe_copy"]
+    sys.modules["refdc2"] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "refdc2.disk_cache_dict",
+        "/root/reference/dedupe_copy/disk_cache_dict.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refdc2.disk_cache_dict"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+EXPECTED = {
+    "d41d8cd98f00b204e9800998ecf8427e": [("a/empty.txt", 0, 1700000000.0)],
+    "9e107d9d372bb6826bd81d3542a419d6": [
+        ("b/fox.txt", 43, 1700000001.5),
+        ("c/fox_copy.txt", 43, 1700000002.5),
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def reference_db(tmp_path_factory):
+    dcd = _load_reference_cachedict()
+    db = str(tmp_path_factory.mktemp("refmanifest") / "manifest.db")
+    cache = dcd.CacheDict(db_file=db)
+    for digest, members in EXPECTED.items():
+        cache[digest] = [tuple(m) for m in members]
+    cache.save(db_file=db)
+    return db
+
+
+def test_roundtrip_reference_manifest(spark, reference_db):
+    df = rm.read_reference_manifest(spark, reference_db)
+    got = {}
+    for r in df.collect():
+        got.setdefault(r.dup_key, []).append((r.path, r.size, r.mtime))
+    assert {k: sorted(v) for k, v in got.items()} == \
+           {k: sorted(v) for k, v in EXPECTED.items()}
+
+
+def test_imported_manifest_drives_compare_exclude(spark, reference_db):
+    """The migration path: exclude rows whose md5 digest is already in a
+    reference-produced manifest."""
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import exact, filters
+
+    rows = [("r", "b/fox.txt", "c1", "en",
+             "The quick brown fox jumps over the lazy dog"),  # digest known
+            ("r", "d/new.txt", "c2", "en", "something new")]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    hashed = exact.with_digest(files, DedupeConfig(hash_algo="md5"))
+    manifest = rm.read_reference_manifest(spark, reference_db)
+    kept = filters.compare_exclude(hashed, manifest.select("dup_key"))
+    assert [r.path for r in kept.collect()] == ["d/new.txt"]
+
+
+def test_read_sources_import(spark, tmp_path):
+    dcd = _load_reference_cachedict()
+    db = str(tmp_path / "manifest.read")
+    cache = dcd.CacheDict(db_file=db)
+    cache["x/seen1.py"] = None
+    cache["y/seen2.py"] = None
+    cache.save(db_file=db)
+    got = {r.path for r in rm.read_reference_read_sources(spark, db).collect()}
+    assert got == {"x/seen1.py", "y/seen2.py"}
+
+
+def test_restricted_unpickler_blocks_code_execution(tmp_path):
+    evil = pickle.dumps(print)  # any non-container global
+    db = str(tmp_path / "evil.db")
+    con = sqlite3.connect(db)
+    con.execute(f"CREATE TABLE {rm.REFERENCE_TABLE} "
+                "(key BLOB PRIMARY KEY, hash INTEGER, value BLOB)")
+    con.execute(f"INSERT INTO {rm.REFERENCE_TABLE} VALUES (?, ?, ?)",
+                (b"Sdigest", 0, b"P" + evil))
+    con.commit(); con.close()
+    with pytest.raises(Exception, match="refusing to unpickle"):
+        for k, v in rm._iter_rows(db, rm.REFERENCE_TABLE):
+            rm.decode_value(v)
+
+
+def test_decode_value_scalar_markers():
+    assert rm.decode_value(b"N") is None
+    assert rm.decode_value(b"Shello") == "hello"
+    assert rm.decode_value(b"B1") is True
+    assert rm.decode_value(b"I42") == 42
+    assert rm.decode_value(b"F2.5") == 2.5
+    with pytest.raises(ValueError):
+        rm.decode_value(b"Zxx")
+
+
+def test_cli_accepts_reference_db_compare(spark, reference_db, tmp_path):
+    """End-to-end migration: --compare pointed at a reference .db with
+    --hash-algo md5 excludes the known digest."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = [{"repo": "r", "path": "b/fox.txt", "commit": "c1", "lang": "en",
+             "content": "The quick brown fox jumps over the lazy dog"},
+            {"repo": "r", "path": "d/new.txt", "commit": "c2", "lang": "en",
+             "content": "something new"}]
+    inp = str(tmp_path / "files.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), inp)
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "dedupe_copy_spark", "cli.py"),
+         "--input", inp, "--output", str(tmp_path / "out"),
+         "--no-near-dup", "--hash-algo", "md5",
+         "--compare", reference_db, "--cores", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": repo})
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["corpus_rows"] == 1  # fox.txt excluded via the .db
