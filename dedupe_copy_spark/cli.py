@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--convert-path-prefix", default=None, metavar="FROM:TO",
                    help="rewrite path prefixes in all outputs "
                         "(reference convert_manifest_paths_from/to)")
+    p.add_argument("--export-manifest", default=None, metavar="OUT_DB",
+                   help="also export the dedup'd manifest as a "
+                        "reference-format SQLite .db (the ORIGINAL tool "
+                        "can keep operating on it)")
     p.add_argument("--report-extensions", action="store_true",
                    help="also write the top-extension report (reference -e)")
     p.add_argument("--verify", default=None, metavar="MANIFEST_PARQUET",
@@ -201,6 +205,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.report_extensions:
             exact.extension_report(hashed).write.mode("overwrite") \
                 .option("header", True).csv(f"{out}/extension_report")
+        if args.export_manifest:
+            from dedupe_copy_spark.sources.reference_manifest import (
+                write_reference_manifest,
+            )
+
+            key = ("content_digest" if "content_digest" in hashed.columns
+                   else "content_sha256")
+            write_reference_manifest(
+                hashed.select(F.col(key).alias("dup_key"), "path",
+                              F.col("size").cast("long").alias("size"),
+                              F.lit(None).cast("double").alias("mtime")),
+                args.export_manifest)
 
     stats = {
         "input_rows": hashed.count(),

@@ -122,6 +122,59 @@ def read_reference_manifest(spark: SparkSession, db_path: str,
     return out
 
 
+def write_reference_manifest(manifest: DataFrame, db_path: str,
+                             table: str = REFERENCE_TABLE,
+                             batch_rows: int = 10_000) -> int:
+    """Export a manifest DataFrame(dup_key, path, size, mtime) to the
+    reference's CacheDict .db format so the ORIGINAL tool can keep
+    operating on state this engine produced (the reverse migration
+    path). Returns the number of digest groups written.
+
+    The `hash` column stores Python's salted str hash like the
+    reference writer does — the reference only uses it for same-process
+    lookups; cross-process it iterates (items()), which needs only
+    key/value. Rows stream through toLocalIterator grouped by digest,
+    so driver memory is bounded by one group, not the manifest.
+    """
+    con = sqlite3.connect(db_path)
+    con.execute(f"CREATE TABLE IF NOT EXISTS {table} ("
+                "key BLOB PRIMARY KEY, hash INTEGER, value BLOB)")
+    con.execute(f"CREATE INDEX IF NOT EXISTS {table}_hash_index "
+                f"ON {table}(hash)")
+
+    def encode(digest: str, members: list[tuple]) -> tuple:
+        return (sqlite3.Binary(b"S" + digest.encode("utf-8")),
+                hash(digest),
+                sqlite3.Binary(b"P" + pickle.dumps(members)))
+
+    ordered = manifest.select("dup_key", "path", "size", "mtime") \
+        .repartitionByRange("dup_key").sortWithinPartitions("dup_key")
+    n_groups, batch = 0, []
+    cur_key, cur_members = None, []
+    for row in ordered.toLocalIterator():
+        if row.dup_key != cur_key:
+            if cur_key is not None:
+                batch.append(encode(cur_key, cur_members))
+                n_groups += 1
+            cur_key, cur_members = row.dup_key, []
+        cur_members.append((row.path,
+                            None if row.size is None else int(row.size),
+                            None if row.mtime is None else float(row.mtime)))
+        if len(batch) >= batch_rows:
+            con.executemany(
+                f"INSERT OR REPLACE INTO {table} VALUES (?, ?, ?)", batch)
+            batch.clear()
+    if cur_key is not None:
+        batch.append(encode(cur_key, cur_members))
+        n_groups += 1
+    if batch:
+        con.executemany(
+            f"INSERT OR REPLACE INTO {table} VALUES (?, ?, ?)", batch)
+    con.commit()
+    con.close()
+    return n_groups
+
+
 def read_reference_read_sources(spark: SparkSession, db_path: str,
                                 table: str = REFERENCE_TABLE) -> DataFrame:
     """Reference ``<manifest>.read`` db → DataFrame(path) of

@@ -141,3 +141,60 @@ def test_cli_accepts_reference_db_compare(spark, reference_db, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     stats = json.loads(out.stdout.strip().splitlines()[-1])
     assert stats["corpus_rows"] == 1  # fox.txt excluded via the .db
+
+
+def test_export_readable_by_reference_tool(spark, tmp_path):
+    """Reverse migration: a manifest this engine exports must load and
+    iterate correctly through the reference's own CacheDict."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(dup_key="aaa0", path="x/a.py", size=10, mtime=1.5),
+        Row(dup_key="aaa0", path="y/a.py", size=10, mtime=2.5),
+        Row(dup_key="bbb1", path="z/b.py", size=20, mtime=3.5),
+    ]
+    df = spark.createDataFrame(rows)
+    out_db = str(tmp_path / "exported.db")
+    n = rm.write_reference_manifest(df, out_db)
+    assert n == 2
+
+    dcd = _load_reference_cachedict()
+    cache = dcd.CacheDict(db_file=out_db)
+    cache.load(db_file=out_db)
+    got = {k: sorted(map(tuple, v)) for k, v in cache.items()}
+    assert got == {
+        "aaa0": [("x/a.py", 10, 1.5), ("y/a.py", 10, 2.5)],
+        "bbb1": [("z/b.py", 20, 3.5)],
+    }
+    # and our own importer round-trips it
+    back = rm.read_reference_manifest(spark, out_db)
+    assert back.count() == 3
+
+
+def test_cli_export_manifest(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = [{"repo": "r", "path": f"p/f{i % 3}.py", "commit": f"c{i}",
+             "lang": "en", "content": f"content {i % 3}"} for i in range(9)]
+    inp = str(tmp_path / "files.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), inp)
+    out_db = str(tmp_path / "exported.db")
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "dedupe_copy_spark", "cli.py"),
+         "--input", inp, "--output", str(tmp_path / "out"),
+         "--no-near-dup", "--hash-algo", "md5",
+         "--export-manifest", out_db, "--cores", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": repo})
+    assert out.returncode == 0, out.stderr[-2000:]
+    back = rm.read_reference_manifest(spark, out_db)
+    assert back.count() == 9
+    assert back.select("dup_key").distinct().count() == 3
