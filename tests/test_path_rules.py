@@ -125,3 +125,40 @@ def test_parse_rule_pairs_merges_in_order():
         (".rst", ["no_change", "extension"]),
         (".md", ["mtime"]),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz vs the reference engine (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_EXT_ALPHABET = "abcjpg?*"          # letters + wildcards the grammar allows
+_RULES = ["mtime", "extension", "no_change"]
+
+
+def _rule_tables():
+    ext = st.text(_EXT_ALPHABET, min_size=1, max_size=5) \
+        .filter(lambda e: e.strip() and ":" not in e)
+    pair = st.tuples(ext, st.sampled_from(_RULES)).map(lambda t: f"{t[0]}:{t[1]}")
+    return st.lists(pair, min_size=1, max_size=4)
+
+
+def _paths():
+    seg = st.text("abcxyz", min_size=1, max_size=4)
+    ext = st.one_of(st.just(""), st.text("abcjpg", min_size=1, max_size=4))
+    return st.tuples(st.lists(seg, min_size=1, max_size=3), seg, ext) \
+        .map(lambda t: "/".join(t[0]) + "/" + t[1] + ("." + t[2] if t[2] else ""))
+
+
+@settings(max_examples=25, deadline=None)
+@given(rules=_rule_tables(), paths=st.lists(_paths(), min_size=1, max_size=6))
+def test_fuzz_dest_matches_reference(spark, rules, paths):
+    mtime_str = "2021_07"
+    df = spark.createDataFrame([(p,) for p in set(paths)], "path string") \
+        .withColumn("mtime", F.to_timestamp(F.lit("2021-07-04 00:00:00")))
+    got = {r.path: r.dest for r in df.withColumn(
+        "dest", dest_path(rules, DEST, F.col("path"),
+                          mtime=F.col("mtime"), read_paths=READ_PATHS)).collect()}
+    for p in set(paths):
+        assert got[p] == _reference_dest(rules, p, mtime_str), (rules, p)
