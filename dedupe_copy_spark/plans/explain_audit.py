@@ -72,6 +72,23 @@ CHECKS = {
         ("map-side partial aggregation", lambda p: "partial_count" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "normalized_dup_groups": [
+        ("map-side partial aggregation", lambda p: "partial_count" in p),
+        ("no python eval (normalization is codegen)",
+         lambda p: "EvalPython" not in p),
+    ],
+    "manifest_export_grouped": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+        ("single shuffle (one grouping)", lambda p: p.count("Exchange") <= 2),
+    ],
+    "embedding_near_dups": [
+        # the size-routed union always carries the big-block LSH branch
+        # (Arrow bucket keys) in the plan even when that side is empty
+        ("no row-at-a-time python (Arrow only, in the LSH branch)",
+         lambda p: "BatchEvalPython" not in p),
+        ("equi-join on label (no cartesian)",
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+    ],
     "events_yyyymm": [
         ("partial aggregation", lambda p: "partial_" in p),
         ("column-pruned scan",
