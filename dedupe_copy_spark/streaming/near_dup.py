@@ -1,0 +1,143 @@
+"""Incremental NEAR-duplicate detection over a document stream.
+
+The exact-dup streaming path (incremental.py) answers "have I seen
+these bytes"; this module answers "have I seen something ~like this"
+continuously: each micro-batch computes MinHash signatures for its new
+docs, probes the accumulated LSH band store for bucket collisions
+against ALL history, verifies candidates by signature agreement, and
+appends its own bands/signatures to the store.
+
+State layout under ``out_dir`` (all parquet, all batch_id-keyed
+subdirectories with overwrite semantics — the same idempotent-replay
+contract as incremental.py; foreachBatch is at-least-once):
+
+    manifest/batch_id=N/   digests ingested by batch N (exact-dup gate)
+    sigs/batch_id=N/       (file_id, sig) MinHash signatures
+    bands/batch_id=N/      (file_id, band, band_hash) LSH band keys
+    pairs/batch_id=N/      (id_a, id_b, est_jaccard) near-dup pairs
+                           discovered BY batch N: within-batch pairs
+                           plus pairs against all earlier history
+
+Scale notes: the probe is an equi-join of the batch's bands against the
+band store on (band, band_hash) — the store grows with corpus size but
+the join touches only colliding buckets; hot buckets are width-capped
+with the same accounting as the batch pipeline. Signatures join back by
+file_id only for surviving candidates. At 10^12 rows the band store
+becomes a bucketed/Iceberg table with (band, band_hash) clustering —
+the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators import exact, minhash
+from dedupe_copy_spark.synth import FILES_SCHEMA
+
+
+class IncrementalNearDup:
+    """Streaming MinHash/LSH near-dedupe with accumulated band state."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 cfg: DedupeConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or DedupeConfig()
+        self.out_dir = out_dir
+        self.manifest_path = f"{out_dir}/manifest"
+        self.sigs_path = f"{out_dir}/sigs"
+        self.bands_path = f"{out_dir}/bands"
+        self.pairs_path = f"{out_dir}/pairs"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _excluding_batch(self, df: DataFrame | None, batch_id: int):
+        """Replay safety: a crashed attempt of THIS batch may have
+        partially written state — never treat it as history."""
+        if df is None:
+            return None
+        if "batch_id" in df.columns:
+            return df.filter(F.col("batch_id") != batch_id)
+        return df
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = self.cfg
+        hashed = exact.with_digest(batch_df, cfg)
+        fresh = exact.winners(hashed, cfg)           # within-batch exact dedupe
+        known = self._excluding_batch(self._read_state(self.manifest_path),
+                                      batch_id)
+        if known is not None:                        # vs-history exact dedupe
+            fresh = fresh.join(known.select("dup_key"), "dup_key", "left_anti")
+        fresh = minhash.add_file_id(fresh)
+
+        sigs_new = minhash.minhash_signatures(fresh, cfg) \
+            .select("file_id", "sig") \
+            .filter(F.element_at("sig", 1) != F.lit(minhash._SENTINEL)) \
+            .localCheckpoint()
+        bands_new = minhash.lsh_bands(sigs_new, cfg).localCheckpoint()
+
+        hist_bands = self._excluding_batch(self._read_state(self.bands_path),
+                                           batch_id)
+        hist_sigs = self._excluding_batch(self._read_state(self.sigs_path),
+                                          batch_id)
+
+        # probe: batch bands vs (history + batch) bands — history-side
+        # hot buckets are width-capped with drop accounting like the
+        # batch pipeline (pairs remain reachable via other bands)
+        probe_side = bands_new if hist_bands is None else \
+            bands_new.unionByName(hist_bands.select("file_id", "band", "band_hash"))
+        widths = probe_side.groupBy("band", "band_hash") \
+            .agg(F.count(F.lit(1)).alias("_w"))
+        probe_ok = probe_side.join(
+            widths.filter(F.col("_w") <= cfg.max_band_bucket),
+            ["band", "band_hash"]).drop("_w")
+        # canonical unordered pairs: within-batch collisions appear in
+        # both orientations, cross-batch ones only as (new, hist) —
+        # (least, greatest) + distinct normalizes both
+        raw = (
+            bands_new.withColumnRenamed("file_id", "id_new")
+            .join(probe_ok.withColumnRenamed("file_id", "id_hist"),
+                  ["band", "band_hash"])
+            .filter(F.col("id_new") != F.col("id_hist"))
+        )
+        cands = raw.select(
+            F.least("id_new", "id_hist").alias("id_a"),
+            F.greatest("id_new", "id_hist").alias("id_b"),
+        ).dropDuplicates(["id_a", "id_b"])
+        all_sigs = sigs_new if hist_sigs is None else \
+            sigs_new.unionByName(hist_sigs.select("file_id", "sig"))
+        verified = minhash.verify_pairs(cands, all_sigs, cfg) \
+            .localCheckpoint()
+
+        # idempotent batch_id-keyed sinks (overwrite own subdir only)
+        fresh.select("dup_key", "content_sha256", "repo", "path", "commit",
+                     "file_id") \
+            .write.mode("overwrite").parquet(
+                f"{self.manifest_path}/batch_id={batch_id}")
+        sigs_new.write.mode("overwrite").parquet(
+            f"{self.sigs_path}/batch_id={batch_id}")
+        bands_new.write.mode("overwrite").parquet(
+            f"{self.bands_path}/batch_id={batch_id}")
+        verified.write.mode("overwrite").parquet(
+            f"{self.pairs_path}/batch_id={batch_id}")
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(FILES_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,82 @@
+"""Streaming near-dup detection: cross-batch LSH probes against the
+accumulated band store, idempotent under batch replay."""
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark import synth
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.streaming.near_dup import IncrementalNearDup
+
+BASE = ("the quick brown fox jumps over the lazy dog and then "
+        "writes a long deterministic paragraph about spark shuffles "
+        "partitions executors codegen catalyst tungsten arrow pandas "
+        "minhash signatures banded lsh buckets verification thresholds "
+        "clusters components stars convergence checkpoints manifests")
+NEAR = BASE.replace("lazy dog", "sleepy dog")          # ~1 token edit
+OTHER = ("completely different content about databases b-trees pages "
+         "buffers latches logging recovery transactions isolation "
+         "levels snapshots compaction merges bloom filters caches "
+         "evictions pools schedulers queues locks threads processes")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+
+def test_cross_batch_near_dup_and_replay(spark, tmp_path):
+    out = str(tmp_path / "near_out")
+    job = IncrementalNearDup(spark, out, DedupeConfig())
+
+    job.process_batch(_df(spark, [
+        ("r1", "a/base.txt", "c1", "en", BASE),
+        ("r1", "a/other.txt", "c2", "en", OTHER),
+    ]), batch_id=0)
+    pairs0 = spark.read.parquet(f"{out}/pairs")
+    assert pairs0.count() == 0  # nothing similar within batch 0
+
+    # batch 1 brings a near-dup of batch-0's BASE + a brand-new doc
+    job.process_batch(_df(spark, [
+        ("r2", "b/near.txt", "c3", "en", NEAR),
+        ("r2", "b/new.txt", "c4", "en", OTHER + " extra tail tokens"),
+    ]), batch_id=1)
+    pairs = spark.read.parquet(f"{out}/pairs")
+    got = [(r.id_a, r.id_b, r.est_jaccard) for r in pairs.collect()]
+    assert len(got) >= 1  # the BASE~NEAR cross-batch pair was found
+    # map ids back to paths to confirm WHICH pair
+    manifest = spark.read.parquet(f"{out}/manifest")
+    by_id = {r.file_id: r.path for r in manifest.collect()}
+    found_paths = {frozenset((by_id[a], by_id[b])) for a, b, _ in got}
+    assert frozenset(("a/base.txt", "b/near.txt")) in found_paths
+    assert all(j >= 0.7 for _, _, j in got)
+
+    # replaying batch 1 (at-least-once) changes nothing
+    n_before = pairs.count()
+    job.process_batch(_df(spark, [
+        ("r2", "b/near.txt", "c3", "en", NEAR),
+        ("r2", "b/new.txt", "c4", "en", OTHER + " extra tail tokens"),
+    ]), batch_id=1)
+    assert spark.read.parquet(f"{out}/pairs").count() == n_before
+    assert spark.read.parquet(f"{out}/manifest").count() == 4
+
+
+def test_within_batch_near_dup_found_once(spark, tmp_path):
+    out = str(tmp_path / "near_out2")
+    job = IncrementalNearDup(spark, out, DedupeConfig())
+    job.process_batch(_df(spark, [
+        ("r", "x/a.txt", "c1", "en", BASE),
+        ("r", "x/b.txt", "c2", "en", NEAR),
+    ]), batch_id=0)
+    pairs = spark.read.parquet(f"{out}/pairs").collect()
+    assert len(pairs) == 1  # canonical orientation, no double count
+
+
+def test_exact_dup_gated_before_lsh(spark, tmp_path):
+    """Exact re-sends never reach the band store (the exact manifest
+    gate collapses them), so no self-pairs appear."""
+    out = str(tmp_path / "near_out3")
+    job = IncrementalNearDup(spark, out, DedupeConfig())
+    job.process_batch(_df(spark, [("r", "x/a.txt", "c1", "en", BASE)]), 0)
+    job.process_batch(_df(spark, [("r", "y/a_copy.txt", "c9", "en", BASE)]), 1)
+    assert spark.read.parquet(f"{out}/pairs").count() == 0
+    assert spark.read.parquet(f"{out}/manifest").count() == 1
