@@ -61,6 +61,11 @@ class DedupeConfig:
     # while the cap drops them with accounting (pairs.bucket_stats).
     max_band_bucket: int = 200    # cap candidates per LSH bucket (log drops)
     cc_max_iterations: int = 50
+    # edge sets at or below this solve via driver-side union-find (a
+    # few MB; exact); above it the distributed two-star loop runs —
+    # each loop round costs seconds of fixed scheduling regardless of
+    # edge count, so tiny graphs shouldn't pay it
+    cc_local_threshold: int = 100_000
 
     # --- checkpointing ---
     # save cadence is per-STAGE (manifest.stage), not per-50k-rows: the

@@ -61,21 +61,56 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row.n), int(row.h)
 
 
+def _local_components(edge_rows, spark) -> DataFrame:
+    """Driver-side union-find for SMALL edge sets: one collect, zero
+    iterative Spark jobs. The distributed two-star loop pays ~2 s of
+    fixed scheduling/planning cost PER ROUND regardless of edge count;
+    below the threshold the whole graph fits in a few MB of driver
+    memory and the exact answer is microseconds."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for src, dst in edge_rows:
+        for v in (src, dst):
+            parent.setdefault(v, v)
+        a, b = find(src), find(dst)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    assign = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(assign, "file_id long, cluster_id long")
+
+
 def connected_components(edges: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
     """edges(src: long, dst: long) → assignments(file_id, cluster_id)
     with cluster_id = min node id of the component. Nodes appearing in
-    no edge are simply absent (callers union back singletons)."""
+    no edge are simply absent (callers union back singletons).
+
+    Edge sets up to cfg.cc_local_threshold are solved by driver-side
+    union-find (exact, one collect, bounded memory); larger graphs run
+    the distributed two-star loop — the 100 TB path."""
     cfg = cfg or DedupeConfig()
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
+    n_edges = cur.count()
+    if n_edges <= cfg.cc_local_threshold:
+        # one collect, bounded by the threshold (100k edges ≈ a few MB)
+        # — toLocalIterator would instead run one job per partition
+        return _local_components(
+            ((r.src, r.dst) for r in cur.collect()),
+            edges.sparkSession)
     # size the loop's shuffles from the ACTUAL edge count (known for
     # free via the first checksum): the edge relation is usually tiny
     # relative to the corpus, and with AQE coalescing disabled a fixed
     # 32-way shuffle per iteration would dominate small graphs.
-    n, prev_sig = _checksum(cur)[0], None
+    prev_sig = None
     spark = edges.sparkSession
     max_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_parts = max(1, min(max_parts, n // 50_000 + 1))
+    n_parts = max(1, min(max_parts, n_edges // 50_000 + 1))
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     converged = False
     try:

@@ -82,7 +82,25 @@ def test_cc_raises_when_iteration_cap_hit(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        cc.connected_components(edges, DedupeConfig(cc_max_iterations=1))
+        cc.connected_components(
+            edges, DedupeConfig(cc_max_iterations=1, cc_local_threshold=0))
     # and with a sane cap the same graph converges to one cluster
-    out = cc.connected_components(edges, DedupeConfig())
+    out = cc.connected_components(edges, DedupeConfig(cc_local_threshold=0))
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The driver-side union-find shortcut and the two-star loop must
+    produce identical assignments on the same random graph."""
+    import random
+
+    from dedupe_copy_spark.config import DedupeConfig
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {(r.file_id, r.cluster_id) for r in
+             cc.connected_components(df, DedupeConfig()).collect()}
+    dist = {(r.file_id, r.cluster_id) for r in
+            cc.connected_components(df, DedupeConfig(cc_local_threshold=0)).collect()}
+    assert local == dist and len(local) > 0
