@@ -139,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     files = spark.read.parquet(args.input)
+    required = {"repo", "path", "commit", "content"}
+    missing = required - set(files.columns)
+    if missing:
+        raise SystemExit(
+            f"--input is missing required columns {sorted(missing)}; "
+            f"expected files(repo, path, commit, lang, content), "
+            f"got {files.columns}")
 
     if args.read_sources:
         if args.read_sources.endswith((".db", ".read")):

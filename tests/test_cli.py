@@ -145,3 +145,20 @@ def test_cli_verify_mode(input_parquet, tmp_path):
                          "--verify", bad_path, "--dry-run", "--cores", "4"],
                         want_rc=3)
     assert stats["missing"] == 1 and stats["size_mismatch"] == 1
+
+
+def test_cli_rejects_wrong_schema(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame([{"filename": "a", "data": "x"}])), bad)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "dedupe_copy_spark", "cli.py"),
+         "--input", bad, "--output", str(tmp_path / "o"), "--cores", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert out.returncode != 0
+    assert "missing required columns" in out.stderr
