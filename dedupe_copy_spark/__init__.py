@@ -23,8 +23,9 @@ manifest.py:106-148), and nothing ever runs per-row Python: all custom
 math is Arrow-batched pandas UDFs; everything else is Catalyst built-ins.
 """
 
+from dedupe_copy_spark.api import DedupeOutputs, run_dedupe
 from dedupe_copy_spark.config import DedupeConfig
 from dedupe_copy_spark.session import get_spark
 
-__all__ = ["DedupeConfig", "get_spark"]
+__all__ = ["DedupeConfig", "DedupeOutputs", "get_spark", "run_dedupe"]
 __version__ = "0.1.0"

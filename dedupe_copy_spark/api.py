@@ -1,0 +1,138 @@
+"""Library entry point — the reference's ``run_dupe_copy()`` surface
+(core.py:754-944) re-expressed for DataFrame callers.
+
+A reference user calls one function with keyword knobs; the Spark
+restatement takes a DataFrame (or parquet path) and returns DataFrames
+instead of performing filesystem side effects, plus optional sinks
+mirroring the reference outputs. Threading knobs have no analogue
+(Catalyst schedules); the mapping is:
+
+  reference kwarg              → here
+  read_from_path               → files (DataFrame or parquet path)
+  extensions / ignored_patterns→ same (glob semantics preserved)
+  hash_algo / dedupe_empty     → same
+  min_delete_size              → min_size
+  compare_manifests            → compare (DataFrame, parquet path, or
+                                 reference .db path)
+  manifests_in_paths (resume)  → read_sources (same three forms; .read
+                                 dbs carry only paths)
+  path_rules / copy_to_path    → path_rules / dest_root (adds a
+                                 dest_path column to winners)
+  convert_manifest_paths_*     → convert_path_prefix=(from, to)
+  csv_report_path              → report DataFrame in the result (write
+                                 it wherever you like)
+  no_walk + delete             → use the returned losers frame
+  dry_run                      → caller simply doesn't write
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators import exact, filters
+from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+
+@dataclass
+class DedupeOutputs:
+    winners: DataFrame       # dedup'd corpus (≈ copy set)
+    losers: DataFrame        # duplicates (≈ delete set)
+    pairs: DataFrame         # (id_a, id_b, kind, score) dup edges
+    clusters: DataFrame      # (file_id, cluster_id)
+    report: DataFrame        # group-numbered collision report
+    hashed: DataFrame        # ingested rows + digest columns
+
+
+def _load(spark: SparkSession, source) -> DataFrame:
+    if isinstance(source, DataFrame):
+        return source
+    if isinstance(source, str) and source.endswith(".db"):
+        from dedupe_copy_spark.sources.reference_manifest import (
+            read_reference_manifest,
+        )
+
+        return read_reference_manifest(spark, source)
+    if isinstance(source, str) and source.endswith(".read"):
+        from dedupe_copy_spark.sources.reference_manifest import (
+            read_reference_read_sources,
+        )
+
+        return read_reference_read_sources(spark, source)
+    return spark.read.parquet(source)
+
+
+def run_dedupe(
+    spark: SparkSession,
+    files,
+    *,
+    extensions: tuple[str, ...] = (),
+    ignored_patterns: tuple[str, ...] = (),
+    hash_algo: str = "sha256",
+    dedupe_empty: bool = False,
+    min_size: int = 0,
+    near_dup: bool = True,
+    compare=None,
+    read_sources=None,
+    path_rules: list[str] | None = None,
+    dest_root: str = "out",
+    read_paths: tuple[str, ...] = (),
+    mtime_col: str = "mtime",
+    convert_path_prefix: tuple[str, str] | None = None,
+    checkpoint_dir: str | None = None,
+) -> DedupeOutputs:
+    """One-call dedupe over a files relation (reference run_dupe_copy).
+
+    ``files`` / ``compare`` / ``read_sources`` each accept a DataFrame,
+    a parquet path, or a reference SQLite manifest path (.db / .read).
+    Returns DataFrames only — callers own every sink.
+    """
+    cfg = DedupeConfig(
+        extensions=tuple(extensions),
+        ignore_patterns=tuple(ignored_patterns),
+        hash_algo=hash_algo,
+        dedupe_empty=dedupe_empty,
+        min_size=min_size,
+        checkpoint_dir=checkpoint_dir,
+    )
+    files_df = _load(spark, files)
+
+    if read_sources is not None:
+        rs = _load(spark, read_sources)
+        keys = ("path",) if set(rs.columns) == {"path"} else ("repo", "path", "commit")
+        files_df = filters.resume_filter(files_df, rs, keys=keys)
+
+    pipe = DedupePipeline(spark, cfg)
+    if near_dup:
+        res = pipe.run(files_df)
+        hashed, win, lose = res.hashed, res.winners, res.losers
+        pairs, clusters, report = res.pairs, res.clusters, res.report
+    else:
+        hashed = pipe.ingest(files_df)
+        win, lose, pairs = pipe.exact_stage(hashed)
+        clusters = pipe.cluster_stage(hashed, pairs)
+        report = exact.collision_report(hashed)
+
+    if compare is not None:
+        cmp_df = _load(spark, compare)
+        key = "dup_key" if "dup_key" in cmp_df.columns else "content_sha256"
+        win = filters.compare_exclude(win, cmp_df.select(F.col(key).alias("dup_key")))
+
+    if path_rules:
+        from dedupe_copy_spark.functions.path_rules import dest_path
+
+        mtime = F.col(mtime_col) if mtime_col in win.columns else None
+        win = win.withColumn("dest_path", dest_path(
+            path_rules, dest_root, F.col("path"),
+            mtime=mtime, read_paths=tuple(read_paths)))
+
+    if convert_path_prefix is not None:
+        from dedupe_copy_spark.sources.manifest import update_paths
+
+        frm, to = convert_path_prefix
+        win, lose = update_paths(win, frm, to), update_paths(lose, frm, to)
+
+    return DedupeOutputs(win, lose, pairs, clusters, report, hashed)

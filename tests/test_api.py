@@ -1,0 +1,58 @@
+"""Library entry point run_dedupe() — the reference's run_dupe_copy()
+surface for DataFrame callers."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark import run_dedupe, synth
+
+
+def _df(spark, rows):
+    return synth.to_df(spark, rows)
+
+
+def test_run_dedupe_exact_only(spark):
+    rows, truth = synth.exact_dups(n_unique=12, n_duped=6)
+    out = run_dedupe(spark, _df(spark, rows), near_dup=False)
+    assert out.winners.count() == out.winners.select("content_sha256").distinct().count()
+    assert out.winners.count() + out.losers.count() == len(rows)
+    assert out.report.count() > 0
+
+
+def test_run_dedupe_full_pipeline_with_filters(spark):
+    rows, _ = synth.mixed_e2e()
+    out = run_dedupe(spark, _df(spark, rows),
+                     extensions=("py", "md"), hash_algo="md5")
+    exts = {r.ext for r in out.hashed.select("ext").distinct().collect()}
+    assert exts <= {"py", "md"}
+    assert "content_digest" in out.hashed.columns   # md5 keying active
+
+
+def test_run_dedupe_compare_and_path_rules(spark, tmp_path):
+    rows, _ = synth.exact_dups(n_unique=6, n_duped=0)
+    df = _df(spark, rows)
+    # compare: exclude half the contents by digest
+    half = df.limit(3).select(
+        F.sha2(F.col("content"), 256).alias("content_sha256"))
+    out = run_dedupe(spark, df, near_dup=False, compare=half,
+                     path_rules=["*:extension"], dest_root="dst")
+    assert out.winners.count() == 3
+    assert all(r.dest_path.startswith("dst/")
+               for r in out.winners.select("dest_path").collect())
+
+
+def test_run_dedupe_resume_with_reference_read_db(spark, tmp_path):
+    """read_sources accepts a reference .read SQLite db (path keys)."""
+    from tests.test_reference_manifest import _load_reference_cachedict
+
+    rows, _ = synth.exact_dups(n_unique=5, n_duped=0)
+    seen_path = rows[0]["path"]
+    db = str(tmp_path / "m.read")
+    dcd = _load_reference_cachedict()
+    c = dcd.CacheDict(db_file=db)
+    c[seen_path] = None
+    c.save(db_file=db)
+    out = run_dedupe(spark, _df(spark, rows), near_dup=False, read_sources=db)
+    remaining = {r.path for r in out.hashed.select("path").collect()}
+    assert seen_path not in remaining and len(remaining) == len(rows) - 1
