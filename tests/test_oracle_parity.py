@@ -60,7 +60,7 @@ def test_recall_oracles_are_not_vacuous(spark):
 
     truth_mh = registry._truth_pairs(spark, SF, threshold=0.8).count()
     assert truth_mh >= 10, truth_mh
-    truth_sh = registry._truth_pairs(spark, SF, threshold=0.9,
+    truth_sh = registry._truth_pairs(spark, SF, threshold=0.93,
                                      max_tokens=64, min_tokens=16).count()
     assert truth_sh >= 5, truth_sh
     cont = registry.SPARK_QUERIES["containment_pairs"](spark, SF).count()
@@ -68,3 +68,25 @@ def test_recall_oracles_are_not_vacuous(spark):
     ann = registry.SPARK_QUERIES["ann_lsh_topk"](spark, SF)
     rows = ann.collect()
     assert len(rows) == 10 and all(r.hit_floor for r in rows)
+
+
+CONTRACT_QUERIES = ["minhash_near_pairs", "simhash_short_pairs",
+                    "containment_pairs", "ann_lsh_topk", "ivf_topk",
+                    "dedupe_clusters", "dedupe_clusters_exact"]
+
+
+@pytest.mark.parametrize("name", CONTRACT_QUERIES)
+def test_contract_oracles_hold_at_sf0001(spark, name):
+    """The recall/contract oracles are dataset-dependent claims — make
+    sure they hold on the OTHER fixture scale too, so a driver change
+    of comparison SF (or a seed-sensitive regression that sf0.01
+    happens to mask) can't silently break them."""
+    sf = "/root/testdata/sf0.001"
+    spark_df = registry.SPARK_QUERIES[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    from dedupe_copy_spark.sources.tables import TABLES as _T
+    for t in _T:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    duck_df = con.execute(registry.ORACLE_SQL[name]).df()
+    assert len(spark_df) == len(duck_df), (len(spark_df), len(duck_df))
+    assert _multiset(spark_df) == _multiset(duck_df)
