@@ -196,10 +196,14 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
     LSH recall < 1 on those blocks only; small blocks stay exact, so
     results are unchanged wherever the exact path ran.
     """
+    from pyspark.sql import Window
+
     from dedupe_copy_spark.operators.pairs import bucket_pairs
 
-    counts = emb.groupBy(label_col).agg(F.count(F.lit(1)).alias("_block_n"))
-    with_n = emb.join(counts, label_col)
+    # window count = one shuffle on label; a groupBy+join would shuffle
+    # twice for the same annotation
+    with_n = emb.withColumn(
+        "_block_n", F.count(F.lit(1)).over(Window.partitionBy(label_col)))
     small = with_n.filter(F.col("_block_n") <= exact_block_limit)
     big = with_n.filter(F.col("_block_n") > exact_block_limit)
 
