@@ -46,10 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", required=True, help="parquet path of files(repo,path,commit,lang,content)")
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None, help="stage checkpoint root (resume)")
-    p.add_argument("--compare", default=None,
+    p.add_argument("--compare", action="append", default=[],
                    help="manifest whose digests are excluded (anti-join): "
-                        "parquet path, or a reference-format SQLite .db "
-                        "(imported via sources.reference_manifest)")
+                        "parquet path or a reference-format SQLite .db; "
+                        "repeatable (reference --compare + --no-copy both "
+                        "reduce to digest exclusion sets)")
     p.add_argument("--read-sources", default=None,
                    help="processed-keys parquet (or reference .read SQLite "
                         "db); matching rows skipped (resume)")
@@ -171,17 +172,17 @@ def main(argv: list[str] | None = None) -> int:
         hashed, win, lose = res.hashed, res.winners, res.losers
         pairs, clusters, report = res.pairs, res.clusters, res.report
 
-    if args.compare:
-        if args.compare.endswith(".db"):
+    for cmp_path in args.compare:
+        if cmp_path.endswith(".db"):
             from dedupe_copy_spark.sources.reference_manifest import (
                 read_reference_manifest,
             )
 
             # reference manifests are md5-keyed (its default digest) —
             # the dup_key must be computed under the same algorithm
-            compare = read_reference_manifest(spark, args.compare)
+            compare = read_reference_manifest(spark, cmp_path)
         else:
-            compare = spark.read.parquet(args.compare)
+            compare = spark.read.parquet(cmp_path)
         key = "dup_key" if "dup_key" in compare.columns else "content_sha256"
         compare = compare.select(F.col(key).alias("dup_key"))
         win = filters.compare_exclude(win, compare)
