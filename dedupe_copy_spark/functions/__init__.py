@@ -98,9 +98,14 @@ def glob_alternation_regex(patterns: tuple[str, ...]) -> str:
     """Compile fnmatch globs into ONE anchored alternation regex on the
     driver — exactly the reference's strategy (config.py:29-38) — so the
     filter is a single Catalyst ``rlike`` evaluated JVM-side per row.
+
+    fnmatch.translate anchors only the END (\\Z) because Python applies
+    it with re.match; Spark's rlike is an unanchored SEARCH, so every
+    branch gets an explicit \\A — without it the glob '?' would match
+    the last character of ANY path (found by the hypothesis fuzz).
     """
     parts = [fnmatch.translate(p.lower()) for p in patterns]
-    return "|".join(f"(?:{p})" for p in parts)
+    return "|".join(f"(?:\\A{p})" for p in parts)
 
 
 def extension_regex(extensions: tuple[str, ...]) -> str:
@@ -115,7 +120,9 @@ def extension_regex(extensions: tuple[str, ...]) -> str:
         elif not e.startswith("*"):
             e = f"*.{e}"
         norm.append(fnmatch.translate(e))
-    return "|".join(f"(?:{p})" for p in norm)
+    # \A for rlike's unanchored search (see glob_alternation_regex);
+    # harmless here since every pattern starts '*', explicit anyway
+    return "|".join(f"(?:\\A{p})" for p in norm)
 
 
 def path_prefix_rewrite(path: Column, from_prefix: str, to_prefix: str) -> Column:

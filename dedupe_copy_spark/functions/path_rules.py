@@ -107,7 +107,10 @@ def dest_path(rule_pairs: list[str], dest_root: str, path: Column,
         wild = any(c in pattern for c in "*?[]")
         if wild:
             exact = F.lit(False)
-            matched = F.lower(ext_dot).rlike(fnmatch.translate(pattern))
+            # \A: rlike is an unanchored search, fnmatch semantics are
+            # anchored both ends (normalized patterns all start '*' so
+            # this is belt-and-braces here; see glob_alternation_regex)
+            matched = F.lower(ext_dot).rlike("\\A" + fnmatch.translate(pattern))
         else:
             exact = ext_dot == F.lit(pattern)
             matched = exact

@@ -92,3 +92,28 @@ def test_shingles_invariant_to_case_and_spacing(tokens):
     a = shingle_hashes(tokenize(text), cfg.shingle_k)
     b = shingle_hashes(tokenize(noisy), cfg.shingle_k)
     assert np.array_equal(a, b)
+
+
+# --- glob filters vs fnmatch (cross-engine regex semantics) ----------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text("abcxyz./*?-_", min_size=1, max_size=8),
+                min_size=1, max_size=3),
+       st.lists(st.text("abcxyz./-_", min_size=1, max_size=12),
+                min_size=1, max_size=8))
+def test_ignore_filter_matches_python_fnmatch(spark, patterns, paths):
+    """filters.ignore_filter compiles fnmatch globs to ONE Java rlike —
+    its keep/drop decisions must agree with Python's fnmatch on
+    arbitrary glob/path combinations."""
+    import fnmatch as fn
+
+    from dedupe_copy_spark.operators import filters
+
+    paths = sorted(set(paths))
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    kept = {r.path for r in
+            filters.ignore_filter(df, tuple(patterns)).collect()}
+    expected = {p for p in paths
+                if not any(fn.fnmatch(p.lower(), pat.lower())
+                           for pat in patterns)}
+    assert kept == expected, (patterns, sorted(kept), sorted(expected))
