@@ -109,20 +109,32 @@ def glob_alternation_regex(patterns: tuple[str, ...]) -> str:
 
 
 def extension_regex(extensions: tuple[str, ...]) -> str:
-    """Include-filter regex: path must end with one of the extensions
-    (glob-capable, matching clean_extensions/match_extension semantics:
-    a bare 'jpg' means '*.jpg')."""
-    norm = []
+    """Include-filter regex with the reference's EXACT semantics
+    (clean_extensions utils.py:191-222 + match_extension
+    utils.py:164-189): each extension normalizes to either an exact
+    suffix ('jpg' → '.jpg', kept verbatim when it already starts with
+    '.', so '..txt' stays a two-dot suffix) or a glob ('j*' → '*.j*'),
+    and a path matches when it ENDS WITH the pattern or fnmatches it —
+    both branches encoded per pattern, anchored for rlike's unanchored
+    search."""
+    import re as _re
+
+    parts = []
     for ext in extensions:
-        e = ext.lower().lstrip(".")
-        if not any(ch in e for ch in "*?["):
-            e = f"*.{e}"
-        elif not e.startswith("*"):
-            e = f"*.{e}"
-        norm.append(fnmatch.translate(e))
-    # \A for rlike's unanchored search (see glob_alternation_regex);
-    # harmless here since every pattern starts '*', explicit anyway
-    return "|".join(f"(?:\\A{p})" for p in norm)
+        e = ext.strip().lower()
+        wild = any(ch in e for ch in "*?[]")
+        if e == ".":
+            norm = "."
+        elif e.startswith("*"):
+            norm = e
+        elif e.startswith("."):
+            norm = f"*{e}" if wild else e
+        else:
+            norm = f"*.{e}" if wild else f".{e}"
+        # match_extension: endswith(norm) OR fnmatch(norm)
+        parts.append(f"(?:{_re.escape(norm)}\\Z)")
+        parts.append(f"(?:\\A{fnmatch.translate(norm)})")
+    return "|".join(parts)
 
 
 def path_prefix_rewrite(path: Column, from_prefix: str, to_prefix: str) -> Column:

@@ -117,3 +117,27 @@ def test_ignore_filter_matches_python_fnmatch(spark, patterns, paths):
                 if not any(fn.fnmatch(p.lower(), pat.lower())
                            for pat in patterns)}
     assert kept == expected, (patterns, sorted(kept), sorted(expected))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text("abctxj.*?", min_size=1, max_size=6)
+                .filter(lambda e: e.strip(".") and e.strip()),
+                min_size=1, max_size=3),
+       st.lists(st.text("abctxj./_", min_size=1, max_size=14),
+                min_size=1, max_size=8))
+def test_extension_filter_matches_reference_semantics(spark, exts, paths):
+    """filters.extension_filter must make the same keep/drop decisions
+    as the reference's clean_extensions + match_extension pair (loaded
+    standalone from /root/reference as the oracle)."""
+    from tests.test_path_rules import _load_reference
+
+    from dedupe_copy_spark.operators import filters
+
+    _, ref_utils = _load_reference()
+    cleaned = ref_utils.clean_extensions(list(exts))
+    paths = sorted(set(paths))
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    kept = {r.path for r in
+            filters.extension_filter(df, tuple(exts)).collect()}
+    expected = {p for p in paths if ref_utils.match_extension(cleaned, p)}
+    assert kept == expected, (exts, cleaned, sorted(kept), sorted(expected))
