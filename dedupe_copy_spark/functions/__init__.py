@@ -85,8 +85,13 @@ def effective_dup_key(digest: Column, size: Column, repo: Column, path: Column,
 
 
 def lower_extension(path: Column) -> Column:
-    """Lowercased extension of the final path segment, '' if none."""
-    return F.lower(F.regexp_extract(path, r"\.([^./\\]+)$", 1))
+    """Lowercased extension of the final path segment, '' if none —
+    os.path.splitext semantics exactly (reference utils.py:89-99):
+    leading dots of the basename never start an extension ('.bashrc'
+    and '..b' have none; 'a..c' → 'c'), a trailing dot is no extension.
+    The [^./\\][^/\\]* prefix demands a non-dot character before the
+    final dot within the same segment."""
+    return F.lower(F.regexp_extract(path, r"[^./\\][^/\\]*\.([^./\\]+)$", 1))
 
 
 def yyyy_mm(ts: Column) -> Column:

@@ -133,7 +133,7 @@ def dup_losers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("extension_report", FILES_CTE_SQL + """
-SELECT lower(regexp_extract(path, '\\.([^./\\\\]+)$', 1)) AS ext,
+SELECT lower(regexp_extract(path, '[^./\\\\][^/\\\\]*\\.([^./\\\\]+)$', 1)) AS ext,
        CAST(count(*) AS BIGINT) AS n_files,
        CAST(sum(length(content)) AS BIGINT) AS total_size
 FROM files

@@ -6,6 +6,7 @@ import re
 
 import numpy as np
 from hypothesis import given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from dedupe_copy_spark.config import DedupeConfig
@@ -141,3 +142,24 @@ def test_extension_filter_matches_reference_semantics(spark, exts, paths):
             filters.extension_filter(df, tuple(exts)).collect()}
     expected = {p for p in paths if ref_utils.match_extension(cleaned, p)}
     assert kept == expected, (exts, cleaned, sorted(kept), sorted(expected))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text("abcT./_", min_size=0, max_size=14), min_size=1, max_size=10))
+def test_lower_extension_matches_splitext(spark, paths):
+    """functions.lower_extension must equal the reference's
+    os.path.splitext-based lower_extension on arbitrary paths
+    (dotfiles, trailing dots, multi-dot names)."""
+    import os
+
+    from dedupe_copy_spark.functions import lower_extension
+
+    paths = sorted({p for p in paths if p})
+    if not paths:
+        return
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {r.path: r.e for r in
+           df.select("path", lower_extension(F.col("path")).alias("e")).collect()}
+    for p in paths:
+        expected = os.path.splitext(p)[1][1:].lower()
+        assert got[p] == expected, (p, got[p], expected)
