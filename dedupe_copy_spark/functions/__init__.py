@@ -143,8 +143,16 @@ def extension_regex(extensions: tuple[str, ...]) -> str:
 
 
 def path_prefix_rewrite(path: Column, from_prefix: str, to_prefix: str) -> Column:
-    """First-occurrence prefix rewrite, the DataFrame form of
-    convert_manifest_paths' ``str.replace(from, to, 1)``."""
-    import re
-
-    return F.regexp_replace(path, "^" + re.escape(from_prefix), to_prefix)
+    """The DataFrame form of convert_manifest_paths'
+    ``str.replace(from, to, 1)`` (manifest.py:377-415) — which replaces
+    the FIRST occurrence ANYWHERE, not only an anchored prefix (the
+    previous '^'-anchored regexp_replace missed e.g.
+    'backup/docs/x' → 'backup/archive/x'). Python's replace with an
+    empty needle prepends once; mirrored explicitly."""
+    if from_prefix == "":
+        return F.concat(F.lit(to_prefix), path)
+    pos = F.locate(from_prefix, path)
+    head = path.substr(F.lit(1), pos - 1)
+    tail = path.substr(pos + len(from_prefix), F.length(path))
+    return F.when(pos > 0,
+                  F.concat(head, F.lit(to_prefix), tail)).otherwise(path)

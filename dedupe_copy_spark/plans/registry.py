@@ -241,7 +241,10 @@ def union_dedup_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("path_rewrite", FILES_CTE_SQL + """
 SELECT repo, path AS old_path,
-       regexp_replace(path, '^docs/', 'archive/') AS new_path
+       CASE WHEN strpos(path, 'docs/') > 0
+            THEN substr(path, 1, strpos(path, 'docs/') - 1) || 'archive/'
+                 || substr(path, strpos(path, 'docs/') + 5)
+            ELSE path END AS new_path
 FROM files
 """)
 def path_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:

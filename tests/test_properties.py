@@ -163,3 +163,21 @@ def test_lower_extension_matches_splitext(spark, paths):
     for p in paths:
         expected = os.path.splitext(p)[1][1:].lower()
         assert got[p] == expected, (p, got[p], expected)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text("abd/._", min_size=0, max_size=6),
+       st.text("xy/_", min_size=0, max_size=4),
+       st.lists(st.text("abd/._", min_size=1, max_size=14), min_size=1, max_size=8))
+def test_path_prefix_rewrite_matches_str_replace(spark, frm, to, paths):
+    """path_prefix_rewrite ≡ python str.replace(from, to, 1) — the
+    reference's convert_manifest_paths semantics (first occurrence
+    anywhere, empty needle prepends once)."""
+    from dedupe_copy_spark.functions import path_prefix_rewrite
+
+    paths = sorted(set(paths))
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {r.path: r.n for r in df.select(
+        "path", path_prefix_rewrite(F.col("path"), frm, to).alias("n")).collect()}
+    for p in paths:
+        assert got[p] == p.replace(frm, to, 1), (frm, to, p)
