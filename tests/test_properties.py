@@ -97,10 +97,10 @@ def test_shingles_invariant_to_case_and_spacing(tokens):
 
 # --- glob filters vs fnmatch (cross-engine regex semantics) ----------------
 
-@settings(max_examples=30, deadline=None)
-@given(st.lists(st.text("abcxyz./*?-_", min_size=1, max_size=8),
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text("abcxyz./*?[]!-_", min_size=1, max_size=8),
                 min_size=1, max_size=3),
-       st.lists(st.text("abcxyz./-_", min_size=1, max_size=12),
+       st.lists(st.text("abcxyz./-_!", min_size=1, max_size=12),
                 min_size=1, max_size=8))
 def test_ignore_filter_matches_python_fnmatch(spark, patterns, paths):
     """filters.ignore_filter compiles fnmatch globs to ONE Java rlike —
