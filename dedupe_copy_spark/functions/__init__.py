@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "DIGEST_ALGOS",
+    "java_safe_regex",
     "content_digest",
     "content_sha256",
     "effective_dup_key",
@@ -99,6 +100,44 @@ def yyyy_mm(ts: Column) -> Column:
     return F.date_format(ts, "yyyy_MM")
 
 
+def java_safe_regex(pat: str) -> str:
+    """Make a Python-`re` pattern acceptable to Java's regex engine
+    (Spark rlike). fnmatch.translate legally emits a bare ``[`` or
+    ``&&`` inside character classes — Python reads them literally, Java
+    parses nested classes / intersections and throws
+    PatternSyntaxException (found by fuzzing arbitrary user globs).
+    Escapes ``[`` and ``&`` within classes; everything else passes
+    through untouched."""
+    out: list[str] = []
+    i, in_class = 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(pat[i:i + 2])
+            i += 2
+            continue
+        if not in_class:
+            out.append(c)
+            if c == "[":
+                in_class = True
+                if i + 1 < len(pat) and pat[i + 1] == "^":
+                    out.append("^")
+                    i += 1
+                if i + 1 < len(pat) and pat[i + 1] == "]":
+                    out.append("\\]")
+                    i += 1
+        else:
+            if c == "]":
+                in_class = False
+                out.append(c)
+            elif c in "[&":
+                out.append("\\" + c)
+            else:
+                out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def glob_alternation_regex(patterns: tuple[str, ...]) -> str:
     """Compile fnmatch globs into ONE anchored alternation regex on the
     driver — exactly the reference's strategy (config.py:29-38) — so the
@@ -108,8 +147,14 @@ def glob_alternation_regex(patterns: tuple[str, ...]) -> str:
     it with re.match; Spark's rlike is an unanchored SEARCH, so every
     branch gets an explicit \\A — without it the glob '?' would match
     the last character of ANY path (found by the hypothesis fuzz).
+
+    Matching is case-SENSITIVE: the reference runs os.path.normcase on
+    patterns and paths (config.py:33, threads.py:65), which is the
+    identity on POSIX — the platform whose path semantics a
+    source-repo table carries. (Windows normcase folding is the
+    reference's only case-insensitivity and does not apply here.)
     """
-    parts = [fnmatch.translate(p.lower()) for p in patterns]
+    parts = [java_safe_regex(fnmatch.translate(p)) for p in patterns]
     return "|".join(f"(?:\\A{p})" for p in parts)
 
 
@@ -138,7 +183,7 @@ def extension_regex(extensions: tuple[str, ...]) -> str:
             norm = f"*.{e}" if wild else f".{e}"
         # match_extension: endswith(norm) OR fnmatch(norm)
         parts.append(f"(?:{_re.escape(norm)}\\Z)")
-        parts.append(f"(?:\\A{fnmatch.translate(norm)})")
+        parts.append(f"(?:\\A{java_safe_regex(fnmatch.translate(norm))})")
     return "|".join(parts)
 
 

@@ -34,7 +34,7 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from dedupe_copy_spark.functions import lower_extension, yyyy_mm
+from dedupe_copy_spark.functions import java_safe_regex, lower_extension, yyyy_mm
 
 PATH_RULES = ("mtime", "extension", "no_change")
 
@@ -110,7 +110,8 @@ def dest_path(rule_pairs: list[str], dest_root: str, path: Column,
             # \A: rlike is an unanchored search, fnmatch semantics are
             # anchored both ends (normalized patterns all start '*' so
             # this is belt-and-braces here; see glob_alternation_regex)
-            matched = F.lower(ext_dot).rlike("\\A" + fnmatch.translate(pattern))
+            matched = F.lower(ext_dot).rlike(
+                "\\A" + java_safe_regex(fnmatch.translate(pattern)))
         else:
             exact = ext_dot == F.lit(pattern)
             matched = exact

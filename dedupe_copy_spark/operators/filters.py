@@ -26,11 +26,12 @@ def extension_filter(files: DataFrame, extensions: tuple[str, ...]) -> DataFrame
 def ignore_filter(files: DataFrame, patterns: tuple[str, ...]) -> DataFrame:
     """Drop rows matching any ignore glob — one pre-compiled alternation
     regex, as the reference builds once per job (config.py:29-38,
-    threads.py:58-84)."""
+    threads.py:58-84). Case-sensitive, matching the reference's POSIX
+    normcase behavior (see glob_alternation_regex)."""
     if not patterns:
         return files
     pattern = glob_alternation_regex(patterns)
-    return files.filter(~F.lower(F.col("path")).rlike(pattern))
+    return files.filter(~F.col("path").rlike(pattern))
 
 
 def min_size_filter(hashed: DataFrame, min_size: int) -> DataFrame:

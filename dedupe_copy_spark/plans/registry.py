@@ -981,7 +981,7 @@ def extension_include_filter_query(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register("ignore_glob_filter", FILES_CTE_SQL + """
 SELECT repo, path, commit_id FROM files
-WHERE NOT (lower(path) LIKE 'mirror/%' OR lower(path) LIKE '%.adoc')
+WHERE NOT (path LIKE 'mirror/%' OR path LIKE '%.adoc')
 """)
 def ignore_glob_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ignore-glob filter (reference ignore regex, threads.py:58-84,

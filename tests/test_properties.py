@@ -98,9 +98,9 @@ def test_shingles_invariant_to_case_and_spacing(tokens):
 # --- glob filters vs fnmatch (cross-engine regex semantics) ----------------
 
 @settings(max_examples=50, deadline=None)
-@given(st.lists(st.text("abcxyz./*?[]!-_", min_size=1, max_size=8),
+@given(st.lists(st.text("abcXYz./*?[]!-_", min_size=1, max_size=8),
                 min_size=1, max_size=3),
-       st.lists(st.text("abcxyz./-_!", min_size=1, max_size=12),
+       st.lists(st.text("abcXYz./-_!", min_size=1, max_size=12),
                 min_size=1, max_size=8))
 def test_ignore_filter_matches_python_fnmatch(spark, patterns, paths):
     """filters.ignore_filter compiles fnmatch globs to ONE Java rlike —
@@ -114,9 +114,10 @@ def test_ignore_filter_matches_python_fnmatch(spark, patterns, paths):
     df = spark.createDataFrame([(p,) for p in paths], "path string")
     kept = {r.path for r in
             filters.ignore_filter(df, tuple(patterns)).collect()}
+    # reference semantics: os.path.normcase (identity on POSIX) →
+    # case-sensitive fnmatchcase
     expected = {p for p in paths
-                if not any(fn.fnmatch(p.lower(), pat.lower())
-                           for pat in patterns)}
+                if not any(fn.fnmatchcase(p, pat) for pat in patterns)}
     assert kept == expected, (patterns, sorted(kept), sorted(expected))
 
 
