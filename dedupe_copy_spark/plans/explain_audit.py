@@ -26,7 +26,12 @@ CHECKS = {
     ],
     "compare_exclude": [
         ("anti join", lambda p: "LeftAnti" in p),
-        ("broadcast build side", lambda p: "Broadcast" in p),
+        # static auto-broadcast is OFF (session.py): Catalyst size
+        # estimates can't be trusted for UDF/in-memory lineages, and a
+        # --compare manifest may itself be corpus-sized. The SAFE static
+        # plan is a shuffle anti-join ...
+        ("static plan does not broadcast on estimates",
+         lambda p: "BroadcastExchange" not in p),
     ],
     "keep_first_winners": [
         ("agg-based keep-first (no global sort)",
@@ -97,6 +102,17 @@ CHECKS = {
     ],
 }
 
+# ... and the RUNTIME check: after execution, AQE must have converted
+# the small compare side to a broadcast from EXACT shuffle sizes.
+# Checked against the final adaptive plan (isFinalPlan=true).
+EXECUTED_CHECKS = {
+    "compare_exclude": [
+        ("AQE converts small compare side to broadcast at runtime",
+         lambda p: "BroadcastQueryStage" in p or "BroadcastExchange" in p),
+        ("final adaptive plan", lambda p: "isFinalPlan=true" in p),
+    ],
+}
+
 
 def formatted_plan(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
@@ -113,11 +129,21 @@ def main(out_md: str = "PLANS.md") -> int:
     for name, checks in CHECKS.items():
         # BENCH_QUERIES = operator pipelines (raw variants where the
         # driver query wraps them in truth computation for the oracle)
-        plan = formatted_plan(spark, registry.BENCH_QUERIES[name](spark, SF))
+        df = registry.BENCH_QUERIES[name](spark, SF)
+        plan = formatted_plan(spark, df)
         lines = [f"## {name}", "", "| property | holds |", "|---|---|"]
         for label, pred in checks:
             ok = bool(pred(plan))
             lines.append(f"| {label} | {'✅' if ok else '❌'} |")
+            if not ok:
+                failures.append(f"{name}: {label}")
+        for label, pred in EXECUTED_CHECKS.get(name, []):
+            # collect() runs THIS df's queryExecution (count() would
+            # build a new one), so AQE finalizes the audited plan
+            df.collect()
+            executed = formatted_plan(spark, df)
+            ok = bool(pred(executed))
+            lines.append(f"| {label} (executed) | {'✅' if ok else '❌'} |")
             if not ok:
                 failures.append(f"{name}: {label}")
         # keep plans readable: head of the physical plan only

@@ -37,15 +37,35 @@ def get_spark(
     # the preloading daemon module (spark.python.daemon.module) is
     # imported by a SUBPROCESS `python -m ...`, which sees env
     # PYTHONPATH, not the driver's sys.path — make sure the package
-    # root is visible to it
+    # root is visible to it. Two launch shapes:
+    #  - plain `python job.py`: the JVM is python's CHILD, so patching
+    #    os.environ before getOrCreate() reaches the daemon spawn;
+    #  - `spark-submit job.py --py-files pkg.zip`: the JVM is python's
+    #    PARENT (env patch invisible) and --py-files only reach worker
+    #    sys.path AFTER the daemon starts — so ship the root through
+    #    spark.executorEnv.PYTHONPATH, which PythonWorkerFactory merges
+    #    into the daemon's env. The zip BASENAME is included too: on a
+    #    real cluster --py-files land in each executor's working dir,
+    #    where only the relative name resolves.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if pkg_root not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else ""))
+    exec_paths = [pkg_root]
+    if ".zip" in pkg_root:
+        exec_paths.append(os.path.basename(pkg_root))
+    exec_pythonpath = os.pathsep.join(
+        exec_paths + ([existing] if existing else []))
+    builder = SparkSession.builder
+    # Under spark-submit a JVM gateway already exists and --master /
+    # --deploy-mode came from the submit command line; overriding it
+    # here would silently turn a cluster job into local[n]. Standalone
+    # (plain `python`) runs get local[n].
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{n}]")
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
@@ -67,10 +87,21 @@ def get_spark(
         # without it each task re-imports, ~0.7 s/task measured).
         .config("spark.python.worker.reuse", "false")
         .config("spark.python.daemon.module", "dedupe_copy_spark.spark_daemon")
+        .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # STATIC broadcast decisions are driven by Catalyst size
+        # estimates, which are garbage for UDF / range / in-memory
+        # lineages (estimated KBs, actually GBs): at 1.6M rows the
+        # planner broadcast the corpus-sized MinHash signature table and
+        # died on spark.driver.maxResultSize. Disable static
+        # auto-broadcast entirely and let AQE decide from EXACT runtime
+        # shuffle sizes instead; explicit F.broadcast() hints (offsets,
+        # query sets — genuinely small) are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,61 @@
+"""North-rule operability: the job must run via
+``spark-submit --py-files dedupe_copy_spark.zip`` (BASELINE.json
+north_rule; reference ships a console entry point,
+/root/reference/setup.py:34-38 — our deployable unit is the zip).
+
+This test builds the zip, copies the entry script to a directory
+OUTSIDE the repo, strips PYTHONPATH, and runs spark-submit from there —
+so every ``dedupe_copy_spark`` import (driver, Python workers, and the
+preloading daemon module) must resolve from the shipped zip alone,
+exactly as on a real cluster.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="no spark-submit")
+def test_spark_submit_py_files_zip(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dedupe_copy_spark import synth
+
+    rows, _ = synth.mixed_e2e()
+    input_path = str(tmp_path / "files.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), input_path)
+
+    # ship the package exactly as `spark-submit --py-files` expects
+    pkg = os.path.join(REPO, "dedupe_copy_spark")
+    zip_path = tmp_path / "dedupe_copy_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, REPO))
+    job = tmp_path / "job.py"
+    shutil.copyfile(os.path.join(pkg, "cli.py"), job)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--py-files", str(zip_path), str(job),
+         "--input", input_path, "--output", str(tmp_path / "out"),
+         "--no-near-dup"],
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
+        env=env)
+    assert out.returncode == 0, out.stderr[-3000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["corpus_rows"] > 0
+    assert stats["corpus_rows"] + stats["loser_rows"] == stats["input_rows"]
