@@ -150,7 +150,10 @@ def verify_substring(cands: DataFrame, files: DataFrame,
 def containment_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
                       id_col: str = "file_id") -> DataFrame:
     """Full composition. Input rows need file_id, size, content."""
-    sketches = bottomk_sketches(files_with_id, cfg).select(id_col, "size", "sketch")
+    # three consumers (candidates + both estimate sides): materialize
+    # the sketch UDF output once (see minhash.minhash_pairs)
+    sketches = (bottomk_sketches(files_with_id, cfg)
+                .select(id_col, "size", "sketch").localCheckpoint())
     cands = containment_candidates(sketches, cfg, id_col)
     est = estimate_containment(cands, sketches.select(id_col, "sketch"), cfg, id_col)
     return verify_substring(est, files_with_id, id_col)

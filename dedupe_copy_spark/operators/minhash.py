@@ -221,7 +221,17 @@ def minhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
                   id_col: str = "file_id") -> DataFrame:
     """Full MinHash→LSH→verify composition: rows must already carry a
     unique long `file_id` and be exact-group representatives."""
-    sigs = minhash_signatures(files_with_id, cfg).select(id_col, "sig")
+    # the signature frame feeds THREE consumers (band filter + both
+    # verify sides); Spark has no cross-branch common-subexpression
+    # reuse, so without a materialization barrier the Arrow signature
+    # UDF would run once PER CONSUMER (measured 8 ArrowEvalPython nodes
+    # in the pairs plan, ~17x the single-pass cost at sf0.1).
+    # localCheckpoint materializes once into executor-local blocks that
+    # the ContextCleaner frees on GC (unlike DataFrame.persist, which
+    # pins the cache until explicit unpersist); at production scale the
+    # pipeline's parquet checkpoint stages play this role.
+    sigs = (minhash_signatures(files_with_id, cfg).select(id_col, "sig")
+            .localCheckpoint())
     # sentinel signatures (empty/shingle-less docs) are identical to each
     # other — they must never band-match (mirrors the zero-byte salting
     # of the exact stage, reference threads.py:410-412)

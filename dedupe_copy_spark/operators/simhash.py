@@ -94,7 +94,10 @@ def simhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
     Hamming verify (bit_count(a^b), codegen'd)."""
     from dedupe_copy_spark.operators.pairs import bucket_pairs
 
-    fps = simhash_fingerprints(files_with_id).select(id_col, "simhash")
+    # three consumers (chunks + both verify sides): materialize the
+    # fingerprint UDF output once (see minhash.minhash_pairs)
+    fps = (simhash_fingerprints(files_with_id).select(id_col, "simhash")
+           .localCheckpoint())
     all_chunks = simhash_chunks(fps, id_col)
     cands = bucket_pairs(all_chunks, ["chunk_id", "chunk_value"], id_col,
                          cfg.max_band_bucket)

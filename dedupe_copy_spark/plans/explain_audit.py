@@ -47,9 +47,15 @@ CHECKS = {
         ("single stage, zero exchanges", lambda p: "Exchange" not in p),
         ("whole-stage codegen", lambda p: "codegen id" in p),
     ],
-    "minhash_near_pairs": [
+    "minhash_signatures": [
         ("signatures via ArrowEvalPython (vectorized), not BatchEvalPython",
          lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
+    "minhash_near_pairs": [
+        # the signature UDF runs once in the localCheckpoint sub-job
+        # (audited above); the pairs plan itself must contain NO python
+        ("no python eval in the pairs plan (signatures materialized once)",
+         lambda p: "EvalPython" not in p),
         ("band bucket pairs via aggregate (collect_set), not self-join",
          lambda p: "collect_set" in p),
     ],

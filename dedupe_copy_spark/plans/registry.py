@@ -1287,8 +1287,19 @@ def ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf0.01 correctness gate adds on top).
 # ---------------------------------------------------------------------------
 
+def minhash_signatures_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature stage alone (plan-audit target: the Arrow UDF now runs
+    inside the localCheckpoint sub-job of minhash_pairs, so the pairs
+    plan no longer exposes it — this does)."""
+    from dedupe_copy_spark.operators import minhash as mh
+
+    return mh.minhash_signatures(_reps(spark, sf_dir), _near_cfg()) \
+        .select("file_id", "sig")
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
+    "minhash_signatures": minhash_signatures_stage,
     "minhash_near_pairs": minhash_near_pairs_raw,
     "simhash_short_pairs": simhash_short_pairs_raw,
     "containment_pairs": containment_pairs_raw,
