@@ -50,6 +50,9 @@ HEADLINE = [
     "embedding_near_dups",
     "path_rules_dest",
     "ivf_topk",
+    "common_ngrams",
+    "dup_span_stats",
+    "contamination_check",
 ]
 
 

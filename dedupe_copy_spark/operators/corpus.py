@@ -1,0 +1,178 @@
+"""Corpus-level hygiene operators for training-data pipelines:
+boilerplate n-gram statistics, cross-document duplicated-span rates,
+benchmark-contamination checks, deterministic hash sampling, and
+token-length distribution summaries.
+
+Everything here is pure Catalyst built-ins (explode + hash
+aggregations + joins) — no Python in the hot path, so the stages stay
+inside whole-stage codegen and scale with input splits. The gram
+columns are shuffled as strings so every output is DuckDB-comparable;
+at 100 TB the same plans run with grams pre-hashed to 64-bit
+(xxhash64(gram)) before the exchange, which changes only the shuffle
+width, not the plan shape (the minhash module's vectorized hashing is
+the template). No operator collects to the driver.
+
+These extend the reference's per-file dedup surface (exact digests,
+/root/reference/dedupe_copy/threads.py:403-425) down to the span level
+— the operations an LLM-corpus pipeline runs between raw dedup and
+training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.textstats import array_ngrams
+
+_TOKEN_RE = r"[a-z0-9_]+"
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(_TOKEN_RE), 0)
+
+
+def doc_grams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, gram) with DISTINCT token n-grams per document. Documents
+    with fewer than n tokens contribute no rows (explode drops empty
+    arrays) — per-doc consumers left-join back to keep them."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(array_ngrams(_tokens(F.col(text_col)), n))
+        ).alias("gram"),
+    )
+
+
+def ngram_doc_freq(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Document frequency per token n-gram: one explode (linear in
+    corpus tokens) + one partial-agg count keyed by gram. Grams are
+    distinct per doc upstream, so count(*) IS document frequency."""
+    grams = doc_grams(docs, n, id_col, text_col)
+    return grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"))
+
+
+def common_ngrams(docs: DataFrame, n: int = 3, top_k: int = 20,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-wide boilerplate detector: the top_k token n-grams by
+    document frequency (license headers, generated-code preambles,
+    navigation chrome surface here first). Deterministic tie-break by
+    gram so top-k is stable. orderBy+limit compiles to TakeOrdered —
+    only k rows per partition travel to the final reduce."""
+    freq = ngram_doc_freq(docs, n, id_col, text_col)
+    return freq.orderBy(F.col("doc_freq").desc(), F.col("gram").asc()) \
+        .limit(top_k)
+
+
+def dup_span_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-span rate: the fraction of a doc's
+    distinct n-grams that also appear in at least one OTHER document —
+    the span-level signal (RefinedWeb/Gopher-style "duplicated n-gram
+    fraction") that document-level digests miss entirely.
+
+    Two shuffles total: gram → doc_freq agg, then a gram-keyed join
+    back and a per-id agg. The join is gram-to-gram (uniform 64-bit-
+    hashable key, no skew beyond true boilerplate, which AQE skew-join
+    splits). Docs with fewer than n tokens surface with n_grams = 0 and
+    ratio 0.0 via the left join — never silently dropped.
+    """
+    grams = doc_grams(docs, n, id_col, text_col)
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+             F.sum((F.col("df") > 1).cast("long")).cast("long")
+              .alias("n_shared_grams"))
+    )
+    ids = docs.select(id_col)
+    out = ids.join(per_doc, id_col, "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_shared = F.coalesce(F.col("n_shared_grams"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        n_shared.cast("long").alias("n_shared_grams"),
+        F.round(n_shared.cast("double")
+                / F.greatest(n_grams, F.lit(1)).cast("double"), 6)
+         .alias("shared_ratio"),
+    )
+
+
+def contamination_check(train: DataFrame, eval_docs: DataFrame, n: int = 8,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination scan: training documents that share at
+    least one token n-gram (default 8 — the standard eval-decontam
+    span) with any held-out eval document, with the count of distinct
+    shared grams. Returns only contaminated rows (id, n_shared_grams);
+    the caller anti-joins to scrub.
+
+    The eval side is aggregated to DISTINCT grams first — at real scale
+    that relation is benchmark-sized (thousands of docs), far smaller
+    than the corpus, so AQE broadcasts it from its exact runtime size
+    and the corpus-side scan never shuffles full width.
+    """
+    train_grams = doc_grams(train, n, id_col, text_col)
+    eval_grams = doc_grams(eval_docs, n, id_col, text_col) \
+        .select("gram").distinct()
+    return (
+        train_grams.join(eval_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+def hash_sample(docs: DataFrame, rate: float,
+                key_col: str = "doc_id") -> DataFrame:
+    """Deterministic, engine-portable sampling: keep rows whose
+    md5(key) falls below the rate threshold in hex space. Unlike
+    DataFrame.sample this is (a) stable across runs/partitionings,
+    (b) reproducible by any engine with md5 (the DuckDB oracle runs the
+    identical predicate), and (c) monotone: hash_sample(r1) is a subset
+    of hash_sample(r2) for r1 <= r2 — so a 1% pilot corpus is contained
+    in the 10% run. Pure codegen filter; pushes down to the scan."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        return docs  # 16^8 would be a 9-hex-digit threshold — keep all
+    thresh = sample_threshold(rate)
+    return docs.filter(
+        F.md5(F.col(key_col).cast("string")) < F.lit(thresh))
+
+
+def sample_threshold(rate: float) -> str:
+    """8-hex-digit lexicographic threshold for ``hash_sample``:
+    uniform md5 prefixes < threshold with probability
+    int(rate * 16^8) / 16^8 (exact for dyadic rates like 0.25).
+    Only defined for rate < 1 (rate 1.0 keeps everything upstream)."""
+    return format(int(rate * 16 ** 8), "08x")
+
+
+def token_percentiles(docs: DataFrame, group_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """Token-length distribution summary per group: exact interpolated
+    p25/p50/p75/p95 plus count. Exact percentile is a per-group sort —
+    fine for bounded group counts (languages, sources); the 100 TB
+    variant swaps F.percentile for percentile_approx with a fixed
+    accuracy and the same output schema."""
+    n_tokens = F.size(_tokens(F.col(text_col))).cast("double")
+    toks = docs.select(F.col(group_col), n_tokens.alias("n_tokens"))
+    pct = F.percentile(F.col("n_tokens"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return (
+        toks.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             pct.alias("_p"))
+        .select(
+            group_col, "n_docs",
+            F.round(F.col("_p")[0], 4).alias("p25"),
+            F.round(F.col("_p")[1], 4).alias("p50"),
+            F.round(F.col("_p")[2], 4).alias("p75"),
+            F.round(F.col("_p")[3], 4).alias("p95"),
+        )
+    )

@@ -106,6 +106,34 @@ CHECKS = {
          lambda p: re.search(
              r"ReadSchema: struct<ts:timestamp(_ntz)?,event_type:string,value:double>", p)),
     ],
+    "common_ngrams": [
+        ("map-side partial count before the gram exchange",
+         lambda p: "partial_count" in p),
+        ("top-k via TakeOrdered (k rows per partition, no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no python eval (explode + agg are codegen)",
+         lambda p: "EvalPython" not in p),
+    ],
+    "dup_span_stats": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+        ("column-pruned scan (only doc_id, text read)",
+         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)),
+    ],
+    "contamination_check": [
+        ("eval-gram filter via semi join", lambda p: "LeftSemi" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "hash_sample": [
+        ("pure codegen filter — single stage, zero exchanges",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "token_percentiles": [
+        ("column-pruned scan (only lang, text read)",
+         lambda p: re.search(r"ReadSchema: struct<text:string,lang:string>", p)
+         or re.search(r"ReadSchema: struct<lang:string,text:string>", p)),
+        ("partial percentile before the exchange",
+         lambda p: "partial_percentile" in p),
+    ],
 }
 
 # ... and the RUNTIME check: after execution, AQE must have converted

@@ -1281,6 +1281,133 @@ def ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-hygiene family (operators/corpus.py): span-level dedup
+# statistics, contamination scans, deterministic sampling — the
+# between-dedup-and-training ops of an LLM-corpus pipeline.
+# ---------------------------------------------------------------------------
+
+_GRAMS3_CTE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks
+)
+"""
+
+
+@register("common_ngrams", _GRAMS3_CTE + """
+SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+FROM grams GROUP BY 1
+ORDER BY doc_freq DESC, gram ASC
+LIMIT 20
+""")
+def common_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detector: top-20 token 3-grams by
+    document frequency (explode + partial-agg count + TakeOrdered,
+    deterministic gram tie-break)."""
+    from dedupe_copy_spark.operators.corpus import common_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return common_ngrams(docs, n=3, top_k=20)
+
+
+@register("dup_span_stats", _GRAMS3_CTE + """
+, freq AS (
+  SELECT gram, count(*) AS df FROM grams GROUP BY 1
+), per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM grams g JOIN freq f USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared_grams,
+       ROUND(coalesce(p.n_shared, 0)::DOUBLE
+             / greatest(coalesce(p.n_grams, 0), 1), 6) AS shared_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""")
+def dup_span_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span rate (fraction of a doc's distinct
+    3-grams appearing in >=1 other doc) — the span-level dup signal
+    document digests miss."""
+    from dedupe_copy_spark.operators.corpus import dup_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_stats(docs, n=3)
+
+
+@register("contamination_check", """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                  t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS gram
+  FROM toks
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 29 = 0
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % 29 <> 0
+GROUP BY 1
+""")
+def contamination_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing any token
+    8-gram with the held-out eval slice (doc_id % 29 == 0 — a selector
+    both engines compute). Semi-join against the distinct eval-gram
+    set (benchmark-sized at scale → AQE broadcasts it)."""
+    from dedupe_copy_spark.operators.corpus import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    return contamination_check(train, eval_docs, n=8)
+
+
+@register("hash_sample", """
+SELECT doc_id, lang, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'
+""")
+def hash_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable 25% sample: md5(key) below the
+    dyadic hex threshold. Stable across runs/partitionings and monotone
+    in rate (pilot corpora nest inside bigger ones); the oracle runs
+    the identical predicate."""
+    from dedupe_copy_spark.operators.corpus import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, rate=0.25).select("doc_id", "lang", "source")
+
+
+@register("token_percentiles", """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_tokens, 0.25), 4) AS p25,
+       ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       ROUND(quantile_cont(n_tokens, 0.75), 4) AS p75,
+       ROUND(quantile_cont(n_tokens, 0.95), 4) AS p95
+FROM (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::DOUBLE AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+""")
+def token_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language: exact interpolated
+    p25/p50/p75/p95 (Spark F.percentile == DuckDB quantile_cont, both
+    linear interpolation)."""
+    from dedupe_copy_spark.operators.corpus import token_percentiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_percentiles(docs, group_col="lang")
+
+
+# ---------------------------------------------------------------------------
 # Bench registry: the driver-facing SPARK_QUERIES plus raw-output
 # variants of the recall-oracle queries (bench times the operator
 # pipelines themselves, without the all-pairs truth computation the

@@ -1,0 +1,115 @@
+"""Unit tests for corpus-hygiene operators (operators/corpus.py):
+constructed-input ground truth for n-gram stats, duplicated-span
+rates, contamination scans, deterministic sampling, and percentiles.
+Cross-engine parity at sf0.01 is covered by test_oracle_parity."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_common_ngrams_counts_and_tiebreak(spark):
+    docs = _docs(spark, [
+        (1, "a b c d"),        # grams: "a b c", "b c d"
+        (2, "a b c x"),        # grams: "a b c", "b c x"
+        (3, "a b c"),          # gram:  "a b c"
+        (4, "zz"),             # too short: no grams
+    ])
+    out = {r.gram: r.doc_freq
+           for r in corpus.common_ngrams(docs, n=3, top_k=10).collect()}
+    assert out == {"a b c": 3, "b c d": 1, "b c x": 1}
+    # deterministic tie-break: with top_k=2 the doc_freq=1 tie resolves
+    # by gram ascending
+    top2 = [r.gram for r in corpus.common_ngrams(docs, n=3, top_k=2).collect()]
+    assert top2 == ["a b c", "b c d"]
+
+
+def test_ngram_doc_freq_is_document_frequency(spark):
+    # a gram repeated WITHIN one doc counts once (distinct per doc)
+    docs = _docs(spark, [(1, "a b c a b c"), (2, "a b c")])
+    freq = {r.gram: r.doc_freq
+            for r in corpus.ngram_doc_freq(docs, n=3).collect()}
+    assert freq["a b c"] == 2
+
+
+def test_dup_span_stats(spark):
+    docs = _docs(spark, [
+        (1, "a b c d e"),   # grams: abc, bcd, cde — abc shared with 2
+        (2, "a b c q r"),   # grams: abc, bcq, cqr — abc shared
+        (3, "u v w x y"),   # all unique
+        (4, "hi"),          # <3 tokens: no grams, kept with zeros
+    ])
+    out = {r.doc_id: r for r in corpus.dup_span_stats(docs, n=3).collect()}
+    assert len(out) == 4
+    assert out[1].n_grams == 3 and out[1].n_shared_grams == 1
+    assert out[1].shared_ratio == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].n_shared_grams == 1
+    assert out[3].n_grams == 3 and out[3].n_shared_grams == 0
+    assert out[3].shared_ratio == 0.0
+    assert out[4].n_grams == 0 and out[4].shared_ratio == 0.0
+
+
+def test_contamination_check(spark):
+    eval_docs = _docs(spark, [(100, "one two three four five six seven eight")])
+    train = _docs(spark, [
+        # contains the eval 8-gram verbatim (plus surrounding tokens)
+        (1, "zz one two three four five six seven eight yy"),
+        # shares only a 7-token prefix — NOT contaminated at n=8
+        (2, "one two three four five six seven SOMETHINGELSE"),
+        (3, "totally unrelated words only here nothing shared at all"),
+    ])
+    out = {r.doc_id: r.n_shared_grams
+           for r in corpus.contamination_check(train, eval_docs, n=8).collect()}
+    assert out == {1: 1}
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in corpus.hash_sample(docs, 0.10).collect()}
+    s10_again = {r.doc_id for r in corpus.hash_sample(docs, 0.10).collect()}
+    s30 = {r.doc_id for r in corpus.hash_sample(docs, 0.30).collect()}
+    assert s10 == s10_again                      # stable across runs
+    assert s10 <= s30                            # monotone nesting
+    # uniform md5 prefixes: expect ~rate +- a generous binomial margin
+    assert 0.05 < len(s10) / 2000 < 0.15
+    assert 0.24 < len(s30) / 2000 < 0.36
+    assert corpus.hash_sample(docs, 0.0).count() == 0
+    assert corpus.hash_sample(docs, 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        corpus.hash_sample(docs, 1.5)
+
+
+def test_token_percentiles_match_numpy(spark):
+    lens = [10, 20, 30, 40, 50, 60, 70, 80, 90]
+    rows = [(i, " ".join(["tok"] * n), "en") for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    row = corpus.token_percentiles(docs, group_col="lang").collect()[0]
+    assert row.n_docs == len(lens)
+    for attr, q in (("p25", 25), ("p50", 50), ("p75", 75), ("p95", 95)):
+        assert getattr(row, attr) == pytest.approx(
+            np.percentile(lens, q), abs=1e-4), attr
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_contamination_check_non_vacuous_on_fixtures(spark, sf):
+    """The contamination oracle only means something if the fixture's
+    eval slice actually shares 8-gram spans with training docs — pin
+    that so testdata drift can't silently empty the check."""
+    from dedupe_copy_spark.plans import registry
+
+    n = registry.SPARK_QUERIES["contamination_check"](spark, sf).count()
+    assert n >= 2, n
+
+
+def test_doc_grams_tokenizes_case_insensitive(spark):
+    docs = _docs(spark, [(1, "Foo BAR_baz qux-7 Foo")])
+    grams = [r.gram for r in corpus.doc_grams(docs, n=3).collect()]
+    # tokens: foo bar_baz qux 7 foo
+    assert "foo bar_baz qux" in grams and "qux 7 foo" in grams
