@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""One steal-instrumented N-vs-4N scaling pair, appended to
+BENCH/scaling_runs.jsonl.
+
+Runs `bench.py --scaling-worker <cores>` in fresh subprocesses (fresh
+JVM each) at the two parallelism levels, measuring across exactly each
+run's wall window the /proc/stat cpu breakdown (user/sys/idle/steal).
+The steal column is the evidence distinguishing "the code doesn't
+scale" from "a co-tenant ate the cores": this sandbox's loadavg cannot
+see other VMs on the host, steal% can.
+
+Usage:
+  python BENCH/scaling_trial.py [--rows 1600000] [--cores 2,8] [--note s]
+
+Each run appends one JSONL record:
+  {"attempt": K, "round": R, "note": ..., "pre_load": ...,
+   "cpu_during": {"user_pct":..,"sys_pct":..,"idle_pct":..,"steal_pct":..},
+   "run": {"cores":..,"rows":..,"seconds":..,"rows_per_sec":..,"pairs":..}}
+
+Summarize with `python BENCH/summarize_scaling.py --since-attempt K`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+RUNS = os.path.join(HERE, "scaling_runs.jsonl")
+
+
+def read_cpu() -> list[int]:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return [int(x) for x in parts[1:9]]  # user nice sys idle iowait irq softirq steal
+
+
+def cpu_delta_pct(before: list[int], after: list[int]) -> dict:
+    d = [a - b for a, b in zip(after, before)]
+    total = max(sum(d), 1)
+    return {
+        "user_pct": round(100 * (d[0] + d[1]) / total, 1),
+        "sys_pct": round(100 * (d[2] + d[5] + d[6]) / total, 1),
+        "idle_pct": round(100 * (d[3] + d[4]) / total, 1),
+        "steal_pct": round(100 * d[7] / total, 1),
+    }
+
+
+def next_attempt() -> int:
+    best = 0
+    if os.path.exists(RUNS):
+        with open(RUNS) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    best = max(best, json.loads(line).get("attempt", 0))
+    return best + 1
+
+
+def one_run(cores: int, rows: int) -> tuple[dict, dict, float]:
+    pre_load = round(os.getloadavg()[0], 1)
+    env = dict(os.environ, SPARK_GRAFT_SCALING_ROWS=str(rows))
+    before = read_cpu()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--scaling-worker", str(cores)],
+        capture_output=True, text=True, check=True, env=env, cwd=REPO)
+    after = read_cpu()
+    run = json.loads(out.stdout.strip().splitlines()[-1])
+    return run, cpu_delta_pct(before, after), pre_load
+
+
+def main() -> int:
+    rows = 1_600_000
+    cores = (2, 8)
+    note = "steal-instrumented"
+    args = sys.argv[1:]
+    if "--rows" in args:
+        rows = int(args[args.index("--rows") + 1])
+    if "--cores" in args:
+        cores = tuple(int(c) for c in args[args.index("--cores") + 1].split(","))
+    if "--note" in args:
+        note = args[args.index("--note") + 1]
+    attempt = next_attempt()
+    note = f"{note}, {rows} rows"
+    for c in cores:
+        run, cpu, pre_load = one_run(c, rows)
+        rec = {"attempt": attempt, "round": 2, "note": note,
+               "pre_load": pre_load, "cpu_during": cpu, "run": run}
+        with open(RUNS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

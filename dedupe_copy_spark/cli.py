@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also export the dedup'd manifest as a "
                         "reference-format SQLite .db (the ORIGINAL tool "
                         "can keep operating on it)")
+    p.add_argument("--corpus-stats", action="store_true",
+                   help="also write span_stats/ (per-file duplicated "
+                        "3-gram fraction) and common_ngrams/ (top-50 "
+                        "boilerplate grams) over the deduped corpus")
     p.add_argument("--report-extensions", action="store_true",
                    help="also write the top-extension report (reference -e)")
     p.add_argument("--verify", default=None, metavar="MANIFEST_PARQUET",
@@ -210,6 +214,15 @@ def main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(f"{out}/pairs")
         clusters.write.mode("overwrite").parquet(f"{out}/clusters")
         report.write.mode("overwrite").option("header", True).csv(f"{out}/report")
+        if args.corpus_stats:
+            from dedupe_copy_spark.operators import corpus
+
+            corpus.dup_span_stats(win, n=3, id_col="file_id",
+                                  text_col="content") \
+                .write.mode("overwrite").parquet(f"{out}/span_stats")
+            corpus.common_ngrams(win, n=3, top_k=50, id_col="file_id",
+                                 text_col="content") \
+                .write.mode("overwrite").parquet(f"{out}/common_ngrams")
         if args.report_extensions:
             exact.extension_report(hashed).write.mode("overwrite") \
                 .option("header", True).csv(f"{out}/extension_report")

@@ -113,6 +113,24 @@ def test_cli_report_extensions(input_parquet, tmp_path):
     assert (out / "extension_report").exists()
 
 
+def test_cli_corpus_stats(input_parquet, tmp_path):
+    path, _ = input_parquet
+    out = tmp_path / "out_cs"
+    stats = _run_cli(["--input", path, "--output", str(out), "--no-near-dup",
+                      "--corpus-stats", "--cores", "4"])
+    import duckdb
+
+    span = duckdb.sql(
+        f"SELECT count(*), max(shared_ratio) FROM '{out}/span_stats/*.parquet'"
+    ).fetchone()
+    assert span[0] == stats["corpus_rows"]        # one row per corpus file
+    assert 0.0 <= span[1] <= 1.0
+    grams = duckdb.sql(
+        f"SELECT count(*), min(doc_freq) FROM '{out}/common_ngrams/*.parquet'"
+    ).fetchone()
+    assert 0 < grams[0] <= 50 and grams[1] >= 1
+
+
 def test_cli_verify_mode(input_parquet, tmp_path):
     import pandas as pd
     import pyarrow as pa
