@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""North-rule recall evidence at sf0.1: every exact-shingle-Jaccard
+>= 0.8 document pair must land in one cluster after the FULL pipeline
+(exact collapse -> MinHash/SimHash/containment -> connected
+components).
+
+Truth is computed with an inverted-index equi-join (explode distinct
+3-grams, join on gram, count intersections) — linear shuffles, unlike
+the all-pairs array-intersect join the sf0.01 oracle can afford.
+
+Note the measurement subtlety this script exists to document: pair
+RECALL measured against rep-level LSH output alone UNDERCOUNTS,
+because docs collapsed as exact duplicates are represented by one rep
+— their truth pairs connect through the exact star edges, not through
+an LSH pair. Cluster membership is the semantically correct recall
+surface (north_rule: "matching the reference's cluster assignments").
+
+Measured 2026-08-17 (local[32], sf0.1, 5,000 docs):
+  truth pairs (J >= 0.8): 256
+  same-cluster after pipeline: 256  -> recall 1.0000
+  (rep-level LSH pair recall alone: 241/256 = 0.941; every one of the
+   15 "missing" pairs involves a doc collapsed into an exact group
+   whose rep IS paired — verified by checking reps membership.)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dedupe_copy_spark.plans import registry  # noqa: E402
+from dedupe_copy_spark.plans.pipeline import DedupePipeline  # noqa: E402
+from dedupe_copy_spark.session import get_spark, warm_python_workers  # noqa: E402
+from dedupe_copy_spark.sources.tables import files_from_documents  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+THRESHOLD = 0.8
+
+
+def truth_pairs(spark):
+    """Exact shingle-Jaccard >= THRESHOLD doc pairs via inverted index."""
+    grams = registry._doc_grams(spark, SF)
+    ex = grams.select("doc_id", F.explode("g").alias("gram"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("inter")))
+    sizes = grams.select("doc_id", F.size("g").alias("sz"))
+    return (
+        shared
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sb")), "doc_b")
+        .withColumn("jac", F.col("inter")
+                    / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .filter(F.col("jac") >= THRESHOLD)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+def main() -> int:
+    spark = get_spark(app_name="recall-evidence", cores=32,
+                      shuffle_partitions=32)
+    warm_python_workers(spark)
+    t0 = time.time()
+    truth = truth_pairs(spark).localCheckpoint()
+    n_truth = truth.count()
+    res = DedupePipeline(spark, registry._near_cfg()).run(
+        files_from_documents(spark, SF))
+    assigned = (
+        res.clusters.join(res.hashed.select("file_id", "path"), "file_id")
+        .select(registry._doc_id_from_path(F.col("path")).alias("doc"),
+                "cluster_id"))
+    per_doc = assigned.groupBy("doc").agg(F.min("cluster_id").alias("c")) \
+        .localCheckpoint()
+    ok = (
+        truth
+        .join(per_doc.select(F.col("doc").alias("doc_a"),
+                             F.col("c").alias("ca")), "doc_a")
+        .join(per_doc.select(F.col("doc").alias("doc_b"),
+                             F.col("c").alias("cb")), "doc_b")
+        .withColumn("same", F.col("ca") == F.col("cb")))
+    n_same = ok.filter("same").count()
+    print(f"truth={n_truth} same_cluster={n_same} "
+          f"recall={n_same / max(n_truth, 1):.4f} "
+          f"({time.time() - t0:.1f}s)")
+    for r in ok.filter("NOT same").collect()[:20]:
+        print(f"  SPLIT {r.doc_a} {r.doc_b} J={r.jac:.4f}")
+    return 0 if n_same == n_truth else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
