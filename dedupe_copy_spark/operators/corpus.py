@@ -20,7 +20,7 @@ training.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dedupe_copy_spark.operators.textstats import array_ngrams
@@ -151,6 +151,69 @@ def sample_threshold(rate: float) -> str:
     int(rate * 16^8) / 16^8 (exact for dyadic rates like 0.25).
     Only defined for rate < 1 (rate 1.0 keeps everything upstream)."""
     return format(int(rate * 16 ** 8), "08x")
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   min_tokens: int = 16, max_avg_token_len: float = 12.0,
+                   stop_words: tuple[str, ...] = ("the", "and", "of", "to",
+                                                  "is", "a")) -> DataFrame:
+    """C4-style document quality gate: keep docs with enough tokens, a
+    sane mean token length, and at least one common stopword (the
+    classic "is this prose or a symbol dump" heuristics). Emits every
+    row with the per-rule booleans and a composite `keep` flag — the
+    caller filters, so rejected rows stay inspectable (rule-level
+    accounting, never a silent drop). Pure codegen scan."""
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    avg_len = (F.length(F.col(text_col)).cast("double")
+               / F.greatest(n_tokens, F.lit(1)).cast("double"))
+    stop_re = r"\b(" + "|".join(stop_words) + r")\b"
+    has_stop = F.regexp_count(F.lower(F.col(text_col)), F.lit(stop_re)) > 0
+    ok_tokens = n_tokens >= min_tokens
+    ok_avg = avg_len <= max_avg_token_len
+    return docs.select(
+        *docs.columns,
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        ok_tokens.alias("ok_min_tokens"),
+        ok_avg.alias("ok_avg_token_len"),
+        has_stop.alias("ok_has_stopword"),
+        (ok_tokens & ok_avg & has_stop).alias("keep"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, group_col: str = "source",
+                    text_col: str = "text", top_k: int = 5) -> DataFrame:
+    """Top-k distinctive tokens per group by tf-idf: tf = occurrences
+    of the token in the group's docs, idf = ln(n_groups / groups
+    containing the token). Surfaces what each source is "about" (and
+    flags template-heavy sources whose top terms are boilerplate).
+
+    Two aggregations over the exploded token relation (group-level tf,
+    token-level group-df) + one rank window partitioned by group —
+    every shuffle keyed by token or group, no driver collection. Ties
+    break deterministically by token."""
+    toks = docs.select(F.col(group_col).alias("grp"),
+                       F.explode(_tokens(F.col(text_col))).alias("token"))
+    tf = toks.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_groups = docs.select(group_col).distinct().count()
+    gdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("g_df"))
+    scored = (
+        tf.join(gdf, "token")
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("g_df")), 6))
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("grp").alias(group_col), "token",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("g_df").cast("long").alias("g_df"),
+                "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def token_percentiles(docs: DataFrame, group_col: str = "lang",

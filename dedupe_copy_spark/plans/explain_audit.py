@@ -127,6 +127,17 @@ CHECKS = {
         ("pure codegen filter — single stage, zero exchanges",
          lambda p: "Exchange" not in p and "EvalPython" not in p),
     ],
+    "quality_filter": [
+        ("pure codegen scan — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+        ("column-pruned scan (only doc_id, text read)",
+         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)),
+    ],
+    "tfidf_top_terms": [
+        ("map-side partial count on the token relation",
+         lambda p: "partial_count" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "token_percentiles": [
         ("column-pruned scan (only lang, text read)",
          lambda p: re.search(r"ReadSchema: struct<text:string,lang:string>", p)

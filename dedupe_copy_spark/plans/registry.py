@@ -1384,6 +1384,66 @@ def hash_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, rate=0.25).select("doc_id", "lang", "source")
 
 
+@register("quality_filter", r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS nt,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS ns
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       ROUND(length(text)::DOUBLE / greatest(nt, 1), 6) AS avg_token_len,
+       nt >= 16 AS ok_min_tokens,
+       length(text)::DOUBLE / greatest(nt, 1) <= 12.0 AS ok_avg_token_len,
+       ns > 0 AS ok_has_stopword,
+       (nt >= 16 AND length(text)::DOUBLE / greatest(nt, 1) <= 12.0
+        AND ns > 0) AS keep
+FROM t
+""")
+def quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate with per-rule booleans + composite keep
+    flag (rule-level accounting, no silent drops)."""
+    from dedupe_copy_spark.operators.corpus import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "ok_min_tokens",
+        "ok_avg_token_len", "ok_has_stopword", "keep")
+
+
+@register("tfidf_top_terms", """
+WITH toks AS (
+  SELECT source AS grp,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT grp, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), gdf AS (
+  SELECT token, count(*) AS g_df FROM tf GROUP BY 1
+), scored AS (
+  SELECT grp, token, tf, g_df,
+         ROUND(tf * ln((SELECT count(DISTINCT source) FROM documents)::DOUBLE
+                       / g_df), 6) AS tfidf
+  FROM tf JOIN gdf USING (token)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY grp
+                               ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT grp AS source, token, CAST(tf AS BIGINT) AS tf,
+       CAST(g_df AS BIGINT) AS g_df, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""")
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive tokens per source by tf-idf (ranked on the
+    ROUNDED score on both engines so ordering ties cross-check)."""
+    from dedupe_copy_spark.operators.corpus import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, group_col="source", top_k=5)
+
+
 @register("token_percentiles", """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        ROUND(quantile_cont(n_tokens, 0.25), 4) AS p25,

@@ -97,6 +97,42 @@ def test_token_percentiles_match_numpy(spark):
             np.percentile(lens, q), abs=1e-4), attr
 
 
+def test_quality_filter_rules(spark):
+    long_good = "the quick brown fox jumps over a lazy dog " * 4   # 36 toks
+    short = "the tiny one"                                         # 3 toks
+    symbols = "x" * 400 + " " + "y" * 400                          # avg len huge
+    nostop = " ".join(f"tok{i}" for i in range(30))                # no stopword
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, symbols), (4, nostop)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.quality_filter(docs).collect()}
+    assert out[1].keep and out[1].ok_min_tokens and out[1].ok_has_stopword
+    assert not out[2].keep and not out[2].ok_min_tokens
+    assert not out[3].keep and not out[3].ok_avg_token_len
+    assert not out[4].keep and not out[4].ok_has_stopword \
+        and out[4].ok_min_tokens
+
+
+def test_tfidf_top_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha shared", "s1"),
+         (2, "beta shared shared", "s2"),
+         (3, "gamma shared", "s3")],
+        "doc_id long, text string, source string")
+    out = corpus.tfidf_top_terms(docs, group_col="source", top_k=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # the distinctive token ranks first in each source; 'shared' has
+    # idf ln(3/3)=0 so tfidf 0
+    assert by_src["s1"][0].token == "alpha" and by_src["s1"][0].tf == 2
+    assert by_src["s2"][0].token == "beta"
+    assert by_src["s3"][0].token == "gamma"
+    shared_rows = [r for r in out if r.token == "shared"]
+    assert all(r.tfidf == 0.0 for r in shared_rows)
+    assert all(r.g_df == 3 for r in shared_rows)
+
+
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
 def test_contamination_check_non_vacuous_on_fixtures(spark, sf):
     """The contamination oracle only means something if the fixture's
