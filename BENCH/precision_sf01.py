@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Precision/calibration evidence at sf0.1: for every pair the MinHash
+pipeline EMITS, compute the exact shingle Jaccard and summarize how
+estimates track truth. Complements BENCH/recall_sf01.py (which bounds
+what the pipeline misses) with a bound on what it over-claims.
+
+Reported:
+  - exact-J distribution of emitted pairs (min / p10 / median),
+  - count of emitted pairs whose exact J < 0.5 (would-be false
+    positives; the est >= cfg.jaccard_threshold filter should keep
+    this at/near zero),
+  - mean/max |est_jaccard - exact_jaccard| (128-perm estimator noise,
+    theoretical sigma ~= sqrt(J(1-J)/128) ~= 0.035 at J=0.8).
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dedupe_copy_spark.operators import minhash as mh  # noqa: E402
+from dedupe_copy_spark.plans import registry  # noqa: E402
+from dedupe_copy_spark.session import get_spark, warm_python_workers  # noqa: E402
+
+SF = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    spark = get_spark(app_name="precision-evidence", cores=32,
+                      shuffle_partitions=32)
+    warm_python_workers(spark)
+    t0 = time.time()
+    reps = registry._reps(spark, SF)
+    pairs = mh.minhash_pairs(reps, registry._near_cfg()).localCheckpoint()
+
+    grams = registry._doc_grams(spark, SF)
+    ids = reps.select("file_id",
+                      registry._doc_id_from_path(F.col("path")).alias("doc_id"))
+    g = ids.join(grams, "doc_id").select("file_id", "g")
+    joined = (
+        pairs
+        .join(g.select(F.col("file_id").alias("id_a"),
+                       F.col("g").alias("g_a")), "id_a")
+        .join(g.select(F.col("file_id").alias("id_b"),
+                       F.col("g").alias("g_b")), "id_b")
+        .withColumn("exact_j",
+                    F.size(F.array_intersect("g_a", "g_b")).cast("double")
+                    / F.greatest(F.size(F.array_union("g_a", "g_b")),
+                                 F.lit(1)).cast("double"))
+        .withColumn("err", F.abs(F.col("est_jaccard") - F.col("exact_j")))
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("exact_j").alias("min_j"),
+        F.expr("percentile(exact_j, array(0.1, 0.5))").alias("pct"),
+        F.sum((F.col("exact_j") < 0.5).cast("long")).alias("n_below_half"),
+        F.round(F.avg("err"), 4).alias("mean_err"),
+        F.round(F.max("err"), 4).alias("max_err"),
+    ).collect()[0]
+    print(f"emitted={row.n} min_exact_j={row.min_j:.4f} "
+          f"p10={row.pct[0]:.4f} median={row.pct[1]:.4f} "
+          f"below_0.5={row.n_below_half} "
+          f"est_err mean={row.mean_err} max={row.max_err} "
+          f"({time.time() - t0:.1f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,7 +44,10 @@ def cpu_delta_pct(before: list[int], after: list[int]) -> dict:
     return {
         "user_pct": round(100 * (d[0] + d[1]) / total, 1),
         "sys_pct": round(100 * (d[2] + d[5] + d[6]) / total, 1),
-        "idle_pct": round(100 * (d[3] + d[4]) / total, 1),
+        "idle_pct": round(100 * d[3] / total, 1),
+        # iowait separated from idle: the shuffle disk is shared with
+        # co-tenants, and an I/O-stalled run shows here (not in steal)
+        "iowait_pct": round(100 * d[4] / total, 1),
         "steal_pct": round(100 * d[7] / total, 1),
     }
 

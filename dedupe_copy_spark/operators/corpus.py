@@ -36,12 +36,16 @@ def doc_grams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """(id, gram) with DISTINCT token n-grams per document. Documents
     with fewer than n tokens contribute no rows (explode drops empty
-    arrays) — per-doc consumers left-join back to keep them."""
-    return docs.select(
+    arrays) — per-doc consumers left-join back to keep them.
+
+    Tokenization is projected into an attribute FIRST so the n-gram
+    construction (which references the token array n+1 times) never
+    re-runs the regex — Catalyst's CollapseProject keeps multi-use
+    non-cheap expressions un-inlined."""
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    return toks.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(array_ngrams(_tokens(F.col(text_col)), n))
-        ).alias("gram"),
+        F.explode(F.array_distinct(array_ngrams(F.col("_toks"), n))).alias("gram"),
     )
 
 

@@ -44,28 +44,35 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_ngrams(col, n: int = 3):
-    """Token n-grams with array built-ins (1-based element_at, matching
-    the DuckDB list-indexing oracle).
-
-    Docs with fewer than n tokens yield an EMPTY gram array: without the
-    guard, sequence(1, size-(n-1)) would generate a DESCENDING [1, 0]
-    for 2-token docs and element_at would then hit index 0 / past-end
-    (ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT aborts the job). The inner
-    bound is additionally clamped to >= 1 so the untaken branch can
-    never build a descending sequence even under expression re-ordering.
-    """
+    """Token n-grams with array built-ins; docs with fewer than n
+    tokens yield an EMPTY gram array (mirrors the DuckDB oracles'
+    range(1, greatest(len - (n-1), 0) + 1))."""
     return array_ngrams(F.split(col, " ", -1), n)
 
 
 def array_ngrams(arr, n: int = 3):
     """n-grams over an array<string> column (space-joined), empty array
-    when the input has fewer than n elements."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(n)]),
-    )
-    empty = F.slice(arr, 1, 0)  # typed empty array<string>
-    return F.when(F.size(arr) >= n, grams).otherwise(empty)
+    when the input has fewer than n elements.
+
+    Built by folding zip_with over n-1 SHIFTED SLICES of the array —
+    every step is an array-level operation that evaluates ``arr`` once
+    per row. The naive form (transform over a position sequence with n
+    element_at lookups in the lambda) re-evaluates the closed-over
+    ``arr`` expression PER ELEMENT: with arr = regexp_extract_all(text)
+    that is ~n*len(arr) full-text regex scans per row — measured 19.4 s
+    vs 1.5 s for the same 260k grams at sf0.1. zip_with pads the
+    shorter side with null (concat_ws skips nulls → partial grams at
+    the tail), so the final slice trims to the size-(n-1) full grams;
+    it also yields the empty array for <n-element inputs.
+    """
+    out = arr
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(out, 1, F.greatest(F.size(arr) - (n - 1), F.lit(0)))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
