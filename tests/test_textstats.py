@@ -87,3 +87,30 @@ def test_ngram_short_docs_yield_empty_grams(spark):
     assert got == {1: 0, 2: 0, 3: 0, 4: 3, 5: 3}
     pairs = textstats.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(4, 5)]
+
+
+def test_array_ngrams_matches_python_reference(spark):
+    """Randomized equivalence of the zip_with n-gram construction vs
+    the obvious Python reference, across n in 1..5 and adversarial
+    token arrays (empties, repeats, unicode, len < n) — one Spark job
+    per n, 60 cases each."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "x_1", "", "Ü", "tok", "zz9", "_"]
+    cases = [[rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+             for _ in range(58)] + [[], ["solo"]]
+
+    def ref_ngrams(toks, n):
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, toks array<string>")
+    for n in (1, 2, 3, 5):
+        got = {r.i: r.g for r in df.select(
+            "i", textstats.array_ngrams(F.col("toks"), n).alias("g")).collect()}
+        for i, toks in enumerate(cases):
+            expected = ref_ngrams(toks, n)
+            # concat_ws drops nothing for plain strings; empty tokens
+            # join as consecutive spaces exactly like " ".join
+            assert got[i] == expected, (n, toks, got[i], expected)
