@@ -183,8 +183,12 @@ def main(out_md: str = "PLANS.md") -> int:
             if not ok:
                 failures.append(f"{name}: {label}")
         for label, pred in EXECUTED_CHECKS.get(name, []):
-            # collect() runs THIS df's queryExecution (count() would
-            # build a new one), so AQE finalizes the audited plan
+            # collect() runs THIS df's queryExecution so AQE finalizes
+            # the audited plan in place. count() or a noop-sink write
+            # would wrap the logical plan in a NEW QueryExecution and
+            # leave this one un-executed (isFinalPlan=false). Offline
+            # diagnostics at sf0.01 — not library dataflow (the
+            # no-driver-collect discipline test allowlists this file).
             df.collect()
             executed = formatted_plan(spark, df)
             ok = bool(pred(executed))

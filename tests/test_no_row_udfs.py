@@ -34,8 +34,11 @@ def test_no_driver_side_collect_loops():
     # exact.py: _number_keys bucket offsets (≤ |alphabet|^2 rows — 256
     # for hex digests — never data-proportional); cli.py: verify-mode
     # per-status counts (≤ 3 rows)
+    # plans/explain_audit.py: offline diagnostics — collect() is the
+    # only way to execute a df's OWN QueryExecution so the audited
+    # adaptive plan finalizes (count()/write wrap a new one)
     allowed = {"operators/cc.py", "session.py", "operators/exact.py",
-               "cli.py"}
+               "cli.py", "plans/explain_audit.py"}
     offenders = []
     for py in PKG.rglob("*.py"):
         rel = str(py.relative_to(PKG))
