@@ -1,0 +1,54 @@
+"""Bucketed corpus tables: persist the hashed relation bucketed by
+file_id so every downstream equi-join on it (signature verify sides,
+cluster propagation, member expansion) reads co-located buckets and
+skips its shuffle entirely.
+
+At 100 TB the ingest job writes the hashed corpus ONCE bucketed by the
+uniform 64-bit file_id; each of the pipeline's later jobs then joins
+rep/pair/cluster relations against it with ZERO exchanges on the
+corpus side (SortMergeJoin over pre-bucketed scans — asserted by
+tests/test_bucketed.py on the actual plan). This is the Spark-native
+answer to "reuse a partitioning across stages": the bucket spec lives
+in the catalog, not in a job's lifetime.
+
+Bucketing uses the session catalog's saveAsTable (bucket metadata
+needs a catalog entry; a plain parquet path cannot carry it). The
+default in-memory catalog + spark.sql.warehouse.dir works — no Hive
+metastore required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def save_bucketed(df: DataFrame, table: str, bucket_cols: tuple[str, ...],
+                  n_buckets: int, sort_cols: tuple[str, ...] = ()) -> None:
+    """Persist ``df`` as a bucketed (optionally sorted) catalog table.
+
+    n_buckets sizes the per-bucket file count: pick ~corpus_bytes /
+    (256 MB) at scale so one bucket is one task's worth. Sorting within
+    buckets additionally removes the sort from downstream
+    SortMergeJoins on the same keys."""
+    writer = (df.write.mode("overwrite")
+              .format("parquet")
+              .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket spec (spark.table —
+    a path read would drop the metadata and re-shuffle downstream)."""
+    return spark.table(table)
+
+
+def cobucketed_join(left: DataFrame, right: DataFrame, on: list[str],
+                    how: str = "inner") -> DataFrame:
+    """Join two relations bucketed on ``on`` with the same bucket
+    count: Catalyst plans a SortMergeJoin whose BOTH sides read their
+    buckets directly — no Exchange on either side (the property
+    tests/test_bucketed.py pins). A plain helper, not magic: the
+    win comes from the inputs' catalog bucket specs."""
+    return left.join(right, on, how)

@@ -9,8 +9,13 @@ from dedupe_copy_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="dedupe-copy-spark-tests", cores=4, shuffle_partitions=4)
+def spark(tmp_path_factory):
+    # warehouse in a temp dir so saveAsTable-based tests (bucketed
+    # tables) never litter the repo with spark-warehouse/
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(app_name="dedupe-copy-spark-tests", cores=4,
+                  shuffle_partitions=4,
+                  extra_conf={"spark.sql.warehouse.dir": wh})
     yield s
 
 

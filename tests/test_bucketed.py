@@ -1,0 +1,62 @@
+"""Bucketed-table co-location: the persisted bucket spec must remove
+the join-side shuffles (the 'reuse a partitioning across stages'
+property the 100 TB design leans on)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.sources import bucketed
+
+
+@pytest.fixture(scope="module")
+def bucket_tables(spark, tmp_path_factory):
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("file_id"),
+        (F.col("id") % 97).alias("payload"))
+    right = spark.range(0, 10_000, 3).select(
+        F.col("id").alias("file_id"),
+        (F.col("id") % 13).alias("extra"))
+    bucketed.save_bucketed(left, "bt_left", ("file_id",), 8,
+                           sort_cols=("file_id",))
+    bucketed.save_bucketed(right, "bt_right", ("file_id",), 8,
+                           sort_cols=("file_id",))
+    yield "bt_left", "bt_right"
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_cobucketed_join_has_no_exchange(spark, bucket_tables):
+    lt, rt = bucket_tables
+    left, right = bucketed.load_bucketed(spark, lt), bucketed.load_bucketed(spark, rt)
+    joined = bucketed.cobucketed_join(left, right, ["file_id"])
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # correctness of the shuffle-free join
+    assert joined.count() == 3334
+    row = joined.filter(F.col("file_id") == 9999).collect()[0]
+    assert row.payload == 9999 % 97 and row.extra == 9999 % 13
+
+
+def test_bucketed_roundtrip_preserves_rows(spark, bucket_tables):
+    lt, _ = bucket_tables
+    df = bucketed.load_bucketed(spark, lt)
+    assert df.count() == 10_000
+    assert df.filter(F.col("payload") >= 97).count() == 0
+
+
+def test_unbucketed_join_does_shuffle(spark, bucket_tables):
+    """Control: the same join WITHOUT bucket metadata shuffles — the
+    no-Exchange assertion above is the bucket spec's doing, not a
+    planner accident."""
+    lt, rt = bucket_tables
+    left = bucketed.load_bucketed(spark, lt)
+    # strip the bucket spec by round-tripping through a plain view
+    plain = left.sparkSession.createDataFrame(
+        left.limit(500).collect(), left.schema)
+    joined = plain.join(bucketed.load_bucketed(spark, rt), ["file_id"])
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "Exchange" in plan
