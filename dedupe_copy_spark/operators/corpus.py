@@ -220,6 +220,32 @@ def tfidf_top_terms(docs: DataFrame, group_col: str = "source",
     )
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: tuple[str, ...] = ("doc_id",),
+                  content_col: str = "text") -> DataFrame:
+    """Corpus-snapshot diff: one full-outer hash join on the key,
+    classifying every key as added / removed / changed / unchanged by
+    content digest — the "what moved between crawl N and N+1" report a
+    recurring ingestion pipeline publishes (the batch generalization of
+    the reference's verify/compare audits, core.py:690-750). Returns
+    (keys..., status, old_sha256, new_sha256); callers filter
+    status != 'unchanged' for the delta feed. One shuffle per side,
+    keyed by the join key; digests are computed in the scan projection
+    so only (key, 64-byte hash) ever reaches the exchange."""
+    keys = [F.col(c) for c in key_cols]
+    o = old.select(*keys, F.sha2(F.col(content_col), 256).alias("old_sha256"))
+    n = new.select(*keys, F.sha2(F.col(content_col), 256).alias("new_sha256"))
+    joined = o.join(n, list(key_cols), "full_outer")
+    status = (
+        F.when(F.col("old_sha256").isNull(), F.lit("added"))
+        .when(F.col("new_sha256").isNull(), F.lit("removed"))
+        .when(F.col("old_sha256") != F.col("new_sha256"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key_cols, status.alias("status"),
+                         "old_sha256", "new_sha256")
+
+
 def token_percentiles(docs: DataFrame, group_col: str = "lang",
                       text_col: str = "text") -> DataFrame:
     """Token-length distribution summary per group: exact interpolated

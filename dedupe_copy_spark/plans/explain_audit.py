@@ -138,6 +138,12 @@ CHECKS = {
          lambda p: "partial_count" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "snapshot_diff": [
+        ("one full-outer hash/merge join on the key",
+         lambda p: "FullOuter" in p),
+        ("JVM digest projection, no python eval",
+         lambda p: "sha2" in p and "EvalPython" not in p),
+    ],
     "token_percentiles": [
         ("column-pruned scan (only lang, text read)",
          lambda p: re.search(r"ReadSchema: struct<text:string,lang:string>", p)

@@ -1444,6 +1444,51 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, group_col="source", top_k=5)
 
 
+@register("snapshot_diff", """
+WITH old AS (
+  SELECT doc_id, sha256(text) AS old_sha256 FROM documents
+), new AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 13 = 0 THEN text || ' PATCHED' ELSE text END)
+           AS new_sha256
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, sha256('fresh crawl ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_sha256 IS NULL THEN 'added'
+            WHEN n.new_sha256 IS NULL THEN 'removed'
+            WHEN o.old_sha256 <> n.new_sha256 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_sha256, n.new_sha256
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+""")
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot corpus diff: snapshot B derives deterministically
+    from documents (doc_id%11 rows deleted, %13 texts patched, %17 rows
+    re-added as fresh doc_ids) so both engines rebuild the identical
+    pair of snapshots and the full added/removed/changed/unchanged
+    classification is value-checked."""
+    from dedupe_copy_spark.operators.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id",
+                F.when(F.col("doc_id") % 13 == 0,
+                       F.concat(F.col("text"), F.lit(" PATCHED")))
+                .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.lit("fresh crawl "),
+                             F.col("doc_id").cast("string")).alias("text")))
+    )
+    return snapshot_diff(old, new, key_cols=("doc_id",), content_col="text")
+
+
 @register("token_percentiles", """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        ROUND(quantile_cont(n_tokens, 0.25), 4) AS p25,

@@ -144,6 +144,16 @@ def test_contamination_check_non_vacuous_on_fixtures(spark, sf):
     assert n >= 2, n
 
 
+def test_snapshot_diff_classification(spark):
+    old = _docs(spark, [(1, "same"), (2, "will change"), (3, "gone")])
+    new = _docs(spark, [(1, "same"), (2, "changed!"), (4, "brand new")])
+    out = {r.doc_id: r for r in corpus.snapshot_diff(old, new).collect()}
+    assert {k: v.status for k, v in out.items()} == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    assert out[3].new_sha256 is None and out[4].old_sha256 is None
+    assert out[1].old_sha256 == out[1].new_sha256
+
+
 def test_doc_grams_tokenizes_case_insensitive(spark):
     docs = _docs(spark, [(1, "Foo BAR_baz qux-7 Foo")])
     grams = [r.gram for r in corpus.doc_grams(docs, n=3).collect()]
