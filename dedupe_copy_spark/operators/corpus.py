@@ -29,7 +29,11 @@ _TOKEN_RE = r"[a-z0-9_]+"
 
 
 def _tokens(col):
-    return F.regexp_extract_all(F.lower(col), F.lit(_TOKEN_RE), 0)
+    # NULL text tokenizes as empty (the same normalization the exact
+    # path applies to NULL content before hashing) — without the
+    # coalesce every derived stat/flag would go NULL instead of 0/false
+    return F.regexp_extract_all(F.lower(F.coalesce(col, F.lit(""))),
+                                F.lit(_TOKEN_RE), 0)
 
 
 def doc_grams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
@@ -167,12 +171,13 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     row with the per-rule booleans and a composite `keep` flag — the
     caller filters, so rejected rows stay inspectable (rule-level
     accounting, never a silent drop). Pure codegen scan."""
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
     toks = _tokens(F.col(text_col))
     n_tokens = F.size(toks)
-    avg_len = (F.length(F.col(text_col)).cast("double")
+    avg_len = (F.length(text).cast("double")
                / F.greatest(n_tokens, F.lit(1)).cast("double"))
     stop_re = r"\b(" + "|".join(stop_words) + r")\b"
-    has_stop = F.regexp_count(F.lower(F.col(text_col)), F.lit(stop_re)) > 0
+    has_stop = F.regexp_count(F.lower(text), F.lit(stop_re)) > 0
     ok_tokens = n_tokens >= min_tokens
     ok_avg = avg_len <= max_avg_token_len
     return docs.select(

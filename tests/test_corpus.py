@@ -144,6 +144,15 @@ def test_contamination_check_non_vacuous_on_fixtures(spark, sf):
     assert n >= 2, n
 
 
+def test_null_text_treated_as_empty(spark):
+    docs = spark.createDataFrame([(1, None), (2, "the real one here")],
+                                 "doc_id long, text string")
+    qf = {r.doc_id: r for r in corpus.quality_filter(docs).collect()}
+    assert qf[1].n_tokens == 0 and qf[1].keep is False
+    span = {r.doc_id: r for r in corpus.dup_span_stats(docs, n=3).collect()}
+    assert span[1].n_grams == 0 and span[1].shared_ratio == 0.0
+
+
 def test_snapshot_diff_classification(spark):
     old = _docs(spark, [(1, "same"), (2, "will change"), (3, "gone")])
     new = _docs(spark, [(1, "same"), (2, "changed!"), (4, "brand new")])
