@@ -27,6 +27,30 @@ from dedupe_copy_spark.operators.textstats import array_ngrams
 
 _TOKEN_RE = r"[a-z0-9_]+"
 
+# Java-regex metacharacters that must be backslash-escaped when a
+# caller-supplied literal is interpolated into a pattern ('-' is only
+# special inside a class; alphanumerics must NOT be escaped — Java
+# rejects unknown \x escapes rather than ignoring them)
+_RE_SPECIAL = set(".[]{}()*+?^$|\\")
+
+
+def _re_literal(word: str) -> str:
+    """Escape a literal for safe interpolation into a Java regex."""
+    return "".join("\\" + c if c in _RE_SPECIAL else c for c in word)
+
+
+def _word_re(word: str) -> str:
+    """Whole-word pattern for a literal stopword. ``\\b`` only exists at
+    a word-char/non-word-char transition, so anchoring it next to a
+    non-word edge (e.g. the trailing '+' of "c++") makes the pattern
+    unmatchable — anchor each edge only when it is a word character."""
+    def _is_word(c: str) -> bool:
+        return c.isalnum() or c == "_"
+
+    lead = r"\b" if _is_word(word[0]) else ""
+    trail = r"\b" if _is_word(word[-1]) else ""
+    return lead + _re_literal(word) + trail
+
 
 def _tokens(col):
     # NULL text tokenizes as empty (the same normalization the exact
@@ -176,7 +200,7 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     n_tokens = F.size(toks)
     avg_len = (F.length(text).cast("double")
                / F.greatest(n_tokens, F.lit(1)).cast("double"))
-    stop_re = r"\b(" + "|".join(stop_words) + r")\b"
+    stop_re = "(" + "|".join(_word_re(w) for w in stop_words) + ")"
     has_stop = F.regexp_count(F.lower(text), F.lit(stop_re)) > 0
     ok_tokens = n_tokens >= min_tokens
     ok_avg = avg_len <= max_avg_token_len
@@ -200,18 +224,23 @@ def tfidf_top_terms(docs: DataFrame, group_col: str = "source",
 
     Two aggregations over the exploded token relation (group-level tf,
     token-level group-df) + one rank window partitioned by group —
-    every shuffle keyed by token or group, no driver collection. Ties
-    break deterministically by token."""
+    every shuffle keyed by token or group, no driver collection. The
+    group count rides as a cross-joined one-row scalar agg (countDistinct
+    — NULL groups excluded, same as SQL count(DISTINCT ...)) so the
+    whole operator is a single lazy plan: construction runs zero Spark
+    jobs. Ties break deterministically by token."""
     toks = docs.select(F.col(group_col).alias("grp"),
                        F.explode(_tokens(F.col(text_col))).alias("token"))
     tf = toks.groupBy("grp", "token").agg(
         F.count(F.lit(1)).alias("tf"))
-    n_groups = docs.select(group_col).distinct().count()
+    n_groups = docs.agg(
+        F.countDistinct(F.col(group_col)).cast("double").alias("_n_groups"))
     gdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("g_df"))
     scored = (
         tf.join(gdf, "token")
+        .crossJoin(n_groups)  # one-row side — AQE broadcasts it
         .withColumn("tfidf", F.round(
-            F.col("tf") * F.log(F.lit(float(n_groups)) / F.col("g_df")), 6))
+            F.col("tf") * F.log(F.col("_n_groups") / F.col("g_df")), 6))
     )
     w = Window.partitionBy("grp").orderBy(
         F.col("tfidf").desc(), F.col("token").asc())
@@ -236,10 +265,14 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     (keys..., status, old_sha256, new_sha256); callers filter
     status != 'unchanged' for the delta feed. One shuffle per side,
     keyed by the join key; digests are computed in the scan projection
-    so only (key, 64-byte hash) ever reaches the exchange."""
+    so only (key, 64-byte hash) ever reaches the exchange. NULL content
+    hashes as empty (the module-wide normalization) so a present row
+    always has a non-NULL digest — digest NULL-ness therefore reliably
+    encodes side-absence for the status classification."""
     keys = [F.col(c) for c in key_cols]
-    o = old.select(*keys, F.sha2(F.col(content_col), 256).alias("old_sha256"))
-    n = new.select(*keys, F.sha2(F.col(content_col), 256).alias("new_sha256"))
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    o = old.select(*keys, F.sha2(content, 256).alias("old_sha256"))
+    n = new.select(*keys, F.sha2(content, 256).alias("new_sha256"))
     joined = o.join(n, list(key_cols), "full_outer")
     status = (
         F.when(F.col("old_sha256").isNull(), F.lit("added"))

@@ -117,7 +117,8 @@ CHECKS = {
     "dup_span_stats": [
         ("no python eval", lambda p: "EvalPython" not in p),
         ("column-pruned scan (only doc_id, text read)",
-         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)),
+         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+         or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
     ],
     "contamination_check": [
         ("eval-gram filter via semi join", lambda p: "LeftSemi" in p),
@@ -131,7 +132,8 @@ CHECKS = {
         ("pure codegen scan — zero exchanges, no python",
          lambda p: "Exchange" not in p and "EvalPython" not in p),
         ("column-pruned scan (only doc_id, text read)",
-         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)),
+         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+         or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
     ],
     "tfidf_top_terms": [
         ("map-side partial count on the token relation",

@@ -1386,9 +1386,12 @@ def hash_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("quality_filter", r"""
 WITH t AS (
-  SELECT doc_id, text,
-         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS nt,
-         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a)\b')) AS ns
+  -- coalesce(text, '') encodes the operator's NULL-text-as-empty
+  -- contract (pinned by test_null_text_treated_as_empty) in the oracle
+  SELECT doc_id, coalesce(text, '') AS text,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS nt,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+                                '\b(the|and|of|to|is|a)\b')) AS ns
   FROM documents
 )
 SELECT doc_id,
@@ -1446,11 +1449,12 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("snapshot_diff", """
 WITH old AS (
-  SELECT doc_id, sha256(text) AS old_sha256 FROM documents
+  SELECT doc_id, sha256(coalesce(text, '')) AS old_sha256 FROM documents
 ), new AS (
   SELECT doc_id,
-         sha256(CASE WHEN doc_id % 13 = 0 THEN text || ' PATCHED' ELSE text END)
-           AS new_sha256
+         sha256(coalesce(
+           CASE WHEN doc_id % 13 = 0 THEN text || ' PATCHED' ELSE text END,
+           '')) AS new_sha256
   FROM documents WHERE doc_id % 11 <> 0
   UNION ALL
   SELECT doc_id + 100000, sha256('fresh crawl ' || CAST(doc_id AS VARCHAR))

@@ -168,3 +168,65 @@ def test_doc_grams_tokenizes_case_insensitive(spark):
     grams = [r.gram for r in corpus.doc_grams(docs, n=3).collect()]
     # tokens: foo bar_baz qux 7 foo
     assert "foo bar_baz qux" in grams and "qux 7 foo" in grams
+
+def test_snapshot_diff_null_content_both_sides(spark):
+    """A key present in BOTH snapshots with NULL content must classify
+    as unchanged (NULL hashes as empty — digest NULL-ness means
+    side-absence, never NULL content)."""
+    old = _docs(spark, [(1, None), (2, None), (3, "x")])
+    new = _docs(spark, [(1, None), (2, "now set"), (3, None)])
+    out = {r.doc_id: r for r in corpus.snapshot_diff(old, new).collect()}
+    assert out[1].status == "unchanged"
+    assert out[2].status == "changed"     # NULL -> text
+    assert out[3].status == "changed"     # text -> NULL
+    assert all(r.old_sha256 is not None and r.new_sha256 is not None
+               for r in out.values())
+
+
+def test_tfidf_top_terms_lazy_construction(spark, monkeypatch):
+    """Operator construction must run ZERO Spark actions (the group
+    count rides as a cross-joined scalar agg, not an eager .count())."""
+    from pyspark.sql import DataFrame
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "s1"), (2, "beta gamma", "s2")],
+        "doc_id long, text string, source string")
+
+    def _boom(*a, **k):
+        raise AssertionError("operator construction triggered a Spark action")
+
+    with monkeypatch.context() as m:
+        for action in ("count", "collect", "toPandas", "first", "take", "head"):
+            m.setattr(DataFrame, action, _boom)
+        out = corpus.tfidf_top_terms(docs, group_col="source", top_k=1)
+    rows = out.collect()
+    assert len(rows) == 2
+
+
+def test_tfidf_null_group_excluded_from_n_groups(spark):
+    """countDistinct excludes NULL groups — the SQL count(DISTINCT ...)
+    semantics the DuckDB oracle uses. With 2 real groups + 1 NULL
+    group, idf of a token in 1 group must be ln(2/1), not ln(3/1)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "alpha common", "s1"), (2, "beta common", "s2"),
+         (3, "nulldoc common", None)],
+        "doc_id long, text string, source string")
+    out = corpus.tfidf_top_terms(docs, group_col="source", top_k=5).collect()
+    alpha = next(r for r in out if r.token == "alpha")
+    assert alpha.tfidf == round(1 * math.log(2.0 / 1.0), 6)
+
+
+def test_quality_filter_stopwords_regex_escaped(spark):
+    """Caller-supplied stopwords with regex metacharacters must be
+    treated as literals, not patterns."""
+    docs = spark.createDataFrame(
+        [(1, "plain words only here " * 8),
+         (2, ("c++ is mentioned here " * 8))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.quality_filter(
+        docs, stop_words=("c++",), min_tokens=4).collect()}
+    # doc 1 has no literal 'c++'; an unescaped pattern would match bare 'c'
+    assert out[1].ok_has_stopword is False
+    assert out[2].ok_has_stopword is True
