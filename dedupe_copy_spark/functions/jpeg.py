@@ -1,0 +1,583 @@
+"""Pure-numpy baseline JPEG (ITU-T T.81) codec — no PIL/libjpeg needed.
+
+Why this exists: the multimodal operators (operators/multimodal.py) need
+REAL perceptual features for the dominant image format, and this
+container has no image libraries. Same spirit as decode_wav/decode_ppm:
+a minimal, correct, dependency-free implementation of the subset a
+training-data pipeline actually meets.
+
+Decoder (`decode_jpeg`) supports baseline sequential DCT (SOF0), 8-bit
+samples, 1 component (grayscale) or 3 components (JFIF YCbCr) with any
+1-2 sampling factors (4:4:4, 4:2:2, 4:2:0), multi-table DQT/DHT
+segments, and restart markers (DRI/RSTn). Progressive (SOF2),
+arithmetic coding, and 12-bit are rejected with ValueError so callers
+can fall back.
+
+Encoder (`encode_jpeg`) writes baseline JFIF with the Annex K example
+quantization tables scaled by the libjpeg quality formula and the
+Annex K "typical" Huffman tables; used to build test/bench fixtures
+(and genuinely usable for re-encoding pipelines).
+
+Execution shape: the entropy-coded segment is inherently sequential, so
+Huffman decode runs in a per-payload Python loop; everything after it —
+dequantization, de-zigzag, IDCT, chroma upsampling, YCbCr→RGB — is
+vectorized numpy over all blocks of a component at once (one einsum per
+component for the IDCT). Inside Spark this runs per Arrow batch on the
+executor (operators/multimodal.py mapInPandas), so per-payload Python
+cost parallelizes across partitions exactly like any Pandas UDF.
+
+Reference parity note: the reference engine (dedupe_copy) has no media
+pipeline at all — this module is part of the LLM-training-data surface
+the north star adds on top of the reference's file-dedup semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constant tables
+# ---------------------------------------------------------------------------
+
+# zigzag scan: sequence index -> (row, col); even diagonals run
+# bottom-left -> top-right, odd diagonals top-right -> bottom-left
+ZIGZAG: list[tuple[int, int]] = [
+    (r, s - r)
+    for s in range(15)
+    for r in (range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0
+              else range(max(0, s - 7), min(s, 7) + 1))
+]
+_ZZ_ROWS = np.array([r for r, _ in ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in ZIGZAG])
+
+# Annex K Table K.1 / K.2 — example quantization tables (row-major)
+QTBL_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+QTBL_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+# Annex K Tables K.3-K.6 — typical Huffman tables as (BITS, HUFFVAL)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+# orthonormal 8-point DCT-II basis: M @ f @ M.T == FDCT, M.T @ S @ M == IDCT
+_DCT = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) * 0.5
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)])
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex K tables, clipped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def sc(t):
+        return np.clip((t * scale + 50) // 100, 1, 255).astype(np.int32)
+    return sc(QTBL_LUMA), sc(QTBL_CHROMA)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) per T.81 C.2 canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value, the decode-side view of the same codes."""
+    return {(ln, code): v for v, (code, ln) in _canonical_codes(bits, vals).items()}
+
+
+# ---------------------------------------------------------------------------
+# Bit-level I/O
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:            # byte stuffing
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write(0x7F, 7)         # pad with 1-bits to a byte edge
+            self._acc, self._n = 0, 0
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs FF00, stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos          # next byte to consume
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy segment")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2       # stuffed FF
+                else:
+                    # a real marker (RST/EOI/next segment): the segment is
+                    # over — synthesize 1-padding like a real decoder
+                    self._acc, self._n = 1, 1
+                    return self._take()
+            else:
+                self.pos += 1
+            if self._n == 0:
+                self._acc, self._n = b, 8
+        return self._take()
+
+    def _take(self) -> int:
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume an RSTn marker at a restart interval boundary."""
+        self._acc, self._n = 0, 0       # discard pad bits
+        if (self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 2
+        else:
+            raise ValueError("expected RST marker at restart interval")
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to a signed magnitude."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: tuple[int, int] = (2, 2),
+                restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as a
+    baseline JFIF JPEG. `subsampling` is the luma (h, v) sampling factor
+    pair — (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("expected (h,w[,3]) uint8 array")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    hs, vs = (1, 1) if gray else subsampling
+    if hs not in (1, 2) or vs not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+
+    ql, qc = _quality_tables(quality)
+
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+
+    # per-component sampling factors and quant tables
+    comps = ([(1, 1, ql)] if gray
+             else [(hs, vs, ql), (1, 1, qc), (1, 1, qc)])
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # build each component's sample plane (chroma mean-pooled), padded
+    # by edge replication to a whole number of blocks per MCU
+    comp_planes = []
+    for ci, (ch, cv, _q) in enumerate(comps):
+        p = planes[ci]
+        if ci > 0 and (hmax > ch or vmax > cv):
+            fy, fx = vmax // cv, hmax // ch
+            py = -(-h // fy) * fy
+            px = -(-w // fx) * fx
+            p = np.pad(p, ((0, py - h), (0, px - w)), mode="edge")
+            p = p.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge")
+        comp_planes.append(p)
+
+    # FDCT + quantize all blocks per component (vectorized)
+    comp_coeffs = []
+    for (ch, cv, q), p in zip(comps, comp_planes):
+        ph, pw = p.shape
+        blocks = (p.reshape(ph // 8, 8, pw // 8, 8)
+                  .transpose(0, 2, 1, 3))                    # (by, bx, 8, 8)
+        coef = np.einsum("ux,yvxw,tw->yvut", _DCT, blocks, _DCT)
+        quant = np.round(coef / q).astype(np.int32)
+        comp_coeffs.append(quant)                            # (by, bx, 8, 8)
+
+    # entropy-code interleaved MCUs
+    enc_dc = [_canonical_codes(*HUFF_DC_LUMA), _canonical_codes(*HUFF_DC_CHROMA)]
+    enc_ac = [_canonical_codes(*HUFF_AC_LUMA), _canonical_codes(*HUFF_AC_CHROMA)]
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    mcu_index = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                pred = [0] * len(comps)
+            mcu_index += 1
+            for ci, (ch, cv, _q) in enumerate(comps):
+                tsel = 0 if ci == 0 else 1
+                dc_codes, ac_codes = enc_dc[tsel], enc_ac[tsel]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = comp_coeffs[ci][my * cv + by, mx * ch + bx]
+                        zz = blk[_ZZ_ROWS, _ZZ_COLS]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s = _category(diff)
+                        code, ln = dc_codes[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last = nz[-1] + 1 if nz.size else 0
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[0xF0]    # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            s = _category(v)
+                            code, ln = ac_codes[(run << 4) | s]
+                            bw.write(code, ln)
+                            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if last < 63:
+                            code, ln = ac_codes[0x00]        # EOB
+                            bw.write(code, ln)
+    bw.flush()
+
+    # assemble the file
+    out = bytearray(b"\xff\xd8")                             # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = bytes(int(ql[r, c]) for r, c in ZIGZAG)
+    out += _seg(0xDB, b"\x00" + zz_l)
+    if not gray:
+        zz_c = bytes(int(qc[r, c]) for r, c in ZIGZAG)
+        out += _seg(0xDB, b"\x01" + zz_c)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(comps))
+    for ci, (ch, cv, _q) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1])
+    out += _seg(0xC0, bytes(sof))
+    for tc_th, (bits, vals) in ((0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA),
+                                (0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)):
+        if gray and tc_th in (0x01, 0x11):
+            continue
+        out += _seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(comps)])
+    for ci in range(len(comps)):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"                                       # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, 3) RGB uint8 (grayscale inputs
+    are replicated to 3 channels so callers see one shape). Raises
+    ValueError on non-baseline or malformed input."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None            # (h, w, [(comp_id, hs, vs, tq)])
+    restart_interval = 0
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:                                   # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:      # standalone
+            pos += 2
+            continue
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        body = payload[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:                                   # DQT
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0x0F
+                n = 64 * (2 if pq else 1)
+                raw = b[1:1 + n]
+                if pq:
+                    vals = np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                else:
+                    vals = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                t = np.zeros((8, 8), dtype=np.int32)
+                t[_ZZ_ROWS, _ZZ_COLS] = vals
+                qtables[tq] = t
+                b = b[1 + n:]
+        elif marker == 0xC4:                                 # DHT
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                nv = sum(bits)
+                vals = list(b[17:17 + nv])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                b = b[17 + nv:]
+        elif marker == 0xC0 or marker == 0xC1:               # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF marker 0x{marker:02x}")
+        elif marker == 0xDD:                                 # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:                                 # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 0x0F))
+            return _decode_scan(payload, pos, frame, scan, qtables,
+                                htables, restart_interval)
+        # APPn/COM/unknown: skipped via seglen
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(payload, pos, frame, scan, qtables, htables,
+                 restart_interval):
+    fh, fw, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("partial-scan JPEGs not supported (baseline only)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    order = {cid: i for i, (cid, _h, _v, _q) in enumerate(comps)}
+    scan_tabs = [None] * len(comps)
+    for cs, td, ta in scan:
+        if cs not in order:
+            raise ValueError(f"scan references unknown component {cs}")
+        dc = htables.get((0, td))
+        ac = htables.get((1, ta))
+        if dc is None or ac is None:
+            raise ValueError("missing Huffman table for scan")
+        scan_tabs[order[cs]] = (dc, ac)
+
+    # coefficient storage: per component, (v_blocks, h_blocks, 64)
+    coeff = [np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+             for (_cid, ch, cv, _q) in comps]
+
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_index = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.align_restart()
+                pred = [0] * len(comps)
+            mcu_index += 1
+            for ci, (_cid, ch, cv, _q) in enumerate(comps):
+                dc_tab, ac_tab = scan_tabs[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = coeff[ci][my * cv + by, mx * ch + bx]
+                        s = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.receive(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = _huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:                  # ZRL
+                                    k += 16
+                                    continue
+                                break                        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+
+    # dequantize + IDCT + upsample, all vectorized per component
+    planes = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError(f"missing quant table {tq}")
+        zz = coeff[ci]                                       # (by, bx, 64)
+        blocks = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz
+        blocks *= q
+        pix = np.einsum("xu,yvuw,wt->yvxt", _DCT.T, blocks, _DCT) + 128.0
+        by, bx = pix.shape[:2]
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        fy, fx = vmax // cv, hmax // ch
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = planes
+    # chroma planes carry the +128 level shift (unsigned JFIF samples);
+    # the color transform is defined on centered Cb/Cr
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -3,12 +3,13 @@ columns with typed metadata.
 
 The Spark-side machinery — schema, partition-preserving mapInPandas,
 Arrow batch shapes, deterministic routing — is real and tested. The
-actual codec work (JPEG decode, resampling, frame extraction) depends
-on libs not present in this container (PIL/ffmpeg/librosa), so each
-codec is an injectable function: the default implementations are
-deterministic fakes clearly marked as stubs; passing ``strict=True``
-raises NotImplementedError instead, which is what a production deploy
-with real codecs would replace.
+codecs are REAL pure-numpy implementations for the formats a pipeline
+actually meets: baseline JPEG (functions/jpeg.py — Huffman + IDCT, no
+PIL/libjpeg), PCM WAV, and binary PPM. Only MP4 frame extraction
+remains a deterministic stub (ffmpeg genuinely can't be reimplemented
+here); each codec stays an injectable function so a production deploy
+can swap in libjpeg-turbo/ffmpeg without touching the Spark plumbing,
+and ``strict=True`` raises NotImplementedError on the stub path.
 
 Design for 100 TB of media: binary payloads never leave the executor
 (mapInPandas streams Arrow record batches; one batch ≈
@@ -72,6 +73,40 @@ def synth_media(spark: SparkSession, n_rows: int = 64, seed: int = 42) -> DataFr
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_jpeg_media(spark: SparkSession, n_images: int = 48,
+                     seed: int = 7) -> DataFrame:
+    """Deterministic media table of REAL baseline-JPEG payloads for the
+    perceptual-dedup path. Each base image i is a seeded 4×8 block
+    pattern upsampled to 32×64 and encoded at quality 90 (4:4:4); every
+    third image also appears as media_id i+1000, DECODED AND RE-ENCODED
+    at quality 35 with 4:2:0 subsampling — different bytes (exact dedup
+    can't pair them), same perception. Truth pairs are (i, i+1000) for
+    i % 3 == 0, reconstructible in pure SQL — that's what makes the
+    perceptual pipeline fully oracle-checkable."""
+    from dedupe_copy_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        payload = encode_jpeg(img, quality=90, subsampling=(1, 1))
+        rows.append({
+            "media_id": i, "kind": "image", "mime": "image/jpeg",
+            "width": 64, "height": 32, "duration_ms": None,
+            "payload": payload,
+        })
+        if i % 3 == 0:
+            re_encoded = encode_jpeg(decode_jpeg(payload), quality=35,
+                                     subsampling=(2, 2))
+            rows.append({
+                "media_id": i + 1000, "kind": "image", "mime": "image/jpeg",
+                "width": 64, "height": 32, "duration_ms": None,
+                "payload": re_encoded,
+            })
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
     """STUB codec: deterministic pseudo-features from payload bytes.
     A real deployment replaces this with PIL/ffmpeg decode + model
@@ -83,9 +118,10 @@ def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# REAL codecs (pure numpy — no PIL/ffmpeg needed): PCM WAV + binary PPM.
-# JPEG/MP4 stay stubbed; anything these parsers can't read falls back to
-# the stub so the pipeline never dies on one bad payload.
+# REAL codecs (pure numpy — no PIL/ffmpeg needed): baseline JPEG
+# (functions/jpeg.py), PCM WAV, binary PPM. Only MP4 stays stubbed;
+# anything these parsers can't read falls back to the stub so the
+# pipeline never dies on one bad payload.
 # ---------------------------------------------------------------------------
 
 def decode_wav(payload: bytes) -> np.ndarray:
@@ -158,10 +194,11 @@ def wav_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return (rms / peak if peak > 0 else rms).astype(np.float32)
 
 
-def ppm_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Perceptual-ish image features: mean luminance over a 4×8 grid
-    (dim = 32), range-normalized — stable under mild pixel noise and
-    re-encoding, distinct across different content."""
+def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Perceptual-ish image features over any decoded (h, w, 3) array
+    (JPEG or PPM): mean luminance over a 4×8 grid (dim = 32),
+    range-normalized — stable under pixel noise AND lossy re-encoding
+    (quality / subsampling changes), distinct across content."""
     lum = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     gh, gw = 4, dim // 4
     h, w = lum.shape
@@ -175,15 +212,24 @@ def ppm_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return ((flat - flat.min()) / rng if rng > 0 else flat).astype(np.float32)
 
 
+# back-compat alias (the function predates the JPEG decoder and was
+# named for its only caller at the time)
+ppm_features = image_features
+
+
 def codec_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Default decode: REAL parsing for WAV/PPM payloads, deterministic
-    stub for formats whose codecs aren't in this container (JPEG/MP4)."""
+    """Default decode: REAL parsing for JPEG/WAV/PPM payloads,
+    deterministic stub only for MP4 (and malformed payloads, so one bad
+    file can't kill a 100-TB scan)."""
     payload = payload or b""
     try:
+        if payload.startswith(b"\xff\xd8"):
+            from dedupe_copy_spark.functions.jpeg import decode_jpeg
+            return image_features(decode_jpeg(payload))
         if payload.startswith(b"RIFF"):
             return wav_features(decode_wav(payload))
         if payload.startswith(b"P6"):
-            return ppm_features(decode_ppm(payload))
+            return image_features(decode_ppm(payload))
     except ValueError:
         pass
     return _stub_decode(payload, kind)
@@ -197,8 +243,8 @@ def extract_features(media: DataFrame,
     if strict and decode is None:
         raise NotImplementedError(
             "strict mode requires an injected decode= covering EVERY "
-            "format; the default handles WAV/PPM natively but stubs "
-            "JPEG/MP4 (PIL/ffmpeg absent in this environment)")
+            "format; the default handles baseline JPEG/WAV/PPM natively "
+            "but stubs MP4 (ffmpeg absent in this environment)")
     decode_fn = decode or codec_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,26 +291,30 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     )
 
 
-def media_near_dups(features: DataFrame, threshold: float = 0.99) -> DataFrame:
+def media_near_dups(features: DataFrame, threshold: float = 0.99,
+                    exact_kind_limit: int = 10_000, n_tables: int = 8,
+                    bits: int = 6, seed: int = 42,
+                    max_bucket: int = 5_000) -> DataFrame:
     """Perceptual near-dup pairs: cosine over the decoded feature
-    vectors within each media kind (JVM double math; the blocked
-    self-join rides the same size-routing rationale as
-    similarity.blocked_near_dups — at scale, route kinds with huge
-    populations through LSH bucketing instead)."""
-    from dedupe_copy_spark.operators.similarity import cosine_similarity_col
+    vectors within each media kind, size-routed through
+    similarity.blocked_near_dups with kind as the block label.
 
-    a = features.select("kind", F.col("media_id").alias("id_a"),
-                        F.col("features").alias("f_a"))
-    b = features.select("kind", F.col("media_id").alias("id_b"),
-                        F.col("features").alias("f_b"))
-    return (
-        a.join(b, "kind")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_similarity_col(
-            F.col("f_a"), F.col("f_b")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("kind", "id_a", "id_b", "cosine")
-    )
+    `kind` has cardinality ~3, so a plain within-kind self-join is an
+    O(n²/3) cartesian in disguise. Routing through blocked_near_dups
+    means kinds with ≤ exact_kind_limit rows get the exact self-join
+    (identical results to brute force) while bigger kinds go through
+    capped sign-LSH bucketing — candidates must share
+    (kind, table, bucket), then exact-cosine verify — which is the only
+    shape that survives the first million media rows."""
+    from dedupe_copy_spark.operators.similarity import blocked_near_dups
+
+    pairs = blocked_near_dups(
+        features, threshold, label_col="kind", id_col="media_id",
+        vec_col="features", exact_block_limit=exact_kind_limit,
+        n_tables=n_tables, bits=bits, dim=FEATURE_DIM, seed=seed,
+        max_bucket=max_bucket)
+    kinds = features.select(F.col("media_id").alias("id_a"), "kind")
+    return pairs.join(kinds, "id_a").select("kind", "id_a", "id_b", "cosine")
 
 
 def media_dedupe_keys(features: DataFrame) -> DataFrame:

@@ -932,6 +932,30 @@ def media_dedupe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_dedupe_keys(feats).orderBy("payload_sha256")
 
 
+@register("media_dedupe_perceptual", """
+SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 1000 AS BIGINT) AS id_b
+FROM range(0, 48) t(i) WHERE i % 3 = 0
+""")
+def media_dedupe_perceptual_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup on REAL JPEG payloads: every third base
+    image re-appears decoded + re-encoded at a different quality and
+    chroma subsampling (different bytes — exact dedup cannot pair
+    them), then baseline-JPEG decode (functions/jpeg.py, pure numpy)
+    → grid-luminance features → within-kind cosine pairs. The fixture
+    is constructed so the truth pair set (i, i+1000) for i % 3 == 0 is
+    reconstructible in pure SQL; any false positive or missed
+    re-encode fails the hash. Measured margins at this fixture scale:
+    re-encode cosine ≥ 0.9998, cross-image max ≤ 0.92, threshold
+    0.995 sits between (pinned in tests/test_jpeg.py)."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_jpeg_media(spark, n_images=48)
+    feats = mm.extract_features(media)
+    pairs = mm.media_near_dups(feats, threshold=0.995)
+    return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicates (exact, label-blocked; oracle-checked)
 # ---------------------------------------------------------------------------

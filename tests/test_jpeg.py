@@ -1,0 +1,206 @@
+"""Pure-numpy baseline JPEG codec (functions/jpeg.py) + the perceptual
+media-dedup path it unlocks.
+
+The decoder is pinned two independent ways: (a) a JPEG hand-assembled
+byte-by-byte from the T.81 spec (canonical Huffman codes, EXTEND, IDCT
+and level shift all exercised without touching our encoder — a
+compensating encoder/decoder bug cannot pass it), and (b) encoder
+round-trips with bounded error across quality/subsampling/restart
+variants.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from dedupe_copy_spark.functions.jpeg import (
+    QTBL_LUMA,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+from dedupe_copy_spark.operators import multimodal as mm
+
+
+def _gradient(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([xx * 255 // w, yy * 255 // h,
+                     (xx + yy) * 255 // (h + w)], axis=2).astype(np.uint8)
+
+
+def _blocky(i, seed=7):
+    rng = np.random.RandomState(seed * 100_003 + i)
+    blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Decoder pinned against hand-assembled spec bytes (encoder not involved)
+# ---------------------------------------------------------------------------
+
+def test_decode_hand_assembled_dc_only_jpeg():
+    """8×8 grayscale, one DC coefficient of 4, hand-entropy-coded with
+    the Annex K tables: category 3 DC code is '100' (canonical codes
+    from BITS=[0,1,5,1,...]), magnitude bits '100', AC EOB is '1010'.
+    DC-only IDCT gives a uniform block: 128 + 4·q00/8 = 136 with the
+    unscaled Annex K luma table (q00 = 16)."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zz_luma = bytes(int(QTBL_LUMA[r, c]) for r, c in ZIGZAG)
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    from dedupe_copy_spark.functions.jpeg import HUFF_AC_LUMA
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + zz_luma)
+        + seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+        + seg(0xC4, bytes([0x10]) + bytes(HUFF_AC_LUMA[0]) + bytes(HUFF_AC_LUMA[1]))
+        + seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        # bits: DC cat3 '100' + mag '100' (=4) + EOB '1010', 1-padded
+        + bytes([0b10010010, 0b10111111])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 8, 3)
+    assert np.all(out == 136)
+
+
+def test_decoder_rejects_progressive_and_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    img = _gradient(16, 16)
+    good = encode_jpeg(img, quality=85)
+    # flip SOF0 to SOF2 (progressive) — must refuse, not mis-decode
+    prog = bytearray(good)
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated before SOS
+
+
+# ---------------------------------------------------------------------------
+# Encoder ↔ decoder round-trips
+# ---------------------------------------------------------------------------
+
+def test_solid_color_roundtrip_exact():
+    solid = np.full((24, 24, 3), 128, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid, quality=85)), solid)
+
+
+@pytest.mark.parametrize("subsampling", [(1, 1), (2, 1), (2, 2)])
+@pytest.mark.parametrize("quality", [50, 85, 95])
+def test_gradient_roundtrip_bounded_error(subsampling, quality):
+    img = _gradient()
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=subsampling))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 4.0, f"mean abs err {err} at q={quality} sub={subsampling}"
+
+
+def test_odd_dimensions_roundtrip():
+    """Non-multiple-of-16 sizes exercise edge-replication padding and
+    the crop-back on decode for every subsampling mode."""
+    img = _gradient(33, 50)
+    for sub in [(1, 1), (2, 1), (2, 2)]:
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert out.shape == (33, 50, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_grayscale_roundtrip():
+    g = (np.mgrid[0:40, 0:56][0] * 255 // 40).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (40, 56, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient(40, 56)
+    payload = encode_jpeg(img, quality=85, restart_interval=2)
+    assert b"\xff\xd0" in payload  # RST0 actually emitted
+    out = decode_jpeg(payload)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_noise_q100_near_lossless():
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=100, subsampling=(1, 1)))
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Perceptual margin that backs the media_dedupe_perceptual oracle
+# ---------------------------------------------------------------------------
+
+def _cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_perceptual_margin_reencode_vs_cross_image():
+    """The registry threshold 0.995 must sit strictly between the
+    re-encode cosine floor and the cross-image cosine ceiling at the
+    fixture scale — this is what makes the SQL truth-pair oracle
+    sound."""
+    n = 48
+    feats, refeats = {}, {}
+    for i in range(n):
+        p = encode_jpeg(_blocky(i), quality=90, subsampling=(1, 1))
+        rgb = decode_jpeg(p)
+        feats[i] = mm.image_features(rgb)
+        refeats[i] = mm.image_features(
+            decode_jpeg(encode_jpeg(rgb, quality=35, subsampling=(2, 2))))
+    dup_floor = min(_cos(feats[i], refeats[i]) for i in range(n))
+    cross_ceiling = max(
+        max(_cos(feats[i], feats[j]), _cos(feats[i], refeats[j]))
+        for i, j in itertools.combinations(range(n), 2))
+    assert dup_floor > 0.998, dup_floor
+    assert cross_ceiling < 0.98, cross_ceiling
+
+
+def test_codec_decode_uses_real_jpeg_path():
+    img = _blocky(0)
+    payload = encode_jpeg(img, quality=90)
+    got = mm.codec_decode(payload, "image")
+    expect = mm.image_features(decode_jpeg(payload))
+    assert np.allclose(got, expect)
+    assert not np.allclose(got, mm._stub_decode(payload, "image"))
+
+
+def test_jpeg_perceptual_dedup_end_to_end(spark):
+    """synth_jpeg_media → mapInPandas JPEG decode → near-dup pairs ==
+    the constructed truth set, on BOTH routing paths (exact self-join
+    and forced sign-LSH bucketing)."""
+    media = mm.synth_jpeg_media(spark, n_images=24)
+    feats = mm.extract_features(media).localCheckpoint()
+    truth = {(i, i + 1000) for i in range(24) if i % 3 == 0}
+
+    exact = {(r.id_a, r.id_b)
+             for r in mm.media_near_dups(feats, 0.995).collect()}
+    assert exact == truth
+
+    # force every kind over the exact limit → LSH bucket route; planted
+    # re-encodes have near-identical features so every table buckets
+    # them together — the pair set must survive the routing change
+    lsh = {(r.id_a, r.id_b)
+           for r in mm.media_near_dups(feats, 0.995,
+                                       exact_kind_limit=1).collect()}
+    assert lsh == truth
+
+
+def test_media_near_dups_lsh_route_plan_has_bucket_join(spark):
+    """The 100-TB hazard this operator fixes: above the kind limit the
+    join key must include the LSH bucket, not just `kind`."""
+    media = mm.synth_jpeg_media(spark, n_images=12)
+    feats = mm.extract_features(media)
+    plan = mm.media_near_dups(feats, 0.995, exact_kind_limit=1) \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "bucket" in plan and "table_id" in plan
