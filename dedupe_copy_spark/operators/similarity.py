@@ -112,13 +112,73 @@ def lsh_bucket_keys(df: DataFrame, planes: np.ndarray,
 
 
 def ivf_centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
-    """Deterministic IVF codebook: seeded random unit vectors. A
-    production build would k-means a sample instead (one extra pass);
-    random codebooks give the same plan shape and are reproducible
-    across engines/runs — what the quality-contract oracle needs."""
+    """Untrained IVF codebook: seeded random unit vectors. Kept as the
+    zero-pass fallback and as the baseline the training test beats —
+    random codebooks give skewed cells and poor recall on clustered
+    real embeddings; ``train_ivf_centroids`` is the production path."""
     rng = np.random.RandomState(seed)
     c = rng.standard_normal((n_cells, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(corpus: DataFrame, n_cells: int,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        sample_size: int = 20_000, n_iter: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Spherical k-means codebook fitted on a bounded deterministic
+    sample of the corpus.
+
+    The sample is the top `sample_size` rows by xxhash64(id) — a
+    map-side TakeOrdered, NOT a full sort: each partition keeps its own
+    top-N and the driver merges, so at 100 TB this is one cheap extra
+    pass collecting at most sample_size × dim floats. Hash-ordering
+    makes the sample (and therefore the codebook) identical across
+    runs, partitionings, and cluster sizes — required for the
+    reproducible quality-contract oracle.
+
+    Fit is Lloyd's with k-means++ seeding on unit-normalized vectors
+    (cosine geometry, matching the assignment UDF); empty cells reseed
+    from the sample. Fixed seed + fixed iteration count → deterministic
+    output, no convergence-dependent drift."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_size).collect()
+    )
+    if not rows:
+        raise ValueError("cannot train IVF codebook on an empty corpus")
+    x = np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    n, dim = x.shape
+    rng = np.random.RandomState(seed)
+    if n <= n_cells:
+        cents = ivf_centroids(dim, n_cells, seed)
+        cents[:n] = x
+        return cents
+    # k-means++ seeding under cosine distance
+    chosen = [int(rng.randint(n))]
+    d2 = None
+    for _ in range(1, n_cells):
+        dist = 1.0 - x @ x[chosen[-1]]
+        d2 = dist ** 2 if d2 is None else np.minimum(d2, dist ** 2)
+        total = d2.sum()
+        chosen.append(int(rng.choice(n, p=d2 / total)) if total > 0
+                      else int(rng.randint(n)))
+    cents = x[np.array(chosen)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members) == 0:
+                cents[c] = x[rng.randint(n)]      # reseed empty cell
+                continue
+            m = members.sum(axis=0)
+            nm = np.linalg.norm(m)
+            if nm > 0:
+                cents[c] = m / nm
+    return cents
 
 
 def make_cell_udf(centroids: np.ndarray, n_probe: int):
@@ -147,15 +207,31 @@ def make_cell_udf(centroids: np.ndarray, n_probe: int):
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, n_probe: int = 4, dim: int = 64,
              seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: np.ndarray | None = None,
+             train: bool = True, train_sample: int = 20_000,
+             train_iter: int = 10) -> DataFrame:
     """IVF approximate top-k — the inverted-file alternative to sign-LSH:
     corpus rows live in their single nearest cell; each query probes its
     n_probe nearest cells; exact cosine re-rank within probed cells.
     At scale the corpus shuffles once by cell id and each query touches
-    n_probe/n_cells of the data instead of all of it."""
+    n_probe/n_cells of the data instead of all of it.
+
+    The codebook is spherical-k-means-trained on a bounded corpus
+    sample by default (one extra TakeOrdered pass, see
+    train_ivf_centroids) — trained cells are balanced and recall on
+    clustered embeddings beats the random codebook (pinned in
+    tests/test_similarity.py). Pass centroids= to reuse a codebook
+    across calls, or train=False for the zero-pass random fallback."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(dim, n_cells, seed)
+    if centroids is not None:
+        cents = centroids
+    elif train:
+        cents = train_ivf_centroids(corpus, n_cells, id_col, vec_col,
+                                    train_sample, train_iter, seed)
+    else:
+        cents = ivf_centroids(dim, n_cells, seed)
     c_cell = make_cell_udf(cents, 1)
     q_cell = make_cell_udf(cents, n_probe)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),

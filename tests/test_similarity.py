@@ -101,3 +101,64 @@ def test_ivf_topk_full_results_and_recall_floor(spark):
     per_q = {qi: len({n for (x, n) in exact_res & got if x == qi})
              for qi in {x for (x, _) in exact_res}}
     assert all(v >= 1 for v in per_q.values()), per_q
+
+
+def _clustered_emb(spark, n=400, k=8, noise=0.45, seed=9):
+    """8 spread clusters in 64-d — the shape real embedding corpora
+    have and random codebooks handle badly."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((k, 64))
+    rows = []
+    for i in range(n):
+        v = centers[i % k] + noise * rng.standard_normal(64)
+        rows.append((i, "x", (v / np.linalg.norm(v)).tolist()))
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+
+
+def test_ivf_trained_codebook_beats_random_on_clustered_corpus(spark):
+    """The round-2 gap: a seeded-random codebook gives skewed cells and
+    poor recall on clustered embeddings. Pin that the trained codebook
+    (a) balances cell populations within 2x of the mean where random
+    skews far beyond, and (b) strictly improves recall@5 at n_probe=1."""
+    import numpy as np
+
+    emb = _clustered_emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, q, k=5).collect()}
+
+    def recall(train):
+        got = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(
+            emb, q, k=5, n_cells=8, n_probe=1, train=train).collect()}
+        return len(got & exact) / len(exact)
+
+    r_trained, r_random = recall(True), recall(False)
+    assert r_trained >= 0.95, r_trained
+    assert r_trained > r_random, (r_trained, r_random)
+
+    vecs = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                     for r in emb.select("embedding").collect()])
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    trained = similarity.train_ivf_centroids(emb, 8)
+    random_cb = similarity.ivf_centroids(64, 8)
+    cnt_t = np.bincount(np.argmax(vecs @ trained.T, axis=1), minlength=8)
+    cnt_r = np.bincount(np.argmax(vecs @ random_cb.T, axis=1), minlength=8)
+    assert cnt_t.max() <= 2 * cnt_t.mean(), cnt_t.tolist()
+    assert cnt_r.max() > cnt_t.max(), (cnt_r.tolist(), cnt_t.tolist())
+
+
+def test_ivf_training_is_deterministic(spark):
+    import numpy as np
+
+    emb = _clustered_emb(spark, n=120)
+    c1 = similarity.train_ivf_centroids(emb, 8)
+    c2 = similarity.train_ivf_centroids(emb.repartition(7), 8)
+    assert np.array_equal(c1, c2)  # partitioning-independent
+
+    tiny = emb.limit(5)  # fewer rows than cells: sample + random pad
+    c3 = similarity.train_ivf_centroids(tiny, 8)
+    assert c3.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c3, axis=1), 1.0)
