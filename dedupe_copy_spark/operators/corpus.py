@@ -285,16 +285,30 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
 
 
 def token_percentiles(docs: DataFrame, group_col: str = "lang",
-                      text_col: str = "text") -> DataFrame:
-    """Token-length distribution summary per group: exact interpolated
-    p25/p50/p75/p95 plus count. Exact percentile is a per-group sort —
-    fine for bounded group counts (languages, sources); the 100 TB
-    variant swaps F.percentile for percentile_approx with a fixed
-    accuracy and the same output schema."""
+                      text_col: str = "text", approx: bool = False,
+                      accuracy: int = 10_000) -> DataFrame:
+    """Token-length distribution summary per group: p25/p50/p75/p95
+    plus count, identical output schema in both modes.
+
+    approx=False (default): exact interpolated percentiles
+    (F.percentile) — the aggregate buffers each group's values, fine
+    for bounded group counts (languages, sources).
+
+    approx=True: percentile_approx with fixed `accuracy` — the 100 TB
+    mode. The KLL-style sketch is constant-memory per group and merges
+    map-side, so no group ever buffers its full value list; rank error
+    is bounded by 1/accuracy (exact when a group has <= accuracy rows,
+    up to the nearest-rank-vs-interpolation gap). Plan stays a hash
+    aggregate — no per-group sort in either mode (plan-audited)."""
     n_tokens = F.size(_tokens(F.col(text_col))).cast("double")
     toks = docs.select(F.col(group_col), n_tokens.alias("n_tokens"))
-    pct = F.percentile(F.col("n_tokens"), F.array(
-        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    if approx:
+        pct = F.transform(
+            F.percentile_approx(F.col("n_tokens"), probs, F.lit(accuracy)),
+            lambda x: x.cast("double"))
+    else:
+        pct = F.percentile(F.col("n_tokens"), probs)
     return (
         toks.groupBy(group_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),

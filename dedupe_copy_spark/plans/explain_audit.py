@@ -153,6 +153,11 @@ CHECKS = {
         ("partial percentile before the exchange",
          lambda p: "partial_percentile" in p),
     ],
+    "token_percentiles_approx": [
+        ("mergeable sketch aggregate map-side (the 100-TB mode)",
+         lambda p: "partial_percentile_approx" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
 }
 
 # ... and the RUNTIME check: after execution, AQE must have converted

@@ -1546,6 +1546,35 @@ def token_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_percentiles(docs, group_col="lang")
 
 
+@register("token_percentiles_approx", """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       true AS ok_p25, true AS ok_p50, true AS ok_p75, true AS ok_p95
+FROM documents GROUP BY lang
+""")
+def token_percentiles_approx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB percentile mode, oracle-checked as a tolerance
+    contract: percentile_approx (constant-memory mergeable sketch, no
+    per-group value buffering) must land within max(2 tokens, 5%) of
+    the exact interpolated percentile for every group × quantile. The
+    oracle pins group count, doc counts, and all-true tolerance flags —
+    a sketch regression or schema drift fails the hash."""
+    from dedupe_copy_spark.operators.corpus import token_percentiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    approx = token_percentiles(docs, group_col="lang", approx=True)
+    exact = token_percentiles(docs, group_col="lang")
+
+    def ok(p):
+        tol = F.greatest(F.lit(2.0), F.abs(exact[p]) * 0.05)
+        return (F.abs(approx[p] - exact[p]) <= tol).alias(f"ok_{p}")
+
+    return (
+        approx.join(exact, (approx["lang"] == exact["lang"]))
+        .select(approx["lang"], approx["n_docs"],
+                ok("p25"), ok("p50"), ok("p75"), ok("p95"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bench registry: the driver-facing SPARK_QUERIES plus raw-output
 # variants of the recall-oracle queries (bench times the operator

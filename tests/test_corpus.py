@@ -230,3 +230,35 @@ def test_quality_filter_stopwords_regex_escaped(spark):
     # doc 1 has no literal 'c++'; an unescaped pattern would match bare 'c'
     assert out[1].ok_has_stopword is False
     assert out[2].ok_has_stopword is True
+
+
+def test_token_percentiles_approx_within_tolerance_and_plan(spark):
+    """approx=True must keep the exact mode's schema, land within
+    max(2 tokens, 5%) of the exact interpolated percentiles, and stay a
+    hash aggregate (mergeable sketch — no per-group sort, which is what
+    makes it the 100-TB mode)."""
+    rng = np.random.RandomState(13)
+    rows = [(i, "tok " * int(rng.randint(1, 400)))
+            for i in range(2000)]
+    docs = spark.createDataFrame(
+        [(i, t, ["en", "de", "fr"][i % 3]) for i, t in rows],
+        "doc_id long, text string, lang string")
+
+    exact_df = corpus.token_percentiles(docs, group_col="lang")
+    approx_df = corpus.token_percentiles(docs, group_col="lang", approx=True)
+    assert approx_df.schema == exact_df.schema
+
+    exact = {r.lang: r for r in exact_df.collect()}
+    approx = {r.lang: r for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for lang in exact:
+        assert exact[lang].n_docs == approx[lang].n_docs
+        for p in ("p25", "p50", "p75", "p95"):
+            e, a = getattr(exact[lang], p), getattr(approx[lang], p)
+            assert abs(a - e) <= max(2.0, 0.05 * abs(e)), (lang, p, e, a)
+
+    plan = approx_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "percentile_approx" in plan
+    assert "Sort" not in plan
