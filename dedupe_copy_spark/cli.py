@@ -61,8 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-near-dup", action="store_true",
                    help="exact-only mode (the reference's capability)")
     p.add_argument("--hash-algo", default="sha256",
-                   choices=["sha256", "md5", "sha1", "xxh64"],
-                   help="dup-group digest (reference --hash-algo, md5 default there)")
+                   choices=["sha256", "md5", "sha1", "xxh64", "xxh64ref"],
+                   help="dup-group digest (reference --hash-algo, md5 default "
+                        "there; xxh64ref = seed-0, bit-compatible with "
+                        "reference xxh64 manifests)")
     p.add_argument("--dry-run", action="store_true",
                    help="compute + print stats, write nothing")
     p.add_argument("--path-rules", action="append", default=[],

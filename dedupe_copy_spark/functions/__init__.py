@@ -1,5 +1,7 @@
 """Catalyst-native column helpers (no Python UDFs in here — everything
-below is whole-stage-codegen'd JVM expressions).
+below is whole-stage-codegen'd JVM expressions; the one exception,
+reference-interchange xxh64ref, delegates to the Arrow-batched UDF in
+functions/xxh64.py).
 
 These replace the reference's scalar utilities:
   - content digest          ← hash_file, /root/reference/dedupe_copy/utils.py:102-144
@@ -44,19 +46,24 @@ def content_sha256(content: Column) -> Column:
 #: The reference ships md5 (default) + xxh64 (utils.py:102-144, CLI
 #: --hash-algo bin/dedupecopy_cli.py:228-237); sha256 is THIS engine's
 #: contract digest (BASELINE per-row invariant), sha1 comes free.
-DIGEST_ALGOS = ("sha256", "md5", "sha1", "xxh64")
+#: "xxh64ref" is the reference-bit-compatible seed-0 variant for .db
+#: manifest interchange (functions/xxh64.py).
+DIGEST_ALGOS = ("sha256", "md5", "sha1", "xxh64", "xxh64ref")
 
 
 def content_digest(content: Column, algo: str = "sha256") -> Column:
-    """Content digest under a chosen algorithm — all codegen'd
-    built-ins, matching hashlib hexdigests byte-for-byte for
-    md5/sha1/sha256 (golden-value tested).
+    """Content digest under a chosen algorithm. md5/sha1/sha256/xxh64
+    are codegen'd JVM built-ins (hashlib-hexdigest-parity golden-value
+    tested); ``xxh64ref`` is the one non-JVM option.
 
     ``xxh64`` maps to Spark's native xxhash64 rendered as 16 lowercase
-    hex digits. NOTE: Spark seeds xxhash64 with 42 while the reference's
-    python-xxhash uses seed 0, so xxh64 digests are consistent within
-    this engine but are NOT bit-compatible with reference manifests —
-    use md5 (the reference default) for cross-tool manifest exchange.
+    hex digits — fast, but Spark hard-codes seed 42 while the
+    reference's python-xxhash uses seed 0, so it is consistent within
+    this engine and NOT bit-compatible with reference manifests.
+    ``xxh64ref`` computes true XXH64(seed=0) via an Arrow-batched UDF
+    (spec-test-vector pinned) — choose it when exchanging xxh64-keyed
+    .db manifests with the reference tool; prefer md5 (the reference
+    default, JVM-side here) when you control both ends.
     """
     if algo == "sha256":
         return content_sha256(content)
@@ -67,6 +74,9 @@ def content_digest(content: Column, algo: str = "sha256") -> Column:
     if algo == "xxh64":
         return F.lpad(F.lower(F.hex(F.xxhash64(content.cast("string")))),
                       16, "0")
+    if algo == "xxh64ref":
+        from dedupe_copy_spark.functions.xxh64 import xxh64_seed0
+        return xxh64_seed0(content.cast("string"))
     raise ValueError(f"unknown hash_algo {algo!r}; pick one of {DIGEST_ALGOS}")
 
 

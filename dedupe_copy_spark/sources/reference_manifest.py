@@ -79,6 +79,32 @@ def decode_value(raw: bytes):
     raise ValueError(f"unknown reference value marker {marker!r}")
 
 
+def detect_digest_algo(db_path: str, table: str = REFERENCE_TABLE,
+                       probe: int = 64) -> str:
+    """Infer which digest algorithm keys a reference manifest by
+    probing key shapes: 16 hex chars → xxh64 (reference seed-0 — use
+    hash_algo='xxh64ref' so engine digests match bit-for-bit), 32 →
+    md5, 40 → sha1, 64 → sha256. Raises on mixed or non-hex keys so a
+    wrong-algo compare fails loudly at load instead of silently
+    matching nothing."""
+    lens = set()
+    for i, (key_raw, _v) in enumerate(_iter_rows(db_path, table)):
+        key = decode_value(key_raw)
+        if not isinstance(key, str) or any(
+                c not in "0123456789abcdef" for c in key.lower()):
+            raise ValueError(
+                f"manifest {db_path!r} key {key!r} is not a hex digest")
+        lens.add(len(key))
+        if i + 1 >= probe:
+            break
+    by_len = {16: "xxh64ref", 32: "md5", 40: "sha1", 64: "sha256"}
+    if len(lens) != 1 or next(iter(lens)) not in by_len:
+        raise ValueError(
+            f"manifest {db_path!r} has unrecognized digest key lengths "
+            f"{sorted(lens)} (expected one of {sorted(by_len)})")
+    return by_len[next(iter(lens))]
+
+
 def _iter_rows(db_path: str, table: str) -> Iterator[tuple]:
     con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
     try:

@@ -73,3 +73,37 @@ def test_no_dead_config_knobs():
     missing = [f.name for f in dataclasses.fields(DedupeConfig)
                if not re.search(rf"\b{re.escape(f.name)}\b", text)]
     assert not missing, f"declared but never read: {missing}"
+
+
+def test_xxh64ref_spec_vectors():
+    """XXH64(seed=0) pinned against the public spec's test vectors —
+    this is what makes xxh64ref bit-compatible with python-xxhash
+    (and therefore with reference-written xxh64 manifests)."""
+    from dedupe_copy_spark.functions.xxh64 import xxh64_hexdigest
+
+    vectors = {
+        b"": "ef46db3751d8e999",
+        b"a": "d24ec4f1a98c6e5b",
+        b"abc": "44bc2cf5ad770999",
+        b"as": "1c330fb2d66be179",
+        b"asd": "631c37ce72a97393",
+        b"asdf": "415872f599cea71e",
+        # 63 bytes: exercises the 32-byte stripe loop + 8/4/1-byte tails
+        b"Call me Ishmael. Some years ago--never mind how long precisely-":
+            "02a2e85470d6fd96",
+    }
+    for data, expect in vectors.items():
+        assert xxh64_hexdigest(data) == expect, data
+
+
+def test_xxh64ref_column_matches_scalar(spark):
+    from dedupe_copy_spark.functions.xxh64 import xxh64_hexdigest
+
+    df = spark.createDataFrame([(t,) for t in TEXTS], "content string")
+    got = [r.d for r in df.select(
+        content_digest(F.col("content"), "xxh64ref").alias("d")).collect()]
+    assert got == [xxh64_hexdigest(t.encode("utf-8")) for t in TEXTS]
+    # and it differs from Spark's seed-42 xxhash64 (the round-2 gap)
+    native = [r.d for r in df.select(
+        content_digest(F.col("content"), "xxh64").alias("d")).collect()]
+    assert got != native

@@ -37,8 +37,12 @@ def test_no_driver_side_collect_loops():
     # plans/explain_audit.py: offline diagnostics — collect() is the
     # only way to execute a df's OWN QueryExecution so the audited
     # adaptive plan finalizes (count()/write wrap a new one)
+    # operators/similarity.py: train_ivf_centroids — model fitting is a
+    # bounded explicit extra pass (TakeOrdered ≤ sample_size rows on
+    # the driver), the same shape as MLlib's KMeans.fit
     allowed = {"operators/cc.py", "session.py", "operators/exact.py",
-               "cli.py", "plans/explain_audit.py"}
+               "cli.py", "plans/explain_audit.py",
+               "operators/similarity.py"}
     offenders = []
     for py in PKG.rglob("*.py"):
         rel = str(py.relative_to(PKG))

@@ -198,3 +198,44 @@ def test_cli_export_manifest(spark, tmp_path):
     back = rm.read_reference_manifest(spark, out_db)
     assert back.count() == 9
     assert back.select("dup_key").distinct().count() == 3
+
+
+def test_xxh64_manifest_interchange(spark, tmp_path):
+    """Round-trip an xxh64-keyed manifest through the reference's own
+    CacheDict: detect the digest algo from key shape, compute engine
+    digests with hash_algo='xxh64ref', and drive compare_exclude —
+    closing round 2's documented seed-42/seed-0 incompatibility."""
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.functions.xxh64 import xxh64_hexdigest
+    from dedupe_copy_spark.operators import exact, filters
+
+    dcd = _load_reference_cachedict()
+    db = str(tmp_path / "xxh64_manifest.db")
+    cache = dcd.CacheDict(db_file=db)
+    known = "The quick brown fox jumps over the lazy dog"
+    cache[xxh64_hexdigest(known.encode("utf-8"))] = [("b/fox.txt", 43, 1.0)]
+    cache.save(db_file=db)
+
+    assert rm.detect_digest_algo(db) == "xxh64ref"
+
+    rows = [("r", "b/fox.txt", "c1", "en", known),
+            ("r", "d/new.txt", "c2", "en", "something new")]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    hashed = exact.with_digest(files, DedupeConfig(hash_algo="xxh64ref"))
+    manifest = rm.read_reference_manifest(spark, db)
+    kept = filters.compare_exclude(hashed, manifest.select("dup_key"))
+    assert [r.path for r in kept.collect()] == ["d/new.txt"]
+
+
+def test_detect_digest_algo_shapes(spark, reference_db, tmp_path):
+    assert rm.detect_digest_algo(reference_db) == "md5"  # 32-hex keys
+    dcd = _load_reference_cachedict()
+    bad = str(tmp_path / "odd.db")
+    cache = dcd.CacheDict(db_file=bad)
+    cache["not-a-hex-digest!"] = [("x", 1, 1.0)]
+    cache.save(db_file=bad)
+    with pytest.raises(ValueError):
+        rm.detect_digest_algo(bad)
