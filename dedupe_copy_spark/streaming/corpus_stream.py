@@ -1,0 +1,174 @@
+"""Incremental corpus hygiene over a document stream — the operators a
+continuously ingesting training-data pipeline actually runs per batch.
+
+Two maintained surfaces (the streaming forms of operators/corpus.py):
+
+  - **contamination**: every micro-batch's docs are probed against a
+    static benchmark-gram store (distinct token n-grams of the eval
+    suites, written once at job setup); contaminated doc ids ship per
+    batch so the scrub filter runs before the batch reaches training.
+  - **n-gram document frequency**: each batch appends its per-gram
+    doc-freq contribution; the global `doc_freq` is the sum over batch
+    contributions (counts are associative — the incremental store
+    aggregates to exactly the batch operator's answer, test-pinned),
+    and top-k boilerplate (`common_ngrams`) derives from it on read.
+
+State layout under ``out_dir`` (all parquet, batch_id-keyed overwrite
+subdirectories — the same idempotent at-least-once replay contract as
+incremental.py / near_dup.py):
+
+    eval_grams/               distinct benchmark grams (written once)
+    gram_freq/batch_id=N/     (gram, doc_freq) contribution of batch N
+    contamination/batch_id=N/ (doc_id, n_shared_grams) found in batch N
+
+Scale notes: the eval-gram store is benchmark-sized (thousands of docs
+→ millions of grams at most), far smaller than any batch at real
+scale, so AQE broadcasts the semi-join probe from exact runtime sizes.
+The gram_freq store grows with vocabulary, not corpus: reads aggregate
+per gram (map-side partial sums). When batch count grows large,
+``compact_gram_freq`` folds history into a single base contribution —
+bounded files without changing any reader's answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dedupe_copy_spark.operators.corpus import doc_grams
+
+DOCS_STREAM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+])
+
+
+class IncrementalCorpusHygiene:
+    """Streaming contamination scan + n-gram doc-freq maintenance."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 n_contam: int = 8, n_freq: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_contam = n_contam
+        self.n_freq = n_freq
+        self.id_col = id_col
+        self.text_col = text_col
+        self.eval_grams_path = f"{out_dir}/eval_grams"
+        self.gram_freq_path = f"{out_dir}/gram_freq"
+        self.contamination_path = f"{out_dir}/contamination"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    # -- setup ------------------------------------------------------------
+
+    def register_eval(self, eval_docs: DataFrame) -> None:
+        """Write the distinct benchmark-gram store (idempotent
+        overwrite; run once per eval-suite revision)."""
+        grams = doc_grams(eval_docs, self.n_contam, self.id_col,
+                          self.text_col).select("gram").distinct()
+        grams.write.mode("overwrite").parquet(self.eval_grams_path)
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        grams = doc_grams(batch_df, self.n_freq, self.id_col,
+                          self.text_col)
+        freq = grams.groupBy("gram").agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        freq.write.mode("overwrite").parquet(
+            f"{self.gram_freq_path}/batch_id={batch_id}")
+
+        eval_grams = self._read_state(self.eval_grams_path)
+        if eval_grams is not None:
+            contam_grams = doc_grams(batch_df, self.n_contam, self.id_col,
+                                     self.text_col)
+            contaminated = (
+                contam_grams.join(eval_grams, "gram", "left_semi")
+                .groupBy(self.id_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+            )
+            contaminated.write.mode("overwrite").parquet(
+                f"{self.contamination_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def current_doc_freq(self) -> DataFrame:
+        """Global (gram, doc_freq) over every batch ingested so far —
+        identical to running operators.corpus.ngram_doc_freq on the
+        concatenation of all batches (doc-freq contributions are
+        per-doc-distinct upstream and sum associatively)."""
+        store = self._read_state(self.gram_freq_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "gram string, doc_freq long")
+        return store.groupBy("gram").agg(
+            F.sum("doc_freq").cast("long").alias("doc_freq"))
+
+    def common_ngrams(self, top_k: int = 20) -> DataFrame:
+        """Top-k boilerplate grams over the full ingested history."""
+        return self.current_doc_freq().orderBy(
+            F.col("doc_freq").desc(), F.col("gram").asc()).limit(top_k)
+
+    def contaminated_ids(self) -> DataFrame:
+        """(doc_id, n_shared_grams) across all batches — the scrub
+        list. A doc re-sent in several batches appears once with its
+        max count (replay-safe aggregation, not a sum)."""
+        store = self._read_state(self.contamination_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, n_shared_grams long")
+        return store.groupBy(self.id_col).agg(
+            F.max("n_shared_grams").cast("long").alias("n_shared_grams"))
+
+    def compact_gram_freq(self, into_batch_id: int = -1) -> None:
+        """Fold all gram_freq contributions into one base subdirectory
+        (batch_id=into_batch_id, an id real batches never use) so file
+        count stays bounded on long-running jobs. Readers see identical
+        sums before and after (test-pinned).
+
+        Run this only between triggers, after the stream checkpoint has
+        committed the folded batches: a replay of a pre-compaction
+        batch would re-add a contribution the base already contains.
+        Structured Streaming's checkpoint guarantees committed epochs
+        are not re-delivered, so between-trigger compaction is safe."""
+        import os
+        import shutil
+
+        store = self._read_state(self.gram_freq_path)
+        if store is None:
+            return
+        folded = store.groupBy("gram").agg(
+            F.sum("doc_freq").cast("long").alias("doc_freq"))
+        tmp = f"{self.out_dir}/_gram_freq_compact"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.gram_freq_path)
+        os.makedirs(self.gram_freq_path, exist_ok=True)
+        shutil.move(tmp, f"{self.gram_freq_path}/batch_id={into_batch_id}")
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,110 @@
+"""Streaming corpus hygiene: incremental contamination scans against a
+static benchmark-gram store and cross-batch n-gram doc-freq
+maintenance, idempotent under batch replay (the at-least-once
+foreachBatch contract)."""
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import corpus
+from dedupe_copy_spark.streaming.corpus_stream import IncrementalCorpusHygiene
+
+EVAL_DOC = ("which benchmark sentence must never leak into training "
+            "data because evaluation integrity depends on it completely")
+CLEAN = ("ordinary web document about cooking pasta with tomatoes and "
+         "basil in a large pot of salted boiling water until al dente")
+LEAKY = ("some scraped page copied which benchmark sentence must never "
+         "leak into training data because evaluation integrity depends "
+         "on it completely plus extra commentary")
+CLEAN2 = ("another innocuous page describing bicycle maintenance chains "
+          "derailleurs brake pads tire pressure and saddle height tips")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_contamination_and_doc_freq(spark, tmp_path):
+    out = str(tmp_path / "corpus_stream")
+    job = IncrementalCorpusHygiene(spark, out)
+    job.register_eval(_docs(spark, [(9000, EVAL_DOC)]))
+
+    job.process_batch(_docs(spark, [(1, CLEAN), (2, LEAKY)]), batch_id=0)
+    job.process_batch(_docs(spark, [(3, CLEAN2), (4, CLEAN)]), batch_id=1)
+
+    contaminated = {r.doc_id: r.n_shared_grams
+                    for r in job.contaminated_ids().collect()}
+    assert set(contaminated) == {2}
+    # the streaming answer must equal the batch operator on each batch
+    batch_truth = {r.doc_id: r.n_shared_grams for r in corpus.contamination_check(
+        _docs(spark, [(1, CLEAN), (2, LEAKY)]),
+        _docs(spark, [(9000, EVAL_DOC)]), n=8).collect()}
+    assert contaminated == batch_truth
+
+    # global doc freq == batch ngram_doc_freq over the concatenation
+    streaming_freq = {r.gram: r.doc_freq
+                      for r in job.current_doc_freq().collect()}
+    all_docs = _docs(spark, [(1, CLEAN), (2, LEAKY), (3, CLEAN2), (4, CLEAN)])
+    batch_freq = {r.gram: r.doc_freq
+                  for r in corpus.ngram_doc_freq(all_docs, n=3).collect()}
+    assert streaming_freq == batch_freq
+    # CLEAN appeared in two different docs → its grams have doc_freq 2
+    assert max(streaming_freq.values()) == 2
+
+    top = job.common_ngrams(top_k=5).collect()
+    assert all(r.doc_freq == 2 for r in top)  # shared CLEAN grams rank first
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "corpus_stream_replay")
+    job = IncrementalCorpusHygiene(spark, out)
+    job.register_eval(_docs(spark, [(9000, EVAL_DOC)]))
+
+    job.process_batch(_docs(spark, [(1, CLEAN), (2, LEAKY)]), batch_id=0)
+    freq_before = sorted((r.gram, r.doc_freq)
+                         for r in job.current_doc_freq().collect())
+    contam_before = sorted((r.doc_id, r.n_shared_grams)
+                           for r in job.contaminated_ids().collect())
+
+    # at-least-once: the same batch id arrives again
+    job.process_batch(_docs(spark, [(1, CLEAN), (2, LEAKY)]), batch_id=0)
+    assert sorted((r.gram, r.doc_freq)
+                  for r in job.current_doc_freq().collect()) == freq_before
+    assert sorted((r.doc_id, r.n_shared_grams)
+                  for r in job.contaminated_ids().collect()) == contam_before
+
+
+def test_compaction_preserves_sums(spark, tmp_path):
+    out = str(tmp_path / "corpus_stream_compact")
+    job = IncrementalCorpusHygiene(spark, out)
+    job.process_batch(_docs(spark, [(1, CLEAN)]), batch_id=0)
+    job.process_batch(_docs(spark, [(2, CLEAN), (3, CLEAN2)]), batch_id=1)
+    before = sorted((r.gram, r.doc_freq)
+                    for r in job.current_doc_freq().collect())
+    job.compact_gram_freq()
+    after = sorted((r.gram, r.doc_freq)
+                   for r in job.current_doc_freq().collect())
+    assert after == before
+    # post-compaction batches keep accumulating on top of the base
+    job.process_batch(_docs(spark, [(4, CLEAN)]), batch_id=2)
+    freq = {r.gram: r.doc_freq for r in job.current_doc_freq().collect()}
+    assert max(freq.values()) == 3  # CLEAN grams: docs 1, 2, 4
+
+
+def test_stream_wiring_available_now(spark, tmp_path):
+    """End-to-end through readStream/foreachBatch: parquet docs land in
+    the watch dir, one availableNow trigger drains them, state shows
+    the contamination hit."""
+    watch = str(tmp_path / "incoming")
+    out = str(tmp_path / "corpus_stream_e2e")
+    docs = spark.createDataFrame(
+        [(1, CLEAN, "en", "web", len(CLEAN)),
+         (2, LEAKY, "en", "web", len(LEAKY))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.parquet(watch)
+
+    job = IncrementalCorpusHygiene(spark, out)
+    job.register_eval(_docs(spark, [(9000, EVAL_DOC)]))
+    q = job.start(watch)
+    q.awaitTermination(120)
+    assert {r.doc_id for r in job.contaminated_ids().collect()} == {2}
+    assert job.current_doc_freq().count() > 0
