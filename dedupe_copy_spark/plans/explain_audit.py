@@ -153,6 +153,14 @@ CHECKS = {
         ("partial percentile before the exchange",
          lambda p: "partial_percentile" in p),
     ],
+    "bucketed_group_join": [
+        ("co-bucketed join: ZERO exchanges on either side",
+         lambda p: "Exchange" not in p),
+        ("SortMergeJoin over pre-bucketed scans",
+         lambda p: "SortMergeJoin" in p),
+        ("bucketed scan actually selected",
+         lambda p: "Bucketed: true" in p),
+    ],
     "token_percentiles_approx": [
         ("mergeable sketch aggregate map-side (the 100-TB mode)",
          lambda p: "partial_percentile_approx" in p),

@@ -932,6 +932,65 @@ def media_dedupe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_dedupe_keys(feats).orderBy("payload_sha256")
 
 
+@register("bucketed_group_join", FILES_CTE_SQL + """
+, g AS (
+  SELECT sha256(content) AS content_sha256,
+         CAST(count(*) AS BIGINT) AS n_files
+  FROM files GROUP BY 1
+)
+SELECT f.repo, f.path, f.commit_id,
+       sha256(f.content) AS content_sha256, g.n_files
+FROM files f JOIN g ON sha256(f.content) = g.content_sha256
+""")
+def bucketed_group_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-bucketed corpus ⋈ manifest join — the 'reuse a partitioning
+    across stages' property as a driver-checked query. The hashed
+    corpus and its per-digest group manifest are both persisted
+    bucketed+sorted by content_sha256 (sources/bucketed.py, catalog
+    bucket spec); the join then reads co-located buckets with ZERO
+    exchanges on either side (SortMergeJoin over pre-bucketed sorted
+    scans — plan-audited in PLANS.md). At 100 TB this is how every
+    digest-keyed job after ingest avoids re-shuffling the corpus."""
+    from dedupe_copy_spark.sources import bucketed
+
+    hashed = _files(spark, sf_dir).select(
+        "repo", "path", F.col("commit").alias("commit_id"), "content_sha256")
+    groups = hashed.groupBy("content_sha256").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"))
+    bucketed.save_bucketed(hashed, "bq_corpus", ("content_sha256",), 8,
+                           sort_cols=("content_sha256",))
+    bucketed.save_bucketed(groups, "bq_manifest", ("content_sha256",), 8,
+                           sort_cols=("content_sha256",))
+    corpus = bucketed.load_bucketed(spark, "bq_corpus")
+    manifest = bucketed.load_bucketed(spark, "bq_manifest")
+    return bucketed.cobucketed_join(corpus, manifest, ["content_sha256"]) \
+        .select("content_sha256", "repo", "path", "commit_id", "n_files")
+
+
+@register("snapshot_pinned_read", """
+SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 0
+""")
+def snapshot_pinned_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation for resumable runs (sources/snapshots.py —
+    the Iceberg snapshot-id contract over plain parquet, no runtime jar
+    needed): v1 commits the even doc_ids, v2 appends the odd ones, and
+    the read PINNED to v1 must return exactly v1's rows despite the
+    later append — which is what lets every stage of a resumed run
+    consume the same immutable input the first attempt saw."""
+    import tempfile
+
+    from dedupe_copy_spark.sources import snapshots
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "source")
+    table_dir = tempfile.mkdtemp(prefix="snap_table_")
+    v1 = snapshots.append_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 0), table_dir)
+    snapshots.append_snapshot(
+        docs.filter(F.col("doc_id") % 2 != 0), table_dir)
+    return snapshots.read_snapshot(spark, table_dir, v1)
+
+
 @register("media_dedupe_perceptual", """
 SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b

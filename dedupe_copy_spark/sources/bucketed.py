@@ -29,7 +29,21 @@ def save_bucketed(df: DataFrame, table: str, bucket_cols: tuple[str, ...],
     n_buckets sizes the per-bucket file count: pick ~corpus_bytes /
     (256 MB) at scale so one bucket is one task's worth. Sorting within
     buckets additionally removes the sort from downstream
-    SortMergeJoins on the same keys."""
+    SortMergeJoins on the same keys.
+
+    Overwrite-idempotent even across sessions: the default in-memory
+    catalog forgets tables when the session ends while the warehouse
+    directory persists, and saveAsTable refuses an orphaned location —
+    so a leftover location for an UNREGISTERED name is cleared first
+    (with a Hive metastore the catalog entry survives and the normal
+    overwrite path handles it)."""
+    import shutil
+
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        loc = f"{warehouse.removeprefix('file:')}/{table.lower()}"
+        shutil.rmtree(loc, ignore_errors=True)
     writer = (df.write.mode("overwrite")
               .format("parquet")
               .bucketBy(n_buckets, *bucket_cols))

@@ -1,0 +1,96 @@
+"""Snapshot-pinned parquet tables — Iceberg's isolation property
+without the runtime jar.
+
+sources/iceberg.py wires the real Iceberg catalog for deployments that
+ship iceberg-spark-runtime; this module provides the same CONTRACT the
+pipeline actually depends on — "a resumed run re-reads exactly the
+data its first attempt saw, even while appends land" — over plain
+parquet, using a tiny versioned manifest log (the core of what a table
+format is):
+
+    table_dir/
+      data/v00000001/   parquet files of append #1
+      data/v00000002/   parquet files of append #2
+      _snapshots/
+        v00000001.json  {"version": 1, "dirs": ["data/v00000001"]}
+        v00000002.json  {"version": 2, "dirs": [..., "data/v00000002"]}
+
+Every append writes a NEW data directory plus a NEW snapshot file
+listing all directories visible at that version (committed by atomic
+rename, so a reader never observes a half-written snapshot). Readers
+pin a version and scan exactly its directory list; `None` means
+latest. Old versions are immutable — the manifest-checkpoint analogue
+of the reference's frozen walk (core.py:49-98), and the same
+snapshot-id semantics `iceberg.read_files_table` exposes.
+
+Scale: the snapshot log is O(appends) tiny JSON; the data scan is a
+plain multi-path parquet read, so pruning/pushdown/split planning are
+untouched. Not a full table format (no schema evolution, no deletes,
+no compaction) — when those are needed, use real Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _snap_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_snapshots")
+
+
+def _snap_path(table_dir: str, version: int) -> str:
+    return os.path.join(_snap_dir(table_dir), f"v{version:08d}.json")
+
+
+def current_version(table_dir: str) -> int:
+    """Latest committed snapshot version (0 = empty table)."""
+    d = _snap_dir(table_dir)
+    if not os.path.isdir(d):
+        return 0
+    versions = [int(f[1:9]) for f in os.listdir(d)
+                if f.startswith("v") and f.endswith(".json")]
+    return max(versions, default=0)
+
+
+def append_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Append `df` as a new immutable snapshot; returns its version.
+    The data lands first, then the snapshot JSON commits via atomic
+    rename — a concurrent reader sees either the old or the new
+    version, never a partial one."""
+    version = current_version(table_dir) + 1
+    rel_data = os.path.join("data", f"v{version:08d}")
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, rel_data))
+
+    dirs = []
+    if version > 1:
+        with open(_snap_path(table_dir, version - 1)) as f:
+            dirs = json.load(f)["dirs"]
+    dirs = [*dirs, rel_data]
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_snap_dir(table_dir), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": version, "dirs": dirs}, f)
+    os.replace(tmp, _snap_path(table_dir, version))
+    return version
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  version: int | None = None) -> DataFrame:
+    """Scan the table as of `version` (default: latest). A pinned
+    version returns identical rows forever, regardless of later
+    appends — pass the version a run recorded at its start to every
+    resumed stage."""
+    if version is None:
+        version = current_version(table_dir)
+    if version == 0:
+        raise ValueError(f"no snapshots in {table_dir!r}")
+    path = _snap_path(table_dir, version)
+    if not os.path.exists(path):
+        raise ValueError(f"snapshot v{version} not found in {table_dir!r}")
+    with open(path) as f:
+        dirs = json.load(f)["dirs"]
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])

@@ -1,0 +1,56 @@
+"""Snapshot-pinned parquet tables (sources/snapshots.py): version
+immutability under appends — the resume contract Iceberg's snapshot-id
+provides, reimplemented over plain parquet."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.sources import snapshots
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("val"))
+
+
+def test_pinned_version_is_immutable_under_appends(spark, tmp_path):
+    table = str(tmp_path / "snap")
+    v1 = snapshots.append_snapshot(_df(spark, 0, 100), table)
+    assert v1 == 1
+    pinned = {r.doc_id for r in snapshots.read_snapshot(spark, table, v1).collect()}
+    assert pinned == set(range(100))
+
+    v2 = snapshots.append_snapshot(_df(spark, 100, 150), table)
+    assert v2 == 2
+    # the pinned read returns the SAME rows after the append
+    assert {r.doc_id for r in
+            snapshots.read_snapshot(spark, table, v1).collect()} == pinned
+    # latest sees everything
+    assert snapshots.read_snapshot(spark, table).count() == 150
+    assert snapshots.current_version(table) == 2
+
+
+def test_resume_style_usage(spark, tmp_path):
+    """The run records its version at start; every later stage (and a
+    resumed attempt) reads that version, ignoring concurrent appends."""
+    table = str(tmp_path / "snap2")
+    snapshots.append_snapshot(_df(spark, 0, 60), table)
+    run_version = snapshots.current_version(table)
+    stage1 = snapshots.read_snapshot(spark, table, run_version).count()
+    snapshots.append_snapshot(_df(spark, 60, 90), table)   # concurrent ingest
+    stage2 = snapshots.read_snapshot(spark, table, run_version).count()
+    assert stage1 == stage2 == 60
+
+
+def test_errors_and_commit_atomicity(spark, tmp_path):
+    table = str(tmp_path / "snap3")
+    with pytest.raises(ValueError):
+        snapshots.read_snapshot(spark, table)          # empty table
+    snapshots.append_snapshot(_df(spark, 0, 10), table)
+    with pytest.raises(ValueError):
+        snapshots.read_snapshot(spark, table, 99)      # unknown version
+    # no leftover tmp files — commits are rename-atomic
+    snap_dir = os.path.join(table, "_snapshots")
+    assert all(f.endswith(".json") for f in os.listdir(snap_dir))
