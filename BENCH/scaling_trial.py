@@ -80,6 +80,7 @@ def main() -> int:
     rows = 1_600_000
     cores = (2, 8)
     note = "steal-instrumented"
+    rnd = 3
     args = sys.argv[1:]
     if "--rows" in args:
         rows = int(args[args.index("--rows") + 1])
@@ -87,11 +88,13 @@ def main() -> int:
         cores = tuple(int(c) for c in args[args.index("--cores") + 1].split(","))
     if "--note" in args:
         note = args[args.index("--note") + 1]
+    if "--round" in args:
+        rnd = int(args[args.index("--round") + 1])
     attempt = next_attempt()
     note = f"{note}, {rows} rows"
     for c in cores:
         run, cpu, pre_load = one_run(c, rows)
-        rec = {"attempt": attempt, "round": 2, "note": note,
+        rec = {"attempt": attempt, "round": rnd, "note": note,
                "pre_load": pre_load, "cpu_during": cpu, "run": run}
         with open(RUNS, "a") as f:
             f.write(json.dumps(rec) + "\n")

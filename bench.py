@@ -53,6 +53,14 @@ HEADLINE = [
     "common_ngrams",
     "dup_span_stats",
     "contamination_check",
+    # round 3: JPEG perceptual dedup, shuffle-free co-bucketed join,
+    # sketch percentiles, and the corpus transform family
+    "media_dedupe_perceptual",
+    "bucketed_group_join",
+    "token_percentiles_approx",
+    "pii_redaction",
+    "line_dedup",
+    "shard_packing",
 ]
 
 

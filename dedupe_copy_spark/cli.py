@@ -92,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verify", default=None, metavar="MANIFEST_PARQUET",
                    help="audit MANIFEST against --input rows and exit "
                         "(reference verify_manifest_fs, core.py:690-750)")
+    p.add_argument("--progress", action="store_true",
+                   help="emit live scheduler progress (active stages, "
+                        "task fractions, tasks/sec, ETA) as JSON lines "
+                        "on stderr — the reference progress worker's "
+                        "rate/ETA surface (progress_worker.py:97-266); "
+                        "also appended to <checkpoint>/_metrics/"
+                        "progress.jsonl when --checkpoint is set")
     p.add_argument("--cores", type=int, default=None)
     return p
 
@@ -145,6 +152,12 @@ def main(argv: list[str] | None = None) -> int:
         return _verify_mode(spark, args)
 
     t0 = time.time()
+    reporter = None
+    if args.progress:
+        from dedupe_copy_spark.plans.progress import ProgressReporter
+
+        reporter = ProgressReporter(
+            spark, metrics_root=args.checkpoint).start()
     files = spark.read.parquet(args.input)
     required = {"repo", "path", "commit", "content"}
     missing = required - set(files.columns)
@@ -249,6 +262,14 @@ def main(argv: list[str] | None = None) -> int:
         "dry_run": bool(args.dry_run),
         "seconds": round(time.time() - t0, 2),
     }
+    if reporter is not None:
+        reporter.stop()
+        stats["progress_samples"] = len(reporter.samples)
+        if args.checkpoint:
+            from dedupe_copy_spark.plans.progress import stage_rates
+            from dedupe_copy_spark.sources.manifest import load_metrics
+
+            stats["stage_rates"] = stage_rates(load_metrics(args.checkpoint))
     print(json.dumps(stats))
     return 0
 

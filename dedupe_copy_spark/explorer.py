@@ -1,0 +1,231 @@
+"""Manifest explorer — the reference's interactive explorer CLI
+(/root/reference/dedupe_copy/bin/manifest_explorer_cli.py:18-120)
+re-expressed over engine manifests.
+
+Parquet manifests are queryable by any engine, so the explorer's value
+is convenience: the reference's command surface (info / list / find)
+plus a richer summary, over BOTH manifest formats this engine speaks —
+a parquet directory or a reference-format SQLite ``.db``
+(sources/reference_manifest.py). Every command is a bounded query
+(aggregates or LIMIT-ed collects): exploring a 100-TB manifest never
+materializes it on the driver.
+
+One-shot (scriptable, what tests pin):
+
+    python -m dedupe_copy_spark.explorer MANIFEST --info
+    python -m dedupe_copy_spark.explorer MANIFEST --list 10
+    python -m dedupe_copy_spark.explorer MANIFEST --find some/path
+    python -m dedupe_copy_spark.explorer MANIFEST --summary
+
+Interactive (the reference's cmd shell, same verbs):
+
+    python -m dedupe_copy_spark.explorer [MANIFEST]
+    (manifest_explorer) info | list 5 | find <query> | summary | quit
+"""
+
+from __future__ import annotations
+
+import argparse
+import cmd
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LIST_DEFAULT = 10
+FIND_LIMIT = 20
+
+
+def load_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest from a parquet dir or a reference-format .db."""
+    if path.endswith(".db"):
+        from dedupe_copy_spark.sources.reference_manifest import (
+            read_reference_manifest,
+        )
+        return read_reference_manifest(spark, path)
+    return spark.read.parquet(path)
+
+
+def digest_col(df: DataFrame) -> str:
+    for c in ("dup_key", "content_digest", "content_sha256"):
+        if c in df.columns:
+            return c
+    raise ValueError(
+        f"no digest column among {df.columns} — expected one of "
+        "dup_key/content_digest/content_sha256")
+
+
+def info(df: DataFrame) -> dict:
+    """Reference `do_info` (hash + file counts), plus dup-group and
+    byte totals when available — one aggregate job."""
+    d = digest_col(df)
+    aggs = [F.count(F.lit(1)).alias("n_files"),
+            F.countDistinct(d).alias("n_digests")]
+    if "size" in df.columns:
+        aggs.append(F.sum("size").cast("long").alias("total_bytes"))
+    row = df.agg(*aggs).collect()[0]
+    groups = (df.groupBy(d).agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") > 1)
+              .agg(F.count(F.lit(1)).alias("g"),
+                   F.sum(F.col("n") - 1).alias("r")).collect()[0])
+    out = {"n_files": row.n_files, "n_digests": row.n_digests,
+           "n_dup_groups": groups.g or 0,
+           "n_redundant_files": int(groups.r or 0)}
+    if "size" in df.columns:
+        out["total_bytes"] = row.total_bytes
+    return out
+
+
+def list_groups(df: DataFrame, limit: int = LIST_DEFAULT) -> list[dict]:
+    """Reference `do_list`: the first `limit` digest groups with their
+    member paths (deterministic digest order; member lists are bounded
+    by the group, not the manifest)."""
+    d = digest_col(df)
+    rows = (df.groupBy(d).agg(F.sort_array(F.collect_list("path")).alias("paths"))
+            .orderBy(d).limit(limit).collect())
+    return [{"digest": getattr(r, d), "paths": list(r.paths)} for r in rows]
+
+
+def find(df: DataFrame, query: str, limit: int = FIND_LIMIT) -> list[dict]:
+    """Reference `do_find`: exact digest match OR path substring,
+    pushed down as a filter — never a driver-side scan."""
+    d = digest_col(df)
+    hits = (df.filter((F.col(d) == query) | F.col("path").contains(query))
+            .select(F.col(d).alias("digest"), "path")
+            .orderBy("digest", "path").limit(limit).collect())
+    return [{"digest": r.digest, "path": r.path} for r in hits]
+
+
+def summary(df: DataFrame, top_k: int = 10) -> dict:
+    """Beyond the reference: top extensions and repos by file count —
+    the first questions anyone asks a corpus manifest."""
+    from dedupe_copy_spark.functions import lower_extension
+
+    out = dict(info(df))
+    ext = (df.withColumn("_ext", lower_extension(F.col("path")))
+           .groupBy("_ext").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.desc("n"), F.asc("_ext")).limit(top_k).collect())
+    out["top_extensions"] = [{"ext": r._ext, "n_files": r.n} for r in ext]
+    if "repo" in df.columns:
+        repos = (df.groupBy("repo").agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.desc("n"), F.asc("repo")).limit(top_k).collect())
+        out["top_repos"] = [{"repo": r.repo, "n_files": r.n} for r in repos]
+    return out
+
+
+class ExplorerShell(cmd.Cmd):
+    """Interactive shell with the reference explorer's verbs."""
+
+    intro = "Manifest explorer. Type help or ? to list commands.\n"
+    prompt = "(manifest_explorer) "
+
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        super().__init__()
+        self.spark = spark
+        self.df: DataFrame | None = None
+        if path:
+            self.do_load(path)
+
+    def _need(self) -> bool:
+        if self.df is None:
+            print("No manifest loaded. Use 'load <path>'.")
+            return True
+        return False
+
+    def do_load(self, arg: str):
+        """Load a manifest. Usage: load <parquet_dir_or_reference.db>"""
+        if not arg:
+            print("Please provide a manifest path.")
+            return
+        try:
+            self.df = load_manifest(self.spark, arg.strip())
+            print(f"Manifest '{arg.strip()}' loaded.")
+        except Exception as e:  # surface, keep the shell alive
+            print(f"Failed to load manifest: {e}")
+            self.df = None
+
+    def do_info(self, _arg: str):
+        """Counts: files, digests, dup groups, redundant files, bytes."""
+        if self._need():
+            return
+        print(json.dumps(info(self.df), indent=2))
+
+    def do_list(self, arg: str):
+        """List digest groups. Usage: list [limit]"""
+        if self._need():
+            return
+        try:
+            limit = int(arg) if arg.strip() else LIST_DEFAULT
+        except ValueError:
+            print("Invalid limit. Please provide an integer.")
+            return
+        for g in list_groups(self.df, limit):
+            print(f"Hash: {g['digest']}")
+            for p in g["paths"]:
+                print(f"  - {p}")
+
+    def do_find(self, arg: str):
+        """Find by digest or path substring. Usage: find <query>"""
+        if self._need():
+            return
+        if not arg.strip():
+            print("Please provide a search query.")
+            return
+        hits = find(self.df, arg.strip())
+        if not hits:
+            print("No matches found.")
+        for h in hits:
+            print(f"Found: {h['path']} (Hash: {h['digest']})")
+
+    def do_summary(self, _arg: str):
+        """Extended summary: info + top extensions/repos."""
+        if self._need():
+            return
+        print(json.dumps(summary(self.df), indent=2))
+
+    def do_quit(self, _arg: str) -> bool:
+        """Exit the explorer."""
+        return True
+
+    do_exit = do_EOF = do_quit
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="dedupe_copy_spark.explorer",
+        description="explore a manifest (parquet dir or reference .db)")
+    p.add_argument("manifest", nargs="?", default=None)
+    p.add_argument("--info", action="store_true")
+    p.add_argument("--list", type=int, default=None, metavar="N")
+    p.add_argument("--find", default=None, metavar="QUERY")
+    p.add_argument("--summary", action="store_true")
+    p.add_argument("--cores", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from dedupe_copy_spark.session import get_spark
+
+    spark = get_spark(app_name="manifest-explorer", cores=args.cores)
+    one_shot = args.info or args.summary or args.list is not None \
+        or args.find is not None
+    if one_shot:
+        if not args.manifest:
+            p.error("one-shot flags require a MANIFEST path")
+        df = load_manifest(spark, args.manifest)
+        out: dict = {}
+        if args.info:
+            out["info"] = info(df)
+        if args.list is not None:
+            out["groups"] = list_groups(df, args.list)
+        if args.find is not None:
+            out["matches"] = find(df, args.find)
+        if args.summary:
+            out["summary"] = summary(df)
+        print(json.dumps(out))
+        return 0
+    ExplorerShell(spark, args.manifest).cmdloop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -321,3 +321,127 @@ def token_percentiles(docs: DataFrame, group_col: str = "lang",
             F.round(F.col("_p")[3], 4).alias("p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Transform-side hygiene: PII redaction, boilerplate-line removal, and
+# token-budget shard packing — the ops that EDIT the corpus after the
+# measurement ops above have decided what to keep.
+# ---------------------------------------------------------------------------
+
+# Deliberately simple patterns, expressible identically in Java regex
+# (Spark) and RE2 (DuckDB) so the redaction is cross-engine-checkable;
+# production deployments swap in their compliance-approved pattern set.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+               ) -> DataFrame:
+    """PII scrub: replace each pattern with its placeholder token and
+    count per-kind hits (counted on the ORIGINAL text, so downstream
+    auditing sees what was removed even after the rewrite). Pure
+    codegen regexp_replace chain — one narrow scan, no shuffle, no
+    Python; patterns apply in declaration order."""
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    redacted = text
+    counts = []
+    for name, pat, repl in patterns:
+        counts.append(F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+                      .cast("long").alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return docs.select(
+        *docs.columns,
+        redacted.alias(f"{text_col}_redacted"),
+        *counts,
+    )
+
+
+def drop_boilerplate_lines(docs: DataFrame, max_doc_freq: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Line-level boilerplate removal (the transform behind
+    dup_span_stats' measurements): drop every line that appears in more
+    than `max_doc_freq` distinct documents — license headers, nav
+    chrome, generated preambles — and reassemble each document from its
+    surviving lines in original order.
+
+    Shape: posexplode lines → line-keyed doc-freq agg → join back →
+    per-doc ordered reassembly via sort_array(collect_list(struct)).
+    Both shuffles key on uniform values (line text, doc id); the
+    collect_list is bounded by one document's line count. Empty lines
+    never count as boilerplate (they'd glue unrelated docs into one
+    hot key)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("pos", "line"))
+    freq = (lines.filter(F.col("line") != "")
+            .groupBy("line")
+            .agg(F.count_distinct(F.col(id_col)).alias("line_df")))
+    kept = (lines.join(freq, "line", "left")
+            .filter(F.coalesce(F.col("line_df"), F.lit(0)) <= max_doc_freq))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+                    .alias("_parts"))
+               .select(
+                   F.col(id_col),
+                   F.array_join(F.transform("_parts", lambda s: s["line"]),
+                                "\n").alias(f"{text_col}_clean")))
+    # docs whose every line was boilerplate (or empty text) come back ''
+    return (docs.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col(f"{text_col}_clean"), F.lit(""))
+                    .alias(f"{text_col}_clean")))
+
+
+def pack_shards(docs: DataFrame, budget_tokens: int,
+                order_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Token-budget shard packing: lay the corpus out in `order_col`
+    order and assign each document to the shard its starting token
+    offset falls in — (doc_id, n_tokens, start_offset, shard_id) for
+    the training-data writer.
+
+    A naive global cumsum window is a SinglePartition exchange — the
+    whole corpus through one task. This is the scalable two-phase
+    prefix sum instead: range-partition by `order_col`, cumsum WITHIN
+    each partition (parallel windows), then shift every partition by
+    the total of its predecessors — the offsets relation is
+    #partitions rows, so its own cumsum window is trivially small and
+    AQE broadcasts the join back. Output is independent of the actual
+    range boundaries (prefix sums depend only on global order), so the
+    result is deterministic even though sampling-based partitioning is
+    not."""
+    from pyspark.sql import Window
+
+    sized = docs.select(
+        F.col(order_col),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+    parted = (sized.repartitionByRange(F.col(order_col))
+              .withColumn("_part", F.spark_partition_id()))
+    w_in = (Window.partitionBy("_part").orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = parted.withColumn("_local_end", F.sum("n_tokens").over(w_in))
+    totals = local.groupBy("_part").agg(
+        F.sum("n_tokens").alias("_part_total"))
+    w_parts = (Window.orderBy("_part")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.withColumn(
+        "_part_offset",
+        F.coalesce(F.sum("_part_total").over(w_parts), F.lit(0)))
+    return (local.join(offsets.select("_part", "_part_offset"), "_part")
+            .select(
+                F.col(order_col),
+                F.col("n_tokens"),
+                (F.col("_part_offset") + F.col("_local_end")
+                 - F.col("n_tokens")).alias("start_offset"),
+                F.floor((F.col("_part_offset") + F.col("_local_end")
+                         - F.col("n_tokens")) / budget_tokens)
+                .cast("long").alias("shard_id")))

@@ -153,6 +153,24 @@ CHECKS = {
         ("partial percentile before the exchange",
          lambda p: "partial_percentile" in p),
     ],
+    "pii_redaction": [
+        ("pure codegen regexp chain — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "line_dedup": [
+        ("no python eval (explode/agg/join all codegen)",
+         lambda p: "EvalPython" not in p),
+        ("map-side partial agg before the line exchange",
+         lambda p: "partial_count" in p),
+    ],
+    "shard_packing": [
+        ("two-phase prefix sum: data windows keyed by partition id "
+         "(the only SinglePartition exchange carries the #partitions-"
+         "row offsets relation, never the data)",
+         lambda p: "SPARK_PARTITION_ID()" in p
+         and re.search(r"hashpartitioning\(_part", p)),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "bucketed_group_join": [
         ("co-bucketed join: ZERO exchanges on either side",
          lambda p: "Exchange" not in p),

@@ -1,0 +1,134 @@
+"""Live progress / rate reporting — the reference's progress worker
+(/root/reference/dedupe_copy/progress_worker.py:97-266: files/sec
+rates, ETA, bottleneck hints) re-expressed for Spark's execution model.
+
+The reference polls its work queues; the Spark equivalents of "queue
+depth" are the scheduler's own counters, read from
+``sparkContext.statusTracker()`` on a daemon thread: active stages,
+their task completion fractions, a tasks/sec rate over the sampling
+window, and an ETA for the tasks currently known. One JSON line per
+sample goes to the chosen stream (stderr by default, so the stats line
+on stdout stays machine-parseable) and, when a checkpoint root is
+given, to ``<root>/_metrics/progress.jsonl`` next to the per-stage
+metrics — giving a run both the live view and the post-hoc one.
+
+Polling the status tracker costs microseconds on the driver and
+touches no executor — safe at any scale; the sampler thread is a
+daemon, so a dying driver never hangs on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+from pyspark.sql import SparkSession
+
+
+class ProgressReporter:
+    """Samples scheduler state every `interval` seconds while active.
+
+    Use as a context manager around any batch of Spark actions:
+
+        with ProgressReporter(spark, metrics_root=ckpt) as prog:
+            pipeline.run(files)
+        print(prog.samples[-1])
+    """
+
+    def __init__(self, spark: SparkSession, interval: float = 2.0,
+                 out=None, metrics_root: str | None = None):
+        self.spark = spark
+        self.interval = interval
+        self.out = out if out is not None else sys.stderr
+        self.metrics_root = metrics_root
+        self.samples: list[dict] = []
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._last_done = 0
+        self._last_ts: float | None = None
+
+    # -- sampling ---------------------------------------------------------
+
+    def snapshot(self) -> dict | None:
+        """One scheduler sample; None when nothing is running."""
+        tracker = self.spark.sparkContext.statusTracker()
+        stage_ids = tracker.getActiveStageIds()
+        stages, done, total = [], 0, 0
+        for sid in stage_ids:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is None:
+                continue
+            stages.append({"stage_id": sid,
+                           "done": sinfo.numCompletedTasks,
+                           "active": sinfo.numActiveTasks,
+                           "total": sinfo.numTasks})
+            done += sinfo.numCompletedTasks
+            total += sinfo.numTasks
+        if not stages:
+            return None
+        now = time.time()
+        rate = None
+        if self._last_ts is not None and now > self._last_ts:
+            dt = now - self._last_ts
+            dd = done - self._last_done
+            if dd >= 0:
+                rate = round(dd / dt, 2)
+        self._last_ts, self._last_done = now, done
+        eta = None
+        if rate and rate > 0:
+            eta = round((total - done) / rate, 1)
+        return {"ts": round(now, 3), "active_stages": stages,
+                "tasks_done": done, "tasks_total": total,
+                "tasks_per_sec": rate, "eta_sec": eta,
+                "n_jobs": len(tracker.getActiveJobsIds())}
+
+    def _emit(self, sample: dict) -> None:
+        line = json.dumps(sample)
+        self.samples.append(sample)
+        print(line, file=self.out, flush=True)
+        if self.metrics_root:
+            d = os.path.join(self.metrics_root, "_metrics")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "progress.jsonl"), "a") as f:
+                f.write(line + "\n")
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            sample = self.snapshot()
+            if sample is not None:
+                self._emit(sample)
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> "ProgressReporter":
+        self._thread = threading.Thread(
+            target=self._run, name="progress-reporter", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self) -> "ProgressReporter":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def stage_rates(metrics: list[dict]) -> list[dict]:
+    """Per-stage rate table from manifest metrics records (the
+    post-run counterpart of the live sampler): rows/sec per
+    checkpointed stage — the reference's end-of-run rate summary."""
+    out = []
+    for m in metrics:
+        if "rows" in m and m.get("seconds"):
+            out.append({"stage": m["stage"], "rows": m["rows"],
+                        "seconds": m["seconds"],
+                        "rows_per_sec": round(m["rows"] / m["seconds"], 1)})
+    return out

@@ -1605,6 +1605,123 @@ def token_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_percentiles(docs, group_col="lang")
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register("pii_redaction", rf"""
+WITH seeded AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or 555-867-5309 at 10.0.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ipv4
+FROM seeded
+""")
+def pii_redaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically seeded documents (every doc
+    gets a synthetic email/phone/IP appended, so the redaction is
+    non-vacuous on every row): placeholder rewrite + per-kind hit
+    counts on the original text. Pure codegen regexp chain — the
+    patterns are written in the Java∩RE2 regex subset so DuckDB
+    replays them byte-for-byte."""
+    from dedupe_copy_spark.operators.corpus import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555-867-5309 at 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7")).alias("text"))
+    return redact_pii(seeded).select(
+        "doc_id", "text_redacted", "n_email", "n_phone", "n_ipv4")
+
+
+@register("line_dedup", """
+WITH seeded AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || '-- standard footer line --'
+           AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM seeded
+), lines AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(ls))) AS pos,
+         unnest(ls) AS line
+  FROM s
+), freq AS (
+  SELECT line, count(DISTINCT doc_id) AS line_df
+  FROM lines WHERE line <> '' GROUP BY 1
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN freq USING (line)
+  WHERE coalesce(line_df, 0) <= 2
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""")
+def line_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal on documents seeded with a footer line
+    shared by EVERY doc (so the transform provably fires): lines in
+    more than 2 distinct docs are dropped, documents reassembled in
+    original line order. The whole rewrite — explode, doc-freq agg,
+    join, ordered reassembly — is replayed in SQL by the oracle."""
+    from dedupe_copy_spark.operators.corpus import drop_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.lit("\n-- standard footer line --")).alias("text"))
+    return drop_boilerplate_lines(seeded, max_doc_freq=2)
+
+
+@register("shard_packing", """
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS start_offset
+  FROM sized
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset::DOUBLE / 5000) AS BIGINT) AS shard_id
+FROM laid
+""")
+def shard_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard layout for the training-data writer: each doc
+    gets its global starting token offset (corpus laid out in doc_id
+    order) and the 5000-token shard that offset falls in. Computed as
+    the scalable two-phase prefix sum (parallel within-range-partition
+    windows + a #partitions-row offsets relation) — NOT a global
+    single-partition window — and checked against the oracle's plain
+    cumsum, which also proves the two-phase decomposition exact."""
+    from dedupe_copy_spark.operators.corpus import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_shards(docs, budget_tokens=5000)
+
+
 @register("token_percentiles_approx", """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        true AS ok_p25, true AS ok_p50, true AS ok_p75, true AS ok_p95

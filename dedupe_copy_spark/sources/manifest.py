@@ -56,6 +56,7 @@ def record_metrics(root: str, stage: str, rows: int, seconds: float,
     JSON line; cheap, driver-side, crash-safe (one line per commit)."""
     os.makedirs(os.path.join(root, "_metrics"), exist_ok=True)
     rec = {"stage": stage, "rows": rows, "seconds": round(seconds, 3),
+           "rows_per_sec": round(rows / seconds, 1) if seconds > 0 else None,
            "ts": time.time(), **(extra or {})}
     with open(os.path.join(root, "_metrics", "metrics.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")

@@ -262,3 +262,54 @@ def test_token_percentiles_approx_within_tolerance_and_plan(spark):
         .fromString("formatted"))
     assert "percentile_approx" in plan
     assert "Sort" not in plan
+
+
+def test_redact_pii_counts_and_rewrite(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d@e.org, call 555-123-4567, "
+             "host 192.168.0.1 ok"),
+         (2, "nothing sensitive here"),
+         (3, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.redact_pii(docs).collect()}
+    assert out[1].n_email == 2 and out[1].n_phone == 1 and out[1].n_ipv4 == 1
+    assert out[1].text_redacted == \
+        "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> ok"
+    assert out[2].text_redacted == "nothing sensitive here"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+    assert out[3].text_redacted == ""  # NULL text = empty
+
+
+def test_drop_boilerplate_lines(spark):
+    footer = "-- corpate footer --"
+    docs = spark.createDataFrame(
+        [(1, f"unique one\n{footer}\nalso unique"),
+         (2, f"{footer}\nsecond doc body"),
+         (3, f"third doc body\n{footer}"),
+         (4, footer),                       # all boilerplate → ''
+         (5, "keep\n\nblank lines survive")],  # '' lines never count
+        "doc_id long, text string")
+    out = {r.doc_id: r.text_clean
+           for r in corpus.drop_boilerplate_lines(docs, max_doc_freq=2).collect()}
+    assert out[1] == "unique one\nalso unique"
+    assert out[2] == "second doc body"
+    assert out[3] == "third doc body"
+    assert out[4] == ""
+    assert out[5] == "keep\n\nblank lines survive"
+
+
+def test_pack_shards_matches_sequential_cumsum(spark):
+    texts = [(i, "tok " * ((i * 7) % 23 + 1)) for i in range(200)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string") \
+        .repartition(8)  # scrambled partitioning: output must not care
+    got = {r.doc_id: r for r in corpus.pack_shards(docs, 100).collect()}
+    offset = 0
+    for i in range(200):
+        n = (i * 7) % 23 + 1
+        assert got[i].n_tokens == n, i
+        assert got[i].start_offset == offset, i
+        assert got[i].shard_id == offset // 100, i
+        offset += n
+    # shards are contiguous runs in doc order
+    shards = [got[i].shard_id for i in range(200)]
+    assert shards == sorted(shards)

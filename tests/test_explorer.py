@@ -1,0 +1,90 @@
+"""Manifest explorer (explorer.py): the reference explorer's verbs
+(info/list/find) over parquet and reference-.db manifests, bounded
+queries only."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark import explorer
+
+
+@pytest.fixture(scope="module")
+def manifest_df(spark):
+    rows = [
+        ("h1", "r1", "docs/a.txt", "c1", 10),
+        ("h1", "r2", "mirror/a.txt", "c2", 10),
+        ("h2", "r1", "docs/b.md", "c3", 20),
+        ("h3", "r1", "docs/c.md", "c4", 30),
+        ("h3", "r3", "vendor/c_copy.md", "c5", 30),
+        ("h3", "r3", "vendor/c_copy2.md", "c6", 30),
+    ]
+    return spark.createDataFrame(
+        rows, "dup_key string, repo string, path string, commit string, size long")
+
+
+def test_info_counts(manifest_df):
+    got = explorer.info(manifest_df)
+    assert got == {"n_files": 6, "n_digests": 3, "n_dup_groups": 2,
+                   "n_redundant_files": 3, "total_bytes": 130}
+
+
+def test_list_groups_deterministic(manifest_df):
+    groups = explorer.list_groups(manifest_df, limit=2)
+    assert [g["digest"] for g in groups] == ["h1", "h2"]
+    assert groups[0]["paths"] == ["docs/a.txt", "mirror/a.txt"]
+
+
+def test_find_by_digest_and_substring(manifest_df):
+    by_digest = explorer.find(manifest_df, "h3")
+    assert {h["path"] for h in by_digest} == \
+        {"docs/c.md", "vendor/c_copy.md", "vendor/c_copy2.md"}
+    by_path = explorer.find(manifest_df, "vendor/")
+    assert all(h["digest"] == "h3" for h in by_path) and len(by_path) == 2
+    assert explorer.find(manifest_df, "nothing-matches") == []
+
+
+def test_summary_top_extensions_and_repos(manifest_df):
+    got = explorer.summary(manifest_df)
+    assert got["top_extensions"][0] == {"ext": "md", "n_files": 4}
+    assert got["top_repos"][0] == {"repo": "r1", "n_files": 3}
+
+
+def test_one_shot_cli_on_parquet(spark, manifest_df, tmp_path, capsys):
+    path = str(tmp_path / "manifest_parquet")
+    manifest_df.write.parquet(path)
+    assert explorer.main([path, "--info", "--find", "docs/b"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["info"]["n_files"] == 6
+    assert out["matches"] == [{"digest": "h2", "path": "docs/b.md"}]
+
+
+def test_one_shot_cli_on_reference_db(spark, tmp_path, capsys):
+    from tests.test_reference_manifest import _load_reference_cachedict
+
+    dcd = _load_reference_cachedict()
+    db = str(tmp_path / "m.db")
+    cache = dcd.CacheDict(db_file=db)
+    cache["aa" * 16] = [("x/one.txt", 5, 1.0), ("y/two.txt", 5, 2.0)]
+    cache.save(db_file=db)
+    assert explorer.main([db, "--list", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["groups"] == [
+        {"digest": "aa" * 16, "paths": ["x/one.txt", "y/two.txt"]}]
+
+
+def test_shell_verbs(spark, manifest_df, tmp_path, capsys):
+    path = str(tmp_path / "shell_manifest")
+    manifest_df.write.parquet(path)
+    shell = explorer.ExplorerShell(spark)
+    shell.onecmd("info")                       # not loaded yet
+    assert "No manifest loaded" in capsys.readouterr().out
+    shell.onecmd(f"load {path}")
+    shell.onecmd("info")
+    assert '"n_files": 6' in capsys.readouterr().out
+    shell.onecmd("find vendor/")
+    assert "vendor/c_copy.md" in capsys.readouterr().out
+    shell.onecmd("list bogus")
+    assert "Invalid limit" in capsys.readouterr().out
+    assert shell.onecmd("quit") is True

@@ -40,9 +40,11 @@ def test_no_driver_side_collect_loops():
     # operators/similarity.py: train_ivf_centroids — model fitting is a
     # bounded explicit extra pass (TakeOrdered ≤ sample_size rows on
     # the driver), the same shape as MLlib's KMeans.fit
+    # explorer.py: interactive tooling — LIMIT-ed / aggregate-only
+    # collects are its output, never data-proportional
     allowed = {"operators/cc.py", "session.py", "operators/exact.py",
                "cli.py", "plans/explain_audit.py",
-               "operators/similarity.py"}
+               "operators/similarity.py", "explorer.py"}
     offenders = []
     for py in PKG.rglob("*.py"):
         rel = str(py.relative_to(PKG))

@@ -1,0 +1,54 @@
+"""Live progress reporting (plans/progress.py): scheduler sampling
+during real jobs, the progress.jsonl sink, and per-stage rate
+summaries."""
+
+import io
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.plans.progress import ProgressReporter, stage_rates
+
+
+def test_reporter_samples_running_job(spark, tmp_path):
+    out = io.StringIO()
+    root = str(tmp_path / "ckpt")
+    with ProgressReporter(spark, interval=0.05, out=out,
+                          metrics_root=root) as prog:
+        # enough tasks/stages that the 20 Hz sampler must catch some
+        df = (spark.range(0, 3_000_000, 1, 64)
+              .groupBy((F.col("id") % 9973).alias("k"))
+              .agg(F.count(F.lit(1)).alias("n")))
+        assert df.count() == 9973
+    assert len(prog.samples) >= 1
+    s = prog.samples[0]
+    assert s["tasks_total"] >= s["tasks_done"] >= 0
+    assert s["active_stages"] and all(
+        st["total"] > 0 for st in s["active_stages"])
+    # every emitted line is valid JSON on both sinks
+    lines = [ln for ln in out.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == len(prog.samples)
+    jsonl = os.path.join(root, "_metrics", "progress.jsonl")
+    with open(jsonl) as f:
+        assert len([json.loads(ln) for ln in f]) == len(prog.samples)
+
+
+def test_snapshot_idle_returns_none(spark):
+    rep = ProgressReporter(spark, interval=60)
+    assert rep.snapshot() is None  # nothing running right now
+
+
+def test_stage_rates_from_metrics(tmp_path):
+    from dedupe_copy_spark.sources.manifest import load_metrics, record_metrics
+
+    root = str(tmp_path / "m")
+    record_metrics(root, "ingest", rows=1000, seconds=2.0)
+    record_metrics(root, "exact", rows=500, seconds=0.5)
+    rates = stage_rates(load_metrics(root))
+    assert rates == [
+        {"stage": "ingest", "rows": 1000, "seconds": 2.0, "rows_per_sec": 500.0},
+        {"stage": "exact", "rows": 500, "seconds": 0.5, "rows_per_sec": 1000.0},
+    ]
+    # record_metrics itself now carries the rate
+    assert load_metrics(root)[0]["rows_per_sec"] == 500.0
