@@ -70,7 +70,7 @@ def synth_media(spark: SparkSession, n_rows: int = 64, seed: int = 42) -> DataFr
             "duration_ms": None if kind == "image" else 1000 * (i % 30 + 1),
             "payload": payload,
         })
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_df(spark, rows)
 
 
 def synth_jpeg_media(spark: SparkSession, n_images: int = 48,
@@ -104,7 +104,29 @@ def synth_jpeg_media(spark: SparkSession, n_images: int = 48,
                 "width": 64, "height": 32, "duration_ms": None,
                 "payload": re_encoded,
             })
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_df(spark, rows)
+
+
+def _media_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Fixture rows → DataFrame through the pandas/Arrow path when the
+    session has Arrow on (session.py does): the plain
+    createDataFrame(list) route plans a Python-runner scan that
+    re-forks workers on EVERY downstream action (~1.8 s per action for
+    64 rows with worker.reuse off, measured); via Arrow the rows
+    convert to a JVM local relation once and all scans stay JVM-side.
+    Sessions without Arrow take the list route — pandas' NaN-for-NULL
+    dtype coercion breaks the non-Arrow fallback's type verifier.
+    Coalesced so a tiny fixture doesn't fan into 32 near-empty
+    partitions (at real scale partitioning follows bytes via
+    maxPartitionBytes)."""
+    arrow_on = str(spark.conf.get(
+        "spark.sql.execution.arrow.pyspark.enabled", "false")).lower() == "true"
+    if arrow_on:
+        import pandas as pd
+
+        return spark.createDataFrame(pd.DataFrame(rows),
+                                     schema=MEDIA_SCHEMA).coalesce(4)
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).coalesce(4)
 
 
 def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
@@ -294,7 +316,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
 def media_near_dups(features: DataFrame, threshold: float = 0.99,
                     exact_kind_limit: int = 10_000, n_tables: int = 8,
                     bits: int = 6, seed: int = 42,
-                    max_bucket: int = 5_000) -> DataFrame:
+                    max_bucket: int = 5_000,
+                    route: str = "auto") -> DataFrame:
     """Perceptual near-dup pairs: cosine over the decoded feature
     vectors within each media kind, size-routed through
     similarity.blocked_near_dups with kind as the block label.
@@ -312,7 +335,7 @@ def media_near_dups(features: DataFrame, threshold: float = 0.99,
         features, threshold, label_col="kind", id_col="media_id",
         vec_col="features", exact_block_limit=exact_kind_limit,
         n_tables=n_tables, bits=bits, dim=FEATURE_DIM, seed=seed,
-        max_bucket=max_bucket)
+        max_bucket=max_bucket, route=route)
     kinds = features.select(F.col("media_id").alias("id_a"), "kind")
     return pairs.join(kinds, "id_a").select("kind", "id_a", "id_b", "cosine")
 

@@ -260,7 +260,8 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
                       vec_col: str = "embedding",
                       exact_block_limit: int = 10_000,
                       n_tables: int = 8, bits: int = 6, dim: int = 64,
-                      seed: int = 42, max_bucket: int = 5_000) -> DataFrame:
+                      seed: int = 42, max_bucket: int = 5_000,
+                      route: str = "auto") -> DataFrame:
     """Label-blocked embedding near-dup pairs with size routing.
 
     Blocks with <= exact_block_limit members get the EXACT O(block²)
@@ -271,17 +272,35 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
     exact-cosine verified. The big-block path trades bounded work for
     LSH recall < 1 on those blocks only; small blocks stay exact, so
     results are unchanged wherever the exact path ran.
+
+    ``route`` prunes the plan when the caller already knows the block
+    shape: "auto" (default) carries both branches and lets the data
+    decide; "exact" builds only the exact branch (correct ONLY when
+    every block is <= exact_block_limit — results identical to auto,
+    minus ~10 empty-stage launches incl. per-partition Python forks for
+    the vacant LSH branch); "lsh" builds only the bucketed branch (a
+    corpus known to be all hot labels). Identical outputs per path are
+    test-pinned.
     """
     from pyspark.sql import Window
 
     from dedupe_copy_spark.operators.pairs import bucket_pairs
 
+    if route not in ("auto", "exact", "lsh"):
+        raise ValueError(f"route must be auto|exact|lsh, got {route!r}")
     # window count = one shuffle on label; a groupBy+join would shuffle
     # twice for the same annotation
     with_n = emb.withColumn(
         "_block_n", F.count(F.lit(1)).over(Window.partitionBy(label_col)))
-    small = with_n.filter(F.col("_block_n") <= exact_block_limit)
-    big = with_n.filter(F.col("_block_n") > exact_block_limit)
+    if route == "exact":
+        small = with_n
+        big = with_n.limit(0)
+    elif route == "lsh":
+        small = with_n.limit(0)
+        big = with_n
+    else:
+        small = with_n.filter(F.col("_block_n") <= exact_block_limit)
+        big = with_n.filter(F.col("_block_n") > exact_block_limit)
 
     def verify(pairs: DataFrame, source: DataFrame) -> DataFrame:
         va = source.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("e_a"))

@@ -1010,8 +1010,14 @@ def media_dedupe_perceptual_query(spark: SparkSession, sf_dir: str) -> DataFrame
     from dedupe_copy_spark.operators import multimodal as mm
 
     media = mm.synth_jpeg_media(spark, n_images=48)
-    feats = mm.extract_features(media)
-    pairs = mm.media_near_dups(feats, threshold=0.995)
+    # features feed BOTH self-join sides plus the kind re-join —
+    # materialize once (the minhash-signatures pattern) or the
+    # mapInPandas decode re-runs per plan branch
+    feats = mm.extract_features(media).localCheckpoint()
+    # route="exact": the fixture's one kind holds 64 rows — far under
+    # the limit — so the vacant LSH branch is pruned from the plan
+    # (route="auto"/"lsh" equivalence is test-pinned in test_jpeg.py)
+    pairs = mm.media_near_dups(feats, threshold=0.995, route="exact")
     return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
 
 

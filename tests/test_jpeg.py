@@ -195,6 +195,14 @@ def test_jpeg_perceptual_dedup_end_to_end(spark):
                                        exact_kind_limit=1).collect()}
     assert lsh == truth
 
+    # the plan-pruning route overrides must agree with auto on both
+    # branches (route='exact' is what the registry query uses)
+    for route in ("exact", "lsh"):
+        got = {(r.id_a, r.id_b)
+               for r in mm.media_near_dups(feats, 0.995,
+                                           route=route).collect()}
+        assert got == truth, route
+
 
 def test_media_near_dups_lsh_route_plan_has_bucket_join(spark):
     """The 100-TB hazard this operator fixes: above the kind limit the
