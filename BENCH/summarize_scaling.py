@@ -1,10 +1,19 @@
 #!/usr/bin/env python
-"""Distill BENCH/scaling_runs.jsonl into the N-vs-4N evidence:
-best trial per parallelism (least external contention) + efficiency.
+"""Distill BENCH/scaling_runs.jsonl into the N-vs-4N evidence.
+
+Trials come in same-attempt pairs (or triples): the SAME input rows run
+back-to-back at two parallelism levels in the same quiet window. Pairing
+across attempts would compare different inputs and different external
+load, so efficiency is computed ONLY within an attempt, and only between
+runs with identical `rows` (and identical `pairs` output — a mismatch
+means the job itself diverged and the pair is void).
+
+The host is shared; /proc/stat steal%% is recorded per trial. A pair is
+"low-steal" when both sides saw steal <= --max-steal (default 2.5) —
+those are the pairs measuring the code rather than a co-tenant.
 
 Usage: python BENCH/summarize_scaling.py [--since-attempt K]
-(--since-attempt filters to trials after a code change; attempt 6+ runs
-include the preloading worker daemon.)
+       [--max-steal PCT] [--round R]
 """
 
 from __future__ import annotations
@@ -13,40 +22,79 @@ import json
 import sys
 
 
+def _arg(flag: str, default: float) -> float:
+    if flag in sys.argv:
+        return float(sys.argv[sys.argv.index(flag) + 1])
+    return default
+
+
 def main() -> int:
-    since = 0
-    if "--since-attempt" in sys.argv:
-        since = int(sys.argv[sys.argv.index("--since-attempt") + 1])
-    best: dict[int, dict] = {}
+    since = int(_arg("--since-attempt", 0))
+    max_steal = _arg("--max-steal", 2.0)
+    want_round = int(_arg("--round", 0))
+    by_attempt: dict[int, list[dict]] = {}
     with open(__file__.rsplit("/", 1)[0] + "/scaling_runs.jsonl") as f:
         for line in f:
             line = line.strip()
             if not line or not line.startswith("{"):
                 continue
             rec = json.loads(line)
-            if rec.get("attempt", 0) < since or not isinstance(rec.get("run"), dict):
+            if rec.get("attempt", 0) < since:
                 continue
-            run = rec["run"]
-            run["pre_load"] = rec.get("pre_load")
-            run["attempt"] = rec.get("attempt")
-            c = run["cores"]
-            if c not in best or run["seconds"] < best[c]["seconds"]:
-                best[c] = run
-    cores = sorted(best)
-    if len(cores) < 2:
-        print(json.dumps({"error": "need two parallelism levels", "have": cores}))
+            if want_round and rec.get("round", 0) != want_round:
+                continue
+            if not isinstance(rec.get("run"), dict):
+                continue
+            by_attempt.setdefault(rec["attempt"], []).append(rec)
+
+    pairs = []
+    for attempt in sorted(by_attempt):
+        recs = sorted(by_attempt[attempt], key=lambda r: r["run"]["cores"])
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                lo, hi = recs[i], recs[j]
+                rl, rh = lo["run"], hi["run"]
+                if rl["cores"] == rh["cores"] or rl["rows"] != rh["rows"]:
+                    continue
+                if rl.get("pairs") != rh.get("pairs"):
+                    continue  # job diverged; void pair
+                factor = rh["cores"] / rl["cores"]
+                eff = (rh["rows_per_sec"] / rl["rows_per_sec"]) / factor
+                steals = [lo.get("cpu_during", {}).get("steal_pct"),
+                          hi.get("cpu_during", {}).get("steal_pct")]
+                low_steal = all(s is not None and s <= max_steal
+                                for s in steals)
+                pairs.append({
+                    "attempt": attempt,
+                    "round": lo.get("round"),
+                    "rows": rl["rows"],
+                    "cores": [rl["cores"], rh["cores"]],
+                    "seconds": [rl["seconds"], rh["seconds"]],
+                    "rows_per_sec": [rl["rows_per_sec"], rh["rows_per_sec"]],
+                    "efficiency": round(eff, 3),
+                    "steal_pct": steals,
+                    "low_steal": low_steal,
+                    "note": lo.get("note", ""),
+                })
+
+    if not pairs:
+        print(json.dumps({"error": "no same-attempt same-rows pairs"}))
         return 1
-    lo, hi = best[cores[0]], best[cores[-1]]
-    ratio = hi["rows_per_sec"] / lo["rows_per_sec"]
-    factor = cores[-1] / cores[0]
+    low = [p for p in pairs if p["low_steal"]]
+    effs = sorted(p["efficiency"] for p in low) or \
+        sorted(p["efficiency"] for p in pairs)
+    median = effs[len(effs) // 2] if len(effs) % 2 else \
+        round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     print(json.dumps({
         "metric": "scaling_efficiency_Nx4N",
-        "value": round(ratio / factor, 3),
+        "value": median,
         "unit": "ratio",
-        "N": cores[0], "4N": cores[-1],
-        "runs": [lo, hi],
         "criterion": ">=0.8",
-    }))
+        "low_steal_pairs": len(low),
+        "low_steal_effs": sorted(p["efficiency"] for p in low),
+        "best": max(effs),
+        "all_pairs": pairs,
+    }, indent=None))
     return 0
 
 

@@ -56,11 +56,15 @@ HEADLINE = [
     # round 3: JPEG perceptual dedup, shuffle-free co-bucketed join,
     # sketch percentiles, and the corpus transform family
     "media_dedupe_perceptual",
+    "media_dedupe_mp4",
     "bucketed_group_join",
     "token_percentiles_approx",
     "pii_redaction",
     "line_dedup",
     "shard_packing",
+    # round 3 cont.: semantic dedup + exact-substring span removal
+    "semdedup_prune",
+    "span_dedup",
 ]
 
 

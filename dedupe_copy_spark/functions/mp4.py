@@ -1,0 +1,203 @@
+"""ISO-BMFF (MP4, ISO/IEC 14496-12) container codec — pure Python.
+
+What's REAL here and what is not, precisely: this module parses (and,
+for fixtures, writes) the MP4 *container* — box tree, movie/track
+headers, codec fourccs, and the sample-size (`stsz`) tables. It does
+NOT decode H.264/AAC frames (no codec libs in this container, and a
+from-scratch H.264 decoder is out of scope — the one remaining honest
+stub in the multimodal family, raised under ``strict=True``).
+
+Why container parsing is still the right primitive for dedup: a
+re-MUXED file (same encoded streams, new container — different
+creation times, chunk layout, interleaving) keeps its per-sample
+ENCODED SIZES bit-for-bit, while every byte-level digest changes. So
+features derived from the stsz sequence + track geometry detect
+"same video, repackaged" — the dominant video-dup class in scraped
+corpora — without touching a single frame. Re-encoding detection (same
+content, new bitstream) genuinely needs frame decode and stays out.
+
+Writer (`build_mp4`) emits a minimal valid box tree (ftyp + moov with
+mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl + mdat) for fixtures and
+tests; the parser handles any box order, 64-bit largesize boxes, and
+unknown boxes (skipped by size), and rejects non-BMFF payloads with
+ValueError so codec_decode can fall back.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        body_off = pos + 8
+        if size == 1:                      # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body_off = pos + 16
+        elif size == 0:                    # box extends to end
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad box size {size} at {pos}")
+        yield btype, body_off, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse the container: movie duration/timescale plus per-track
+    handler kind, codec fourcc, visual dimensions, and the full sample
+    size table. Raises ValueError on anything that isn't ISO-BMFF."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    out: dict = {"brand": payload[8:12].decode("latin1"),
+                 "timescale": None, "duration": None, "tracks": []}
+
+    def walk(start: int, end: int, track: dict | None):
+        for btype, boff, bend in _iter_boxes(payload, start, end):
+            body = payload[boff:bend]
+            if btype in _CONTAINERS:
+                t = {"kind": None, "codec": None, "width": None,
+                     "height": None, "sample_sizes": []} \
+                    if btype == b"trak" else track
+                walk(boff, bend, t)
+                if btype == b"trak":
+                    out["tracks"].append(t)
+            elif btype == b"mvhd":
+                ver = body[0]
+                if ver == 1:
+                    out["timescale"] = int.from_bytes(body[20:24], "big")
+                    out["duration"] = int.from_bytes(body[24:32], "big")
+                else:
+                    out["timescale"] = int.from_bytes(body[12:16], "big")
+                    out["duration"] = int.from_bytes(body[16:20], "big")
+            elif btype == b"hdlr" and track is not None:
+                track["kind"] = body[8:12].decode("latin1")
+            elif btype == b"tkhd" and track is not None:
+                ver = body[0]
+                off = 76 if ver == 0 else 88
+                track["width"] = int.from_bytes(body[off:off + 2], "big")
+                track["height"] = int.from_bytes(body[off + 4:off + 6], "big")
+            elif btype == b"stsd" and track is not None:
+                n = int.from_bytes(body[4:8], "big")
+                if n >= 1 and len(body) >= 16:
+                    track["codec"] = body[12:16].decode("latin1")
+            elif btype == b"stsz" and track is not None:
+                fixed = int.from_bytes(body[4:8], "big")
+                count = int.from_bytes(body[8:12], "big")
+                if fixed:
+                    track["sample_sizes"] = [fixed] * count
+                else:
+                    track["sample_sizes"] = [
+                        int.from_bytes(body[12 + 4 * i:16 + 4 * i], "big")
+                        for i in range(count)]
+
+    walk(0, len(payload), None)
+    if out["timescale"] is None:
+        raise ValueError("no mvhd box — not a movie file")
+    return out
+
+
+def mp4_features(payload: bytes, dim: int = 32) -> np.ndarray:
+    """Remux-invariant container features: duration + per-track
+    geometry + a sample-size histogram/moment signature over the stsz
+    tables (unchanged by re-muxing, changed by re-encoding or different
+    content). Fixed width `dim`, values normalized to [0, 1]."""
+    meta = parse_mp4(payload)
+    feats = np.zeros(dim, dtype=np.float64)
+    scale = meta["timescale"] or 1
+    feats[0] = min((meta["duration"] or 0) / scale / 3600.0, 1.0)
+    feats[1] = min(len(meta["tracks"]) / 8.0, 1.0)
+    all_sizes: list[int] = []
+    for i, t in enumerate(meta["tracks"][:2]):
+        base = 2 + i * 4
+        feats[base] = min((t["width"] or 0) / 8192.0, 1.0)
+        feats[base + 1] = min((t["height"] or 0) / 8192.0, 1.0)
+        codec = (t["codec"] or "none").encode()
+        feats[base + 2] = int.from_bytes(
+            hashlib.sha256(codec).digest()[:4], "big") / 2 ** 32
+        feats[base + 3] = min(len(t["sample_sizes"]) / 1e6, 1.0)
+        all_sizes.extend(t["sample_sizes"])
+    if all_sizes:
+        sizes = np.array(all_sizes, dtype=np.float64)
+        feats[10] = min(sizes.sum() / 1e9, 1.0)
+        feats[11] = min(sizes.mean() / 1e6, 1.0)
+        feats[12] = min(sizes.std() / 1e6, 1.0)
+        # 16-bin log-size histogram: the remux-invariant shape signature
+        bins = np.clip(np.log2(sizes + 1).astype(int), 0, 15)
+        hist = np.bincount(bins, minlength=16).astype(np.float64)
+        feats[16:32] = hist / hist.sum()
+    return feats.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Writer (fixtures / tests)
+# ---------------------------------------------------------------------------
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + btype + body
+
+
+def build_mp4(duration_s: float, tracks: list[dict],
+              timescale: int = 1000, creation_time: int = 0,
+              chunk_size: int = 7) -> bytes:
+    """Minimal valid ISO-BMFF writer for fixtures. Each track dict:
+    {kind: 'vide'|'soun', codec: 4cc, width, height, sample_sizes}.
+    `creation_time` and `chunk_size` vary across re-muxes of the same
+    streams — the parser-level features must not care."""
+    dur = int(duration_s * timescale)
+    mvhd = _box(b"mvhd", bytes(4)
+                + creation_time.to_bytes(4, "big") * 2
+                + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                + bytes(80))
+    traks = []
+    for ti, t in enumerate(tracks):
+        tkhd = _box(b"tkhd", bytes(4)
+                    + creation_time.to_bytes(4, "big") * 2
+                    + (ti + 1).to_bytes(4, "big") + bytes(4)
+                    + dur.to_bytes(4, "big") + bytes(52)
+                    + (t.get("width") or 0).to_bytes(2, "big") + b"\x00\x00"
+                    + (t.get("height") or 0).to_bytes(2, "big") + b"\x00\x00")
+        mdhd = _box(b"mdhd", bytes(4)
+                    + creation_time.to_bytes(4, "big") * 2
+                    + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                    + bytes(4))
+        hdlr = _box(b"hdlr", bytes(8) + t["kind"].encode() + bytes(13))
+        entry = _box(t["codec"].encode(), bytes(78))
+        stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
+        sizes = t["sample_sizes"]
+        stsz = _box(b"stsz", bytes(4) + bytes(4)
+                    + len(sizes).to_bytes(4, "big")
+                    + b"".join(s.to_bytes(4, "big") for s in sizes))
+        stts = _box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+                    + len(sizes).to_bytes(4, "big") + (1).to_bytes(4, "big"))
+        stsc = _box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
+                    + (1).to_bytes(4, "big")
+                    + chunk_size.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+        stco = _box(b"stco", bytes(4) + (0).to_bytes(4, "big"))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_box(b"trak", tkhd + mdia))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    # deterministic mdat filler derived from the sample sizes (content
+    # bytes don't matter to the parser; digests see them)
+    total = sum(s for t in tracks for s in t["sample_sizes"])
+    seedbytes = hashlib.sha256(
+        b"".join(s.to_bytes(4, "big")
+                 for t in tracks for s in t["sample_sizes"])).digest()
+    filler = (seedbytes * (total // len(seedbytes) + 1))[:total]
+    mdat = _box(b"mdat", bytes(filler))
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    return ftyp + moov + mdat

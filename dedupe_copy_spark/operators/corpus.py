@@ -401,6 +401,64 @@ def drop_boilerplate_lines(docs: DataFrame, max_doc_freq: int = 2,
                     .alias(f"{text_col}_clean")))
 
 
+def mask_dup_spans(docs: DataFrame, n: int = 8, max_doc_freq: int = 1,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the transform behind
+    dup_span_stats' measurements, at span granularity (the
+    exact-substring-dedup recipe of Lee et al. 2022, arXiv:2107.06499,
+    restated over token n-grams): any n-gram appearing in more than
+    ``max_doc_freq`` distinct documents marks a duplicated span; every
+    token position covered by at least one such span is dropped, and
+    each document is reassembled from its surviving tokens in order.
+    Output text is token-normalized (lowercased tokens joined by
+    single spaces) — the published recipe likewise operates on the
+    token stream, not raw bytes.
+
+    Shape and scale: one posexplode of positional n-grams (linear in
+    corpus tokens), a gram-keyed doc-freq agg (uniform keys; true
+    boilerplate heat is what AQE skew-join splits), a join back, an
+    ≤n-row explode per duplicated occurrence for coverage, and a
+    per-doc ordered reassembly whose collect_list is bounded by one
+    document's token count. No driver-side work anywhere.
+
+    Returns (id_col, text_clean, n_tokens, n_removed); documents with
+    fewer than n tokens pass through untouched (n_removed = 0)."""
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    occ = toks.select(
+        F.col(id_col),
+        F.posexplode(array_ngrams(F.col("_toks"), n)).alias("pos", "gram"))
+    freq = occ.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("df"))
+    dup_occ = (occ.join(freq.filter(F.col("df") > max_doc_freq), "gram")
+               .select(id_col, "pos"))
+    covered = dup_occ.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.lit(n - 1))).alias("tpos")
+    ).distinct()
+    tok_rows = toks.select(F.col(id_col),
+                           F.posexplode("_toks").alias("tpos", "tok"))
+    kept = tok_rows.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("tpos", "tok")))
+                    .alias("_p"))
+               .select(F.col(id_col),
+                       F.array_join(F.transform("_p", lambda s: s["tok"]),
+                                    " ").alias("text_clean"),
+                       F.size("_p").cast("long").alias("_n_kept")))
+    base = docs.select(F.col(id_col),
+                       F.size(_tokens(F.col(text_col))).cast("long")
+                       .alias("n_tokens"))
+    out = base.join(rebuilt, id_col, "left")
+    n_kept = F.coalesce(F.col("_n_kept"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - n_kept).cast("long").alias("n_removed"))
+
+
 def pack_shards(docs: DataFrame, budget_tokens: int,
                 order_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:

@@ -107,6 +107,48 @@ def synth_jpeg_media(spark: SparkSession, n_images: int = 48,
     return _media_df(spark, rows)
 
 
+def synth_mp4_media(spark: SparkSession, n_videos: int = 36,
+                    seed: int = 11) -> DataFrame:
+    """Deterministic media table of REAL ISO-BMFF payloads for the
+    container-dedup path. Each base video i gets seeded per-sample
+    encoded sizes and geometry; every third video also appears
+    RE-MUXED (different creation time + chunk layout → different
+    bytes, identical streams) as media_id i+1000. Truth pairs
+    (i, i+1000) for i % 3 == 0 are reconstructible in pure SQL."""
+    from dedupe_copy_spark.functions.mp4 import build_mp4
+
+    geoms = [(1280, 720), (640, 360), (1920, 1080), (854, 480)]
+    rows = []
+    for i in range(n_videos):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        w, h = geoms[i % len(geoms)]
+        # GOP-shaped streams: keyframe every g samples (big), deltas
+        # small — per-video regime, like real encoders produce
+        n_samples = int(rng.randint(60, 240))
+        gop = int(rng.randint(4, 30))
+        kf = int(rng.randint(8_000, 120_000))
+        df_ = int(rng.randint(200, 8_000))
+        sizes = [int(max(64, (kf if k % gop == 0 else df_)
+                         + rng.randint(-(kf if k % gop == 0 else df_) // 4,
+                                       (kf if k % gop == 0 else df_) // 4 + 1)))
+                 for k in range(n_samples)]
+        track = [{"kind": "vide", "codec": "avc1", "width": w, "height": h,
+                  "sample_sizes": sizes}]
+        dur = n_samples / 30.0
+        payload = build_mp4(dur, track, creation_time=1_000_000 + i,
+                            chunk_size=7)
+        rows.append({"media_id": i, "kind": "video", "mime": "video/mp4",
+                     "width": w, "height": h,
+                     "duration_ms": int(dur * 1000), "payload": payload})
+        if i % 3 == 0:
+            remux = build_mp4(dur, track, creation_time=2_000_000 + i,
+                              chunk_size=13)
+            rows.append({"media_id": i + 1000, "kind": "video",
+                         "mime": "video/mp4", "width": w, "height": h,
+                         "duration_ms": int(dur * 1000), "payload": remux})
+    return _media_df(spark, rows)
+
+
 def _media_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Fixture rows → DataFrame through the pandas/Arrow path when the
     session has Arrow on (session.py does): the plain
@@ -240,9 +282,11 @@ ppm_features = image_features
 
 
 def codec_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Default decode: REAL parsing for JPEG/WAV/PPM payloads,
-    deterministic stub only for MP4 (and malformed payloads, so one bad
-    file can't kill a 100-TB scan)."""
+    """Default decode: REAL parsing for JPEG/WAV/PPM payloads and for
+    the MP4 *container* (box tree + remux-invariant stsz signature —
+    catches 'same video, repackaged'; frame-level decode remains the
+    one stub, see functions/mp4.py). Malformed payloads fall back to
+    the stub so one bad file can't kill a 100-TB scan."""
     payload = payload or b""
     try:
         if payload.startswith(b"\xff\xd8"):
@@ -252,6 +296,9 @@ def codec_decode(payload: bytes, kind: str) -> np.ndarray:
             return wav_features(decode_wav(payload))
         if payload.startswith(b"P6"):
             return image_features(decode_ppm(payload))
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            from dedupe_copy_spark.functions.mp4 import mp4_features
+            return mp4_features(payload, FEATURE_DIM)
     except ValueError:
         pass
     return _stub_decode(payload, kind)
@@ -338,6 +385,90 @@ def media_near_dups(features: DataFrame, threshold: float = 0.99,
         max_bucket=max_bucket, route=route)
     kinds = features.select(F.col("media_id").alias("id_a"), "kind")
     return pairs.join(kinds, "id_a").select("kind", "id_a", "id_b", "cosine")
+
+
+def stream_signature(payload: bytes, kind: str) -> str:
+    """Canonical content signature that survives re-muxing: for
+    ISO-BMFF payloads, sha256 over the stream-level invariants (track
+    kinds, codec fourccs, visual geometry, and the full per-sample
+    encoded-size tables — bit-identical across container rewrites,
+    different for any re-encode or different content). Non-container
+    formats fall back to the payload digest (payload IS the stream).
+    This is the EXACT primitive for 'same video, repackaged' — no
+    threshold, no recall loss — where frame-level perceptual matching
+    would need the codecs this environment honestly lacks."""
+    payload = payload or b""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from dedupe_copy_spark.functions.mp4 import parse_mp4
+
+        try:
+            meta = parse_mp4(payload)
+        except ValueError:
+            return hashlib.sha256(payload).hexdigest()
+        h = hashlib.sha256()
+        for t in meta["tracks"]:
+            h.update((t["kind"] or "?").encode("latin1"))
+            h.update((t["codec"] or "?").encode("latin1"))
+            h.update(int(t["width"] or 0).to_bytes(4, "big"))
+            h.update(int(t["height"] or 0).to_bytes(4, "big"))
+            h.update(len(t["sample_sizes"]).to_bytes(4, "big"))
+            for s in t["sample_sizes"]:
+                h.update(int(s).to_bytes(4, "big"))
+        return h.hexdigest()
+    return hashlib.sha256(payload).hexdigest()
+
+
+STREAM_KEYS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("payload_sha256", T.StringType(), False),
+    T.StructField("stream_sha256", T.StringType(), False),
+])
+
+
+def extract_stream_keys(media: DataFrame) -> DataFrame:
+    """mapInPandas: payload → (payload digest, remux-invariant stream
+    signature) per media row — the S0 of container-level dedup."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload_sha256": [hashlib.sha256(p or b"").hexdigest()
+                                   for p in pdf["payload"]],
+                "stream_sha256": [stream_signature(p, k)
+                                  for p, k in zip(pdf["payload"],
+                                                  pdf["kind"])],
+            })
+
+    return media.mapInPandas(run, schema=STREAM_KEYS_SCHEMA)
+
+
+def media_stream_dup_pairs(media: DataFrame,
+                           max_group: int = 10_000) -> DataFrame:
+    """(kind, id_a, id_b) pairs whose stream signatures collide but
+    whose payload bytes differ — exactly the re-muxed duplicates that
+    byte-level dedup misses. Grouped expansion through the capped
+    bucket core (pairs.bucket_pairs), never a self-join.
+
+    The key table is referenced three times below (bucket expansion +
+    both id sides), so it is localCheckpointed: the mapInPandas parse
+    over the payload bytes — the only expensive stage — runs exactly
+    once, and the downstream joins touch only the tiny
+    (id, kind, sha, sha) relation, never the payloads again."""
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
+    keys = extract_stream_keys(media).localCheckpoint()
+    pairs = bucket_pairs(keys, ["kind", "stream_sha256"], "media_id",
+                         max_group)
+    ids = keys.select(F.col("media_id").alias("id_a"), "kind",
+                      F.col("payload_sha256").alias("_sha_a"))
+    ids_b = keys.select(F.col("media_id").alias("id_b"),
+                        F.col("payload_sha256").alias("_sha_b"))
+    return (pairs.join(ids, "id_a").join(ids_b, "id_b")
+            .filter(F.col("_sha_a") != F.col("_sha_b"))  # byte-dups ride
+                                                         # media_dedupe_keys
+            .select("kind", "id_a", "id_b"))
 
 
 def media_dedupe_keys(features: DataFrame) -> DataFrame:

@@ -334,6 +334,68 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
     return exact_pairs.unionByName(verify(big_cands, big))
 
 
+def semdedup(emb: DataFrame, threshold: float = 0.4, n_cells: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None,
+             train_sample: int = 20_000, train_iter: int = 10,
+             seed: int = 42, exact_cell_limit: int = 10_000,
+             max_bucket: int = 5_000, cfg=None) -> DataFrame:
+    """Semantic dedup in embedding space (the SemDeDup recipe, Abbas et
+    al. 2023, arXiv:2303.09540 — public method): cluster the corpus
+    with a trained spherical-k-means codebook, find within-cell pairs
+    whose exact cosine clears ``threshold``, and keep ONE representative
+    per connected group of near-duplicates.
+
+    Plan shape, stage by stage:
+      1. cell assignment — one Arrow matmul per batch
+         (``make_cell_udf``), materialized ONCE (localCheckpoint) so
+         the multi-branch downstream never re-runs Python;
+      2. within-cell near-pairs via ``blocked_near_dups`` with the
+         cell id as the blocking label: cells up to
+         ``exact_cell_limit`` get the exact O(cell²) join, bigger
+         cells route through capped sign-LSH buckets — the 100-TB
+         guard (at that scale you also raise ``n_cells`` so cells
+         stay near ``corpus/n_cells`` ≈ the exact limit, exactly how
+         SemDeDup itself scales: 50k clusters for LAION);
+      3. connected components over the verified pairs (driver
+         union-find when tiny, distributed two-star loop otherwise);
+      4. keep = min id per component (deterministic; singletons keep
+         themselves). This transitively merges ε-balls where the
+         paper greedily prunes within each ball — same spirit,
+         deterministic under any partitioning.
+
+    Returns one row per input vector:
+      (id_col, cell int, rep_id long, keep boolean).
+    """
+    from dedupe_copy_spark.operators.cc import connected_components
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_cells, id_col, vec_col,
+                                        train_sample, train_iter, seed)
+    cell_udf = make_cell_udf(centroids, 1)
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(cell_udf(F.col(vec_col)), 1).alias("cell"),
+    ).localCheckpoint()
+    pairs = blocked_near_dups(assigned, threshold, label_col="cell",
+                              id_col=id_col, vec_col=vec_col,
+                              exact_block_limit=exact_cell_limit,
+                              max_bucket=max_bucket, seed=seed)
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    comp = connected_components(edges, cfg) \
+        .withColumnRenamed("file_id", id_col)
+    return (
+        assigned.select(id_col, "cell")
+        .join(comp, id_col, "left")
+        .select(
+            id_col, "cell",
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("rep_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("rep_id"))
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_tables: int = 4, bits: int = 8, dim: int = 64, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

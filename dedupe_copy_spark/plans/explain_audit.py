@@ -153,6 +153,13 @@ CHECKS = {
         ("partial percentile before the exchange",
          lambda p: "partial_percentile" in p),
     ],
+    "media_dedupe_mp4": [
+        ("signatures via Arrow (vectorized), no row-at-a-time python",
+         lambda p: "ArrowEvalPython" in p or "MapInPandas" in p),
+        ("pair expansion via capped bucket core (collect_set), "
+         "not a self-join",
+         lambda p: "collect_set" in p),
+    ],
     "pii_redaction": [
         ("pure codegen regexp chain — zero exchanges, no python",
          lambda p: "Exchange" not in p and "EvalPython" not in p),

@@ -991,6 +991,28 @@ def snapshot_pinned_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshots.read_snapshot(spark, table_dir, v1)
 
 
+@register("media_dedupe_mp4", """
+SELECT 'video' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 1000 AS BIGINT) AS id_b
+FROM range(0, 36) t(i) WHERE i % 3 = 0
+""")
+def media_dedupe_mp4_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-muxed video dedup on REAL ISO-BMFF payloads: every third
+    fixture video re-appears re-packaged (new creation time + chunk
+    layout — different bytes, identical encoded streams), then the
+    container parser (functions/mp4.py) computes the remux-invariant
+    stream signature (codec + geometry + per-sample size tables) and
+    pairs signature collisions whose payload bytes differ. The truth
+    pair set (i, i+1000) for i % 3 == 0 is reconstructed in pure SQL;
+    a missed remux or a false collision fails the hash. Frame-level
+    decode remains the one honest stub (no codec libs here) — this is
+    the video-dup class that needs none of it."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_mp4_media(spark, n_videos=36)
+    return mm.media_stream_dup_pairs(media).orderBy("id_a")
+
+
 @register("media_dedupe_perceptual", """
 SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b
@@ -1375,6 +1397,81 @@ def ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
 
 
+_SEMDEDUP_TH = 0.4   # sf0.01: 99/500 vecs have a >=0.4 global neighbor
+                     # — prunes some, keeps most (non-vacuous both ways)
+
+
+@register("semdedup_prune", """
+SELECT vec_id, true AS sound, true AS cell_clean, true AS any_pruned
+FROM embeddings
+""")
+def semdedup_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (trained-cell clustering → within-cell
+    exact-cosine pairs → CC → keep min id per group; similarity.py
+    cites the public recipe). Approximate cluster membership has no
+    direct SQL form, so the ORACLE-CHECKED output is a per-vector
+    contract verified by INDEPENDENT Spark paths and hardcoded true by
+    the oracle:
+
+      sound      — every pruned vector's brute-force global max cosine
+                   (cosine_topk, the exact baseline — no cells, no LSH)
+                   clears the threshold: pruning never invents a
+                   near-dup that exact math can't see;
+      cell_clean — no two KEPT vectors in the same cell have cosine ≥
+                   threshold (recomputed by a plain within-cell join):
+                   a broken CC or pair join that leaves both ends of a
+                   near-pair in the corpus flips this false;
+      any_pruned — the run pruned at least one vector (vacuity guard:
+                   a threshold/codebook drift that prunes nothing
+                   fails the hash rather than passing emptily).
+
+    Raw assignments (vec_id, cell, rep_id, keep) stay benchmarkable as
+    `semdedup_prune` in BENCH_QUERIES."""
+    from dedupe_copy_spark.operators.similarity import cosine_topk, semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = semdedup(emb, threshold=_SEMDEDUP_TH, n_cells=16)
+    pruned_ids = res.filter(~F.col("keep")).select("vec_id")
+    top1 = cosine_topk(emb, emb.join(pruned_ids, "vec_id"), k=1)
+    sound_ok = (
+        top1.filter(F.col("score") >= _SEMDEDUP_TH)
+        .select(F.col("query_id").alias("vec_id"), F.lit(1).alias("_s_ok"))
+    )
+    kept_vecs = res.filter(F.col("keep")).join(emb, "vec_id") \
+        .select("cell", "vec_id", "embedding")
+    ka = kept_vecs.select("cell", F.col("vec_id").alias("id_a"),
+                          F.col("embedding").alias("e_a"))
+    kb = kept_vecs.select("cell", F.col("vec_id").alias("id_b"),
+                          F.col("embedding").alias("e_b"))
+    from dedupe_copy_spark.operators.similarity import cosine_similarity_col
+    violations = (
+        ka.join(kb, "cell").filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_similarity_col(F.col("e_a"), F.col("e_b")), 6)
+                >= _SEMDEDUP_TH)
+        .agg(F.count(F.lit(1)).alias("_viol"))
+    )
+    n_pruned = res.filter(~F.col("keep")) \
+        .agg(F.count(F.lit(1)).alias("_np"))
+    return (
+        res.join(sound_ok, "vec_id", "left")
+        .crossJoin(violations).crossJoin(n_pruned)
+        .select(
+            "vec_id",
+            (F.col("keep") | F.col("_s_ok").isNotNull()).alias("sound"),
+            (F.col("_viol") == 0).alias("cell_clean"),
+            (F.col("_np") > 0).alias("any_pruned"),
+        )
+    )
+
+
+def semdedup_prune_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SemDeDup assignments (bench variant)."""
+    from dedupe_copy_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, threshold=_SEMDEDUP_TH, n_cells=16)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-hygiene family (operators/corpus.py): span-level dedup
 # statistics, contamination scans, deterministic sampling — the
@@ -1698,6 +1795,55 @@ def line_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_lines(seeded, max_doc_freq=2)
 
 
+@register("span_dedup", """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS pos,
+         t
+  FROM toks
+), grams AS (
+  SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram FROM occ
+), freq AS (
+  SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+), dup_occ AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN freq USING (gram) WHERE df > 1
+), covered AS (
+  SELECT DISTINCT doc_id, pos + k AS tpos
+  FROM dup_occ, (SELECT unnest(generate_series(0, 7)) AS k) ks
+), toku AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS tpos,
+         unnest(t) AS tok
+  FROM toks
+), kept AS (
+  SELECT doc_id, tpos, tok FROM toku ANTI JOIN covered USING (doc_id, tpos)
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+""")
+def span_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN removal (exact-substring dedup à
+    la Lee et al. 2022 over 8-token grams): spans seen in >1 document
+    are cut, documents reassembled from surviving tokens. The sf0.01
+    fixture's exact-dup documents give >1,000 duplicated 8-grams, so
+    the transform provably fires; the oracle replays the whole rewrite
+    — positional grams, doc-freq, coverage expansion, ordered
+    reassembly — in pure SQL and hash-checks the rebuilt texts."""
+    from dedupe_copy_spark.operators.corpus import mask_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mask_dup_spans(docs, n=8, max_doc_freq=1)
+
+
 @register("shard_packing", """
 WITH sized AS (
   SELECT doc_id,
@@ -1783,4 +1929,5 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk_raw,
     "dedupe_clusters": dedupe_clusters_raw,
     "ivf_topk": ivf_topk_raw,
+    "semdedup_prune": semdedup_prune_raw,
 }

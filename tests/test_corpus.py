@@ -313,3 +313,51 @@ def test_pack_shards_matches_sequential_cumsum(spark):
     # shards are contiguous runs in doc order
     shards = [got[i].shard_id for i in range(200)]
     assert shards == sorted(shards)
+
+
+def test_mask_dup_spans_known_coverage(spark):
+    """Hand-computable fixture with n=3 grams: docs 1 and 2 share the
+    span 'a b c d' (two overlapping dup 3-grams: 'a b c', 'b c d');
+    doc 3 is disjoint; doc 4 is too short for any gram."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z"),
+         (2, "p q a b c d r"),
+         (3, "m n o m n o m"),
+         (4, "t u")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           corpus.mask_dup_spans(docs, n=3, max_doc_freq=1).collect()}
+    # doc 1: positions 0-3 covered ('a b c' at 0, 'b c d' at 1) → keep x y z
+    assert out[1].text_clean == "x y z"
+    assert (out[1].n_tokens, out[1].n_removed) == (7, 4)
+    # doc 2: positions 2-5 covered → keep p q ... r
+    assert out[2].text_clean == "p q r"
+    assert (out[2].n_tokens, out[2].n_removed) == (7, 4)
+    # doc 3: repeats WITHIN one doc only — doc freq stays 1, untouched
+    assert out[3].text_clean == "m n o m n o m"
+    assert out[3].n_removed == 0
+    # doc 4: shorter than n → passes through, never dropped
+    assert out[4].text_clean == "t u"
+    assert (out[4].n_tokens, out[4].n_removed) == (2, 0)
+
+
+def test_mask_dup_spans_whole_doc_removed(spark):
+    docs = spark.createDataFrame(
+        [(1, "same five tokens exactly here"),
+         (2, "same five tokens exactly here"),
+         (3, "another doc")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           corpus.mask_dup_spans(docs, n=5, max_doc_freq=1).collect()}
+    assert out[1].text_clean == "" and out[1].n_removed == 5
+    assert out[2].text_clean == "" and out[2].n_removed == 5
+    assert out[3].text_clean == "another doc" and out[3].n_removed == 0
+
+
+def test_mask_dup_spans_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x y z")], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           corpus.mask_dup_spans(docs, n=3, max_doc_freq=1).collect()}
+    assert out[1].text_clean == "" and out[1].n_tokens == 0
+    assert out[2].text_clean == "x y z"

@@ -1,0 +1,113 @@
+"""ISO-BMFF container codec (functions/mp4.py) + remux-invariant
+stream dedup. Frame decode is out of scope (no codec libs); what's
+tested here is the real surface: box parsing, stream signatures that
+survive re-muxing, and the Spark dedup path built on them."""
+
+import numpy as np
+import pytest
+
+from dedupe_copy_spark.functions.mp4 import (
+    build_mp4,
+    mp4_features,
+    parse_mp4,
+)
+from dedupe_copy_spark.operators import multimodal as mm
+
+
+def _track(sizes, w=1280, h=720, codec="avc1", kind="vide"):
+    return {"kind": kind, "codec": codec, "width": w, "height": h,
+            "sample_sizes": [int(s) for s in sizes]}
+
+
+def test_parse_roundtrip_two_tracks():
+    rng = np.random.RandomState(3)
+    sizes_v = rng.randint(800, 20_000, 120)
+    sizes_a = rng.randint(200, 900, 240)
+    payload = build_mp4(4.0, [_track(sizes_v),
+                              _track(sizes_a, 0, 0, "mp4a", "soun")])
+    meta = parse_mp4(payload)
+    assert meta["brand"] == "isom"
+    assert meta["duration"] == 4000 and meta["timescale"] == 1000
+    v, a = meta["tracks"]
+    assert (v["kind"], v["codec"], v["width"], v["height"]) == \
+        ("vide", "avc1", 1280, 720)
+    assert v["sample_sizes"] == [int(s) for s in sizes_v]
+    assert (a["kind"], a["codec"]) == ("soun", "mp4a")
+    assert a["sample_sizes"] == [int(s) for s in sizes_a]
+
+
+def test_parser_rejects_non_bmff_and_truncated():
+    with pytest.raises(ValueError):
+        parse_mp4(b"definitely not an mp4 file")
+    good = build_mp4(1.0, [_track([100] * 10)])
+    with pytest.raises(ValueError):
+        parse_mp4(good[:40])  # truncated mid-moov
+    # ftyp present but no moov/mvhd
+    with pytest.raises(ValueError):
+        parse_mp4(good[:16])
+
+
+def test_stream_signature_remux_invariant_and_discriminative():
+    rng = np.random.RandomState(5)
+    sizes = rng.randint(500, 30_000, 90)
+    tr = [_track(sizes)]
+    p1 = build_mp4(3.0, tr, creation_time=1, chunk_size=7)
+    p2 = build_mp4(3.0, tr, creation_time=999, chunk_size=13)  # remux
+    assert p1 != p2  # bytes differ...
+    assert mm.stream_signature(p1, "video") == \
+        mm.stream_signature(p2, "video")  # ...signature does not
+    # one sample size changed = re-encode / different content
+    sizes2 = list(sizes)
+    sizes2[0] += 1
+    p3 = build_mp4(3.0, [_track(sizes2)], creation_time=1, chunk_size=7)
+    assert mm.stream_signature(p1, "video") != \
+        mm.stream_signature(p3, "video")
+    # geometry / codec changes also break the signature
+    p4 = build_mp4(3.0, [_track(sizes, w=640, h=360)])
+    assert mm.stream_signature(p1, "video") != \
+        mm.stream_signature(p4, "video")
+    # non-container payloads: signature == payload digest
+    import hashlib
+    assert mm.stream_signature(b"plain bytes", "image") == \
+        hashlib.sha256(b"plain bytes").hexdigest()
+
+
+def test_mp4_features_shape_and_remux_invariance():
+    rng = np.random.RandomState(7)
+    tr = [_track(rng.randint(500, 30_000, 90))]
+    f1 = mp4_features(build_mp4(3.0, tr, creation_time=1, chunk_size=7))
+    f2 = mp4_features(build_mp4(3.0, tr, creation_time=99, chunk_size=3))
+    assert f1.shape == (32,) and f1.dtype == np.float32
+    assert np.array_equal(f1, f2)  # container metadata cancels exactly
+    assert 0.0 <= f1.min() and f1.max() <= 1.0
+
+
+def test_codec_decode_routes_mp4_to_container_features():
+    tr = [_track([1000] * 30)]
+    payload = build_mp4(1.0, tr)
+    got = mm.codec_decode(payload, "video")
+    assert np.allclose(got, mp4_features(payload, mm.FEATURE_DIM))
+    assert not np.allclose(got, mm._stub_decode(payload, "video"))
+    # malformed bmff falls back to the stub, never raises
+    bad = payload[:4] + b"ftyp" + b"\x00" * 8
+    assert mm.codec_decode(bad, "video").shape == (mm.FEATURE_DIM,)
+
+
+def test_media_stream_dup_pairs_end_to_end(spark):
+    """synth_mp4_media → mapInPandas stream signatures → pair set ==
+    the constructed remux truth; byte-identical payloads are excluded
+    (they belong to exact payload dedup)."""
+    media = mm.synth_mp4_media(spark, n_videos=18)
+    truth = {(i, i + 1000) for i in range(18) if i % 3 == 0}
+    got = {(r.id_a, r.id_b)
+           for r in mm.media_stream_dup_pairs(media).collect()}
+    assert got == truth
+
+    keys = mm.extract_stream_keys(media)
+    rows = keys.collect()
+    assert all(len(r.stream_sha256) == 64 for r in rows)
+    # every truth pair shares a signature but not payload bytes
+    by_id = {r.media_id: r for r in rows}
+    for i, j in truth:
+        assert by_id[i].stream_sha256 == by_id[j].stream_sha256
+        assert by_id[i].payload_sha256 != by_id[j].payload_sha256

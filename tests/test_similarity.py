@@ -162,3 +162,62 @@ def test_ivf_training_is_deterministic(spark):
     c3 = similarity.train_ivf_centroids(tiny, 8)
     assert c3.shape == (8, 64)
     assert np.allclose(np.linalg.norm(c3, axis=1), 1.0)
+
+
+def _dup_groups_emb(spark, n_base=40, seed=17):
+    """Constructed ground truth for semantic dedup: n_base well-spread
+    base vectors (pairwise cosine ~0 in 64-d), plus near-identical
+    copies (noise 1e-3 -> cosine ~0.999...) of bases 0-9 as ids 100+i
+    and second copies of bases 0-4 as ids 200+i. Expected components:
+    {i, 100+i, 200+i} for i<5, {i, 100+i} for 5<=i<10, singletons
+    otherwise — rep is always the base id."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n_base, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, "x", base[i].tolist()) for i in range(n_base)]
+    for i in range(10):
+        v = base[i] + 1e-3 * rng.standard_normal(64)
+        rows.append((100 + i, "x", (v / np.linalg.norm(v)).tolist()))
+    for i in range(5):
+        v = base[i] + 1e-3 * rng.standard_normal(64)
+        rows.append((200 + i, "x", (v / np.linalg.norm(v)).tolist()))
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+
+
+def test_semdedup_prunes_known_duplicate_groups(spark):
+    emb = _dup_groups_emb(spark)
+    res = {r.vec_id: r for r in
+           similarity.semdedup(emb, threshold=0.95, n_cells=8).collect()}
+    assert len(res) == 55  # every input row present exactly once
+    for i in range(10):
+        assert res[100 + i].rep_id == i and not res[100 + i].keep
+    for i in range(5):
+        assert res[200 + i].rep_id == i and not res[200 + i].keep
+    for i in range(40):
+        assert res[i].rep_id == i and res[i].keep, res[i]
+    # keep <=> self-representative, everywhere
+    assert all((r.keep) == (r.vec_id == r.rep_id) for r in res.values())
+
+
+def test_semdedup_deterministic_across_partitionings(spark):
+    emb = _dup_groups_emb(spark)
+    r1 = sorted(map(tuple, similarity.semdedup(
+        emb, threshold=0.95, n_cells=8).collect()))
+    r2 = sorted(map(tuple, similarity.semdedup(
+        emb.repartition(7), threshold=0.95, n_cells=8).collect()))
+    assert r1 == r2
+
+
+def test_semdedup_dup_group_members_share_a_cell(spark):
+    """Near-identical vectors must land in the same trained cell —
+    the property that makes within-cell pairing find them at all."""
+    emb = _dup_groups_emb(spark)
+    res = {r.vec_id: r.cell for r in
+           similarity.semdedup(emb, threshold=0.95, n_cells=8).collect()}
+    for i in range(10):
+        assert res[100 + i] == res[i]
+    for i in range(5):
+        assert res[200 + i] == res[i]
