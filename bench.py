@@ -65,6 +65,7 @@ HEADLINE = [
     # round 3 cont.: semantic dedup + exact-substring span removal
     "semdedup_prune",
     "span_dedup",
+    "gopher_repetition",
 ]
 
 

@@ -503,3 +503,161 @@ def pack_shards(docs: DataFrame, budget_tokens: int,
                 F.floor((F.col("_part_offset") + F.col("_local_end")
                          - F.col("n_tokens")) / budget_tokens)
                 .cast("long").alias("shard_id")))
+
+
+# Published repetition-removal thresholds (Gopher, Rae et al. 2021,
+# arXiv:2112.11446 Table A1): a document is kept only if EVERY signal
+# is at or below its threshold.
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals with the published Gopher
+    thresholds (Rae et al. 2021, arXiv:2112.11446 appendix A1.1 —
+    public recipe): WITHIN-document repetition, the complement of the
+    cross-document signals (dup_span_stats measures across docs).
+
+    Signals, with the exact contracts the oracle replays:
+      - dup_line_frac / dup_para_frac — (segments − distinct segments)
+        / segments, splitting on '\\n' / '\\n\\n'; empty segments are
+        dropped before counting.
+      - dup_line_char_frac / dup_para_char_frac — (total segment chars
+        − distinct-segment chars) / total segment chars, each distinct
+        segment's chars counted once.
+      - top_{2,3,4}gram_char_frac — chars of the most frequent token
+        n-gram (count × gram string length, ties broken by longer
+        gram — the fraction is then tie-independent) over the chars of
+        the space-joined token stream.
+      - dup_{5..10}gram_char_frac — chars of token positions covered
+        by ANY within-doc duplicated n-gram (each position counted
+        once, weight = token length) over total token chars.
+      - keep — every signal ≤ its GOPHER_THRESHOLDS bound, compared on
+        the ROUNDED (6 dp) values so engine float noise can't flip it.
+
+    Plan shape: the tokenized projection is localCheckpointed once
+    (eleven downstream branches — per-segment aggs, per-n gram aggs,
+    coverage join — would otherwise each re-run the tokenizer regex
+    over the full text); every branch is explode → codegen hash-agg
+    keyed by (doc, …), linear in corpus tokens and free of driver
+    collects. At 100 TB the checkpoint is the standard materialize-
+    once tradeoff (storage-linear, like the MinHash signature table);
+    the gram shuffles hash uniform short strings, and true boilerplate
+    heat is what AQE's skew-join handles.
+
+    Docs with no tokens/segments surface with all signals 0.0 and
+    keep = true — never dropped."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        F.col(id_col),
+        txt.alias("_txt"),
+        _tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col), "_txt", "_toks",
+        F.length(F.concat_ws(" ", F.col("_toks"))).cast("long")
+        .alias("_stream_chars"),
+        F.aggregate(F.transform("_toks", F.length),
+                    F.lit(0), lambda a, x: a + x).cast("long")
+        .alias("_tok_chars"),
+    ).localCheckpoint()
+
+    def seg_fracs(delim: str, prefix: str) -> DataFrame:
+        segs = base.select(
+            F.col(id_col),
+            F.explode(F.filter(F.split("_txt", delim),
+                               lambda x: x != F.lit(""))).alias("seg"))
+        per = segs.groupBy(id_col, "seg").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        return per.groupBy(id_col).agg(
+            ((F.sum("cnt") - F.count(F.lit(1)))
+             / F.greatest(F.sum("cnt"), F.lit(1)))
+            .alias(f"{prefix}_frac"),
+            ((F.sum(F.col("cnt") * F.length("seg"))
+              - F.sum(F.length("seg")))
+             / F.greatest(F.sum(F.col("cnt") * F.length("seg")), F.lit(1)))
+            .alias(f"{prefix}_char_frac"))
+
+    lines = seg_fracs(r"\n", "dup_line")
+    paras = seg_fracs(r"\n\n", "dup_para")
+
+    # most-frequent-n-gram char fractions (n = 2, 3, 4)
+    top_occ = None
+    for n in (2, 3, 4):
+        o = base.select(
+            F.col(id_col), F.lit(n).alias("_n"),
+            F.explode(array_ngrams(F.col("_toks"), n)).alias("gram"))
+        top_occ = o if top_occ is None else top_occ.unionByName(o)
+    top = (top_occ.groupBy(id_col, "_n", "gram")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .groupBy(id_col, "_n")
+           .agg(F.max(F.struct(F.col("cnt"),
+                               F.length("gram").alias("gchars"))).alias("_m"))
+           .select(id_col, "_n",
+                   (F.col("_m.cnt") * F.col("_m.gchars")).alias("_top_chars"))
+           .groupBy(id_col).pivot("_n", [2, 3, 4]).agg(F.first("_top_chars")))
+
+    # duplicated-n-gram coverage (n = 5..10): token positions under any
+    # within-doc repeated n-gram, counted once, weighted by token length
+    cov_occ = None
+    for n in range(5, 11):
+        o = base.select(
+            F.col(id_col), F.lit(n).alias("_n"),
+            F.posexplode(array_ngrams(F.col("_toks"), n))
+            .alias("pos", "gram"))
+        cov_occ = o if cov_occ is None else cov_occ.unionByName(o)
+    dup_occ = (cov_occ.join(
+        cov_occ.groupBy(id_col, "_n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select(id_col, "_n", "gram"),
+        [id_col, "_n", "gram"]))
+    covered = dup_occ.select(
+        F.col(id_col), "_n",
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.col("_n") - 1)).alias("tpos")
+    ).distinct()
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("tpos", "tok"))
+    cov = (covered.join(tok_rows, [id_col, "tpos"])
+           .groupBy(id_col, "_n")
+           .agg(F.sum(F.length("tok")).alias("_cov_chars"))
+           .groupBy(id_col).pivot("_n", list(range(5, 11)))
+           .agg(F.first("_cov_chars")))
+
+    out = (base.select(id_col, "_stream_chars", "_tok_chars")
+           .join(lines, id_col, "left").join(paras, id_col, "left")
+           .join(top, id_col, "left").join(cov, id_col, "left"))
+
+    cols = [F.col(id_col)]
+    fracs: dict[str, F.Column] = {}
+    for name in ("dup_line_frac", "dup_line_char_frac",
+                 "dup_para_frac", "dup_para_char_frac"):
+        fracs[name] = F.round(F.coalesce(F.col(name), F.lit(0.0)), 6)
+    for n in (2, 3, 4):
+        fracs[f"top_{n}gram_char_frac"] = F.round(
+            F.coalesce(F.col(str(n)), F.lit(0)).cast("double")
+            / F.greatest(F.col("_stream_chars"), F.lit(1)), 6)
+    for n in range(5, 11):
+        fracs[f"dup_{n}gram_char_frac"] = F.round(
+            F.coalesce(F.col(str(n)), F.lit(0)).cast("double")
+            / F.greatest(F.col("_tok_chars"), F.lit(1)), 6)
+    keep = F.lit(True)
+    for name, th in GOPHER_THRESHOLDS.items():
+        keep = keep & (fracs[name] <= F.lit(th))
+    cols += [expr.alias(name) for name, expr in fracs.items()]
+    cols.append(keep.alias("keep"))
+    return out.select(*cols)

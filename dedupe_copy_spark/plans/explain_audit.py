@@ -153,12 +153,25 @@ CHECKS = {
         ("partial percentile before the exchange",
          lambda p: "partial_percentile" in p),
     ],
+    "media_stream_keys": [
+        ("signatures via MapInPandas (Arrow batches), no row-at-a-time "
+         "python", lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+    ],
     "media_dedupe_mp4": [
-        ("signatures via Arrow (vectorized), no row-at-a-time python",
-         lambda p: "ArrowEvalPython" in p or "MapInPandas" in p),
+        # the payload parse runs once in the localCheckpoint sub-job
+        # (audited above); the pairs plan itself must contain NO python
+        ("no python eval in the pairs plan (keys materialized once)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
         ("pair expansion via capped bucket core (collect_set), "
          "not a self-join",
          lambda p: "collect_set" in p),
+    ],
+    "gopher_repetition": [
+        ("pure codegen throughout — no python in any branch",
+         lambda p: "EvalPython" not in p),
+        ("no cartesian expansion anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoop" not in p),
     ],
     "pii_redaction": [
         ("pure codegen regexp chain — zero exchanges, no python",

@@ -1844,6 +1844,164 @@ def span_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_dup_spans(docs, n=8, max_doc_freq=1)
 
 
+@register("gopher_repetition", """
+WITH seeded AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE WHEN doc_id % 7 = 0
+              THEN repeat(chr(10) ||
+                          'call now limited offer call now limited offer', 6)
+              ELSE '' END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, text AS txt,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM seeded
+), meta AS (
+  SELECT doc_id,
+         length(array_to_string(t, ' ')) AS stream_chars,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars
+  FROM toks
+), lseg AS (
+  SELECT doc_id, seg
+  FROM (SELECT doc_id, unnest(string_split(txt, chr(10))) AS seg FROM toks)
+  WHERE seg <> ''
+), lper AS (
+  SELECT doc_id, seg, count(*) AS cnt FROM lseg GROUP BY 1, 2
+), lfrac AS (
+  SELECT doc_id,
+         (sum(cnt) - count(*)) * 1.0 / greatest(sum(cnt), 1)
+           AS dup_line_frac,
+         (sum(cnt * length(seg)) - sum(length(seg))) * 1.0
+           / greatest(sum(cnt * length(seg)), 1) AS dup_line_char_frac
+  FROM lper GROUP BY 1
+), pseg AS (
+  SELECT doc_id, seg
+  FROM (SELECT doc_id, unnest(string_split(txt, chr(10) || chr(10))) AS seg
+        FROM toks)
+  WHERE seg <> ''
+), pper AS (
+  SELECT doc_id, seg, count(*) AS cnt FROM pseg GROUP BY 1, 2
+), pfrac AS (
+  SELECT doc_id,
+         (sum(cnt) - count(*)) * 1.0 / greatest(sum(cnt), 1)
+           AS dup_para_frac,
+         (sum(cnt * length(seg)) - sum(length(seg))) * 1.0
+           / greatest(sum(cnt * length(seg)), 1) AS dup_para_char_frac
+  FROM pper GROUP BY 1
+), tocc AS (
+  SELECT doc_id, n, pos, array_to_string(t[pos:pos+n-1], ' ') AS gram
+  FROM (SELECT doc_id, n, t,
+               unnest(generate_series(1, greatest(len(t) - n + 1, 0))) AS pos
+        FROM toks, (SELECT unnest([2, 3, 4]) AS n) ns)
+), tcnt AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM tocc GROUP BY 1, 2, 3
+), ttop AS (
+  SELECT doc_id, n, cnt * gch AS top_chars
+  FROM (SELECT doc_id, n, cnt, length(gram) AS gch,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY cnt DESC, length(gram) DESC) AS rk
+        FROM tcnt)
+  WHERE rk = 1
+), tpiv AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+         max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+         max(CASE WHEN n = 4 THEN top_chars END) AS t4
+  FROM ttop GROUP BY 1
+), cocc AS (
+  SELECT doc_id, n, pos, array_to_string(t[pos:pos+n-1], ' ') AS gram
+  FROM (SELECT doc_id, n, t,
+               unnest(generate_series(1, greatest(len(t) - n + 1, 0))) AS pos
+        FROM toks, (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) ns)
+), cdup AS (
+  SELECT doc_id, n, gram
+  FROM (SELECT doc_id, n, gram, count(*) AS cnt FROM cocc GROUP BY 1, 2, 3)
+  WHERE cnt > 1
+), cpos AS (
+  SELECT DISTINCT o.doc_id, o.n, o.pos + k AS tpos
+  FROM cocc o JOIN cdup USING (doc_id, n, gram),
+       (SELECT unnest(generate_series(0, 9)) AS k) ks
+  WHERE k < o.n
+), tokr AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS tpos, unnest(t) AS tok
+  FROM toks
+), ccov AS (
+  SELECT c.doc_id, c.n, sum(length(tok)) AS cov_chars
+  FROM cpos c JOIN tokr USING (doc_id, tpos) GROUP BY 1, 2
+), cpiv AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 5 THEN cov_chars END) AS c5,
+         max(CASE WHEN n = 6 THEN cov_chars END) AS c6,
+         max(CASE WHEN n = 7 THEN cov_chars END) AS c7,
+         max(CASE WHEN n = 8 THEN cov_chars END) AS c8,
+         max(CASE WHEN n = 9 THEN cov_chars END) AS c9,
+         max(CASE WHEN n = 10 THEN cov_chars END) AS c10
+  FROM ccov GROUP BY 1
+), fr AS (
+  SELECT m.doc_id,
+         round(coalesce(l.dup_line_frac, 0), 6) AS dup_line_frac,
+         round(coalesce(l.dup_line_char_frac, 0), 6) AS dup_line_char_frac,
+         round(coalesce(p.dup_para_frac, 0), 6) AS dup_para_frac,
+         round(coalesce(p.dup_para_char_frac, 0), 6) AS dup_para_char_frac,
+         round(coalesce(t.t2, 0) * 1.0 / greatest(m.stream_chars, 1), 6)
+           AS top_2gram_char_frac,
+         round(coalesce(t.t3, 0) * 1.0 / greatest(m.stream_chars, 1), 6)
+           AS top_3gram_char_frac,
+         round(coalesce(t.t4, 0) * 1.0 / greatest(m.stream_chars, 1), 6)
+           AS top_4gram_char_frac,
+         round(coalesce(c.c5, 0) * 1.0 / greatest(m.tok_chars, 1), 6)
+           AS dup_5gram_char_frac,
+         round(coalesce(c.c6, 0) * 1.0 / greatest(m.tok_chars, 1), 6)
+           AS dup_6gram_char_frac,
+         round(coalesce(c.c7, 0) * 1.0 / greatest(m.tok_chars, 1), 6)
+           AS dup_7gram_char_frac,
+         round(coalesce(c.c8, 0) * 1.0 / greatest(m.tok_chars, 1), 6)
+           AS dup_8gram_char_frac,
+         round(coalesce(c.c9, 0) * 1.0 / greatest(m.tok_chars, 1), 6)
+           AS dup_9gram_char_frac,
+         round(coalesce(c.c10, 0) * 1.0 / greatest(m.tok_chars, 1), 6)
+           AS dup_10gram_char_frac
+  FROM meta m
+  LEFT JOIN lfrac l USING (doc_id)
+  LEFT JOIN pfrac p USING (doc_id)
+  LEFT JOIN tpiv t USING (doc_id)
+  LEFT JOIN cpiv c USING (doc_id)
+)
+SELECT fr.*,
+       (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+        AND dup_para_frac <= 0.30 AND dup_para_char_frac <= 0.20
+        AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+        AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+        AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+        AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+        AND dup_10gram_char_frac <= 0.10) AS keep
+FROM fr
+""")
+def gopher_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 appendix
+    A1.1, public thresholds) — WITHIN-document repetition, the
+    complement of dup_span_stats' cross-document signal. Every seventh
+    document is seeded with six identical spammy lines (each with
+    internally repeated 2-grams) so both outcomes provably occur:
+    short seeded docs fail multiple thresholds, long ones absorb the
+    suffix and pass. The oracle replays the entire computation — line/
+    paragraph dup fractions, most-frequent-n-gram char fractions
+    (n=2..4), duplicated-n-gram positional char coverage (n=5..10),
+    and the 13-threshold keep — in pure SQL; one drifted fraction or a
+    flipped keep fails the hash."""
+    from dedupe_copy_spark.operators.corpus import gopher_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = "\ncall now limited offer call now limited offer" * 6
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")),
+                 F.when(F.col("doc_id") % 7 == 0, F.lit(suffix))
+                 .otherwise(F.lit(""))).alias("text"))
+    return gopher_repetition(seeded)
+
+
 @register("shard_packing", """
 WITH sized AS (
   SELECT doc_id,
@@ -1920,9 +2078,19 @@ def minhash_signatures_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file_id", "sig")
 
 
+def media_stream_keys_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-signature stage alone (plan-audit target: the mapInPandas
+    payload parse runs inside media_stream_dup_pairs' localCheckpoint
+    sub-job, so the pairs plan no longer exposes it — this does)."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    return mm.extract_stream_keys(mm.synth_mp4_media(spark, n_videos=36))
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
+    "media_stream_keys": media_stream_keys_stage,
     "minhash_near_pairs": minhash_near_pairs_raw,
     "simhash_short_pairs": simhash_short_pairs_raw,
     "containment_pairs": containment_pairs_raw,

@@ -361,3 +361,96 @@ def test_mask_dup_spans_null_text(spark):
            corpus.mask_dup_spans(docs, n=3, max_doc_freq=1).collect()}
     assert out[1].text_clean == "" and out[1].n_tokens == 0
     assert out[2].text_clean == "x y z"
+
+
+def _ref_gopher(text):
+    """Independent pure-Python replay of the gopher_repetition
+    contract, for randomized equivalence checking."""
+    import re
+    from collections import Counter
+
+    txt = text or ""
+    toks = re.findall(r"[a-z0-9_]+", txt.lower())
+    stream_chars = len(" ".join(toks))
+    tok_chars = sum(len(t) for t in toks)
+    out = {}
+    for delim, prefix in (("\n", "dup_line"), ("\n\n", "dup_para")):
+        segs = [s for s in txt.split(delim) if s != ""]
+        c = Counter(segs)
+        n, nd = len(segs), len(c)
+        tc = sum(len(s) for s in segs)
+        dc = sum(len(s) for s in c)
+        out[f"{prefix}_frac"] = (n - nd) / max(n, 1)
+        out[f"{prefix}_char_frac"] = (tc - dc) / max(tc, 1)
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        cnt, glen = max(((v, len(g)) for g, v in c.items()), default=(0, 0))
+        out[f"top_{n}gram_char_frac"] = cnt * glen / max(stream_chars, 1)
+    for n in range(5, 11):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        cov = sum(len(toks[i]) for i in covered)
+        out[f"dup_{n}gram_char_frac"] = cov / max(tok_chars, 1)
+    out["keep"] = all(round(out[k], 6) <= th
+                      for k, th in corpus.GOPHER_THRESHOLDS.items())
+    return out
+
+
+def test_gopher_repetition_matches_reference(spark):
+    """Randomized equivalence vs the pure-Python replay: spammy docs
+    (repeated lines, looped phrases), clean prose, empty, NULL, and a
+    doc below every gram width."""
+    import random
+
+    rng = random.Random(20260817)
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for doc_id in range(24):
+        kind = doc_id % 4
+        if kind == 0:     # looped phrase → dup n-grams + hot top-grams
+            phrase = " ".join(rng.choices(words, k=rng.randint(3, 8)))
+            text = "\n".join([phrase] * rng.randint(2, 6))
+        elif kind == 1:   # clean prose, unique-ish lines
+            text = "\n".join(
+                " ".join(rng.choices(words, k=rng.randint(5, 14)))
+                for _ in range(rng.randint(1, 6)))
+        elif kind == 2:   # paragraphs, some repeated
+            paras = [" ".join(rng.choices(words, k=6)) for _ in range(3)]
+            text = "\n\n".join(paras + [paras[0]])
+        else:             # edge cases
+            text = rng.choice([None, "", "one two"])
+        docs.append((doc_id, text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in
+           corpus.gopher_repetition(df).collect()}
+    assert set(got) == set(range(24))
+    for doc_id, text in docs:
+        want = _ref_gopher(text)
+        row = got[doc_id]
+        for name, val in want.items():
+            if name == "keep":
+                assert row[name] == val, (doc_id, name)
+            else:
+                assert abs(row[name] - val) < 2e-6, (doc_id, name, text)
+    # the spammy kinds must actually trip thresholds somewhere
+    assert any(not r["keep"] for r in got.values())
+    assert any(r["keep"] for r in got.values())
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """One fully hand-checked doc: 'x y\\nx y\\nz' → 3 lines, 2
+    distinct; dup line chars 3+3+1=7 vs distinct 3+1=4."""
+    df = spark.createDataFrame([(1, "x y\nx y\nz")], "doc_id long, text string")
+    row = corpus.gopher_repetition(df).collect()[0]
+    assert row.dup_line_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert row.dup_line_char_frac == pytest.approx(3 / 7, abs=1e-6)
+    # tokens: x y x y z → top 2-gram 'x y' ×2, chars 3 each; stream=9
+    assert row.top_2gram_char_frac == pytest.approx(6 / 9, abs=1e-6)
+    # 5 tokens → exactly one 5-gram, no dup
+    assert row.dup_5gram_char_frac == 0.0
+    assert not row.keep  # top_2gram 0.667 > 0.20
