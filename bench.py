@@ -56,6 +56,7 @@ HEADLINE = [
     # round 3: JPEG perceptual dedup, shuffle-free co-bucketed join,
     # sketch percentiles, and the corpus transform family
     "media_dedupe_perceptual",
+    "media_dedupe_png",
     "media_dedupe_mp4",
     "bucketed_group_join",
     "token_percentiles_approx",

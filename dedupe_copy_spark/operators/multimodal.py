@@ -107,6 +107,39 @@ def synth_jpeg_media(spark: SparkSession, n_images: int = 48,
     return _media_df(spark, rows)
 
 
+def synth_png_media(spark: SparkSession, n_images: int = 40,
+                    seed: int = 13) -> DataFrame:
+    """Deterministic media table of REAL PNG payloads for the lossless
+    perceptual-dedup path. Each base image i is a seeded 4×8 block
+    pattern upsampled to 32×64 and encoded with filter None at zlib
+    level 6; every third image also appears RE-ENCODED (Up filter,
+    level 9 — every IDAT byte differs, pixels identical) as media_id
+    i+1000. Truth pairs (i, i+1000) for i % 3 == 0 are
+    reconstructible in pure SQL."""
+    from dedupe_copy_spark.functions.png import decode_png, encode_png
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        payload = encode_png(img, zlevel=6, filter_type=0)
+        rows.append({
+            "media_id": i, "kind": "image", "mime": "image/png",
+            "width": 64, "height": 32, "duration_ms": None,
+            "payload": payload,
+        })
+        if i % 3 == 0:
+            re_encoded = encode_png(decode_png(payload), zlevel=9,
+                                    filter_type=2)
+            rows.append({
+                "media_id": i + 1000, "kind": "image", "mime": "image/png",
+                "width": 64, "height": 32, "duration_ms": None,
+                "payload": re_encoded,
+            })
+    return _media_df(spark, rows)
+
+
 def synth_mp4_media(spark: SparkSession, n_videos: int = 36,
                     seed: int = 11) -> DataFrame:
     """Deterministic media table of REAL ISO-BMFF payloads for the
@@ -282,13 +315,16 @@ ppm_features = image_features
 
 
 def codec_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Default decode: REAL parsing for JPEG/WAV/PPM payloads and for
-    the MP4 *container* (box tree + remux-invariant stsz signature —
-    catches 'same video, repackaged'; frame-level decode remains the
+    """Default decode: REAL parsing for JPEG/PNG/WAV/PPM payloads and
+    for the MP4 *container* (box tree + remux-invariant stsz signature
+    — catches 'same video, repackaged'; frame-level decode remains the
     one stub, see functions/mp4.py). Malformed payloads fall back to
     the stub so one bad file can't kill a 100-TB scan."""
     payload = payload or b""
     try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            from dedupe_copy_spark.functions.png import decode_png
+            return image_features(decode_png(payload))
         if payload.startswith(b"\xff\xd8"):
             from dedupe_copy_spark.functions.jpeg import decode_jpeg
             return image_features(decode_jpeg(payload))

@@ -1013,6 +1013,28 @@ def media_dedupe_mp4_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_stream_dup_pairs(media).orderBy("id_a")
 
 
+@register("media_dedupe_png", """
+SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 1000 AS BIGINT) AS id_b
+FROM range(0, 40) t(i) WHERE i % 3 = 0
+""")
+def media_dedupe_png_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup on REAL PNG payloads: every third base
+    image re-appears re-encoded with a different scanline filter and
+    zlib level (every IDAT byte differs — exact dedup cannot pair
+    them; pixels identical), then full PNG decode (functions/png.py:
+    chunk walk + CRC + inflate + unfilter) → grid-luminance features
+    → within-kind cosine pairs. Identical pixels give cosine 1.0;
+    distinct seeded images sit far below the 0.999 threshold, so the
+    truth pair set (i, i+1000) for i % 3 == 0 is exact."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_png_media(spark, n_images=40)
+    feats = mm.extract_features(media).localCheckpoint()
+    pairs = mm.media_near_dups(feats, threshold=0.999, route="exact")
+    return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
+
+
 @register("media_dedupe_perceptual", """
 SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b
