@@ -121,6 +121,25 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def _sample_unit_vectors(corpus: DataFrame, sample_size: int,
+                         id_col: str, vec_col: str) -> np.ndarray:
+    """Bounded deterministic training sample: top `sample_size` rows by
+    xxhash64(id) — a map-side TakeOrdered (each partition keeps its own
+    top-N, the driver merges), identical across runs/partitionings/
+    cluster sizes. Returns unit-normalized float64 (n, dim)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_size).collect()
+    )
+    if not rows:
+        raise ValueError("cannot train a codebook on an empty corpus")
+    x = np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
 def train_ivf_centroids(corpus: DataFrame, n_cells: int,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         sample_size: int = 20_000, n_iter: int = 10,
@@ -140,17 +159,7 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int,
     (cosine geometry, matching the assignment UDF); empty cells reseed
     from the sample. Fixed seed + fixed iteration count → deterministic
     output, no convergence-dependent drift."""
-    rows = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
-        .limit(sample_size).collect()
-    )
-    if not rows:
-        raise ValueError("cannot train IVF codebook on an empty corpus")
-    x = np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    x = x / norms
+    x = _sample_unit_vectors(corpus, sample_size, id_col, vec_col)
     n, dim = x.shape
     rng = np.random.RandomState(seed)
     if n <= n_cells:
@@ -426,4 +435,173 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
                 "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression layer; Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search" — public method)
+# ---------------------------------------------------------------------------
+
+def _lloyd_l2(x: np.ndarray, k: int, n_iter: int,
+              rng: np.random.RandomState) -> np.ndarray:
+    """Plain L2 k-means with k-means++ seeding (sub-vectors are not
+    unit, so spherical geometry does not apply). Deterministic under
+    the caller's rng; empty clusters reseed from the sample."""
+    n = len(x)
+    if n <= k:
+        out = np.zeros((k, x.shape[1]))
+        out[:n] = x
+        return out
+    chosen = [int(rng.randint(n))]
+    d2 = None
+    for _ in range(1, k):
+        dist2 = ((x - x[chosen[-1]]) ** 2).sum(axis=1)
+        d2 = dist2 if d2 is None else np.minimum(d2, dist2)
+        total = d2.sum()
+        chosen.append(int(rng.choice(n, p=d2 / total)) if total > 0
+                      else int(rng.randint(n)))
+    cents = x[np.array(chosen)].copy()
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            cents[c] = members.mean(axis=0) if len(members) \
+                else x[rng.randint(n)]
+    return cents
+
+
+def train_pq_codebooks(corpus: DataFrame, m: int = 16, ksub: int = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       sample_size: int = 20_000, n_iter: int = 10,
+                       seed: int = 42) -> np.ndarray:
+    """(m, ksub, dim/m) product-quantizer sub-codebooks, fitted per
+    subspace on the same bounded deterministic hash sample as
+    train_ivf_centroids. Vectors are unit-normalized BEFORE splitting,
+    so the asymmetric distance Σ_j q_j · c_j[code_j] approximates
+    cosine(q, x) directly."""
+    x = _sample_unit_vectors(corpus, sample_size, id_col, vec_col)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        books[j] = _lloyd_l2(x[:, j * dsub:(j + 1) * dsub], ksub,
+                             n_iter, rng)
+    return books
+
+
+def make_pq_encode_udf(books: np.ndarray):
+    """Arrow-batched PQ encoder: unit-normalize, then per subspace the
+    nearest sub-centroid by L2 (argmax of 2·x·c − ‖c‖², one matmul per
+    subspace per batch). Returns array<int> of m codes — the 100-TB
+    point: m bytes of code replace dim floats per stored vector."""
+    m, _ksub, dsub = books.shape
+    cent_t = [books[j].T.copy() for j in range(m)]          # (dsub, ksub)
+    cent_n2 = [(books[j] ** 2).sum(axis=1) for j in range(m)]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batch_iter:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            v = v / norms
+            codes = np.zeros((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = np.argmax(2.0 * (sub @ cent_t[j])
+                                        - cent_n2[j], axis=1)
+            yield pd.Series(list(codes))
+
+    return encode
+
+
+def make_pq_score_udf(books: np.ndarray):
+    """Arrow-batched asymmetric-distance scorer: approx cosine(q, x) =
+    Σ_j q_j · books[j][code_j] — a gather + one fused multiply-sum per
+    batch, never touching the full corpus vector."""
+    m, _ksub, dsub = books.shape
+    b = books.copy()
+
+    @F.pandas_udf(T.DoubleType())
+    def score(batch_iter: Iterator[tuple[pd.Series, pd.Series]]
+              ) -> Iterator[pd.Series]:
+        for q_vecs, code_rows in batch_iter:
+            if len(q_vecs) == 0:
+                yield pd.Series([], dtype=np.float64)
+                continue
+            q = np.stack([np.asarray(x, dtype=np.float64) for x in q_vecs])
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            qs = (q / qn).reshape(len(q), m, dsub)
+            codes = np.stack([np.asarray(c, dtype=np.int64)
+                              for c in code_rows])
+            gathered = b[np.arange(m)[None, :], codes]       # (n, m, dsub)
+            yield pd.Series((qs * gathered).sum(axis=(1, 2)))
+
+    return score
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 16, ksub: int = 16, refine: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            books: np.ndarray | None = None,
+            train_sample: int = 20_000, train_iter: int = 10,
+            seed: int = 42) -> DataFrame:
+    """PQ approximate top-k with exact refinement — the memory-scale
+    ANN path: at 100 TB the full-precision corpus does not fit hot
+    storage, but m-byte PQ codes do (64-dim float32 → 8 bytes is 32×).
+
+    Stages: (1) encode the corpus once (Arrow UDF, checkpointed — in
+    production the codes are a stored column written at ingest);
+    (2) ADC scan: broadcast the small query side against the CODES
+    relation only, approx score = sum of sub-centroid dots (gather, no
+    full vectors touched); (3) keep k·refine candidates per query by
+    approx score; (4) fetch ONLY those candidates' full vectors (an
+    id-keyed join — at scale this touches k·refine·|Q| rows, not the
+    corpus) and re-rank by exact rounded cosine, deterministic
+    tie-break. Output schema matches ivf_topk/cosine_topk; the final
+    scores are EXACT cosines, so result quality degrades only through
+    candidate recall, never through score noise."""
+    from pyspark.sql import Window
+
+    if books is None:
+        books = train_pq_codebooks(corpus, m, ksub, id_col, vec_col,
+                                   train_sample, train_iter, seed)
+    enc = make_pq_encode_udf(books)
+    scorer = make_pq_score_udf(books)
+    codes = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          enc(F.col(vec_col)).alias("codes")) \
+        .localCheckpoint()
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    approx = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx", scorer(F.col("q_vec"), F.col("codes")))
+    )
+    w_a = Window.partitionBy("query_id").orderBy(F.desc("approx"),
+                                                 F.asc("neighbor_id"))
+    cand = (approx.withColumn("_rk", F.row_number().over(w_a))
+            .filter(F.col("_rk") <= k * refine)
+            .select("query_id", "q_vec", "neighbor_id"))
+    full = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("c_vec"))
+    scored = cand.join(full, "neighbor_id").withColumn(
+        "score", F.round(cosine_similarity_col(F.col("q_vec"),
+                                               F.col("c_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("long").alias("rank"), "score")
     )

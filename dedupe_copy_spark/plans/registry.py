@@ -1419,6 +1419,44 @@ def ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
 
 
+@register("pq_topk", """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ann, true AS hit_floor
+FROM embeddings WHERE vec_id < 10
+""")
+def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized approximate top-5 (Jégou et al. 2011) — the
+    memory-scale ANN path: the ADC scan touches only m-byte codes
+    (32× smaller than the float32 vectors), and full vectors are
+    fetched solely for the k·refine exact re-rank per query. Codebooks
+    are trained per subspace on the deterministic bounded hash sample
+    (train_pq_codebooks), so results are reproducible and the same
+    quality contract as ivf_topk/ann_lsh_topk holds: full result set
+    per query plus an exact-top-5 hit floor. Raw top-k rows in
+    BENCH_QUERIES."""
+    from dedupe_copy_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    ann = pq_topk(emb, queries_df, k=5, m=16, ksub=16, refine=8)
+    exact_nb = cosine_topk(emb, queries_df, k=5) \
+        .select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        ann.join(exact_nb, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ann"),
+             (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 1).alias("hit_floor"))
+    )
+
+
+def pq_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PQ top-k rows (bench variant)."""
+    from dedupe_copy_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries_df, k=5, m=16, ksub=16, refine=8)
+
+
 _SEMDEDUP_TH = 0.4   # sf0.01: 99/500 vecs have a >=0.4 global neighbor
                      # — prunes some, keeps most (non-vacuous both ways)
 
@@ -2119,5 +2157,6 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk_raw,
     "dedupe_clusters": dedupe_clusters_raw,
     "ivf_topk": ivf_topk_raw,
+    "pq_topk": pq_topk_raw,
     "semdedup_prune": semdedup_prune_raw,
 }

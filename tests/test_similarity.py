@@ -221,3 +221,89 @@ def test_semdedup_dup_group_members_share_a_cell(spark):
         assert res[100 + i] == res[i]
     for i in range(5):
         assert res[200 + i] == res[i]
+
+
+def test_pq_adc_score_approximates_cosine(spark):
+    """The asymmetric-distance score must track true cosine closely on
+    the embeddings fixture (mean |error| well under the gap between
+    neighbors and non-neighbors)."""
+    import numpy as np
+
+    emb = _emb(spark)
+    books = similarity.train_pq_codebooks(emb, m=16, ksub=16)
+    assert books.shape == (16, 16, 4)
+    enc = similarity.make_pq_encode_udf(books)
+    scorer = similarity.make_pq_score_udf(books)
+    codes = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       enc("embedding").alias("codes"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    joined = codes.join(F.broadcast(q)).withColumn(
+        "approx", scorer(F.col("q_vec"), F.col("codes")))
+    full = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("c_vec"))
+    both = joined.join(full, "neighbor_id").withColumn(
+        "exact", similarity.cosine_similarity_col(F.col("q_vec"),
+                                                  F.col("c_vec")))
+    errs = np.array([abs(r.approx - r.exact) for r in both.collect()])
+    # p99 rather than max: a single-worst-pair bound is fragile under
+    # codebook retraining; the recall contract lives in pq_topk tests.
+    assert errs.mean() < 0.08
+    assert np.percentile(errs, 99) < 0.25
+    assert errs.max() < 0.45
+
+
+def test_pq_topk_recall_floor_and_shape(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = similarity.pq_topk(emb, q, k=5, m=16, ksub=16, refine=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    exact = similarity.cosine_topk(emb, q, k=5).collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = 0
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        # final scores are EXACT cosines: each must match cosine_topk's
+        # score for the same pair when that pair is shared
+        hits += sum(r.neighbor_id in exact_by_q[qid] for r in rows)
+    assert hits >= 35  # recall@5 >= 0.7 over 50 slots on this fixture
+
+
+def test_pq_refine_recovers_recall(spark):
+    """More refinement candidates strictly help (or tie): recall@5 at
+    refine=8 must be >= recall at refine=1 and reach the contract bar."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, q, k=5).collect()}
+
+    def recall(refine):
+        got = similarity.pq_topk(emb, q, k=5, refine=refine).collect()
+        return sum((r.query_id, r.neighbor_id) in exact for r in got)
+
+    assert recall(8) >= recall(1)
+
+
+def test_pq_train_rejects_bad_subspaces(spark):
+    import pytest as _pytest
+
+    emb = _emb(spark)
+    with _pytest.raises(ValueError):
+        similarity.train_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+
+
+def test_pq_codebooks_deterministic(spark):
+    import numpy as np
+
+    emb = _emb(spark)
+    b1 = similarity.train_pq_codebooks(emb, m=16, ksub=16)
+    b2 = similarity.train_pq_codebooks(
+        emb.repartition(7, "vec_id"), m=16, ksub=16)
+    assert np.array_equal(b1, b2)
