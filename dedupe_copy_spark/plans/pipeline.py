@@ -149,6 +149,15 @@ class DedupePipeline:
 
     def run(self, files: DataFrame) -> DedupeResult:
         hashed = self.ingest(files)
+        if not self.cfg.checkpoint_dir:
+            # `hashed` feeds four consumers (winners/losers, exact
+            # edges, the singleton anti-join, and the final emit join);
+            # with a checkpoint dir the s0 parquet stage materializes it
+            # once, but without one each consumer would re-run the scan
+            # + digest + repartition lineage (measured ~1.7 s per extra
+            # evaluation at sf0.1). Same barrier rationale as `reps` in
+            # near_dup_stage.
+            hashed = hashed.localCheckpoint()
         win, lose, exact_edges = self.exact_stage(hashed)
         near = self.near_dup_stage(win)
         pairs = self._stage(
