@@ -67,6 +67,9 @@ HEADLINE = [
     "semdedup_prune",
     "span_dedup",
     "gopher_repetition",
+    # round 3 cont.: PQ ANN + MOSS winnowing fingerprints
+    "pq_topk",
+    "winnow_near_pairs",
 ]
 
 

@@ -204,6 +204,14 @@ CHECKS = {
          lambda p: "partial_percentile_approx" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "winnow_near_pairs": [
+        # the winnow UDF runs once in the localCheckpoint sub-job; the
+        # pairs plan joins only the materialized fingerprint relation
+        ("no python eval in the pairs plan (fingerprints materialized once)",
+         lambda p: "EvalPython" not in p),
+        ("capped bucket pairs via aggregate (collect_set), not self-join",
+         lambda p: "collect_set" in p),
+    ],
 }
 
 # ... and the RUNTIME check: after execution, AQE must have converted

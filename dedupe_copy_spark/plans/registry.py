@@ -901,6 +901,111 @@ def doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(docs).select("doc_id", "fingerprint")
 
 
+# Winnowing (Schleimer et al., SIGMOD'03): DuckDB replays the FULL
+# algorithm — k-gram polynomial hashes (powers of the FNV prime mod
+# 2^64, precomputed at import), window-min selection over UNSIGNED
+# hash order with rightmost tie-break, distinct (pos, h) per doc.
+# k=16, w=8 → guarantee threshold t = w + k - 1 = 23 chars; k=16 makes
+# grams discriminative on the small-vocabulary synthetic corpus (k=5
+# left only ~900 distinct selected hashes at sf0.1 — all boilerplate).
+_WINNOW_K, _WINNOW_W = 16, 8
+
+
+def _winnow_sel_sql(k: int, w: int) -> str:
+    base, mod = 1099511628211, 1 << 64
+    terms = "\n          + ".join(
+        f"CAST(ascii(substr(s, CAST(pos + {j} AS INT), 1)) AS HUGEINT)"
+        f" * CAST('{pow(base, k - 1 - j, mod)}' AS HUGEINT)"
+        for j in range(k))
+    return rf"""
+WITH normed AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+  FROM documents
+), grams AS (
+  SELECT doc_id, pos,
+         (  {terms}
+         ) % CAST('18446744073709551616' AS HUGEINT) AS h
+  FROM (SELECT doc_id, unnest(generate_series(1, length(s) - {k - 1})) AS pos, s
+        FROM normed WHERE length(s) >= {k})
+), winmin AS (
+  -- rightmost-min selection WITHOUT a grams self-join (which would be
+  -- a per-doc cross product): minimize the composite h*2^20 + (2^20-1
+  -- - pos) over the window frame — h dominates (pos < 2^20), and for
+  -- equal h a LARGER pos gives a SMALLER composite, i.e. the rightmost
+  -- tie-break. Decode h and pos back out of the window minimum.
+  SELECT doc_id, pos,
+         min(h * 1048576 + (1048575 - pos)) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cmin,
+         count(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM grams
+), sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(1048575 - (cmin % 1048576) AS BIGINT) AS pos,
+         cmin // 1048576 AS hu
+  FROM winmin
+  WHERE pos <= greatest(cnt - {w - 1}, 1)
+)
+"""
+
+
+_WINNOW_SEL_SQL = _winnow_sel_sql(_WINNOW_K, _WINNOW_W)
+
+_WINNOW_FP_SQL = _WINNOW_SEL_SQL + """
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN hu - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE hu END AS BIGINT) AS h
+FROM sel
+"""
+
+
+@register("winnow_fingerprints", _WINNOW_FP_SQL)
+def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. SIGMOD'03):
+    k=16-char-gram rolling hashes, w=8 window-min selection, rightmost
+    tie-break. Full algorithm replayed row-for-row by the DuckDB
+    oracle (positions AND hash values) — not a contract check."""
+    from dedupe_copy_spark.operators.winnow import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+_WINNOW_PAIR_SQL = _WINNOW_SEL_SQL + """
+, fps AS (SELECT DISTINCT doc_id, hu FROM sel
+), ok AS (SELECT hu FROM fps GROUP BY hu HAVING count(*) BETWEEN 2 AND 64
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.hu = b.hu AND a.doc_id < b.doc_id
+  JOIN ok ON ok.hu = a.hu
+  GROUP BY 1, 2
+  HAVING count(*) >= 8
+), cnts AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1)
+SELECT id_a, id_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp), 6) AS score
+FROM shared
+JOIN cnts ca ON ca.doc_id = id_a
+JOIN cnts cb ON cb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) >= 0.5
+"""
+
+
+@register("winnow_near_pairs", _WINNOW_PAIR_SQL)
+def winnow_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (overlap
+    coefficient over distinct selected hashes, capped bucket join).
+    The oracle replays the whole path exactly — fingerprint selection,
+    the 64-doc bucket cap, the >=8 shared floor, and the 0.5 score
+    threshold."""
+    from dedupe_copy_spark.operators.winnow import winnow_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_near_pairs(docs, k=_WINNOW_K, w=_WINNOW_W, min_shared=8,
+                             threshold=0.5, max_bucket=64)
+
+
 @register("media_dedupe", """
 WITH m AS (
   SELECT CAST(i AS BIGINT) AS media_id,

@@ -1,0 +1,92 @@
+"""Winnowing fingerprints (Schleimer et al. SIGMOD'03) — algorithm
+properties pinned locally; cross-engine parity is covered by
+tests/test_oracle_parity.py (the DuckDB oracle replays the full
+selection, positions and hash values included)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import winnow
+
+
+def _brute_winnow(text, k, w):
+    """Straight-from-the-paper reference: explicit loop over windows,
+    min hash, rightmost tie-break."""
+    s = winnow._normalize(text)
+    if len(s) < k:
+        return set()
+    B, M = 1099511628211, 1 << 64
+    hashes = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for ch in s[i:i + k]:
+            h = (h * B + ord(ch)) % M
+        hashes.append(h)
+    cnt = len(hashes)
+    out = set()
+    for start in range(max(cnt - w + 1, 1)):
+        win = hashes[start:start + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        off = len(win) - 1 - win[::-1].index(m)
+        signed = m - (1 << 64) if m >= (1 << 63) else m
+        out.add((start + off + 1, signed))
+    return out
+
+
+@pytest.mark.parametrize("text", [
+    "the quick brown fox jumps over the lazy dog " * 3,
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",            # all-tie windows
+    "short",                                      # < k chars -> empty
+    "exactly-k-chars!",                            # cnt == 1
+    "just over k characters.",                     # 1 < cnt <= w
+    "x Y z " * 40,
+])
+def test_winnow_one_matches_brute_force(text):
+    k, w = 16, 8
+    assert set(winnow.winnow_one(text, k, w)) == _brute_winnow(text, k, w)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: a shared substring of >= w + k - 1
+    chars yields at least one shared fingerprint hash."""
+    k, w = 16, 8
+    common = "def compute_totals(ledger, fiscal_year):"  # 41 > 23 chars
+    a = "HEADER AAA " + common + " trailer-one"
+    b = "completely different prefix " + common + " and suffix"
+    ha = {h for _, h in winnow.winnow_one(a, k, w)}
+    hb = {h for _, h in winnow.winnow_one(b, k, w)}
+    assert ha & hb
+
+
+def test_winnow_density(spark):
+    """Expected selected density is ~2/(w+1); allow a loose band."""
+    rng = np.random.RandomState(7)
+    text = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), 4000))
+    k, w = 16, 8
+    n_positions = len(winnow._normalize(text)) - k + 1
+    got = len(winnow.winnow_one(text, k, w))
+    density = got / n_positions
+    assert 0.1 < density < 0.4, density
+
+
+def test_winnow_fingerprints_partition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = winnow.winnow_fingerprints(docs).collect()
+    b = winnow.winnow_fingerprints(docs.repartition(13, "doc_id")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 1000
+
+
+def test_winnow_near_pairs_finds_constructed_dups(spark):
+    """The documents fixture's constructed near-dup pairs must surface
+    with high overlap scores; output ids are ordered and scores
+    bounded."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = winnow.winnow_near_pairs(docs).collect()
+    assert len(rows) >= 5
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.5 <= r.score <= 1.0
+        assert r.n_shared >= 8
