@@ -67,8 +67,9 @@ HEADLINE = [
     "semdedup_prune",
     "span_dedup",
     "gopher_repetition",
-    # round 3 cont.: PQ ANN + MOSS winnowing fingerprints
+    # round 3 cont.: PQ / IVF-PQ ANN + MOSS winnowing fingerprints
     "pq_topk",
+    "ivf_pq_topk",
     "winnow_near_pairs",
 ]
 

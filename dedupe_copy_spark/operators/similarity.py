@@ -570,8 +570,6 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     tie-break. Output schema matches ivf_topk/cosine_topk; the final
     scores are EXACT cosines, so result quality degrades only through
     candidate recall, never through score noise."""
-    from pyspark.sql import Window
-
     if books is None:
         books = train_pq_codebooks(corpus, m, ksub, id_col, vec_col,
                                    train_sample, train_iter, seed)
@@ -587,6 +585,17 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("approx", scorer(F.col("q_vec"), F.col("codes")))
     )
+    return _pq_refine(approx, corpus, k, refine, id_col, vec_col)
+
+
+def _pq_refine(approx: DataFrame, corpus: DataFrame, k: int, refine: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    """Shared PQ tail: keep k·refine candidates per query by approx ADC
+    score, fetch ONLY those candidates' full vectors, re-rank by exact
+    rounded cosine with deterministic tie-break. `approx` needs columns
+    (query_id, q_vec, neighbor_id, approx)."""
+    from pyspark.sql import Window
+
     w_a = Window.partitionBy("query_id").orderBy(F.desc("approx"),
                                                  F.asc("neighbor_id"))
     cand = (approx.withColumn("_rk", F.row_number().over(w_a))
@@ -605,3 +614,53 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id",
                 F.col("rank").cast("long").alias("rank"), "score")
     )
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                n_cells: int = 16, n_probe: int = 4,
+                m: int = 16, ksub: int = 16, refine: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                centroids: np.ndarray | None = None,
+                books: np.ndarray | None = None,
+                train_sample: int = 20_000, train_iter: int = 10,
+                seed: int = 42) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011, §IV) — the
+    production 100-TB ANN layout, composing both index layers:
+
+      storage: each corpus vector lives in ONE inverted-file cell and
+        is represented by an m-byte PQ code — the hot index is
+        (cell, code), ~32× smaller than the float32 vectors;
+      query: probe the n_probe nearest cells (so the ADC scan touches
+        ~n_probe/n_cells of the CODES, never the full corpus), score
+        candidates by the asymmetric distance (gathered sub-centroid
+        dots), keep k·refine, then fetch only those candidates' full
+        vectors for the exact cosine re-rank.
+
+    The cell join shuffles the code relation once by cell id (at scale
+    the codes table is pre-partitioned/bucketed by cell, making probes
+    partition-pruned scans); the query side is broadcast. Both
+    codebooks train on the same bounded deterministic hash sample."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col,
+                                        train_sample, train_iter, seed)
+    if books is None:
+        books = train_pq_codebooks(corpus, m, ksub, id_col, vec_col,
+                                   train_sample, train_iter, seed)
+    c_cell = make_cell_udf(centroids, 1)
+    q_cell = make_cell_udf(centroids, n_probe)
+    enc = make_pq_encode_udf(books)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(c_cell(F.col(vec_col)), 1).alias("cell"),
+        enc(F.col(vec_col)).alias("codes"),
+    ).localCheckpoint()
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       F.explode(q_cell(F.col(vec_col))).alias("cell"))
+    scorer = make_pq_score_udf(books)
+    approx = (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("approx", scorer(F.col("q_vec"), F.col("codes")))
+    )
+    return _pq_refine(approx, corpus, k, refine, id_col, vec_col)

@@ -1524,6 +1524,44 @@ def ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
 
 
+@register("ivf_pq_topk", """
+SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ann, true AS hit_floor
+FROM embeddings WHERE vec_id < 10
+""")
+def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 (Jégou et al. 2011) — both index
+    layers composed: inverted-file cell restriction (ADC scan touches
+    ~n_probe/n_cells of the CODES relation) + product-quantized
+    asymmetric scoring + exact re-rank of k·refine candidates. Same
+    oracle-checked quality contract as ivf_topk/pq_topk: full result
+    set per query plus an exact-top-5 hit floor, verified to hold at
+    sf0.001, sf0.01 and sf0.1. Raw top-k rows in BENCH_QUERIES."""
+    from dedupe_copy_spark.operators.similarity import cosine_topk, ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    ann = ivf_pq_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=6,
+                      m=16, ksub=16, refine=8)
+    exact_nb = cosine_topk(emb, queries_df, k=5) \
+        .select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        ann.join(exact_nb, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ann"),
+             (F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= 1).alias("hit_floor"))
+    )
+
+
+def ivf_pq_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF-PQ top-k rows (bench variant)."""
+    from dedupe_copy_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=6,
+                       m=16, ksub=16, refine=8)
+
+
 @register("pq_topk", """
 SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_ann, true AS hit_floor
 FROM embeddings WHERE vec_id < 10
@@ -2263,5 +2301,6 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedupe_clusters": dedupe_clusters_raw,
     "ivf_topk": ivf_topk_raw,
     "pq_topk": pq_topk_raw,
+    "ivf_pq_topk": ivf_pq_topk_raw,
     "semdedup_prune": semdedup_prune_raw,
 }

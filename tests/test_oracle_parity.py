@@ -72,7 +72,8 @@ def test_recall_oracles_are_not_vacuous(spark):
 
 CONTRACT_QUERIES = ["minhash_near_pairs", "simhash_short_pairs",
                     "containment_pairs", "ann_lsh_topk", "ivf_topk",
-                    "pq_topk", "dedupe_clusters", "dedupe_clusters_exact"]
+                    "pq_topk", "ivf_pq_topk",
+                    "dedupe_clusters", "dedupe_clusters_exact"]
 
 
 @pytest.mark.parametrize("name", CONTRACT_QUERIES)

