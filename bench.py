@@ -67,10 +67,11 @@ HEADLINE = [
     "semdedup_prune",
     "span_dedup",
     "gopher_repetition",
-    # round 3 cont.: PQ / IVF-PQ ANN + MOSS winnowing fingerprints
+    # round 3 cont.: PQ / IVF-PQ ANN + MOSS winnowing + repo-level forks
     "pq_topk",
     "ivf_pq_topk",
     "winnow_near_pairs",
+    "fork_pairs",
 ]
 
 

@@ -239,3 +239,48 @@ def manifest_export(hashed: DataFrame) -> DataFrame:
              F.count(F.lit(1)).alias("n_files"))
         .withColumnRenamed("dup_key", "content_sha256")
     )
+
+
+def fork_pairs(hashed: DataFrame, threshold: float = 0.1,
+               max_hash_repos: int = 64) -> DataFrame:
+    """Repo-level fork/mirror detection from exact content hashes —
+    the rollup of file-level dedup to REPOSITORY granularity a
+    source-code corpus needs (GitHub-scale corpora are dominated by
+    forks and vendored trees, not independent code).
+
+    overlap(A, B) = |distinct shared content hashes| / min(|A|, |B|)
+    (overlap coefficient: a small fork carved out of a big monorepo
+    still scores ~1). Hashes present in more than ``max_hash_repos``
+    repos are vendored boilerplate (licenses, generated lockfiles):
+    the capped bucket join drops them from the NUMERATOR — they stay
+    in each repo's denominator, so vendoring can't fabricate fork
+    pairs — and the drop is observable via pairs.bucket_stats, never
+    silent. Empty files are excluded outright (every repo has them).
+
+    Scale shape: one distinct projection of (repo, hash), one capped
+    bucket aggregation (two shuffles), two broadcast-sized joins
+    against the per-repo counts. Repo count ≪ file count, so the
+    scored relation is small even at 10^12 files.
+    """
+    from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
+
+    rs = (hashed.filter(~F.col("is_empty"))
+          .select("repo", "content_sha256").distinct()
+          .localCheckpoint())  # feeds the bucket join + both count sides
+    counts = rs.groupBy("repo").agg(F.count(F.lit(1)).alias("n_hashes"))
+    shared = bucket_pairs_counted(rs, ["content_sha256"], "repo",
+                                  max_hash_repos)
+    scored = (
+        shared
+        .join(counts.select(F.col("repo").alias("id_a"),
+                            F.col("n_hashes").alias("n_a")), "id_a")
+        .join(counts.select(F.col("repo").alias("id_b"),
+                            F.col("n_hashes").alias("n_b")), "id_b")
+        .withColumn("overlap", F.round(
+            F.col("n_shared").cast("double")
+            / F.least("n_a", "n_b").cast("double"), 6))
+        .filter(F.col("overlap") >= threshold)
+    )
+    return scored.select(
+        F.col("id_a").alias("repo_a"), F.col("id_b").alias("repo_b"),
+        F.col("n_shared").cast("long").alias("n_shared"), "overlap")

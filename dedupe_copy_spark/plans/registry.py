@@ -1481,6 +1481,38 @@ def repo_dup_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("fork_pairs", FILES_CTE_SQL + """
+, rs AS (
+  SELECT DISTINCT repo, sha256(content) AS h FROM files
+  WHERE length(content) > 0
+), ok AS (
+  SELECT h FROM rs GROUP BY h HAVING count(*) BETWEEN 2 AND 64
+), shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM rs a JOIN rs b ON a.h = b.h AND a.repo < b.repo
+  JOIN ok ON ok.h = a.h
+  GROUP BY 1, 2
+), cnts AS (SELECT repo, count(*) AS n FROM rs GROUP BY 1)
+SELECT repo_a, repo_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(ca.n, cb.n), 6) AS overlap
+FROM shared
+JOIN cnts ca ON ca.repo = repo_a
+JOIN cnts cb ON cb.repo = repo_b
+WHERE CAST(n_shared AS DOUBLE) / least(ca.n, cb.n) >= 0.1
+""")
+def fork_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork/mirror detection: overlap coefficient over
+    distinct exact content hashes, with the 64-repo vendored-hash cap.
+    On the synthetic corpus this surfaces every (srcN/repo,
+    srcN/mirror) pair at overlap 1.0 — the oracle replays the whole
+    computation (distinct hash sets, cap, threshold) exactly."""
+    from dedupe_copy_spark.operators.exact import fork_pairs
+
+    return fork_pairs(_files(spark, sf_dir), threshold=0.1,
+                      max_hash_repos=64)
+
+
 _IVF_CELLS, _IVF_PROBE = 16, 6  # measured with the trained codebook:
                                 # recall@5 0.78 and >=2 exact-top-5
                                 # hits per query at sf0.001 AND sf0.01

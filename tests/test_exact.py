@@ -159,3 +159,47 @@ def test_null_content_never_groups_as_duplicates(spark):
     from dedupe_copy_spark.config import DedupeConfig
     hashed2 = exact.with_digest(df, DedupeConfig(dedupe_empty=True))
     assert exact.collision_hashes(hashed2).count() == 2
+
+
+def test_fork_pairs_finds_mirrors(spark):
+    """srcN/mirror repos hold exact copies of srcN/repo files and
+    nothing else -> exactly one fork pair per source that has mirrored
+    docs, at overlap 1.0, ordered repo_a < repo_b."""
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.operators.exact import fork_pairs
+    from dedupe_copy_spark.plans.registry import _files
+
+    sf = "/root/testdata/sf0.001"
+    rows = fork_pairs(_files(spark, sf), threshold=0.1).collect()
+    n_mirrored_sources = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0).select("source").distinct().count())
+    assert len(rows) == n_mirrored_sources > 0
+    for r in rows:
+        assert r.repo_a < r.repo_b
+        assert r.repo_a.split("/")[0] == r.repo_b.split("/")[0]
+        assert r.overlap == 1.0
+
+
+def test_fork_pairs_vendored_cap_drops_boilerplate(spark):
+    """A hash present in MORE repos than the cap must not create pairs
+    (vendored boilerplate), while rarer shared hashes still do."""
+    from dedupe_copy_spark.operators.exact import fork_pairs, with_digest
+
+    rows = []
+    for repo in range(6):
+        rows.append((f"r{repo}", "vendored/LICENSE", "c0", "en", "mit license text"))
+        rows.append((f"r{repo}", f"unique/{repo}.py", "c0", "en", f"only in {repo}"))
+    rows.append(("r0", "shared/util.py", "c0", "en", "def util(): pass"))
+    rows.append(("r1", "shared/util.py", "c0", "en", "def util(): pass"))
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    got = {(r.repo_a, r.repo_b): (r.n_shared, r.overlap)
+           for r in fork_pairs(with_digest(files), threshold=0.1,
+                               max_hash_repos=4).collect()}
+    # the license is in 6 repos > cap 4: only the r0/r1 util.py pair
+    # survives, and the license still counts in the denominators (3
+    # hashes each side -> overlap 1/3)
+    assert set(got) == {("r0", "r1")}
+    assert got[("r0", "r1")] == (1, round(1 / 3, 6))
