@@ -661,3 +661,46 @@ def gopher_repetition(docs: DataFrame, id_col: str = "doc_id",
     cols += [expr.alias(name) for name, expr in fracs.items()]
     cols.append(keep.alias("keep"))
     return out.select(*cols)
+
+
+def domain_mix_sample(docs: DataFrame, weights: dict[str, float],
+                      target_total: int, domain_col: str = "source",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic domain-mixture sampling: draw ~``target_total``
+    rows whose composition follows ``weights`` (a training-data mixing
+    step: e.g. upweight docs 3:1 over web crawl regardless of raw
+    corpus skew). Per-domain keep rate = min(1, target_total * w_norm /
+    n_domain), realized by the same engine-portable md5-threshold
+    predicate as ``hash_sample`` — so the draw is stable across
+    runs/partitionings, monotone in target_total (a smaller mix nests
+    inside a bigger one), and exactly replayable by the DuckDB oracle.
+
+    The rates are DATA-DEPENDENT but stay lazy: domain counts ride a
+    tiny groupBy relation joined back in-plan (AQE broadcasts it), and
+    the hex threshold is computed with in-plan arithmetic — identical
+    IEEE-double expression trees on both engines, so thresholds match
+    bit-for-bit. Domains absent from ``weights`` get rate 0 (inner
+    join drops them). No driver action anywhere.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wrows = [(d, w / total_w) for d, w in sorted(weights.items())]
+    wdf = docs.sparkSession.createDataFrame(
+        wrows, f"{domain_col} string, _w double")
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    rates = (
+        counts.join(wdf, domain_col)
+        .withColumn("_rate", F.least(
+            F.lit(1.0),
+            F.lit(float(target_total)) * F.col("_w") / F.col("_n")))
+        .withColumn("_thresh", F.lpad(F.lower(F.hex(
+            F.floor(F.col("_rate") * F.lit(4294967296.0)))), 8, "0"))
+        .select(domain_col, "_rate", "_thresh")
+    )
+    kept = (
+        docs.join(rates, domain_col)
+        .filter((F.col("_rate") >= 1.0)
+                | (F.md5(F.col(key_col).cast("string")) < F.col("_thresh")))
+    )
+    return kept.select(*docs.columns)

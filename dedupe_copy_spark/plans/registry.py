@@ -1811,6 +1811,55 @@ def hash_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, rate=0.25).select("doc_id", "lang", "source")
 
 
+# Domain-mix weights for the registered query: even-numbered sources
+# upweighted 3:1 over odd ones. BOTH the Spark literal table and the
+# oracle VALUES clause are generated from this one dict (normalized in
+# Python exactly once), so the per-domain rates are the same IEEE
+# doubles on both engines and the md5 thresholds match bit-for-bit.
+_MIX_WEIGHTS = {f"src{i}": (3.0 if i % 2 == 0 else 1.0) for i in range(20)}
+_MIX_TOTAL = 200
+
+
+def _mix_oracle_sql(weights: dict[str, float], target_total: int) -> str:
+    total_w = sum(weights.values())
+    values = ",\n    ".join(
+        f"('{d}', {w / total_w!r})" for d, w in sorted(weights.items()))
+    return f"""
+WITH w(source, wn) AS (
+  VALUES
+    {values}
+), c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), r AS (
+  SELECT c.source,
+         least(1.0, CAST({target_total} AS DOUBLE) * wn / n) AS rate
+  FROM c JOIN w USING (source)
+), t AS (
+  SELECT source, rate,
+         lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT))),
+              8, '0') AS th
+  FROM r
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN t USING (source)
+WHERE rate >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) < th
+"""
+
+
+@register("domain_mix_sample", _mix_oracle_sql(_MIX_WEIGHTS, _MIX_TOTAL))
+def domain_mix_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture draw (~200 docs, even sources
+    weighted 3:1 over odd): per-domain rates from lazy in-plan counts,
+    realized by the hash_sample md5-threshold predicate. The oracle
+    recomputes rates and thresholds from the same normalized weight
+    literals and replays the draw row-for-row."""
+    from dedupe_copy_spark.operators.corpus import domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_sample(docs, _MIX_WEIGHTS, _MIX_TOTAL) \
+        .select("doc_id", "source", "lang")
+
+
 @register("quality_filter", r"""
 WITH t AS (
   -- coalesce(text, '') encodes the operator's NULL-text-as-empty

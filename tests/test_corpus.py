@@ -454,3 +454,44 @@ def test_gopher_repetition_hand_computed(spark):
     # 5 tokens → exactly one 5-gram, no dup
     assert row.dup_5gram_char_frac == 0.0
     assert not row.keep  # top_2gram 0.667 > 0.20
+
+
+def test_domain_mix_sample_composition_and_determinism(spark):
+    from dedupe_copy_spark.operators.corpus import domain_mix_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {f"src{i}": (3.0 if i % 2 == 0 else 1.0) for i in range(20)}
+    got = domain_mix_sample(docs, weights, 200).collect()
+    # ~200 total, even sources ~3x odd in aggregate (hash draw noise)
+    assert 150 <= len(got) <= 250, len(got)
+    even = sum(int(r.source[3:]) % 2 == 0 for r in got)
+    odd = len(got) - even
+    assert even > 2 * odd, (even, odd)
+    again = domain_mix_sample(docs.repartition(7), weights, 200).collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+
+
+def test_domain_mix_sample_monotone_and_capped(spark):
+    from dedupe_copy_spark.operators.corpus import domain_mix_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"src0": 1.0, "src1": 1.0}
+    small = {r.doc_id for r in domain_mix_sample(docs, w, 20).collect()}
+    big = {r.doc_id for r in domain_mix_sample(docs, w, 40).collect()}
+    assert small <= big
+    # target beyond domain size: rate caps at 1, whole domain kept,
+    # and unweighted domains are dropped entirely
+    allrows = domain_mix_sample(docs, w, 10_000).collect()
+    n_src01 = docs.filter(F.col("source").isin("src0", "src1")).count()
+    assert len(allrows) == n_src01
+    assert {r.source for r in allrows} == {"src0", "src1"}
+
+
+def test_domain_mix_sample_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from dedupe_copy_spark.operators.corpus import domain_mix_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError):
+        domain_mix_sample(docs, {"src0": -1.0, "src1": 1.0}, 10)
