@@ -96,13 +96,18 @@ def connected_components(edges: DataFrame, cfg: DedupeConfig | None = None) -> D
     cfg = cfg or DedupeConfig()
     cur = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint()
-    n_edges = cur.count()
-    if n_edges <= cfg.cc_local_threshold:
-        # one collect, bounded by the threshold (100k edges ≈ a few MB)
-        # — toLocalIterator would instead run one job per partition
+    # size-probe with a BOUNDED collect instead of count()+collect():
+    # one job on the checkpointed relation, never more than
+    # threshold+1 rows on the driver (100k edges ≈ a few MB). Small
+    # graphs resolve right out of the probe rows; only the distributed
+    # path pays for an exact count (for shuffle sizing, cheap on the
+    # checkpoint).
+    probe = cur.limit(cfg.cc_local_threshold + 1).collect()
+    if len(probe) <= cfg.cc_local_threshold:
         return _local_components(
-            ((r.src, r.dst) for r in cur.collect()),
+            ((r.src, r.dst) for r in probe),
             edges.sparkSession)
+    n_edges = cur.count()
     # size the loop's shuffles from the ACTUAL edge count (known for
     # free via the first checksum): the edge relation is usually tiny
     # relative to the corpus, and with AQE coalescing disabled a fixed
