@@ -48,6 +48,15 @@ def _bottomk_one(text: str, k_shingle: int, k: int,
     return h[:k].astype(np.int64).tolist()
 
 
+def _bottomk_from_hashes(h: np.ndarray, k: int) -> list[int]:
+    """Bottom-k from raw uint64 shingle hashes (same mixing as
+    _bottomk_one — pinned equivalent by test)."""
+    if h.size == 0:
+        return []
+    h = np.unique(_splitmix64(h ^ _SKETCH_KEY) >> np.uint64(1))
+    return h[:k].astype(np.int64).tolist()
+
+
 def make_bottomk_udf(cfg: DedupeConfig):
     k_shingle, k = cfg.shingle_k, cfg.bottomk
 
@@ -61,8 +70,31 @@ def make_bottomk_udf(cfg: DedupeConfig):
     return bottomk
 
 
+def make_bottomk_from_hashes_udf(cfg: DedupeConfig):
+    """pandas UDF over a precomputed shingle-hash column (see
+    minhash.make_shingle_udf) — skips the tokenize/shingle text pass,
+    which the pipeline then pays only once for BOTH MinHash signatures
+    and these sketches."""
+    k = cfg.bottomk
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bottomk(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for arrs in batch_iter:
+            yield pd.Series([
+                _bottomk_from_hashes(
+                    np.asarray(a, dtype=np.int64).view(np.uint64), k)
+                for a in arrs
+            ])
+
+    return bottomk
+
+
 def bottomk_sketches(files: DataFrame, cfg: DedupeConfig,
-                     content_col: str = "content") -> DataFrame:
+                     content_col: str = "content",
+                     shingle_col: str | None = None) -> DataFrame:
+    if shingle_col is not None:
+        udf = make_bottomk_from_hashes_udf(cfg)
+        return files.withColumn("sketch", udf(F.col(shingle_col)))
     return files.withColumn("sketch", make_bottomk_udf(cfg)(F.col(content_col)))
 
 
@@ -148,11 +180,14 @@ def verify_substring(cands: DataFrame, files: DataFrame,
 
 
 def containment_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
-                      id_col: str = "file_id") -> DataFrame:
-    """Full composition. Input rows need file_id, size, content."""
+                      id_col: str = "file_id",
+                      shingle_col: str | None = None) -> DataFrame:
+    """Full composition. Input rows need file_id, size, content (and
+    optionally a precomputed shingle-hash column to skip the text
+    pass)."""
     # three consumers (candidates + both estimate sides): materialize
     # the sketch UDF output once (see minhash.minhash_pairs)
-    sketches = (bottomk_sketches(files_with_id, cfg)
+    sketches = (bottomk_sketches(files_with_id, cfg, shingle_col=shingle_col)
                 .select(id_col, "size", "sketch").localCheckpoint())
     cands = containment_candidates(sketches, cfg, id_col)
     est = estimate_containment(cands, sketches.select(id_col, "sketch"), cfg, id_col)

@@ -120,11 +120,48 @@ def shingle_hashes(tokens: list[str], k: int,
     return np.unique(acc)
 
 
-def make_signature_udf(cfg: DedupeConfig):
-    """pandas UDF: content → array<long> MinHash signature.
+def make_shingle_udf(cfg: DedupeConfig):
+    """pandas UDF: content → array<long> of RAW shingle hashes (the
+    uint64 values reinterpreted as signed for Arrow). This is the
+    expensive text pass — tokenize + per-token crc32 + the sliding
+    polynomial — split out so the pipeline can run it ONCE per
+    representative and feed every shingle consumer (MinHash signatures
+    AND containment bottom-k sketches) from the materialized column.
+    At 100 TB the tokenize/shingle CPU dominates the near-dup stage;
+    computing it per-branch doubles it."""
+    k = cfg.shingle_k
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        token_cache: dict[str, int] = {}
+        for texts in batch_iter:
+            yield pd.Series([
+                shingle_hashes(tokenize(t), k, token_cache)
+                .view(np.int64).tolist() if t else []
+                for t in texts
+            ])
+
+    return shingles
+
+
+def _sig_from_hashes(h: np.ndarray, keys: np.ndarray,
+                     sentinel: list[int]) -> list[int]:
+    """MinHash signature from raw uint64 shingle hashes.
 
     Empty/too-short shingle sets yield an all-max sentinel signature
-    (never matches anything)."""
+    (never matches anything). (P, n): mix(h ^ key_i) → min per
+    permutation; shift right 1 bit so values fit non-negative int64
+    for Arrow."""
+    if h.size == 0:
+        return sentinel
+    vals = _splitmix64(h[None, :] ^ keys[:, None]) >> np.uint64(1)
+    return vals.min(axis=1).astype(np.int64).tolist()
+
+
+def make_signature_udf(cfg: DedupeConfig):
+    """pandas UDF: content → array<long> MinHash signature (the
+    single-pass text route; see make_signature_from_hashes_udf for the
+    shared-shingle-column route)."""
     keys = _perm_keys(cfg)
     k = cfg.shingle_k
     sentinel = [_SENTINEL] * cfg.num_perm
@@ -139,21 +176,43 @@ def make_signature_udf(cfg: DedupeConfig):
                     sigs.append(sentinel)
                     continue
                 h = shingle_hashes(tokenize(text), k, token_cache)
-                if h.size == 0:
-                    sigs.append(sentinel)
-                    continue
-                # (P, n): mix(h ^ key_i) → min per permutation; shift
-                # right 1 bit so values fit non-negative int64 for Arrow
-                vals = _splitmix64(h[None, :] ^ keys[:, None]) >> np.uint64(1)
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+                sigs.append(_sig_from_hashes(h, keys, sentinel))
             yield pd.Series(sigs)
 
     return signature
 
 
+def make_signature_from_hashes_udf(cfg: DedupeConfig):
+    """pandas UDF: precomputed shingle-hash array → MinHash signature.
+    Pure numpy over the (much smaller) hash arrays — no tokenization,
+    no string work. Bit-identical to make_signature_udf on the same
+    content (pinned by test)."""
+    keys = _perm_keys(cfg)
+    sentinel = [_SENTINEL] * cfg.num_perm
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signature(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for arrs in batch_iter:
+            yield pd.Series([
+                _sig_from_hashes(
+                    np.asarray(a, dtype=np.int64).view(np.uint64), keys,
+                    sentinel)
+                for a in arrs
+            ])
+
+    return signature
+
+
 def minhash_signatures(files: DataFrame, cfg: DedupeConfig,
-                       content_col: str = "content") -> DataFrame:
-    """Attach `sig: array<long>` to each row (Arrow-batched)."""
+                       content_col: str = "content",
+                       shingle_col: str | None = None) -> DataFrame:
+    """Attach `sig: array<long>` to each row (Arrow-batched). When
+    ``shingle_col`` names a precomputed shingle-hash column (see
+    make_shingle_udf), signatures derive from it without re-running
+    the text pass."""
+    if shingle_col is not None:
+        udf = make_signature_from_hashes_udf(cfg)
+        return files.withColumn("sig", udf(F.col(shingle_col)))
     return files.withColumn("sig", make_signature_udf(cfg)(F.col(content_col)))
 
 
@@ -218,9 +277,12 @@ def verify_pairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupeConfig,
 
 
 def minhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
-                  id_col: str = "file_id") -> DataFrame:
+                  id_col: str = "file_id",
+                  shingle_col: str | None = None) -> DataFrame:
     """Full MinHash→LSH→verify composition: rows must already carry a
-    unique long `file_id` and be exact-group representatives."""
+    unique long `file_id` and be exact-group representatives. Pass
+    ``shingle_col`` to reuse a precomputed shingle-hash column (the
+    pipeline materializes one for all shingle consumers)."""
     # the signature frame feeds THREE consumers (band filter + both
     # verify sides); Spark has no cross-branch common-subexpression
     # reuse, so without a materialization barrier the Arrow signature
@@ -230,7 +292,8 @@ def minhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
     # the ContextCleaner frees on GC (unlike DataFrame.persist, which
     # pins the cache until explicit unpersist); at production scale the
     # pipeline's parquet checkpoint stages play this role.
-    sigs = (minhash_signatures(files_with_id, cfg).select(id_col, "sig")
+    sigs = (minhash_signatures(files_with_id, cfg, shingle_col=shingle_col)
+            .select(id_col, "sig")
             .localCheckpoint())
     # sentinel signatures (empty/shingle-less docs) are identical to each
     # other — they must never band-match (mirrors the zero-byte salting

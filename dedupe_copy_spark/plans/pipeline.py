@@ -105,8 +105,19 @@ class DedupePipeline:
         cfg = self.cfg
 
         def compute():
-            reps = winners.filter(~F.col("is_empty")).withColumn(
-                "n_tokens", F.size(F.split(F.col("content"), r"\s+", -1)))
+            reps = (
+                winners.filter(~F.col("is_empty"))
+                .withColumn("n_tokens",
+                            F.size(F.split(F.col("content"), r"\s+", -1)))
+                # the expensive text pass (tokenize + crc32 + sliding
+                # polynomial) runs ONCE here; MinHash signatures and
+                # containment bottom-k sketches both derive from this
+                # materialized column instead of re-shingling the same
+                # representatives per branch — at 100 TB that halves
+                # the dominant near-dup-stage CPU
+                .withColumn("shingles",
+                            minhash.make_shingle_udf(cfg)(F.col("content")))
+            )
             if not cfg.checkpoint_dir:
                 # three branches (minhash/simhash/containment) consume
                 # reps; WITH a checkpoint dir the parquet stage already
@@ -117,14 +128,15 @@ class DedupePipeline:
                 # covers ad-hoc/no-ckpt runs.
                 reps = reps.localCheckpoint()
             short, long_ = simhash.route_short(reps, cfg)
-            mh = (minhash.minhash_pairs(long_, cfg)
+            mh = (minhash.minhash_pairs(long_, cfg, shingle_col="shingles")
                   .select("id_a", "id_b", F.lit("minhash").alias("kind"),
                           F.col("est_jaccard").alias("score")))
             sh = (simhash.simhash_pairs(short, cfg)
                   .select("id_a", "id_b", F.lit("simhash").alias("kind"),
                           (1.0 - F.col("hamming").cast("double")
                            / F.lit(64.0)).alias("score")))
-            ct = (containment.containment_pairs(reps, cfg)
+            ct = (containment.containment_pairs(reps, cfg,
+                                                shingle_col="shingles")
                   .select(F.col("id_small").alias("id_a"),
                           F.col("id_big").alias("id_b"),
                           F.lit("containment").alias("kind"),

@@ -85,7 +85,12 @@ def get_spark(
         # Disable reuse, and make fork-per-task cheap by preloading
         # numpy/pandas/pyarrow in a custom daemon (COW for every fork —
         # without it each task re-imports, ~0.7 s/task measured).
-        .config("spark.python.worker.reuse", "false")
+        # EXPLICIT knob, not an inherited constant: on a real cluster
+        # (different kernel/Spark build) set SPARK_GRAFT_WORKER_REUSE=
+        # true and re-validate — reuse saves the fork entirely when the
+        # deadlock doesn't reproduce there.
+        .config("spark.python.worker.reuse",
+                os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false"))
         .config("spark.python.daemon.module", "dedupe_copy_spark.spark_daemon")
         .config("spark.executorEnv.PYTHONPATH", exec_pythonpath)
         .config("spark.python.worker.faulthandler.enabled", "true")

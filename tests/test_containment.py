@@ -56,3 +56,28 @@ def test_containment_no_false_positives_on_disjoint(spark):
     df = minhash.add_file_id(hashed)
     # verify stage demands literal substring → disjoint docs can't pass
     assert containment.containment_pairs(df, CFG).count() == 0
+
+
+def test_bottomk_from_shingle_column_bit_identical(spark):
+    """Sketches from the precomputed shingle column must equal the
+    single-pass text route (the pipeline shares one shingle pass
+    between MinHash and containment)."""
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import containment, minhash
+    from dedupe_copy_spark.plans.registry import _files
+
+    cfg = DedupeConfig()
+    files = minhash.add_file_id(_files(spark, "/root/testdata/sf0.001")) \
+        .filter(~F.col("is_empty")).limit(200)
+    direct = {r.file_id: r.sketch for r in
+              containment.bottomk_sketches(files, cfg)
+              .select("file_id", "sketch").collect()}
+    shingled = files.withColumn(
+        "shingles", minhash.make_shingle_udf(cfg)(F.col("content")))
+    via = {r.file_id: r.sketch for r in
+           containment.bottomk_sketches(shingled, cfg,
+                                        shingle_col="shingles")
+           .select("file_id", "sketch").collect()}
+    assert direct == via and len(direct) == 200

@@ -108,3 +108,44 @@ def test_empty_and_tiny_content_get_sentinel_sig(spark):
     sigs = minhash.minhash_signatures(df, CFG).collect()
     empties = [r for r in sigs if r.content == ""]
     assert all(all(v == minhash._SENTINEL for v in r.sig) for r in empties)
+
+
+def test_signature_from_shingle_column_bit_identical(spark):
+    """The split text pass (make_shingle_udf → signature-from-hashes)
+    must reproduce the single-pass signature UDF exactly — the
+    pipeline's shared-shingle-column route depends on it."""
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import minhash
+    from dedupe_copy_spark.plans.registry import _files
+
+    cfg = DedupeConfig()
+    files = minhash.add_file_id(_files(spark, "/root/testdata/sf0.001")) \
+        .filter(~F.col("is_empty")).limit(200)
+    direct = {r.file_id: r.sig for r in
+              minhash.minhash_signatures(files, cfg)
+              .select("file_id", "sig").collect()}
+    shingled = files.withColumn(
+        "shingles", minhash.make_shingle_udf(cfg)(F.col("content")))
+    via_col = {r.file_id: r.sig for r in
+               minhash.minhash_signatures(shingled, cfg,
+                                          shingle_col="shingles")
+               .select("file_id", "sig").collect()}
+    assert direct == via_col and len(direct) == 200
+
+
+def test_minhash_pairs_from_shingle_column_identical(spark):
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import minhash
+    from dedupe_copy_spark.plans.registry import _files
+
+    cfg = DedupeConfig()
+    files = minhash.add_file_id(_files(spark, "/root/testdata/sf0.001")) \
+        .filter(~F.col("is_empty"))
+    base = {(r.id_a, r.id_b, r.est_jaccard)
+            for r in minhash.minhash_pairs(files, cfg).collect()}
+    shingled = files.withColumn(
+        "shingles", minhash.make_shingle_udf(cfg)(F.col("content")))
+    via = {(r.id_a, r.id_b, r.est_jaccard)
+           for r in minhash.minhash_pairs(shingled, cfg,
+                                          shingle_col="shingles").collect()}
+    assert base == via and len(base) > 0
