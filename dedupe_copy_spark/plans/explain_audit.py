@@ -212,6 +212,32 @@ CHECKS = {
         ("capped bucket pairs via aggregate (collect_set), not self-join",
          lambda p: "collect_set" in p),
     ],
+    "pq_topk": [
+        # codes are materialized once (localCheckpoint); the ADC scan
+        # plan holds exactly one Arrow stage (the scorer) + broadcast q
+        ("ADC scoring via ArrowEvalPython (vectorized), no row python",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("query side broadcast", lambda p: "Broadcast" in p),
+    ],
+    "ivf_pq_topk": [
+        ("cell-restricted scan joins on cell, query side broadcast",
+         lambda p: "Broadcast" in p),
+        ("ADC scoring via ArrowEvalPython (vectorized), no row python",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+    ],
+    "fork_pairs": [
+        ("no python eval anywhere (hash overlap is pure codegen)",
+         lambda p: "EvalPython" not in p),
+        ("capped bucket pairs via aggregate (collect_set), not self-join",
+         lambda p: "collect_set" in p),
+    ],
+    "domain_mix_sample": [
+        ("no python eval (md5-threshold draw is pure codegen)",
+         lambda p: "EvalPython" not in p),
+        ("rates stay lazy — no driver-side literal thresholds "
+         "(join against the in-plan counts relation)",
+         lambda p: "Join" in p),
+    ],
 }
 
 # ... and the RUNTIME check: after execution, AQE must have converted
