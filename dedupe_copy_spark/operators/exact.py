@@ -284,3 +284,49 @@ def fork_pairs(hashed: DataFrame, threshold: float = 0.1,
     return scored.select(
         F.col("id_a").alias("repo_a"), F.col("id_b").alias("repo_b"),
         F.col("n_shared").cast("long").alias("n_shared"), "overlap")
+
+
+def fork_pairs_near(hashed: DataFrame, pairs: DataFrame,
+                    threshold: float = 0.05) -> DataFrame:
+    """Fork detection over the full dup-pair relation — catches forks
+    that MODIFIED files, which exact-hash overlap (fork_pairs) cannot:
+    a fork's edited file is its own exact-group representative, linked
+    to the original through a MinHash/SimHash/containment edge, while
+    unmodified files link through the exact star edges. Consumes the
+    pipeline's outputs (DedupeResult.hashed + DedupeResult.pairs).
+
+    score(A, B) = |distinct cross-repo file links| / min(|A|, |B|).
+    The pair relation is already capped and deduplicated upstream
+    (bucket caps, exact stars linear in group size), so this rollup is
+    two joins against the (file_id, repo) projection plus one groupBy
+    on repo pairs — repo-pair cardinality, tiny at any corpus scale.
+    """
+    ids = hashed.select("file_id", "repo")
+    linked = (
+        pairs
+        .join(ids.select(F.col("file_id").alias("id_a"),
+                         F.col("repo").alias("repo_x")), "id_a")
+        .join(ids.select(F.col("file_id").alias("id_b"),
+                         F.col("repo").alias("repo_y")), "id_b")
+        .filter(F.col("repo_x") != F.col("repo_y"))
+        .select(F.least("repo_x", "repo_y").alias("repo_a"),
+                F.greatest("repo_x", "repo_y").alias("repo_b"),
+                "id_a", "id_b")
+        .dropDuplicates(["repo_a", "repo_b", "id_a", "id_b"])
+    )
+    n_links = linked.groupBy("repo_a", "repo_b").agg(
+        F.count(F.lit(1)).alias("n_links"))
+    counts = hashed.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        n_links
+        .join(counts.select(F.col("repo").alias("repo_a"),
+                            F.col("n_files").alias("n_a")), "repo_a")
+        .join(counts.select(F.col("repo").alias("repo_b"),
+                            F.col("n_files").alias("n_b")), "repo_b")
+        .withColumn("score", F.round(
+            F.col("n_links").cast("double")
+            / F.least("n_a", "n_b").cast("double"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("repo_a", "repo_b",
+                F.col("n_links").cast("long").alias("n_links"), "score")
+    )

@@ -203,3 +203,36 @@ def test_fork_pairs_vendored_cap_drops_boilerplate(spark):
     # hashes each side -> overlap 1/3)
     assert set(got) == {("r0", "r1")}
     assert got[("r0", "r1")] == (1, round(1 / 3, 6))
+
+
+def test_fork_pairs_near_catches_modified_forks(spark):
+    """A fork that EDITS its files has zero exact-hash overlap but
+    links through near-dup edges: construct base repo r0, an exact
+    mirror m0, and a modified fork f0 (every file lightly edited).
+    fork_pairs misses (r0, f0); fork_pairs_near finds both."""
+    from dedupe_copy_spark import DedupeConfig
+    from dedupe_copy_spark.operators.exact import fork_pairs, fork_pairs_near
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    base_texts = [
+        " ".join(f"token{i}word{j}" for j in range(60)) for i in range(8)]
+    rows = []
+    for i, t in enumerate(base_texts):
+        rows.append(("r0", f"src/{i}.py", "c0", "py", t))
+        rows.append(("m0", f"src/{i}.py", "c0", "py", t))           # mirror
+        rows.append(("f0", f"src/{i}.py", "c1", "py",
+                     t + " appended_by_fork_edit"))                  # edited
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    res = DedupePipeline(spark, DedupeConfig()).run(files)
+
+    exact_only = {(r.repo_a, r.repo_b)
+                  for r in fork_pairs(res.hashed, threshold=0.5).collect()}
+    assert ("m0", "r0") in exact_only
+    assert not any("f0" in p for pair in exact_only for p in pair)
+
+    near = {(r.repo_a, r.repo_b): r.score
+            for r in fork_pairs_near(res.hashed, res.pairs,
+                                     threshold=0.5).collect()}
+    assert ("m0", "r0") in near
+    assert ("f0", "r0") in near or ("f0", "m0") in near, near
