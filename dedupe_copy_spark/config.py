@@ -54,6 +54,20 @@ class DedupeConfig:
     containment_min_shared: int = 6      # shared sketch hashes → candidate
     containment_threshold: float = 0.8   # est containment to reach verify
 
+    # --- winnowing edges (optional 4th near-dup branch; code corpora) ---
+    # MOSS winnowing (operators/winnow.py) catches SCATTERED clones:
+    # shared code blocks reordered or embedded among unrelated code,
+    # where whole-doc Jaccard sits below jaccard_threshold AND the
+    # small doc is not one contiguous substring of the big (so both
+    # MinHash and containment miss the pair). Off by default — it adds
+    # a char-level fingerprint pass; turn on for source-code corpora.
+    winnow_edges: bool = False
+    winnow_k: int = 16                # gram chars (guarantee t = k+w-1)
+    winnow_w: int = 8                 # window width
+    winnow_min_shared: int = 8        # shared fingerprint floor
+    winnow_threshold: float = 0.5     # overlap coefficient floor
+    winnow_max_bucket: int = 64       # fingerprint-hash bucket cap
+
     # --- scale / skew ---
     # hot-bucket control is the width cap (+ AQE skew-join as backstop);
     # SURVEY §7.4's explicit salt columns were superseded by it — a salt

@@ -141,7 +141,21 @@ class DedupePipeline:
                           F.col("id_big").alias("id_b"),
                           F.lit("containment").alias("kind"),
                           F.col("est_containment").alias("score")))
-            return mh.unionByName(sh).unionByName(ct)
+            out = mh.unionByName(sh).unionByName(ct)
+            if cfg.winnow_edges:
+                from dedupe_copy_spark.operators.winnow import winnow_near_pairs
+
+                wn = (winnow_near_pairs(reps, k=cfg.winnow_k, w=cfg.winnow_w,
+                                        min_shared=cfg.winnow_min_shared,
+                                        threshold=cfg.winnow_threshold,
+                                        max_bucket=cfg.winnow_max_bucket,
+                                        id_col="file_id",
+                                        text_col="content")
+                      .select(F.col("id_a"), F.col("id_b"),
+                              F.lit("winnow").alias("kind"),
+                              F.col("score")))
+                out = out.unionByName(wn)
+            return out
 
         return self._stage("s3_near_pairs", compute)
 

@@ -99,3 +99,48 @@ def test_skew_hotspot_no_blowup(spark):
     top = (res.clusters.groupBy("cluster_id").count()
            .orderBy(F.desc("count")).first())
     assert top["count"] == 2000
+
+
+def test_winnow_edges_catch_scattered_clones(spark):
+    """The scattered-clone case: doc S = blocks A+B+C; doc B = the same
+    blocks EMBEDDED among unrelated filler. Whole-doc Jaccard sits
+    below the MinHash threshold, S is not one contiguous substring of B
+    (containment's suffix-array verify rejects), and there is no exact
+    dup — so the default pipeline leaves them in separate clusters.
+    With cfg.winnow_edges the shared blocks produce shared winnowing
+    fingerprints and the pair clusters together."""
+    import numpy as np
+
+    from dedupe_copy_spark import DedupeConfig
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    rng = np.random.RandomState(3)
+
+    def words(n, tag):
+        return " ".join(
+            f"{tag}{rng.randint(0, 99999):05d}x{i}" for i in range(n))
+
+    blocks = [words(30, f"blk{i}") for i in range(3)]
+    fillers = [words(60, f"fil{i}") for i in range(4)]
+    small = " ".join(blocks)
+    big = " ".join([fillers[0], blocks[0], fillers[1], blocks[1],
+                    fillers[2], blocks[2], fillers[3]])
+    decoys = [(f"r{i}", f"d{i}.py", "c0", "py", words(80, f"dcy{i}"))
+              for i in range(6)]
+    rows = [("rs", "small.py", "c0", "py", small),
+            ("rb", "big.py", "c0", "py", big)] + decoys
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+    def cluster_of(cfg):
+        res = DedupePipeline(spark, cfg).run(files)
+        assigned = {r.path: r.cluster_id
+                    for r in res.clusters.join(
+                        res.hashed.select("file_id", "path"), "file_id")
+                    .collect()}
+        return assigned["small.py"], assigned["big.py"]
+
+    s_off, b_off = cluster_of(DedupeConfig())
+    assert s_off != b_off, "default pipeline should miss the scattered clone"
+    s_on, b_on = cluster_of(DedupeConfig(winnow_edges=True))
+    assert s_on == b_on, "winnow edges should merge the scattered clone"
