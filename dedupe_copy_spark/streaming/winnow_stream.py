@@ -1,0 +1,160 @@
+"""Incremental winnowing-fingerprint dedup over a document stream —
+the code-corpus counterpart of near_dup.py's MinHash band store.
+
+Each micro-batch computes MOSS winnowing fingerprints
+(operators/winnow.py) for its new docs, probes the accumulated
+fingerprint store for shared hashes against ALL history, scores
+surviving pairs by the overlap coefficient, and appends its own
+fingerprints + per-doc counts to the store. Catches the scattered-clone
+arrivals MinHash misses (shared blocks embedded in otherwise-different
+code), continuously.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed subdirectories
+with overwrite semantics — the idempotent-replay contract of
+incremental.py/near_dup.py; foreachBatch is at-least-once):
+
+    manifest/batch_id=N/   digests ingested by batch N (exact-dup gate)
+    fps/batch_id=N/        (file_id, h) distinct winnow fingerprints
+    counts/batch_id=N/     (file_id, n_fp) per-doc fingerprint counts
+    pairs/batch_id=N/      (id_a, id_b, n_shared, score) pairs found BY
+                           batch N: within-batch plus vs all history
+
+Scale notes: the probe is an equi-join of the batch's fingerprints
+against the store on the hash value — the store grows with corpus size
+but the join touches only colliding hashes, and hot hashes
+(boilerplate) are width-capped with the same drop accounting as the
+batch operator. Denominator counts join back only for surviving
+candidate pairs. At 10^12 rows the fingerprint store becomes a
+bucketed/Iceberg table clustered by hash — the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators import exact, minhash
+from dedupe_copy_spark.operators.winnow import winnow_fingerprints
+from dedupe_copy_spark.synth import FILES_SCHEMA
+
+
+class IncrementalWinnow:
+    """Streaming winnowing dedup with an accumulated fingerprint store."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 cfg: DedupeConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or DedupeConfig()
+        self.out_dir = out_dir
+        self.manifest_path = f"{out_dir}/manifest"
+        self.fps_path = f"{out_dir}/fps"
+        self.counts_path = f"{out_dir}/counts"
+        self.pairs_path = f"{out_dir}/pairs"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _excluding_batch(self, df: DataFrame | None, batch_id: int):
+        """Replay safety: a crashed attempt of THIS batch may have
+        partially written state — never treat it as history."""
+        if df is None:
+            return None
+        if "batch_id" in df.columns:
+            return df.filter(F.col("batch_id") != batch_id)
+        return df
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = self.cfg
+        hashed = exact.with_digest(batch_df, cfg)
+        fresh = exact.winners(hashed, cfg)           # within-batch exact dedupe
+        known = self._excluding_batch(self._read_state(self.manifest_path),
+                                      batch_id)
+        if known is not None:                        # vs-history exact dedupe
+            fresh = fresh.join(known.select("dup_key"), "dup_key", "left_anti")
+        fresh = minhash.add_file_id(fresh)
+
+        fps_new = (winnow_fingerprints(fresh, k=cfg.winnow_k, w=cfg.winnow_w,
+                                       id_col="file_id", text_col="content")
+                   .select(F.col("doc_id").alias("file_id"), "h").distinct()
+                   .localCheckpoint())
+        counts_new = fps_new.groupBy("file_id").agg(
+            F.count(F.lit(1)).alias("n_fp"))
+
+        hist_fps = self._excluding_batch(self._read_state(self.fps_path),
+                                         batch_id)
+        hist_counts = self._excluding_batch(self._read_state(self.counts_path),
+                                            batch_id)
+
+        # probe: batch fingerprints vs (history + batch) — hot hashes
+        # capped over the COMBINED width with drop accounting semantics
+        # matching the batch operator (dropped hashes stay in n_fp
+        # denominators, so boilerplate can't fabricate pairs)
+        probe_side = fps_new if hist_fps is None else \
+            fps_new.unionByName(hist_fps.select("file_id", "h"))
+        widths = probe_side.groupBy("h").agg(F.count(F.lit(1)).alias("_w"))
+        probe_ok = probe_side.join(
+            widths.filter(F.col("_w") <= cfg.winnow_max_bucket), "h") \
+            .drop("_w")
+        raw = (
+            fps_new.withColumnRenamed("file_id", "id_new")
+            .join(probe_ok.withColumnRenamed("file_id", "id_hist"), "h")
+            .filter(F.col("id_new") != F.col("id_hist"))
+        )
+        # canonical unordered pairs; within-batch collisions appear in
+        # both orientations, cross-batch only as (new, hist)
+        shared = (
+            raw.select(F.least("id_new", "id_hist").alias("id_a"),
+                       F.greatest("id_new", "id_hist").alias("id_b"), "h")
+            .dropDuplicates(["id_a", "id_b", "h"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= cfg.winnow_min_shared)
+        )
+        all_counts = counts_new if hist_counts is None else \
+            counts_new.unionByName(hist_counts.select("file_id", "n_fp"))
+        verified = (
+            shared
+            .join(all_counts.select(F.col("file_id").alias("id_a"),
+                                    F.col("n_fp").alias("n_a")), "id_a")
+            .join(all_counts.select(F.col("file_id").alias("id_b"),
+                                    F.col("n_fp").alias("n_b")), "id_b")
+            .withColumn("score", F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"), 6))
+            .filter(F.col("score") >= cfg.winnow_threshold)
+            .select("id_a", "id_b",
+                    F.col("n_shared").cast("long").alias("n_shared"), "score")
+            .localCheckpoint()
+        )
+
+        # idempotent batch_id-keyed sinks (overwrite own subdir only)
+        fresh.select("dup_key", "content_sha256", "repo", "path", "commit",
+                     "file_id") \
+            .write.mode("overwrite").parquet(
+                f"{self.manifest_path}/batch_id={batch_id}")
+        fps_new.write.mode("overwrite").parquet(
+            f"{self.fps_path}/batch_id={batch_id}")
+        counts_new.write.mode("overwrite").parquet(
+            f"{self.counts_path}/batch_id={batch_id}")
+        verified.write.mode("overwrite").parquet(
+            f"{self.pairs_path}/batch_id={batch_id}")
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(FILES_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,105 @@
+"""Streaming winnowing dedup: cross-batch fingerprint probes against
+the accumulated store, idempotent under batch replay."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.streaming.winnow_stream import IncrementalWinnow
+
+
+def _words(rng, n, tag):
+    return " ".join(f"{tag}{rng.randint(0, 99999):05d}w{i}" for i in range(n))
+
+
+def _scattered_pair():
+    """(small, big): shared blocks contiguous in small, embedded among
+    filler in big — the clone MinHash misses (low whole-doc Jaccard)
+    and containment rejects (not one contiguous substring)."""
+    rng = np.random.RandomState(11)
+    blocks = [_words(rng, 30, f"blk{i}") for i in range(3)]
+    fillers = [_words(rng, 60, f"fil{i}") for i in range(4)]
+    small = " ".join(blocks)
+    big = " ".join([fillers[0], blocks[0], fillers[1], blocks[1],
+                    fillers[2], blocks[2], fillers[3]])
+    return small, big
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+
+def _pairs(spark, out):
+    return spark.read.parquet(f"{out}/pairs").collect()
+
+
+def test_cross_batch_scattered_clone_and_replay(spark, tmp_path):
+    out = str(tmp_path / "winnow_out")
+    job = IncrementalWinnow(spark, out, DedupeConfig())
+    small, big = _scattered_pair()
+    rng = np.random.RandomState(5)
+    noise1, noise2 = _words(rng, 80, "nz1"), _words(rng, 80, "nz2")
+
+    job.process_batch(_df(spark, [
+        ("r0", "orig.py", "c0", "py", big),
+        ("r1", "noise1.py", "c0", "py", noise1),
+    ]), 0)
+    assert _pairs(spark, out) == []  # nothing alike yet
+
+    batch1 = [("r2", "clone.py", "c0", "py", small),   # vs-history hit
+              ("r3", "noise2.py", "c0", "py", noise2)]
+    job.process_batch(_df(spark, batch1), 1)
+    found = _pairs(spark, out)
+    assert len(found) == 1
+    assert found[0].score >= 0.5 and found[0].n_shared >= 8
+
+    # at-least-once replay of batch 1 must not duplicate state or pairs
+    job.process_batch(_df(spark, batch1), 1)
+    again = _pairs(spark, out)
+    assert len(again) == 1
+    n_fps = spark.read.parquet(f"{out}/fps").count()
+    job.process_batch(_df(spark, batch1), 1)
+    assert spark.read.parquet(f"{out}/fps").count() == n_fps
+
+
+def test_within_batch_pair_found_once(spark, tmp_path):
+    out = str(tmp_path / "winnow_out2")
+    job = IncrementalWinnow(spark, out, DedupeConfig())
+    small, big = _scattered_pair()
+    job.process_batch(_df(spark, [
+        ("r0", "a.py", "c0", "py", big),
+        ("r1", "b.py", "c0", "py", small),
+    ]), 0)
+    found = _pairs(spark, out)
+    assert len(found) == 1
+    assert found[0].id_a < found[0].id_b
+
+
+def test_exact_dup_gated_before_fingerprints(spark, tmp_path):
+    """An exact re-arrival must be absorbed by the digest gate: no new
+    fingerprints, no self-pair."""
+    out = str(tmp_path / "winnow_out3")
+    job = IncrementalWinnow(spark, out, DedupeConfig())
+    _, big = _scattered_pair()
+    job.process_batch(_df(spark, [("r0", "a.py", "c0", "py", big)]), 0)
+    n_fps = spark.read.parquet(f"{out}/fps").count()
+    assert n_fps > 0
+    job.process_batch(_df(spark, [("r9", "copy.py", "c9", "py", big)]), 1)
+    assert spark.read.parquet(f"{out}/fps").count() == n_fps
+    assert _pairs(spark, out) == []
+
+
+def test_e2e_readstream(spark, tmp_path):
+    """The whole surface through an actual readStream→foreachBatch run."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "winnow_out4")
+    small, big = _scattered_pair()
+    _df(spark, [("r0", "orig.py", "c0", "py", big),
+                ("r2", "clone.py", "c0", "py", small)]) \
+        .write.parquet(src)
+    job = IncrementalWinnow(spark, out, DedupeConfig())
+    q = job.start(src)
+    q.awaitTermination(120)
+    found = _pairs(spark, out)
+    assert len(found) == 1 and found[0].score >= 0.5
