@@ -72,6 +72,8 @@ HEADLINE = [
     "ivf_pq_topk",
     "winnow_near_pairs",
     "fork_pairs",
+    # round 3 cont.: real MJPEG frame decode (re-encode detection)
+    "media_dedupe_mjpeg",
 ]
 
 

@@ -2,10 +2,16 @@
 
 What's REAL here and what is not, precisely: this module parses (and,
 for fixtures, writes) the MP4 *container* — box tree, movie/track
-headers, codec fourccs, and the sample-size (`stsz`) tables. It does
-NOT decode H.264/AAC frames (no codec libs in this container, and a
-from-scratch H.264 decoder is out of scope — the one remaining honest
-stub in the multimodal family, raised under ``strict=True``).
+headers, codec fourccs, the sample-size (`stsz`) tables, and the full
+sample-location tables (`stsc` sample-to-chunk + `stco`/`co64` chunk
+offsets), so individual encoded samples can be extracted by byte
+range (`sample_ranges` / `extract_samples`). For Motion-JPEG tracks
+(fourcc mjpa/mjpb/jpeg/mjpg) each extracted sample IS a baseline JPEG
+image, which functions/jpeg.py decodes for real — so frame-level
+perceptual dedup is REAL for MJPEG video. It does NOT decode
+H.264/AAC frames (no codec libs in this container, and a from-scratch
+H.264 decoder is out of scope — the one remaining honest stub in the
+multimodal family, raised under ``strict=True``).
 
 Why container parsing is still the right primitive for dedup: a
 re-MUXED file (same encoded streams, new container — different
@@ -69,7 +75,8 @@ def parse_mp4(payload: bytes) -> dict:
             body = payload[boff:bend]
             if btype in _CONTAINERS:
                 t = {"kind": None, "codec": None, "width": None,
-                     "height": None, "sample_sizes": []} \
+                     "height": None, "sample_sizes": [],
+                     "chunk_offsets": [], "stsc": []} \
                     if btype == b"trak" else track
                 walk(boff, bend, t)
                 if btype == b"trak":
@@ -102,10 +109,70 @@ def parse_mp4(payload: bytes) -> dict:
                     track["sample_sizes"] = [
                         int.from_bytes(body[12 + 4 * i:16 + 4 * i], "big")
                         for i in range(count)]
+            elif btype == b"stsc" and track is not None:
+                n = int.from_bytes(body[4:8], "big")
+                track["stsc"] = [
+                    (int.from_bytes(body[8 + 12 * i:12 + 12 * i], "big"),
+                     int.from_bytes(body[12 + 12 * i:16 + 12 * i], "big"))
+                    for i in range(n)]
+            elif btype in (b"stco", b"co64") and track is not None:
+                n = int.from_bytes(body[4:8], "big")
+                width = 4 if btype == b"stco" else 8
+                track["chunk_offsets"] = [
+                    int.from_bytes(body[8 + width * i:8 + width * (i + 1)],
+                                   "big")
+                    for i in range(n)]
 
     walk(0, len(payload), None)
     if out["timescale"] is None:
         raise ValueError("no mvhd box — not a movie file")
+    return out
+
+
+def sample_ranges(track: dict) -> list[tuple[int, int]]:
+    """Absolute (offset, size) of every sample in a parsed track,
+    reconstructed from stsc runs + stco chunk offsets + stsz sizes —
+    the ISO-BMFF random-access recipe (14496-12 §8.7). Chunks beyond
+    the stco table, and samples beyond the declared chunk layout, are
+    simply not addressable and are skipped."""
+    sizes, offsets, stsc = (track["sample_sizes"],
+                            track["chunk_offsets"], track["stsc"])
+    if not sizes or not offsets or not stsc:
+        return []
+    # per-chunk sample counts: stsc entry (first_chunk, n) applies from
+    # first_chunk (1-based) until the next entry's first_chunk
+    per_chunk: list[int] = []
+    for idx, (first, n_samp) in enumerate(stsc):
+        last = (stsc[idx + 1][0] - 1) if idx + 1 < len(stsc) \
+            else len(offsets)
+        per_chunk.extend([n_samp] * max(0, last - first + 1))
+    out: list[tuple[int, int]] = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        n_here = per_chunk[ci] if ci < len(per_chunk) else 0
+        pos = chunk_off
+        for _ in range(n_here):
+            if si >= len(sizes):
+                return out
+            out.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    return out
+
+
+def extract_samples(payload: bytes, track: dict,
+                    indices: list[int] | None = None) -> list[bytes]:
+    """Raw encoded sample payloads for `indices` (default: all),
+    sliced straight out of mdat by the sample-location tables."""
+    ranges = sample_ranges(track)
+    if indices is None:
+        indices = list(range(len(ranges)))
+    out = []
+    for i in indices:
+        if 0 <= i < len(ranges):
+            off, size = ranges[i]
+            if off + size <= len(payload):
+                out.append(payload[off:off + size])
     return out
 
 
@@ -153,51 +220,105 @@ def build_mp4(duration_s: float, tracks: list[dict],
               timescale: int = 1000, creation_time: int = 0,
               chunk_size: int = 7) -> bytes:
     """Minimal valid ISO-BMFF writer for fixtures. Each track dict:
-    {kind: 'vide'|'soun', codec: 4cc, width, height, sample_sizes}.
+    {kind: 'vide'|'soun', codec: 4cc, width, height, and EITHER
+    samples: list[bytes] (real encoded payloads — e.g. JPEG frames for
+    an MJPEG track — written into mdat with correct stsc/stco tables so
+    `extract_samples` round-trips them) OR sample_sizes: list[int]
+    (sizes only; mdat filled with deterministic filler bytes).
     `creation_time` and `chunk_size` vary across re-muxes of the same
     streams — the parser-level features must not care."""
     dur = int(duration_s * timescale)
-    mvhd = _box(b"mvhd", bytes(4)
-                + creation_time.to_bytes(4, "big") * 2
-                + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
-                + bytes(80))
-    traks = []
-    for ti, t in enumerate(tracks):
-        tkhd = _box(b"tkhd", bytes(4)
-                    + creation_time.to_bytes(4, "big") * 2
-                    + (ti + 1).to_bytes(4, "big") + bytes(4)
-                    + dur.to_bytes(4, "big") + bytes(52)
-                    + (t.get("width") or 0).to_bytes(2, "big") + b"\x00\x00"
-                    + (t.get("height") or 0).to_bytes(2, "big") + b"\x00\x00")
-        mdhd = _box(b"mdhd", bytes(4)
+    # resolve per-track payloads and sizes
+    payloads: list[list[bytes]] = []
+    for t in tracks:
+        if "samples" in t:
+            payloads.append(list(t["samples"]))
+        else:
+            sizes = t["sample_sizes"]
+            seedbytes = hashlib.sha256(
+                b"".join(s.to_bytes(4, "big") for s in sizes)).digest()
+            total = sum(sizes)
+            filler = (seedbytes * (total // len(seedbytes) + 1))[:total]
+            cut, chunks = 0, []
+            for s in sizes:
+                chunks.append(bytes(filler[cut:cut + s]))
+                cut += s
+            payloads.append(chunks)
+
+    def n_chunks(n_samples: int) -> int:
+        return (n_samples + chunk_size - 1) // chunk_size
+
+    def moov_bytes(chunk_offsets: list[list[int]]) -> bytes:
+        mvhd = _box(b"mvhd", bytes(4)
                     + creation_time.to_bytes(4, "big") * 2
                     + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
-                    + bytes(4))
-        hdlr = _box(b"hdlr", bytes(8) + t["kind"].encode() + bytes(13))
-        entry = _box(t["codec"].encode(), bytes(78))
-        stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
-        sizes = t["sample_sizes"]
-        stsz = _box(b"stsz", bytes(4) + bytes(4)
-                    + len(sizes).to_bytes(4, "big")
-                    + b"".join(s.to_bytes(4, "big") for s in sizes))
-        stts = _box(b"stts", bytes(4) + (1).to_bytes(4, "big")
-                    + len(sizes).to_bytes(4, "big") + (1).to_bytes(4, "big"))
-        stsc = _box(b"stsc", bytes(4) + (1).to_bytes(4, "big")
-                    + (1).to_bytes(4, "big")
-                    + chunk_size.to_bytes(4, "big") + (1).to_bytes(4, "big"))
-        stco = _box(b"stco", bytes(4) + (0).to_bytes(4, "big"))
-        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-        minf = _box(b"minf", stbl)
-        mdia = _box(b"mdia", mdhd + hdlr + minf)
-        traks.append(_box(b"trak", tkhd + mdia))
-    moov = _box(b"moov", mvhd + b"".join(traks))
-    # deterministic mdat filler derived from the sample sizes (content
-    # bytes don't matter to the parser; digests see them)
-    total = sum(s for t in tracks for s in t["sample_sizes"])
-    seedbytes = hashlib.sha256(
-        b"".join(s.to_bytes(4, "big")
-                 for t in tracks for s in t["sample_sizes"])).digest()
-    filler = (seedbytes * (total // len(seedbytes) + 1))[:total]
-    mdat = _box(b"mdat", bytes(filler))
+                    + bytes(80))
+        traks = []
+        for ti, t in enumerate(tracks):
+            sizes = [len(p) for p in payloads[ti]]
+            tkhd = _box(b"tkhd", bytes(4)
+                        + creation_time.to_bytes(4, "big") * 2
+                        + (ti + 1).to_bytes(4, "big") + bytes(4)
+                        + dur.to_bytes(4, "big") + bytes(52)
+                        + (t.get("width") or 0).to_bytes(2, "big")
+                        + b"\x00\x00"
+                        + (t.get("height") or 0).to_bytes(2, "big")
+                        + b"\x00\x00")
+            mdhd = _box(b"mdhd", bytes(4)
+                        + creation_time.to_bytes(4, "big") * 2
+                        + timescale.to_bytes(4, "big")
+                        + dur.to_bytes(4, "big") + bytes(4))
+            hdlr = _box(b"hdlr", bytes(8) + t["kind"].encode() + bytes(13))
+            entry = _box(t["codec"].encode(), bytes(78))
+            stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
+            stsz = _box(b"stsz", bytes(4) + bytes(4)
+                        + len(sizes).to_bytes(4, "big")
+                        + b"".join(s.to_bytes(4, "big") for s in sizes))
+            stts = _box(b"stts", bytes(4) + (1).to_bytes(4, "big")
+                        + len(sizes).to_bytes(4, "big")
+                        + (1).to_bytes(4, "big"))
+            # stsc: every chunk holds chunk_size samples; a shorter
+            # final chunk gets its own run (spec §8.7.4)
+            nc, rem = n_chunks(len(sizes)), len(sizes) % chunk_size
+            runs = [(1, chunk_size)]
+            if rem and nc > 1:
+                runs.append((nc, rem))
+            elif rem and nc == 1:
+                runs = [(1, rem)]
+            stsc = _box(b"stsc", bytes(4) + len(runs).to_bytes(4, "big")
+                        + b"".join(first.to_bytes(4, "big")
+                                   + n.to_bytes(4, "big")
+                                   + (1).to_bytes(4, "big")
+                                   for first, n in runs))
+            offs = chunk_offsets[ti]
+            stco = _box(b"stco", bytes(4) + len(offs).to_bytes(4, "big")
+                        + b"".join(o.to_bytes(4, "big") for o in offs))
+            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            traks.append(_box(b"trak", tkhd + mdia))
+        return _box(b"moov", mvhd + b"".join(traks))
+
     ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    # pass 1: placeholder offsets fix the moov size (offset fields are
+    # fixed-width, so real values in pass 2 can't change the layout)
+    placeholder = [[0] * n_chunks(len(payloads[ti]))
+                   for ti in range(len(tracks))]
+    moov_size = len(moov_bytes(placeholder))
+    data_start = len(ftyp) + moov_size + 8          # + mdat header
+    # chunk layout: track 0's chunks, then track 1's, ...
+    offsets: list[list[int]] = []
+    mdat_body = bytearray()
+    pos = data_start
+    for chunks in payloads:
+        track_offs = []
+        for ci in range(0, len(chunks), chunk_size):
+            track_offs.append(pos)
+            for p in chunks[ci:ci + chunk_size]:
+                mdat_body += p
+                pos += len(p)
+        offsets.append(track_offs)
+    moov = moov_bytes(offsets)
+    assert len(moov) == moov_size
+    mdat = _box(b"mdat", bytes(mdat_body))
     return ftyp + moov + mdat

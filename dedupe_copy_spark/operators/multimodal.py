@@ -5,9 +5,11 @@ The Spark-side machinery — schema, partition-preserving mapInPandas,
 Arrow batch shapes, deterministic routing — is real and tested. The
 codecs are REAL pure-numpy implementations for the formats a pipeline
 actually meets: baseline JPEG (functions/jpeg.py — Huffman + IDCT, no
-PIL/libjpeg), PCM WAV, and binary PPM. Only MP4 frame extraction
-remains a deterministic stub (ffmpeg genuinely can't be reimplemented
-here); each codec stays an injectable function so a production deploy
+PIL/libjpeg), PNG, PCM WAV, binary PPM, and Motion-JPEG video frames
+(container sample extraction + per-frame JPEG decode). Only
+H.264/HEVC/AAC frame decode remains a deterministic stub (ffmpeg
+genuinely can't be reimplemented here); each codec stays an
+injectable function so a production deploy
 can swap in libjpeg-turbo/ffmpeg without touching the Spark plumbing,
 and ``strict=True`` raises NotImplementedError on the stub path.
 
@@ -182,6 +184,49 @@ def synth_mp4_media(spark: SparkSession, n_videos: int = 36,
     return _media_df(spark, rows)
 
 
+def synth_mjpeg_media(spark: SparkSession, n_videos: int = 30,
+                      n_frames: int = 4, seed: int = 17) -> DataFrame:
+    """Deterministic media table of REAL Motion-JPEG videos: each
+    sample in the MP4 is a real baseline-JPEG frame (seeded block
+    patterns, quality 90). Every third video also appears with every
+    frame DECODED AND RE-ENCODED at quality 35 / 4:2:0 AND re-muxed
+    (different chunk layout + creation time) as media_id i+1000 —
+    different bytes AND different per-sample sizes, so byte digests
+    and the remux-invariant stsz stream signature BOTH miss the pair;
+    only real frame decode pairs them. Truth pairs (i, i+1000) for
+    i % 3 == 0 are reconstructible in pure SQL."""
+    from dedupe_copy_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from dedupe_copy_spark.functions.mp4 import build_mp4
+
+    rows = []
+    for i in range(n_videos):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        frames = []
+        for _ in range(n_frames):
+            blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            frames.append(encode_jpeg(img, quality=90, subsampling=(1, 1)))
+        track = [{"kind": "vide", "codec": "mjpa", "width": 64,
+                  "height": 32, "samples": frames}]
+        dur = n_frames / 10.0
+        payload = build_mp4(dur, track, creation_time=1_000_000 + i,
+                            chunk_size=7)
+        rows.append({"media_id": i, "kind": "video", "mime": "video/mp4",
+                     "width": 64, "height": 32,
+                     "duration_ms": int(dur * 1000), "payload": payload})
+        if i % 3 == 0:
+            re_frames = [encode_jpeg(decode_jpeg(f), quality=35,
+                                     subsampling=(2, 2)) for f in frames]
+            re_track = [{"kind": "vide", "codec": "mjpa", "width": 64,
+                         "height": 32, "samples": re_frames}]
+            remux = build_mp4(dur, re_track, creation_time=2_000_000 + i,
+                              chunk_size=13)
+            rows.append({"media_id": i + 1000, "kind": "video",
+                         "mime": "video/mp4", "width": 64, "height": 32,
+                         "duration_ms": int(dur * 1000), "payload": remux})
+    return _media_df(spark, rows)
+
+
 def _media_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Fixture rows → DataFrame through the pandas/Arrow path when the
     session has Arrow on (session.py does): the plain
@@ -216,7 +261,8 @@ def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # REAL codecs (pure numpy — no PIL/ffmpeg needed): baseline JPEG
-# (functions/jpeg.py), PCM WAV, binary PPM. Only MP4 stays stubbed;
+# (functions/jpeg.py), PNG, PCM WAV, binary PPM, and MJPEG video
+# frames. Only non-MJPEG video codecs (H.264 etc.) stay stubbed;
 # anything these parsers can't read falls back to the stub so the
 # pipeline never dies on one bad payload.
 # ---------------------------------------------------------------------------
@@ -313,6 +359,46 @@ def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
 # named for its only caller at the time)
 ppm_features = image_features
 
+MJPEG_CODECS = {"mjpa", "mjpb", "jpeg", "mjpg", "MJPG", "AVDJ"}
+
+
+def mjpeg_frame_features(payload: bytes,
+                         dim: int = FEATURE_DIM,
+                         max_frames: int = 3) -> np.ndarray | None:
+    """REAL video frame decode for Motion-JPEG tracks: extract up to
+    `max_frames` evenly-spaced samples via the container's
+    stsc/stco/stsz tables, decode each as baseline JPEG
+    (functions/jpeg.py), and average the grid-luminance features —
+    stable under per-frame re-encoding (quality / subsampling) AND
+    re-muxing, i.e. the 'same video, re-encoded' class that container
+    signatures honestly cannot catch. Returns None when the payload
+    has no decodable MJPEG video track (caller falls back to the
+    remux-invariant container features)."""
+    from dedupe_copy_spark.functions.jpeg import decode_jpeg
+    from dedupe_copy_spark.functions.mp4 import extract_samples, parse_mp4
+
+    try:
+        meta = parse_mp4(payload)
+    except ValueError:
+        return None
+    for track in meta["tracks"]:
+        if track["kind"] != "vide" or track["codec"] not in MJPEG_CODECS:
+            continue
+        n = len(track["sample_sizes"])
+        if n == 0:
+            continue
+        step = max(1, n // max_frames)
+        indices = list(range(0, n, step))[:max_frames]
+        feats = []
+        for frame in extract_samples(payload, track, indices):
+            try:
+                feats.append(image_features(decode_jpeg(frame), dim))
+            except ValueError:
+                continue
+        if feats:
+            return np.mean(feats, axis=0).astype(np.float32)
+    return None
+
 
 def codec_decode(payload: bytes, kind: str) -> np.ndarray:
     """Default decode: REAL parsing for JPEG/PNG/WAV/PPM payloads and
@@ -333,6 +419,12 @@ def codec_decode(payload: bytes, kind: str) -> np.ndarray:
         if payload.startswith(b"P6"):
             return image_features(decode_ppm(payload))
         if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # MJPEG tracks get REAL frame decode (each sample is a
+            # baseline JPEG); other codecs fall back to the
+            # remux-invariant container signature
+            frame_feats = mjpeg_frame_features(payload)
+            if frame_feats is not None:
+                return frame_feats
             from dedupe_copy_spark.functions.mp4 import mp4_features
             return mp4_features(payload, FEATURE_DIM)
     except ValueError:
@@ -348,8 +440,9 @@ def extract_features(media: DataFrame,
     if strict and decode is None:
         raise NotImplementedError(
             "strict mode requires an injected decode= covering EVERY "
-            "format; the default handles baseline JPEG/WAV/PPM natively "
-            "but stubs MP4 (ffmpeg absent in this environment)")
+            "format; the default handles baseline JPEG/PNG/WAV/PPM and "
+            "MJPEG video frames natively but stubs non-MJPEG video "
+            "codecs (ffmpeg absent in this environment)")
     decode_fn = decode or codec_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1140,6 +1140,31 @@ def media_dedupe_png_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
 
 
+@register("media_dedupe_mjpeg", """
+SELECT 'video' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 1000 AS BIGINT) AS id_b
+FROM range(0, 30) t(i) WHERE i % 3 = 0
+""")
+def media_dedupe_mjpeg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame decode: Motion-JPEG fixtures whose every
+    sample is a real baseline-JPEG frame. Every third video
+    re-appears with all frames re-encoded (q35, 4:2:0) AND re-muxed —
+    different bytes AND different per-sample sizes, so both exact
+    digests and the remux-invariant stsz stream signature miss the
+    pair (pinned in tests/test_mjpeg.py); only extracting samples via
+    stsc/stco/stsz (functions/mp4.py) and JPEG-decoding them
+    (functions/jpeg.py) pairs base with variant. Measured margins at
+    this fixture scale: re-encode cosine ≥ 0.99997, cross-video max
+    ≤ 0.953; threshold 0.995 sits between. Truth pairs (i, i+1000)
+    for i % 3 == 0 are reconstructed in pure SQL."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_mjpeg_media(spark, n_videos=30)
+    feats = mm.extract_features(media).localCheckpoint()
+    pairs = mm.media_near_dups(feats, threshold=0.995, route="exact")
+    return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
+
+
 @register("media_dedupe_perceptual", """
 SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b

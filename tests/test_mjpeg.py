@@ -1,0 +1,147 @@
+"""MJPEG-in-MP4 real frame decode: sample-table parsing
+(stsc/stco/stsz → byte ranges), frame extraction + JPEG decode, and
+the re-encode-detection query that container signatures cannot answer.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from dedupe_copy_spark.functions.mp4 import (
+    build_mp4,
+    extract_samples,
+    parse_mp4,
+    sample_ranges,
+)
+from dedupe_copy_spark.operators import multimodal as mm
+
+
+def _frames(i, n_frames=4, seed=17, quality=90, subsampling=(1, 1)):
+    rng = np.random.RandomState(seed * 100_003 + i)
+    out = []
+    for _ in range(n_frames):
+        blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        f = encode_jpeg(img, quality=90, subsampling=(1, 1))
+        if quality != 90:
+            f = encode_jpeg(decode_jpeg(f), quality=quality,
+                            subsampling=subsampling)
+        out.append(f)
+    return out
+
+
+def _mjpeg(frames, chunk_size=7, ct=0):
+    track = [{"kind": "vide", "codec": "mjpa", "width": 64, "height": 32,
+              "samples": frames}]
+    return build_mp4(len(frames) / 10.0, track, creation_time=ct,
+                     chunk_size=chunk_size)
+
+
+# ---------------------------------------------------------------------------
+# Container sample tables
+# ---------------------------------------------------------------------------
+
+def test_sample_extraction_round_trip():
+    samples = [bytes([i]) * (10 + 3 * i) for i in range(17)]
+    payload = _mjpeg(samples, chunk_size=5)
+    track = parse_mp4(payload)["tracks"][0]
+    assert extract_samples(payload, track) == samples
+    ranges = sample_ranges(track)
+    assert [s for _, s in ranges] == [len(s) for s in samples]
+    # every range slices the original bytes
+    for (off, size), want in zip(ranges, samples):
+        assert payload[off:off + size] == want
+
+
+def test_sample_extraction_remux_invariant():
+    """Re-muxing (chunk layout + creation time) moves the bytes but
+    extraction still returns the identical sample payloads."""
+    samples = [bytes([90 + i]) * (20 + i) for i in range(11)]
+    a = _mjpeg(samples, chunk_size=7, ct=1)
+    b = _mjpeg(samples, chunk_size=3, ct=2)
+    assert a != b
+    assert extract_samples(a, parse_mp4(a)["tracks"][0]) == samples
+    assert extract_samples(b, parse_mp4(b)["tracks"][0]) == samples
+
+
+def test_legacy_size_only_tracks_still_addressable():
+    payload = build_mp4(2.0, [{"kind": "vide", "codec": "avc1",
+                               "width": 640, "height": 360,
+                               "sample_sizes": [100, 50, 75, 20]}])
+    track = parse_mp4(payload)["tracks"][0]
+    assert [s for _, s in sample_ranges(track)] == [100, 50, 75, 20]
+
+
+# ---------------------------------------------------------------------------
+# Frame decode
+# ---------------------------------------------------------------------------
+
+def test_mjpeg_frame_features_decodes_real_frames():
+    frames = _frames(0)
+    feats = mm.mjpeg_frame_features(_mjpeg(frames))
+    assert feats is not None and feats.shape == (mm.FEATURE_DIM,)
+    # features match the direct image features of the sampled frames
+    # (max_frames=3 evenly spaced: indices 0,1,2 of 4)
+    direct = np.mean([mm.image_features(decode_jpeg(f))
+                      for f in frames[:3]], axis=0)
+    assert np.allclose(feats, direct, atol=1e-6)
+
+
+def test_mjpeg_frame_features_none_for_other_codecs():
+    payload = build_mp4(1.0, [{"kind": "vide", "codec": "avc1",
+                               "width": 64, "height": 32,
+                               "sample_sizes": [100] * 5}])
+    assert mm.mjpeg_frame_features(payload) is None
+    # codec_decode falls back to container features for those
+    feats = mm.codec_decode(payload, "video")
+    assert feats.shape == (mm.FEATURE_DIM,)
+
+
+def test_reencode_detected_only_by_frame_decode():
+    """The headline claim: a re-encoded + re-muxed MJPEG video keeps
+    frame-feature cosine ≈ 1 while BOTH the byte digest and the
+    remux-invariant stream signature change — i.e. container-level
+    dedup honestly misses this class and frame decode catches it."""
+    base = _mjpeg(_frames(3), chunk_size=7, ct=1)
+    variant = _mjpeg(_frames(3, quality=35, subsampling=(2, 2)),
+                     chunk_size=13, ct=2)
+    other = _mjpeg(_frames(4), chunk_size=7, ct=3)
+    assert base != variant
+    assert (mm.stream_signature(base, "video")
+            != mm.stream_signature(variant, "video"))
+    fa = mm.codec_decode(base, "video")
+    fb = mm.codec_decode(variant, "video")
+    fc = mm.codec_decode(other, "video")
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(fa, fb) > 0.999
+    assert cos(fa, fc) < 0.99
+
+
+# ---------------------------------------------------------------------------
+# Spark query end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("spark")
+def test_media_dedupe_mjpeg_query(spark):
+    from dedupe_copy_spark.plans.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["media_dedupe_mjpeg"](spark, "/root/testdata/sf0.001") \
+        .collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    want = {(i, i + 1000) for i in range(0, 30, 3)}
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+def test_mjpeg_stream_dup_pairs_miss_reencodes(spark):
+    """Cross-check with the container-dedup operator on the SAME
+    fixture: stream signatures pair zero of the re-encoded variants
+    (their stsz tables changed) — the query above is not re-provable
+    by the cheaper container path."""
+    media = mm.synth_mjpeg_media(spark, n_videos=12)
+    pairs = mm.media_stream_dup_pairs(media)
+    assert pairs.count() == 0
