@@ -74,6 +74,9 @@ HEADLINE = [
     "fork_pairs",
     # round 3 cont.: real MJPEG frame decode (re-encode detection)
     "media_dedupe_mjpeg",
+    # round 3 cont.: content-defined chunking dedup (sub-file, codegen)
+    "cdc_shared_pairs",
+    "cdc_dedup_ratio",
 ]
 
 

@@ -1,0 +1,155 @@
+"""Content-defined chunking (CDC) dedup — sub-file duplicate detection.
+
+The reference deduplicates whole files by content digest
+(/root/reference/dedupe_copy/threads.py:403-425). Storage systems go
+one level deeper: split each file into CONTENT-DEFINED chunks (cut
+points chosen by a local rolling hash, FastCDC/LBFS-style) and
+deduplicate chunks, so an edit near the top of a file leaves every
+later chunk digest unchanged — fixed-size blocking has no such
+locality. This module brings that technique to the corpus: chunk the
+token stream, digest each chunk, then (a) report chunk-level dedup
+stats (what a dedup store would save) and (b) pair documents that
+share many chunks — a near-dup/containment signal robust to edits
+and insertions that is cheaper than MinHash verify.
+
+Boundary rule (the whole algorithm, engine-portable): cut BETWEEN
+token i and i+1 iff ``md5(tok[i] || ' ' || tok[i+1])`` ends in hex
+``'0'`` — a 2-token local window, boundary probability 1/16, so the
+expected chunk length is 16 tokens. Like gear/Rabin chunking, the
+decision depends only on a bounded local window, which is what gives
+edit locality; unlike gear's 64-byte decay window, a 2-token window
+makes the rule exactly replayable in one line of SQL (the DuckDB
+oracle replays chunking position-for-position — no weaker contract).
+
+Scale shape (the part that matters at 100 TB): chunking is a PER-ROW
+Catalyst array expression — split, one lambda filter over positions,
+slice+join per chunk — no explode, no window function, no Python, no
+shuffle of any kind until the chunk-digest groupBy. A corpus scan
+chunks at full codegen speed and the only data movement is the
+(doc_id, chunk_sha) relation, ~1/16th the token count in rows. Min/max
+chunk-size clamping (FastCDC's normalization) is deliberately NOT done:
+it makes cut k depend on cut k-1 (sequential per doc) for a purely
+cosmetic size distribution — the dedup semantics don't need it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
+
+#: last-hex-digit match set for a cut; '0' → P(cut) = 1/16 per bigram
+BOUNDARY_HEX = "0"
+
+
+def _cuts(toks):
+    """Cut positions [0, b1..bk, n] as a per-row array expression."""
+    n = F.size(toks)
+    # boundaries between i and i+1 for i in 1..n-1 (1-based)
+    bpos = F.filter(
+        F.when(n > 1, F.sequence(F.lit(1), n - 1))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.substring(
+            F.md5(F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1))), 32, 1)
+        == F.lit(BOUNDARY_HEX),
+    )
+    return F.concat(F.array(F.lit(0)), bpos, F.array(n))
+
+
+def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_sha) — the chunk relation.
+
+    chunk_idx is 1-based document order; chunk_sha is md5 of the
+    space-joined token span, so two documents sharing a literal token
+    run (between the same content-defined cuts) share a digest
+    regardless of where the run sits in either document. NULL text is
+    treated as empty (module contract, same as operators/corpus.py);
+    an empty document still yields its one empty chunk so every doc is
+    represented."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+    cuts = _cuts(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(cuts) - 1),
+        lambda j: F.array_join(
+            F.slice(toks, F.element_at(cuts, j) + 1,
+                    F.element_at(cuts, j + 1) - F.element_at(cuts, j)),
+            " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
+        .select("doc_id", F.posexplode("chunks").alias("idx", "chunk"))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("chunk_idx"),
+            F.size(F.split(F.col("chunk"), " ", -1)).cast("long")
+            .alias("n_tokens"),
+            F.md5(F.col("chunk")).alias("chunk_sha"),
+        )
+    )
+
+
+def cdc_dup_chunks(chunks: DataFrame, min_copies: int = 2) -> DataFrame:
+    """Chunk-level collision report: digests appearing ≥ min_copies
+    times — (chunk_sha, n_tokens, n_copies, n_docs, keep_doc_id). The
+    sub-file analogue of the reference's hash→files manifest groups;
+    map-side partial aggregation collapses each digest before the
+    shuffle, so the reduce side sees one row per distinct chunk."""
+    return (
+        chunks.groupBy("chunk_sha")
+        .agg(F.first("n_tokens").alias("n_tokens"),
+             F.count(F.lit(1)).alias("n_copies"),
+             F.countDistinct("doc_id").alias("n_docs"),
+             F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_copies") >= min_copies)
+    )
+
+
+def cdc_dedup_ratio(chunks: DataFrame) -> DataFrame:
+    """One-row corpus summary a storage planner reads: logical vs
+    stored chunk counts and token volumes, and the dedup ratio
+    (stored/logical tokens) a chunk store would achieve. Two-level
+    aggregation: collapse per digest first (map-side partials), then
+    one scalar agg over the (much smaller) digest relation."""
+    per_digest = chunks.groupBy("chunk_sha").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_copies"))
+    return per_digest.agg(
+        F.sum("n_copies").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum(F.col("n_copies") * F.col("n_tokens")).cast("long")
+        .alias("total_tokens"),
+        F.sum("n_tokens").cast("long").alias("distinct_tokens"),
+    ).select(
+        "*",
+        F.round(F.col("distinct_tokens")
+                / F.greatest(F.col("total_tokens"), F.lit(1)), 6)
+        .alias("dedup_ratio"),
+    )
+
+
+def cdc_shared_pairs(chunks: DataFrame, min_shared: int = 2,
+                     min_chunk_tokens: int = 4,
+                     max_bucket: int = 1_000) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — document pairs sharing ≥ min_shared
+    DISTINCT chunk digests. Tiny chunks (< min_chunk_tokens tokens)
+    are excluded first: single-token chunks collide by vocabulary, not
+    by shared provenance. Expansion rides the capped bucket core
+    (pairs.bucket_pairs_counted): one groupBy per chunk digest, pairs
+    built JVM-side, digests shared by more than max_bucket documents
+    (boilerplate chunks — every LICENSE header) are dropped with that
+    cap rather than exploding O(width²); they are exactly the chunks
+    that carry no pairing signal."""
+    keyed = (
+        chunks.filter(F.col("n_tokens") >= min_chunk_tokens)
+        .select("chunk_sha", "doc_id").distinct()
+    )
+    pairs = bucket_pairs_counted(keyed, ["chunk_sha"], "doc_id",
+                                 max_bucket)
+    return (
+        pairs.filter(F.col("n_shared") >= min_shared)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+                F.col("n_shared").cast("long").alias("n_shared"))
+    )

@@ -2396,6 +2396,110 @@ def media_stream_keys_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_stream_keys(mm.synth_mp4_media(spark, n_videos=36))
 
 
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (operators/cdc.py) — the oracle
+# replays the ENTIRE chunking algorithm (tokenize → bigram boundary
+# hash → cut list → chunk reassembly → digest) in DuckDB list
+# functions, position-for-position, then re-derives each downstream
+# aggregate from that replayed chunk relation.
+# ---------------------------------------------------------------------------
+
+_CDC_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts FROM documents
+), cut AS (
+  SELECT doc_id, ts,
+         list_concat(list_concat([0],
+           list_filter(range(1, len(ts)),
+             i -> substr(md5(ts[i] || ' ' || ts[i + 1]), 32, 1) = '0')),
+           [len(ts)]) AS cuts
+  FROM toks
+), chunked AS (
+  SELECT doc_id,
+         unnest(range(1, len(cuts))) AS chunk_idx,
+         unnest(list_transform(range(1, len(cuts)),
+            j -> array_to_string(ts[cuts[j] + 1 : cuts[j + 1]], ' '))) AS chunk
+  FROM cut
+), rel AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+         md5(chunk) AS chunk_sha
+  FROM chunked
+)
+"""
+
+
+@register("cdc_chunks", _CDC_CTE + """
+SELECT doc_id, chunk_idx, n_tokens, chunk_sha
+FROM rel ORDER BY doc_id, chunk_idx
+""")
+def cdc_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of every document: cut between tokens
+    i and i+1 iff md5 of the bigram ends in hex '0' (P=1/16 → ~16-token
+    expected chunks, FastCDC-style edit locality with a 2-token
+    window). Chunking is one per-row Catalyst array expression — no
+    explode/window/Python before the output relation — and the DuckDB
+    oracle replays every cut position."""
+    from dedupe_copy_spark.operators.cdc import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs).orderBy("doc_id", "chunk_idx")
+
+
+@register("cdc_shared_pairs", _CDC_CTE + """
+, keyed AS (
+  SELECT DISTINCT chunk_sha, doc_id FROM rel WHERE n_tokens >= 4
+), ok AS (
+  SELECT chunk_sha FROM keyed GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND 1000
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM keyed a
+JOIN ok USING (chunk_sha)
+JOIN keyed b ON a.chunk_sha = b.chunk_sha AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY doc_a, doc_b
+""")
+def cdc_shared_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-file dedup signal: document pairs sharing ≥2 distinct
+    content-defined chunk digests (≥4 tokens each — vocabulary-level
+    chunks carry no provenance). Spark expands pairs through the
+    capped bucket core (max_bucket=1000, encoded in the oracle's
+    BETWEEN), never a self-join."""
+    from dedupe_copy_spark.operators.cdc import cdc_chunks, cdc_shared_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = cdc_shared_pairs(cdc_chunks(docs), min_shared=2,
+                             min_chunk_tokens=4, max_bucket=1_000)
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+@register("cdc_dedup_ratio", _CDC_CTE + """
+, per AS (
+  SELECT chunk_sha, min(n_tokens) AS n_tokens, count(*) AS n_copies
+  FROM rel GROUP BY 1
+)
+SELECT CAST(sum(n_copies) AS BIGINT) AS total_chunks,
+       CAST(count(*) AS BIGINT) AS distinct_chunks,
+       CAST(sum(n_copies * n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS distinct_tokens,
+       ROUND(CAST(sum(n_tokens) AS DOUBLE)
+             / greatest(CAST(sum(n_copies * n_tokens) AS DOUBLE), 1),
+             6) AS dedup_ratio
+FROM per
+""")
+def cdc_dedup_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a chunk store would save on this corpus: logical vs
+    distinct chunk/token volumes and the stored/logical dedup ratio —
+    the storage-planner headline number, computed with two partial
+    aggregations and no per-group state."""
+    from dedupe_copy_spark.operators.cdc import cdc_chunks, cdc_dedup_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_dedup_ratio(cdc_chunks(docs))
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -1,0 +1,152 @@
+"""Content-defined chunking dedup (operators/cdc.py).
+
+The property that justifies CDC over fixed-size blocking is EDIT
+LOCALITY: an insertion near the top of a document changes only the
+chunks overlapping the edit window; every later cut point re-aligns
+and the suffix chunk digests survive verbatim. These tests pin that
+property, the engine-portable boundary rule, and the capped pair
+expansion.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.cdc import (
+    cdc_chunks,
+    cdc_dedup_ratio,
+    cdc_dup_chunks,
+    cdc_shared_pairs,
+)
+
+
+def _words(seed, n):
+    out = []
+    for i in range(n):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        out.append(h[:4 + i % 5])
+    return out
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _chunks(spark, rows):
+    return {(r.doc_id, r.chunk_idx): (r.chunk_sha, r.n_tokens)
+            for r in cdc_chunks(_docs(spark, rows)).collect()}
+
+
+def test_edit_locality(spark):
+    """Insert 3 tokens at position 5 of a 200-token doc: the two chunk
+    sequences must share their entire tail — only chunks at/near the
+    edit differ. This is exactly what fixed-size blocking cannot do."""
+    base = _words("loc", 200)
+    edited = base[:5] + ["xx1", "xx2", "xx3"] + base[5:]
+    got = cdc_chunks(_docs(spark, [
+        (1, " ".join(base)), (2, " ".join(edited))])).collect()
+    seq1 = [r.chunk_sha for r in sorted(got, key=lambda r: r.chunk_idx)
+            if r.doc_id == 1]
+    seq2 = [r.chunk_sha for r in sorted(got, key=lambda r: r.chunk_idx)
+            if r.doc_id == 2]
+    # common suffix must cover all but the first few chunks
+    k = 0
+    while (k < min(len(seq1), len(seq2))
+           and seq1[-1 - k] == seq2[-1 - k]):
+        k += 1
+    assert k >= len(seq1) - 2, (len(seq1), len(seq2), k)
+    # and the edited doc is NOT identical (the edit was seen)
+    assert seq1 != seq2
+
+
+def test_chunks_cover_document_in_order(spark):
+    words = _words("cover", 120)
+    text = " ".join(words)
+    rows = cdc_chunks(_docs(spark, [(7, text)])).collect()
+    rows.sort(key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r.n_tokens for r in rows) == len(words)
+    # digests are md5 of the actual token spans, in order
+    joined = []
+    pos = 0
+    for r in rows:
+        span = " ".join(words[pos:pos + r.n_tokens])
+        assert hashlib.md5(span.encode()).hexdigest() == r.chunk_sha
+        pos += r.n_tokens
+        joined.append(span)
+    assert " ".join(joined) == text
+
+
+def test_expected_chunk_length(spark):
+    """P(cut)=1/16 per bigram → mean chunk length near 16 tokens."""
+    rows = cdc_chunks(_docs(spark, [
+        (i, " ".join(_words(f"len{i}", 400))) for i in range(8)])).collect()
+    mean = sum(r.n_tokens for r in rows) / len(rows)
+    assert 8 <= mean <= 32, mean
+
+
+def test_null_and_empty_text(spark):
+    got = _chunks(spark, [(1, None), (2, ""), (3, "one")])
+    assert got[(1, 1)] == got[(2, 1)]       # NULL == empty contract
+    assert got[(1, 1)][0] == hashlib.md5(b"").hexdigest()
+    assert got[(3, 1)][0] == hashlib.md5(b"one").hexdigest()
+
+
+def test_partitioning_independence(spark):
+    docs = _docs(spark, [(i, " ".join(_words(f"p{i}", 150)))
+                         for i in range(10)])
+    a = {tuple(r) for r in cdc_chunks(docs).collect()}
+    b = {tuple(r) for r in cdc_chunks(docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_shared_pairs_find_planted_overlap(spark):
+    """Two docs embedding the same 80-token paragraph at different
+    offsets share its interior chunks; unrelated docs pair with
+    nothing."""
+    para = _words("shared-para", 80)
+    rows = [
+        (1, " ".join(_words("pre1", 37) + para + _words("post1", 21))),
+        (2, " ".join(_words("pre2", 11) + para + _words("post2", 55))),
+        (3, " ".join(_words("other3", 150))),
+        (4, " ".join(_words("other4", 150))),
+    ]
+    pairs = cdc_shared_pairs(cdc_chunks(_docs(spark, rows)),
+                             min_shared=2).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+    assert pairs[0].n_shared >= 2
+
+
+def test_dup_chunks_and_ratio(spark):
+    text = " ".join(_words("dup", 100))
+    docs = _docs(spark, [(1, text), (2, text), (3, " ".join(_words("u", 90)))])
+    chunks = cdc_chunks(docs)
+    dup = cdc_dup_chunks(chunks).collect()
+    assert dup, "identical docs must share every chunk"
+    assert all(r.n_copies == 2 and r.n_docs == 2 and r.keep_doc_id == 1
+               for r in dup)
+    ratio = cdc_dedup_ratio(chunks).collect()[0]
+    assert ratio.total_chunks > ratio.distinct_chunks
+    assert 0 < ratio.dedup_ratio < 1
+    assert ratio.total_tokens == 100 + 100 + 90
+
+
+def test_boilerplate_cap_drops_hot_chunks(spark):
+    """A chunk digest shared by more docs than max_bucket is dropped
+    from pair expansion (with the cap, not O(width²))."""
+    para = _words("boiler", 40)
+    rows = [(i, " ".join(_words(f"u{i}", 30) + para)) for i in range(12)]
+    chunks = cdc_chunks(_docs(spark, rows))
+    capped = cdc_shared_pairs(chunks, min_shared=1, max_bucket=5).collect()
+    open_ = cdc_shared_pairs(chunks, min_shared=1, max_bucket=100).collect()
+    assert len(open_) == 12 * 11 // 2      # everyone shares the para
+    assert len(capped) < len(open_)
+
+
+def test_no_python_in_chunking_plan(spark):
+    """Chunking must stay JVM-side: no ArrowEvalPython / BatchEvalPython
+    nodes anywhere in the chunk-relation plan."""
+    docs = _docs(spark, [(1, "a b c")])
+    plan = cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
