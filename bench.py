@@ -77,6 +77,8 @@ HEADLINE = [
     # round 3 cont.: content-defined chunking dedup (sub-file, codegen)
     "cdc_shared_pairs",
     "cdc_dedup_ratio",
+    # round 3 cont.: perceptual audio fingerprint (real DSP)
+    "media_dedupe_audio",
 ]
 
 

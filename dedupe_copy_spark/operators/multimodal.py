@@ -227,6 +227,42 @@ def synth_mjpeg_media(spark: SparkSession, n_videos: int = 30,
     return _media_df(spark, rows)
 
 
+def synth_wav_media(spark: SparkSession, n_tracks: int = 30,
+                    seed: int = 23) -> DataFrame:
+    """Deterministic media table of REAL PCM WAV payloads for the
+    perceptual audio-dedup path. Each base track i is a seeded 3-tone
+    mixture (320-1900 Hz) under an AM envelope, 0.5 s @ 8 kHz 16-bit.
+    Every third track also appears as media_id i+1000 transformed the
+    way scraped re-uploads actually differ: volume ×0.4, linearly
+    RESAMPLED to 11025 Hz, and REQUANTIZED to 8-bit — different byte
+    length, different format fields, different digests; same sound.
+    Truth pairs (i, i+1000) for i % 3 == 0 are reconstructible in
+    pure SQL."""
+    rows = []
+    for i in range(n_tracks):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        rate = 8000
+        t = np.arange(int(0.5 * rate)) / rate
+        s = np.zeros_like(t)
+        for _ in range(3):
+            s += (rng.uniform(0.2, 0.6)
+                  * np.sin(2 * np.pi * rng.uniform(320, 1900) * t))
+        s *= 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
+        s = s / np.abs(s).max() * 0.9
+        rows.append({"media_id": i, "kind": "audio", "mime": "audio/wav",
+                     "width": None, "height": None, "duration_ms": 500,
+                     "payload": encode_wav(s, rate, 16)})
+        if i % 3 == 0:
+            new_rate = 11025
+            t_new = np.arange(int(s.size * new_rate / rate)) / new_rate
+            v = np.interp(t_new, t, s) * 0.4
+            rows.append({"media_id": i + 1000, "kind": "audio",
+                         "mime": "audio/wav", "width": None,
+                         "height": None, "duration_ms": 500,
+                         "payload": encode_wav(v, new_rate, 8)})
+    return _media_df(spark, rows)
+
+
 def _media_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Fixture rows → DataFrame through the pandas/Arrow path when the
     session has Arrow on (session.py does): the plain
@@ -267,9 +303,10 @@ def _stub_decode(payload: bytes, kind: str) -> np.ndarray:
 # pipeline never dies on one bad payload.
 # ---------------------------------------------------------------------------
 
-def decode_wav(payload: bytes) -> np.ndarray:
-    """Minimal RIFF/WAVE PCM decoder → float64 samples in [-1, 1]
-    (first channel). Supports 8/16-bit PCM, any rate/channels."""
+def decode_wav_meta(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE PCM decoder → (float64 samples in [-1, 1]
+    of the first channel, sample rate). Supports 8/16-bit PCM, any
+    rate/channels."""
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -286,6 +323,7 @@ def decode_wav(payload: bytes) -> np.ndarray:
         raise ValueError("missing fmt/data chunk")
     audio_fmt = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little") or 1
+    rate = int.from_bytes(fmt[4:8], "little") or 8000
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_fmt != 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}bit")
@@ -295,7 +333,32 @@ def decode_wav(payload: bytes) -> np.ndarray:
     else:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
                    - 128.0) / 128.0
-    return samples[::n_channels]  # first channel
+    return samples[::n_channels], rate  # first channel
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Samples-only view of decode_wav_meta (back-compat)."""
+    return decode_wav_meta(payload)[0]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000,
+               bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE PCM writer (mono, 8/16-bit) for fixtures."""
+    import struct
+
+    if bits == 16:
+        pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    elif bits == 8:
+        pcm = (np.clip(samples, -1, 1) * 127 + 128).astype(np.uint8) \
+            .tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = bits // 8
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                   rate * block, block, bits)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
@@ -415,7 +478,11 @@ def codec_decode(payload: bytes, kind: str) -> np.ndarray:
             from dedupe_copy_spark.functions.jpeg import decode_jpeg
             return image_features(decode_jpeg(payload))
         if payload.startswith(b"RIFF"):
-            return wav_features(decode_wav(payload))
+            # real spectral fingerprint (functions/audio.py): log-band
+            # energy profile — invariant to volume, requantization,
+            # and resampling, unlike the time-domain RMS envelope
+            from dedupe_copy_spark.functions.audio import audio_features
+            return audio_features(*decode_wav_meta(payload), FEATURE_DIM)
         if payload.startswith(b"P6"):
             return image_features(decode_ppm(payload))
         if len(payload) >= 12 and payload[4:8] == b"ftyp":

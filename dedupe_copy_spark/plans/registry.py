@@ -1165,6 +1165,30 @@ def media_dedupe_mjpeg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
 
 
+@register("media_dedupe_audio", """
+SELECT 'audio' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 1000 AS BIGINT) AS id_b
+FROM range(0, 30) t(i) WHERE i % 3 = 0
+""")
+def media_dedupe_audio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup on REAL PCM WAV payloads: every third
+    track re-appears volume-scaled, linearly resampled 8 kHz → 11025
+    Hz AND requantized 16-bit → 8-bit (different byte length, format
+    fields, digests — exact dedup cannot pair them), then the
+    Haitsma–Kalker-style spectral fingerprint (functions/audio.py:
+    framed FFT → log-spaced Hz band profile, volume/rate-invariant by
+    construction) pairs base with variant by cosine. Measured margins
+    at this fixture scale: re-encode cosine ≥ 0.9979, cross-track max
+    ≤ 0.848; threshold 0.99 sits between. Truth pairs (i, i+1000)
+    for i % 3 == 0 are reconstructed in pure SQL."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_wav_media(spark, n_tracks=30)
+    feats = mm.extract_features(media).localCheckpoint()
+    pairs = mm.media_near_dups(feats, threshold=0.99, route="exact")
+    return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
+
+
 @register("media_dedupe_perceptual", """
 SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b

@@ -1,0 +1,122 @@
+"""Perceptual audio fingerprint (functions/audio.py) and the WAV
+dedup path it unlocks: the band profile must survive the byte-level
+transformations scraped re-uploads actually carry (volume scaling,
+requantization, resampling) and still separate different content.
+"""
+
+import numpy as np
+import pytest
+
+from dedupe_copy_spark.functions.audio import (
+    N_BANDS,
+    audio_features,
+    band_energies,
+    hk_fingerprint,
+)
+from dedupe_copy_spark.operators import multimodal as mm
+
+
+def _mix(freqs, amps, dur=0.5, rate=8000, env_hz=2.0):
+    t = np.arange(int(dur * rate)) / rate
+    s = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    s = s * (0.6 + 0.4 * np.sin(2 * np.pi * env_hz * t))
+    return s / np.abs(s).max() * 0.9
+
+
+def _resample(s, rate, new_rate):
+    t_old = np.arange(s.size) / rate
+    t_new = np.arange(int(s.size * new_rate / rate)) / new_rate
+    return np.interp(t_new, t_old, s)
+
+
+def _cos(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_band_energy_peaks_at_tone_frequency():
+    """A pure 1 kHz tone must put its energy in the band containing
+    1 kHz — the bin→Hz→band mapping is real, not positional."""
+    s = _mix([1000.0], [1.0], env_hz=0.0)
+    e = band_energies(s, 8000, n_bands=N_BANDS).mean(axis=0)
+    edges = np.geomspace(300.0, 2000.0, N_BANDS + 1)
+    want = int(np.searchsorted(edges, 1000.0) - 1)
+    assert int(np.argmax(e)) == want
+
+
+def test_volume_invariance_exact():
+    s = _mix([440, 880, 1320], [0.5, 0.3, 0.2])
+    assert np.allclose(audio_features(s, 8000),
+                       audio_features(s * 0.25, 8000), atol=1e-6)
+
+
+def test_resample_and_requantize_invariance():
+    s = _mix([523, 987, 1560], [0.5, 0.4, 0.2])
+    v = _resample(s, 8000, 11025) * 0.4
+    v = np.round(np.clip(v, -1, 1) * 127) / 127.0       # 8-bit grid
+    assert _cos(audio_features(s, 8000), audio_features(v, 11025)) > 0.99
+
+
+def test_different_content_separates():
+    a = audio_features(_mix([440, 880, 1320], [0.5, 0.3, 0.2]), 8000)
+    b = audio_features(_mix([600, 1100, 1800], [0.4, 0.4, 0.2]), 8000)
+    assert _cos(a, b) < 0.95
+
+
+def test_feature_tiling_preserves_cosine():
+    s = _mix([700, 1200], [0.6, 0.4])
+    f32 = audio_features(s, 8000, dim=32)
+    f16 = audio_features(s, 8000, dim=N_BANDS)
+    assert f32.shape == (32,)
+    assert abs(_cos(f32[:N_BANDS], f16) - 1.0) < 1e-6
+
+
+def test_silence_and_empty():
+    assert not np.isnan(audio_features(np.zeros(4000), 8000)).any()
+    assert audio_features(np.zeros(0), 8000).shape == (32,)
+
+
+def test_hk_fingerprint_shape_and_robustness():
+    s = _mix([523, 987, 1560], [0.5, 0.4, 0.2])
+    fp = hk_fingerprint(s, 8000)
+    assert fp.dtype == np.uint32 and fp.size > 5
+    # volume scaling flips no bits (the rule is sign-of-differences)
+    fp2 = hk_fingerprint(s * 0.3, 8000)
+    assert np.array_equal(fp, fp2)
+    # different content flips many bits
+    fp3 = hk_fingerprint(_mix([600, 1100, 1800], [0.4, 0.4, 0.2]), 8000)
+    n = min(fp.size, fp3.size)
+    ham = np.unpackbits(
+        (fp[:n] ^ fp3[:n]).view(np.uint8)).sum() / (31.0 * n)
+    assert ham > 0.1
+
+
+def test_wav_meta_rate_parsed():
+    s = _mix([440], [1.0])
+    samples, rate = mm.decode_wav_meta(mm.encode_wav(s, 11025, 16))
+    assert rate == 11025 and samples.size == s.size
+
+
+def test_encode_wav_8bit_roundtrip():
+    s = _mix([700], [1.0])
+    samples, rate = mm.decode_wav_meta(mm.encode_wav(s, 8000, 8))
+    assert rate == 8000
+    assert np.abs(samples - s).max() < 2 / 127
+
+
+@pytest.mark.usefixtures("spark")
+def test_media_dedupe_audio_query(spark):
+    from dedupe_copy_spark.plans.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["media_dedupe_audio"](
+        spark, "/root/testdata/sf0.001").collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == {(i, i + 1000) for i in range(0, 30, 3)}
+
+
+@pytest.mark.usefixtures("spark")
+def test_audio_variants_invisible_to_exact_dedup(spark):
+    """The same fixture through the EXACT path: zero digest
+    collisions — the perceptual query is not re-provable by digests."""
+    media = mm.synth_wav_media(spark, n_tracks=12)
+    feats = mm.extract_features(media)
+    assert mm.media_dedupe_keys(feats).count() == 0
