@@ -79,6 +79,8 @@ HEADLINE = [
     "cdc_dedup_ratio",
     # round 3 cont.: perceptual audio fingerprint (real DSP)
     "media_dedupe_audio",
+    # round 3 cont.: GIF codec (LZW) perceptual dedup
+    "media_dedupe_gif",
 ]
 
 

@@ -1,0 +1,248 @@
+"""GIF codec — pure Python/numpy (no PIL), same spirit as
+functions/jpeg.py and functions/png.py: make image dedup REAL for the
+formats scraped corpora actually contain.
+
+Decoder: GIF87a/GIF89a header, logical screen descriptor, global and
+local color tables, graphic-control/comment/application extension
+skipping, full LZW decompression (variable code width, clear/EOI
+codes, code-table growth to 12 bits), and Adam-style 4-pass row
+de-interlacing. Returns the FIRST image frame as (h, w, 3) uint8 —
+the perceptual-dedup primitive (animation dedup would sample frames
+exactly like the MJPEG path).
+
+Encoder (fixtures/tests): palette-exact images (≤256 distinct
+colors), real LZW compression, optional interlacing, and a
+`palette_order` seed so the same pixels can be re-encoded with a
+permuted color table + different LZW stream — every byte after the
+header changes while the decoded pixels stay identical, which is what
+makes perceptual truth pairs constructible (the PNG re-filter trick,
+GIF edition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+# ---------------------------------------------------------------------------
+# LZW
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW: variable width starting at min_code_size+1,
+    CLEAR resets the table, EOI ends, width grows after the table
+    fills (max 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    # bit reader, LSB-first per GIF spec
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         bitorder="little")
+    pos = 0
+
+    def init_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = init_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    next_code = eoi + 1
+    while pos + width <= bits.size and n_out < n_pixels:
+        code = int(np.packbits(np.pad(bits[pos:pos + width],
+                                      (0, 16 - width)),
+                               bitorder="little").view("<u2")[0])
+        pos += width
+        if code == clear:
+            table = init_table()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("truncated LZW stream")
+    return out
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    cur = b""
+    for b in indices.tobytes():
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        out_bits.append((table[cur], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # one add LATER than the decoder's bump (next_code ==
+            # 2^width): the decoder trails the encoder by exactly one
+            # table add when it reads each code, so bumping here keeps
+            # both sides changing width at the same stream position
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([b])
+    if cur:
+        out_bits.append((table[cur], width))
+    out_bits.append((eoi, width))
+    # pack LSB-first
+    total = sum(w for _, w in out_bits)
+    arr = np.zeros(total, dtype=np.uint8)
+    pos = 0
+    for code, w in out_bits:
+        for k in range(w):
+            arr[pos + k] = (code >> k) & 1
+        pos += w
+    return np.packbits(arr, bitorder="little").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Container
+# ---------------------------------------------------------------------------
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/GIF89a payload as (h, w, 3) uint8."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    gw = int.from_bytes(payload[pos:pos + 2], "little")
+    gh = int.from_bytes(payload[pos + 2:pos + 4], "little")
+    flags = payload[pos + 4]
+    pos += 7
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                   dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p):
+        while payload[p] != 0:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                      # trailer
+            break
+        if b == 0x21:                      # extension
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x} at {pos}")
+        # image descriptor
+        ix = int.from_bytes(payload[pos + 1:pos + 3], "little")
+        iy = int.from_bytes(payload[pos + 3:pos + 5], "little")
+        iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), min_code_size, iw * ih)
+        rows = idx.reshape(ih, iw)
+        if iflags & 0x40:                  # interlaced: reorder rows
+            out_rows = np.empty_like(rows)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for r in range(start, ih, step):
+                    out_rows[r] = rows[src]
+                    src += 1
+            rows = out_rows
+        frame = pal[np.minimum(rows, len(pal) - 1)]
+        # paint onto the logical screen (first frame only)
+        if (ix, iy, iw, ih) == (0, 0, gw, gh):
+            return frame
+        screen = np.zeros((gh, gw, 3), dtype=np.uint8)
+        screen[iy:iy + ih, ix:ix + iw] = frame
+        return screen
+    raise ValueError("no image frame in GIF")
+
+
+def encode_gif(img: np.ndarray, palette_order: int = 0,
+               interlace: bool = False) -> bytes:
+    """Palette-exact GIF encoder for fixtures: the image must have
+    ≤256 distinct colors. `palette_order` permutes the color table
+    (seeded), changing every LZW byte while pixels decode
+    identically — the re-encode knob for perceptual truth pairs."""
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs ≤256 distinct colors")
+    if palette_order:
+        perm = np.random.RandomState(palette_order).permutation(len(colors))
+        colors = colors[perm]
+        remap = np.empty_like(perm)
+        remap[perm] = np.arange(len(perm))
+        inverse = remap[inverse]
+    # palette size = power of two ≥ max(2, n)
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:len(colors)] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [r for start, step in _INTERLACE_PASSES
+                 for r in range(start, h, step)]
+        idx = idx[order]
+    min_code_size = max(2, bits)
+    lzw = _lzw_encode(idx.ravel(), min_code_size)
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + bytes(4)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

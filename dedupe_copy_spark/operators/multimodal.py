@@ -184,6 +184,38 @@ def synth_mp4_media(spark: SparkSession, n_videos: int = 36,
     return _media_df(spark, rows)
 
 
+def synth_gif_media(spark: SparkSession, n_images: int = 36,
+                    seed: int = 29) -> DataFrame:
+    """Deterministic media table of REAL GIF payloads for the lossless
+    perceptual-dedup path. Each base image i is a seeded 4×8 block
+    pattern upsampled to 32×64 (≤32 distinct colors — palette-exact),
+    LZW-encoded; every third image also appears RE-ENCODED with a
+    permuted color table AND interlaced row order (every byte of the
+    color table and LZW stream differs; pixels identical) as media_id
+    i+1000. Truth pairs (i, i+1000) for i % 3 == 0 are
+    reconstructible in pure SQL."""
+    from dedupe_copy_spark.functions.gif import encode_gif
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        rows.append({
+            "media_id": i, "kind": "image", "mime": "image/gif",
+            "width": 64, "height": 32, "duration_ms": None,
+            "payload": encode_gif(img),
+        })
+        if i % 3 == 0:
+            rows.append({
+                "media_id": i + 1000, "kind": "image", "mime": "image/gif",
+                "width": 64, "height": 32, "duration_ms": None,
+                "payload": encode_gif(img, palette_order=7 + i,
+                                      interlace=True),
+            })
+    return _media_df(spark, rows)
+
+
 def synth_mjpeg_media(spark: SparkSession, n_videos: int = 30,
                       n_frames: int = 4, seed: int = 17) -> DataFrame:
     """Deterministic media table of REAL Motion-JPEG videos: each
@@ -474,6 +506,9 @@ def codec_decode(payload: bytes, kind: str) -> np.ndarray:
         if payload.startswith(b"\x89PNG\r\n\x1a\n"):
             from dedupe_copy_spark.functions.png import decode_png
             return image_features(decode_png(payload))
+        if payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a"):
+            from dedupe_copy_spark.functions.gif import decode_gif
+            return image_features(decode_gif(payload))
         if payload.startswith(b"\xff\xd8"):
             from dedupe_copy_spark.functions.jpeg import decode_jpeg
             return image_features(decode_jpeg(payload))

@@ -1165,6 +1165,29 @@ def media_dedupe_mjpeg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
 
 
+@register("media_dedupe_gif", """
+SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 1000 AS BIGINT) AS id_b
+FROM range(0, 36) t(i) WHERE i % 3 = 0
+""")
+def media_dedupe_gif_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup on REAL GIF payloads: every third base
+    image re-appears re-encoded with a permuted color table and
+    interlaced row order (every palette/LZW byte differs — exact
+    dedup cannot pair them; pixels identical), then full GIF decode
+    (functions/gif.py: LZW + palette + de-interlace, pinned against
+    real-world files) → grid-luminance features → within-kind cosine
+    pairs. Identical pixels give cosine 1.0; distinct seeded images
+    sit far below the 0.999 threshold, so the truth pair set
+    (i, i+1000) for i % 3 == 0 is exact."""
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_gif_media(spark, n_images=36)
+    feats = mm.extract_features(media).localCheckpoint()
+    pairs = mm.media_near_dups(feats, threshold=0.999, route="exact")
+    return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
+
+
 @register("media_dedupe_audio", """
 SELECT 'audio' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b
