@@ -1,0 +1,195 @@
+"""Incremental content-defined chunk dedup over a document stream —
+the sub-file analogue of streaming/near_dup.py's accumulated-store
+probe, using operators/cdc.py's chunk relation as the unit of state.
+
+Why a streaming form: a continuously ingesting pipeline wants to know
+per batch (a) which incoming documents share chunk provenance with
+ANYTHING already ingested (cross-batch near-dup / partial-copy
+signal, available before the batch reaches training) and (b) how the
+corpus-wide chunk dedup ratio is trending (is the crawler re-reading
+the same sites?). Both derive from one accumulated chunk store.
+
+State layout under ``out_dir`` (all parquet, batch_id-keyed overwrite
+subdirectories — the same idempotent at-least-once replay contract as
+incremental.py / near_dup.py / corpus_stream.py):
+
+    chunks/batch_id=N/       (doc_id, chunk_sha, n_tokens) distinct
+                             per doc, chunks ≥ min_chunk_tokens
+    cross_pairs/batch_id=N/  (doc_a=historic, doc_b=new, n_shared)
+                             found by probing batch N against the
+                             store of batches ≠ N
+
+Scale notes: the store holds one row per (doc, distinct chunk) —
+~1/16th of token volume — and the probe is a single equi-join on
+chunk_sha with a width cap on the store side (digests held by more
+than max_fanout historic docs are boilerplate and carry no pairing
+signal; dropping them bounds the join exactly like the LSH band
+store's hot-bucket cap). ``compact_chunks`` folds history into one
+base contribution, preserving every reader's answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.cdc import cdc_chunks
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalChunkDedup:
+    """Accumulated chunk store + per-batch cross-history probe."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 min_chunk_tokens: int = 4, min_shared: int = 2,
+                 max_fanout: int = 1_000,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.min_chunk_tokens = min_chunk_tokens
+        self.min_shared = min_shared
+        self.max_fanout = max_fanout
+        self.id_col = id_col
+        self.text_col = text_col
+        self.chunks_path = f"{out_dir}/chunks"
+        self.pairs_path = f"{out_dir}/cross_pairs"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _store_before(self, batch_id: int) -> DataFrame | None:
+        """Chunk rows of STRICTLY EARLIER batches. Stronger than the
+        exclude-own-batch rule: a replayed batch then probes exactly
+        the store it saw the first time, even if later batches have
+        already landed — so replay is idempotent under any delivery
+        order, not just the latest-batch replays Structured
+        Streaming's checkpoint actually produces."""
+        store = self._read_state(self.chunks_path)
+        if store is None:
+            return None
+        if "batch_id" in store.columns:
+            store = store.filter(F.col("batch_id") < batch_id)
+        return store
+
+    # -- per-batch work ---------------------------------------------------
+
+    def batch_chunks(self, batch_df: DataFrame) -> DataFrame:
+        chunks = cdc_chunks(batch_df, self.id_col, self.text_col)
+        return (
+            chunks.filter(F.col("n_tokens") >= self.min_chunk_tokens)
+            .select("doc_id", "chunk_sha", "n_tokens").distinct()
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        new = self.batch_chunks(batch_df).localCheckpoint()
+        store = self._store_before(batch_id)
+        if store is not None:
+            # cap the store side per digest BEFORE the join: hot
+            # boilerplate digests would fan one new row out to every
+            # historic holder
+            hist = (
+                store.groupBy("chunk_sha")
+                .agg(F.collect_set(F.col("doc_id")).alias("holders"))
+                .filter(F.size("holders") <= self.max_fanout)
+            )
+            pairs = (
+                new.join(hist, "chunk_sha")
+                .select(F.explode("holders").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b"))
+                .filter(F.col("doc_a") != F.col("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+                .filter(F.col("n_shared") >= self.min_shared)
+            )
+        else:
+            pairs = self.spark.createDataFrame(
+                [], "doc_a long, doc_b long, n_shared long")
+        pairs.write.mode("overwrite").parquet(
+            f"{self.pairs_path}/batch_id={batch_id}")
+        new.write.mode("overwrite").parquet(
+            f"{self.chunks_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def chunk_index(self) -> DataFrame:
+        """(chunk_sha, n_tokens, n_docs, keep_doc_id) over history — a
+        doc re-sent across batches counts once per doc (distinct),
+        so replays don't inflate the index."""
+        store = self._read_state(self.chunks_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "chunk_sha string, n_tokens long, n_docs long, "
+                    "keep_doc_id long")
+        return (
+            store.select("chunk_sha", "n_tokens", "doc_id").distinct()
+            .groupBy("chunk_sha")
+            .agg(F.first("n_tokens").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("keep_doc_id"))
+        )
+
+    def dedup_ratio(self) -> DataFrame:
+        """Corpus-wide stored/logical token ratio over everything
+        ingested so far (distinct-per-doc chunk rows, so replay-safe)."""
+        idx = self.chunk_index()
+        return idx.agg(
+            F.sum(F.col("n_docs") * F.col("n_tokens")).cast("long")
+            .alias("total_tokens"),
+            F.sum("n_tokens").cast("long").alias("distinct_tokens"),
+        ).select(
+            "*",
+            F.round(F.col("distinct_tokens")
+                    / F.greatest(F.col("total_tokens"), F.lit(1)), 6)
+            .alias("dedup_ratio"),
+        )
+
+    def cross_pairs(self) -> DataFrame:
+        """(doc_a, doc_b, n_shared) discovered across all batches; a
+        pair re-found on replay appears once with its max count."""
+        store = self._read_state(self.pairs_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "doc_a long, doc_b long, n_shared long")
+        return store.groupBy("doc_a", "doc_b").agg(
+            F.max("n_shared").cast("long").alias("n_shared"))
+
+    def compact_chunks(self, into_batch_id: int = -1) -> None:
+        """Fold chunk-store history into one base subdir (id real
+        batches never use). Distinct rows are preserved, so every
+        reader — and the cross-batch probe — answers identically.
+        Run only between triggers after the stream checkpoint
+        committed the folded batches (same contract as
+        corpus_stream.compact_gram_freq)."""
+        import os
+        import shutil
+
+        store = self._read_state(self.chunks_path)
+        if store is None:
+            return
+        folded = store.select("doc_id", "chunk_sha", "n_tokens").distinct()
+        tmp = f"{self.out_dir}/_chunks_compact"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.chunks_path)
+        os.makedirs(self.chunks_path, exist_ok=True)
+        shutil.move(tmp, f"{self.chunks_path}/batch_id={into_batch_id}")
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

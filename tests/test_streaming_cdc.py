@@ -1,0 +1,127 @@
+"""Streaming content-defined chunk dedup: each batch probes the
+accumulated chunk store for cross-batch shared provenance, idempotent
+under replay (at-least-once foreachBatch contract), with the
+accumulated views matching the batch operators on the concatenation.
+"""
+
+import hashlib
+import time
+
+from dedupe_copy_spark.operators.cdc import cdc_chunks, cdc_shared_pairs
+from dedupe_copy_spark.streaming.cdc_stream import IncrementalChunkDedup
+
+
+def _words(seed, n):
+    return [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4 + i % 5]
+            for i in range(n)]
+
+
+PARA = _words("stream-para", 80)
+
+
+def _doc(doc_id, pre, post):
+    return (doc_id, " ".join(_words(pre, 25) + PARA + _words(post, 15)))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_pairs_found(spark, tmp_path):
+    out = str(tmp_path / "cdc_stream")
+    job = IncrementalChunkDedup(spark, out)
+    # batch 0: doc 1 embeds PARA; doc 2 unrelated
+    job.process_batch(_docs(spark, [
+        _doc(1, "p1", "s1"), (2, " ".join(_words("other2", 120)))]), 0)
+    assert job.cross_pairs().count() == 0       # nothing before batch 0
+    # batch 1: doc 3 embeds the same PARA at a different offset
+    job.process_batch(_docs(spark, [
+        _doc(3, "p3", "s3"), (4, " ".join(_words("other4", 120)))]), 1)
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in job.cross_pairs().collect()}
+    assert set(pairs) == {(1, 3)}
+    assert pairs[(1, 3)] >= 2
+    # streaming answer equals the batch operator on the concatenation
+    all_docs = _docs(spark, [
+        _doc(1, "p1", "s1"), (2, " ".join(_words("other2", 120))),
+        _doc(3, "p3", "s3"), (4, " ".join(_words("other4", 120)))])
+    batch_truth = {(r.doc_a, r.doc_b): r.n_shared
+                   for r in cdc_shared_pairs(cdc_chunks(all_docs),
+                                             min_shared=2).collect()}
+    assert pairs == batch_truth
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "cdc_stream_replay")
+    job = IncrementalChunkDedup(spark, out)
+    b0 = [_doc(1, "p1", "s1")]
+    b1 = [_doc(3, "p3", "s3")]
+    job.process_batch(_docs(spark, b0), 0)
+    job.process_batch(_docs(spark, b1), 1)
+    before_pairs = sorted(map(tuple, job.cross_pairs().collect()))
+    before_idx = sorted(map(tuple, job.chunk_index().collect()))
+    before_ratio = job.dedup_ratio().collect()[0]
+    # replay both batches (at-least-once delivery)
+    job.process_batch(_docs(spark, b1), 1)
+    job.process_batch(_docs(spark, b0), 0)
+    assert sorted(map(tuple, job.cross_pairs().collect())) == before_pairs
+    assert sorted(map(tuple, job.chunk_index().collect())) == before_idx
+    assert job.dedup_ratio().collect()[0] == before_ratio
+    # a replayed batch never pairs a doc with itself
+    assert all(r.doc_a != r.doc_b for r in job.cross_pairs().collect())
+
+
+def test_hot_chunk_fanout_cap(spark, tmp_path):
+    out = str(tmp_path / "cdc_stream_cap")
+    job = IncrementalChunkDedup(spark, out, max_fanout=3)
+    # 6 historic docs all embed PARA
+    job.process_batch(_docs(spark, [
+        _doc(i, f"p{i}", f"s{i}") for i in range(10, 16)]), 0)
+    # a new doc embedding PARA: the digests now have 6 holders > cap 3
+    job.process_batch(_docs(spark, [_doc(99, "p99", "s99")]), 1)
+    got = {(r.doc_a, r.doc_b) for r in job.cross_pairs().collect()}
+    assert not any(b == 99 for _, b in got), got
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    out = str(tmp_path / "cdc_stream_compact")
+    job = IncrementalChunkDedup(spark, out)
+    job.process_batch(_docs(spark, [_doc(1, "p1", "s1")]), 0)
+    job.process_batch(_docs(spark, [_doc(3, "p3", "s3")]), 1)
+    before = sorted(map(tuple, job.chunk_index().collect()))
+    ratio = job.dedup_ratio().collect()[0]
+    job.compact_chunks()
+    assert sorted(map(tuple, job.chunk_index().collect())) == before
+    assert job.dedup_ratio().collect()[0] == ratio
+    # new batches still probe the compacted base
+    job.process_batch(_docs(spark, [_doc(7, "p7", "s7")]), 2)
+    got = {(r.doc_a, r.doc_b) for r in job.cross_pairs().collect()}
+    assert (1, 7) in got and (3, 7) in got
+
+
+def test_end_to_end_readstream(spark, tmp_path):
+    out = str(tmp_path / "cdc_stream_e2e")
+    watch = str(tmp_path / "incoming")
+    _docs(spark, [_doc(1, "p1", "s1")]).coalesce(1) \
+        .write.mode("append").parquet(watch)
+    _docs(spark, [_doc(3, "p3", "s3")]).coalesce(1) \
+        .write.mode("append").parquet(watch)
+    job = IncrementalChunkDedup(spark, out)
+    q = job.start(watch_dir=watch, trigger_once=True)
+    q.awaitTermination(120)
+    deadline = time.time() + 30
+    while time.time() < deadline and job.chunk_index().count() == 0:
+        time.sleep(1)
+    assert job.chunk_index().count() > 0
+    # both docs landed; whether they arrived in one or two batches,
+    # the chunk index is identical — only cross-batch pairing depends
+    # on the split, so just assert the index matches the batch truth
+    all_docs = _docs(spark, [_doc(1, "p1", "s1"), _doc(3, "p3", "s3")])
+    want = sorted(map(tuple, (cdc_chunks(all_docs)
+                              .filter("n_tokens >= 4")
+                              .select("doc_id", "chunk_sha", "n_tokens")
+                              .distinct().collect())))
+    got = sorted((r.doc_id, r.chunk_sha, r.n_tokens)
+                 for r in spark.read.parquet(job.chunks_path)
+                 .select("doc_id", "chunk_sha", "n_tokens").collect())
+    assert got == want
