@@ -153,6 +153,28 @@ CHECKS = {
         ("partial percentile before the exchange",
          lambda p: "partial_percentile" in p),
     ],
+    "cdc_chunks": [
+        ("chunking is pure codegen — no python anywhere",
+         lambda p: "EvalPython" not in p),
+        ("column-pruned scan (only doc_id, text read)",
+         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+         or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
+        ("per-row array expressions, no pre-output shuffle "
+         "(sort for the registered ORDER BY is the only exchange)",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1),
+    ],
+    "cdc_shared_pairs": [
+        ("pair expansion via capped bucket core (collect_set), "
+         "not a self-join", lambda p: "collect_set" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+        ("map-side partial aggregation on the digest grouping",
+         lambda p: "partial_" in p),
+    ],
+    "cdc_dedup_ratio": [
+        ("two-level aggregation: per-digest partials before the scalar",
+         lambda p: "partial_count" in p or "partial_sum" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "media_stream_keys": [
         ("signatures via MapInPandas (Arrow batches), no row-at-a-time "
          "python", lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
