@@ -77,6 +77,7 @@ HEADLINE = [
     # round 3 cont.: content-defined chunking dedup (sub-file, codegen)
     "cdc_shared_pairs",
     "cdc_dedup_ratio",
+    "ctph_signatures",
     # round 3 cont.: perceptual audio fingerprint (real DSP)
     "media_dedupe_audio",
     # round 3 cont.: GIF codec (LZW) perceptual dedup

@@ -2522,6 +2522,28 @@ def cdc_shared_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+@register("ctph_signatures", _CDC_CTE.replace("), rel AS (", """),
+sigs AS (
+  SELECT doc_id,
+         CAST(len(cuts) - 1 AS BIGINT) AS n_chunks,
+         array_to_string(list_transform(range(1, len(cuts)),
+           j -> substr(md5(array_to_string(ts[cuts[j] + 1 : cuts[j + 1]],
+                                           ' ')), 1, 2)), '') AS sig
+  FROM cut
+), rel AS (""") + """
+SELECT doc_id, n_chunks, sig FROM sigs ORDER BY doc_id
+""")
+def ctph_signatures_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-triggered piecewise hashes (ssdeep-style) per document:
+    one 2-hex symbol per content-defined chunk, document order. Pure
+    per-row codegen; the DuckDB oracle rebuilds every signature
+    symbol-for-symbol from the same replayed cut positions."""
+    from dedupe_copy_spark.operators.cdc import ctph_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ctph_signatures(docs).orderBy("doc_id")
+
+
 @register("cdc_dedup_ratio", _CDC_CTE + """
 , per AS (
   SELECT chunk_sha, min(n_tokens) AS n_tokens, count(*) AS n_copies

@@ -18,6 +18,7 @@ from dedupe_copy_spark.operators.cdc import (
     cdc_dedup_ratio,
     cdc_dup_chunks,
     cdc_shared_pairs,
+    ctph_signatures,
 )
 
 
@@ -142,6 +143,38 @@ def test_boilerplate_cap_drops_hot_chunks(spark):
     open_ = cdc_shared_pairs(chunks, min_shared=1, max_bucket=100).collect()
     assert len(open_) == 12 * 11 // 2      # everyone shares the para
     assert len(capped) < len(open_)
+
+
+def test_ctph_signature_edit_locality(spark):
+    """CTPH property: an edit near the top rewrites only its own
+    chunk's 2-char symbol(s); the signatures share their entire
+    tail. Identical docs get identical signatures."""
+    base = _words("ctph", 200)
+    edited = base[:5] + ["zz9"] + base[5:]
+    rows = ctph_signatures(_docs(spark, [
+        (1, " ".join(base)), (2, " ".join(base)),
+        (3, " ".join(edited))])).collect()
+    sig = {r.doc_id: r.sig for r in rows}
+    n = {r.doc_id: r.n_chunks for r in rows}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    # common suffix ≥ all but the first couple of chunk symbols
+    k = 0
+    while (k < min(len(sig[1]), len(sig[3]))
+           and sig[1][-1 - k] == sig[3][-1 - k]):
+        k += 1
+    assert k >= len(sig[1]) - 4, (len(sig[1]), len(sig[3]), k)
+    # signature length = 2 hex chars per chunk
+    assert len(sig[1]) == 2 * n[1]
+
+
+def test_ctph_signature_matches_chunk_relation(spark):
+    """The signature is exactly the chunk digests' first two hex
+    chars in chunk order — pinned against cdc_chunks."""
+    docs = _docs(spark, [(5, " ".join(_words("pin", 150)))])
+    sig = ctph_signatures(docs).collect()[0].sig
+    chunks = sorted(cdc_chunks(docs).collect(), key=lambda r: r.chunk_idx)
+    assert sig == "".join(r.chunk_sha[:2] for r in chunks)
 
 
 def test_no_python_in_chunking_plan(spark):
