@@ -78,6 +78,8 @@ HEADLINE = [
     "cdc_shared_pairs",
     "cdc_dedup_ratio",
     "ctph_signatures",
+    # round 3 cont.: soft dedup (loss weights instead of drops)
+    "dedupe_weights",
     # round 3 cont.: perceptual audio fingerprint (real DSP)
     "media_dedupe_audio",
     # round 3 cont.: GIF codec (LZW) perceptual dedup

@@ -143,6 +143,25 @@ def losers(hashed: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
     return out
 
 
+def dedupe_weights(hashed: DataFrame,
+                   cfg: DedupeConfig | None = None) -> DataFrame:
+    """Soft dedup for training pipelines: instead of DROPPING
+    duplicates, tag every row with weight = 1/n_copies over its dup
+    group (zero-byte salting applies, so empties keep weight 1 unless
+    dedupe_empty) plus the deterministic canonical flag. A loss-
+    weighted trainer then sees each distinct content exactly once in
+    expectation while keeping every row's metadata — the standard
+    alternative to hard dedup when provenance or recency columns still
+    matter downstream. One window shuffle on dup_key, no join."""
+    cfg = cfg or DedupeConfig()
+    w = Window.partitionBy("dup_key")
+    return keep_first(hashed, cfg).select(
+        "repo", "path", "commit", "content_sha256",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+        (F.col("rn") == 1).alias("is_canonical"),
+    ).withColumn("weight", F.round(F.lit(1.0) / F.col("n_copies"), 6))
+
+
 def _bucket_ranked(keys: DataFrame, key_col: str, prefix_len: int) -> DataFrame:
     """Per-bucket ranking stage of _number_keys, exposed pre-checkpoint
     so plan tests can assert it shuffles on _bucket (parallel), never

@@ -152,6 +152,37 @@ def extension_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Join family (SURVEY §2.4): anti/semi joins for compare + resume
 # ---------------------------------------------------------------------------
 
+@register("dedupe_weights", FILES_CTE_SQL + """
+, keyed AS (
+  SELECT repo, path, commit_id, sha256(content) AS content_sha256,
+         CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path
+                  || chr(0) || commit_id
+             ELSE sha256(content) END AS dup_key
+  FROM files
+), ranked AS (
+  SELECT *, count(*) OVER (PARTITION BY dup_key) AS n,
+         row_number() OVER (PARTITION BY dup_key
+                            ORDER BY repo, path, commit_id) AS rn
+  FROM keyed
+)
+SELECT repo, path, commit_id, content_sha256,
+       CAST(n AS BIGINT) AS n_copies,
+       rn = 1 AS is_canonical,
+       CAST(ROUND(1.0 / n, 6) AS DOUBLE) AS weight
+FROM ranked
+""")
+def dedupe_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every row keeps its metadata but carries
+    weight = 1/n_copies over its dup group plus the deterministic
+    canonical flag — the loss-weighting alternative to dropping
+    duplicates (each distinct content sums to weight 1). Zero-byte
+    salting applies, mirrored in the oracle's CASE key."""
+    hashed = _files(spark, sf_dir)
+    return exact.dedupe_weights(hashed) \
+        .withColumnRenamed("commit", "commit_id")
+
+
 @register("compare_exclude", FILES_CTE_SQL + """
 SELECT repo, path, commit_id, sha256(content) AS content_sha256
 FROM files f

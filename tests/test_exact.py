@@ -236,3 +236,33 @@ def test_fork_pairs_near_catches_modified_forks(spark):
                                      threshold=0.5).collect()}
     assert ("m0", "r0") in near
     assert ("f0", "r0") in near or ("f0", "m0") in near, near
+
+
+def test_dedupe_weights_sum_to_one_per_content(spark):
+    """Soft dedup: per distinct content the weights sum to 1 (each
+    content counted once in expectation); exactly one canonical row
+    per group, and it is the lexicographic keep-first row."""
+    rows, _ = synth.exact_dups()
+    got = exact.dedupe_weights(_hashed(spark, rows)).collect()
+    by_sha = {}
+    for r in got:
+        by_sha.setdefault(r.content_sha256, []).append(r)
+    for sha, grp in by_sha.items():
+        assert abs(sum(g.weight for g in grp) - 1.0) < 1e-4, sha
+        canon = [g for g in grp if g.is_canonical]
+        assert len(canon) == 1
+        assert (canon[0].repo, canon[0].path, canon[0].commit) == \
+            min((g.repo, g.path, g.commit) for g in grp)
+        assert all(g.n_copies == len(grp) for g in grp)
+
+
+def test_dedupe_weights_empties_stay_full_weight(spark):
+    rows = [
+        {"repo": "r", "path": "a.py", "commit": "c1", "lang": "py",
+         "content": ""},
+        {"repo": "r", "path": "b.py", "commit": "c1", "lang": "py",
+         "content": ""},
+    ]
+    got = exact.dedupe_weights(_hashed(spark, rows)).collect()
+    assert all(r.weight == 1.0 and r.n_copies == 1 and r.is_canonical
+               for r in got)
