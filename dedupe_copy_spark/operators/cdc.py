@@ -22,14 +22,28 @@ makes the rule exactly replayable in one line of SQL (the DuckDB
 oracle replays chunking position-for-position — no weaker contract).
 
 Scale shape (the part that matters at 100 TB): chunking is a PER-ROW
-Catalyst array expression — split, one lambda filter over positions,
-slice+join per chunk — no explode, no window function, no Python, no
-shuffle of any kind until the chunk-digest groupBy. A corpus scan
-chunks at full codegen speed and the only data movement is the
-(doc_id, chunk_sha) relation, ~1/16th the token count in rows. Min/max
-chunk-size clamping (FastCDC's normalization) is deliberately NOT done:
-it makes cut k depend on cut k-1 (sequential per doc) for a purely
-cosmetic size distribution — the dedup semantics don't need it.
+Catalyst pipeline — split, one lambda filter over positions, then an
+index explode and one slice+join per chunk — no window function, no
+Python, no shuffle of any kind until the chunk-digest groupBy. The
+only data movement is the (doc_id, chunk_sha) relation, ~1/16th the
+token count in rows. Min/max chunk-size clamping (FastCDC's
+normalization) is deliberately NOT done: it makes cut k depend on cut
+k-1 (sequential per doc) for a purely cosmetic size distribution — the
+dedup semantics don't need it.
+
+EVALUATION HAZARD (why the plan is staged the way it is): Spark
+evaluates a higher-order-function lambda body afresh per element, so
+any non-column subexpression inside the lambda (here: the cut array,
+which itself contains a per-position md5 filter over a re-split token
+array) is recomputed per element — nested HOFs compound that
+multiplicatively. Measured at sf0.1 this made the one-expression form
+~40× slower (70 s vs 1.8 s for the full chunk relation). The fix is
+structural: materialize ``toks`` and ``cuts`` as real columns in their
+own projection stages (CollapseProject declines to inline an expensive
+producer referenced more than once), and explode the chunk INDEX
+rather than a pre-built chunk array — the Generate's input is then a
+trivial sequence, and each chunk is assembled exactly once per output
+row from carried column attributes.
 """
 
 from __future__ import annotations
@@ -43,10 +57,18 @@ from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
 BOUNDARY_HEX = "0"
 
 
-def _cuts(toks):
-    """Cut positions [0, b1..bk, n] as a per-row array expression."""
+def _with_cuts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, toks, cuts) with both arrays materialized as real
+    columns in separate projection stages, so downstream lambdas
+    reference cheap attributes instead of re-evaluating the expressions
+    per element (see module docstring). cuts = [0, b1..bk, n], 1-based
+    boundary positions: cut between tokens i and i+1 iff md5 of the
+    space-joined bigram ends in BOUNDARY_HEX."""
+    toks_e = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+    staged = docs.select(F.col(id_col).alias("doc_id"),
+                         toks_e.alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
-    # boundaries between i and i+1 for i in 1..n-1 (1-based)
     bpos = F.filter(
         F.when(n > 1, F.sequence(F.lit(1), n - 1))
         .otherwise(F.array().cast("array<int>")),
@@ -55,7 +77,8 @@ def _cuts(toks):
                            F.element_at(toks, i + 1))), 32, 1)
         == F.lit(BOUNDARY_HEX),
     )
-    return F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    cuts = F.concat(F.array(F.lit(0)), bpos, F.array(n))
+    return staged.select("doc_id", "toks", cuts.alias("cuts"))
 
 
 def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
@@ -68,26 +91,31 @@ def cdc_chunks(docs: DataFrame, id_col: str = "doc_id",
     regardless of where the run sits in either document. NULL text is
     treated as empty (module contract, same as operators/corpus.py);
     an empty document still yields its one empty chunk so every doc is
-    represented."""
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
-    cuts = _cuts(toks)
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(cuts) - 1),
-        lambda j: F.array_join(
-            F.slice(toks, F.element_at(cuts, j) + 1,
-                    F.element_at(cuts, j + 1) - F.element_at(cuts, j)),
-            " "),
+    represented.
+
+    Plan shape: the Generate explodes only chunk indexes 1..k (its
+    input is a trivial sequence), and the post-Generate projection
+    slices the carried toks column once per chunk — total work is
+    O(corpus tokens), immune to the per-element re-evaluation hazard
+    in the module docstring. n_tokens comes straight from the cut
+    difference (tokens contain no separator by construction, so the
+    re-split length is identical)."""
+    staged = _with_cuts(docs, id_col, text_col)
+    cuts = F.col("cuts")
+    exploded = staged.select(
+        "doc_id", "toks", "cuts",
+        F.posexplode(F.sequence(F.lit(1), F.size(cuts) - 1))
+        .alias("_pos", "j"),
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
-        .select("doc_id", F.posexplode("chunks").alias("idx", "chunk"))
-        .select(
-            "doc_id",
-            (F.col("idx") + 1).cast("long").alias("chunk_idx"),
-            F.size(F.split(F.col("chunk"), " ", -1)).cast("long")
-            .alias("n_tokens"),
-            F.md5(F.col("chunk")).alias("chunk_sha"),
-        )
+    j = F.col("j")
+    start = F.element_at(cuts, j)
+    width = F.element_at(cuts, j + 1) - start
+    chunk = F.array_join(F.slice(F.col("toks"), start + 1, width), " ")
+    return exploded.select(
+        "doc_id",
+        j.cast("long").alias("chunk_idx"),
+        width.cast("long").alias("n_tokens"),
+        F.md5(chunk).alias("chunk_sha"),
     )
 
 
@@ -101,11 +129,13 @@ def ctph_signatures(docs: DataFrame, id_col: str = "doc_id",
     signatures sharing most of their symbol sequence mean the
     underlying documents share most of their content, which is how
     forensic tools triage near-identical files without reading them
-    twice. Entirely per-row codegen (the chunk expressions never
-    shuffle); the signature is ~n_tokens/8 bytes, a 10^4× reduction
-    the downstream pair stages read instead of text."""
-    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
-    cuts = _cuts(toks)
+    twice. Entirely per-row (the chunk expressions never shuffle);
+    toks/cuts are materialized columns (module docstring hazard), so
+    the per-symbol lambda only slices attributes. The signature is
+    ~n_tokens/8 bytes, a 10^4× reduction the downstream pair stages
+    read instead of text."""
+    staged = _with_cuts(docs, id_col, text_col)
+    toks, cuts = F.col("toks"), F.col("cuts")
     symbols = F.transform(
         F.sequence(F.lit(1), F.size(cuts) - 1),
         lambda j: F.substring(
@@ -114,8 +144,8 @@ def ctph_signatures(docs: DataFrame, id_col: str = "doc_id",
                         F.element_at(cuts, j + 1) - F.element_at(cuts, j)),
                 " ")), 1, 2),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         (F.size(cuts) - 1).cast("long").alias("n_chunks"),
         F.array_join(symbols, "").alias("sig"),
     )
