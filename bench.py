@@ -84,6 +84,8 @@ HEADLINE = [
     "media_dedupe_audio",
     # round 3 cont.: GIF codec (LZW) perceptual dedup
     "media_dedupe_gif",
+    # round 3 cont.: pure-Catalyst bloom prefilter (exactness-checked)
+    "bloom_compare_exclude",
 ]
 
 

@@ -38,6 +38,14 @@ CHECKS = {
          lambda p: "min_by" in p and "Window" not in p),
         ("partial min_by before exchange", lambda p: "partial_min_by" in p),
     ],
+    "bloom_compare_exclude": [
+        ("sketch words bit_or-aggregated with map-side partials",
+         lambda p: "partial_bit_or" in p),
+        ("exact anti-join retained for bloom positives",
+         lambda p: "LeftAnti" in p),
+        ("probe is pure codegen — no python anywhere",
+         lambda p: "EvalPython" not in p),
+    ],
     "cosine_topk": [
         ("filter pushed to parquet scan",
          lambda p: re.search(r"PushedFilters: \[.*LessThan\(vec_id,10\)", p)),

@@ -225,6 +225,36 @@ def compare_select_victims(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "content_sha256")
 
 
+@register("bloom_compare_exclude", FILES_CTE_SQL + """
+SELECT repo, path, commit_id, sha256(content) AS content_sha256
+FROM files f
+WHERE repo NOT LIKE '%/mirror'
+  AND NOT EXISTS (
+    SELECT 1 FROM files m
+    WHERE m.repo LIKE '%/mirror' AND sha256(m.content) = sha256(f.content)
+  )
+""")
+def bloom_compare_exclude_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--compare exclusion routed bloom-first (operators/bloom.py): a
+    pure-Catalyst Bloom sketch over the compare manifest's digests is
+    broadcast to every task; bloom-negative rows (definitely new) skip
+    the anti-join shuffle entirely and only bloom-positive rows enter
+    the exact anti-join. A bloom has no false negatives, so the output
+    is BYTE-IDENTICAL to compare_exclude — the oracle is the plain
+    NOT EXISTS anti-join, making the approximation's invisibility the
+    checked contract."""
+    from dedupe_copy_spark.operators.bloom import bloom_exclude
+
+    hashed = _files(spark, sf_dir)
+    primary = hashed.filter(~F.col("repo").endswith("/mirror")) \
+        .withColumn("dup_key", F.col("content_sha256"))
+    compare = hashed.filter(F.col("repo").endswith("/mirror")) \
+        .select(F.col("content_sha256").alias("dup_key"))
+    kept = bloom_exclude(primary, compare, key="dup_key")
+    return kept.select("repo", "path", F.col("commit").alias("commit_id"),
+                       "content_sha256")
+
+
 @register("resume_skip", FILES_CTE_SQL + """
 SELECT repo, path, commit_id
 FROM files f

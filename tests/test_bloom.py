@@ -1,0 +1,90 @@
+"""Bloom-prefilter dedup (operators/bloom.py): the sketch must be an
+invisible optimization — bloom_exclude byte-equal to the plain
+anti-join — with zero false negatives by construction and a sane
+false-positive rate at the default sizing."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dedupe_copy_spark.operators.bloom import (
+    bloom_exclude,
+    bloom_might_contain,
+    bloom_sketch,
+)
+
+
+def _keys(spark, lo, hi, with_null=False):
+    df = spark.range(lo, hi).select(
+        F.md5(F.col("id").cast("string")).alias("dup_key"),
+        F.col("id"))
+    if with_null:
+        null_row = spark.range(1).select(
+            F.lit(None).cast("string").alias("dup_key"),
+            F.lit(-1).cast("long").alias("id"))
+        df = df.unionByName(null_row)
+    return df
+
+
+def test_bloom_exclude_matches_plain_anti_join(spark):
+    hist = _keys(spark, 0, 800).select("dup_key")
+    batch = _keys(spark, 400, 1200, with_null=True)
+    got = bloom_exclude(batch, hist)
+    want = batch.join(hist, "dup_key", "left_anti")
+    sym_diff = (got.exceptAll(want).count()
+                + want.exceptAll(got).count())
+    assert sym_diff == 0
+    # NULL keys never equi-match → kept (same as the anti-join)
+    assert got.filter(F.col("dup_key").isNull()).count() == 1
+
+
+def test_bloom_exclude_handles_duplicate_batch_keys(spark):
+    hist = _keys(spark, 0, 100).select("dup_key")
+    batch = _keys(spark, 50, 200).unionByName(_keys(spark, 50, 200))
+    got = bloom_exclude(batch, hist)
+    # 100 new ids × 2 copies — the prefilter must not dedupe the batch
+    assert got.count() == 200
+
+
+def test_no_false_negatives(spark):
+    """Every historical key must be bloom-positive — structural for a
+    bloom, pinned anyway because a miss here silently drops dups."""
+    hist = _keys(spark, 0, 2000).select("dup_key")
+    sketch = bloom_sketch(hist, "dup_key")
+    probe = hist.crossJoin(sketch)
+    neg = probe.filter(
+        ~bloom_might_contain(F.col("dup_key"), F.col("bloom"))).count()
+    assert neg == 0
+
+
+def test_false_positive_rate_is_small(spark):
+    """Disjoint probe keys: positives are pure FPs. Default sizing
+    (2^20 bits, k=5) targets ~1% at 145k keys, so 2k/2k must sit far
+    under 5%."""
+    hist = _keys(spark, 0, 2000).select("dup_key")
+    probe_keys = _keys(spark, 1_000_000, 1_002_000)
+    sketch = bloom_sketch(hist, "dup_key")
+    probe = probe_keys.crossJoin(sketch)
+    fp = probe.filter(
+        bloom_might_contain(F.col("dup_key"), F.col("bloom"))).count()
+    assert fp / 2000 < 0.05
+
+
+def test_sketch_is_one_bounded_row(spark):
+    num_bits = 1 << 12
+    hist = _keys(spark, 0, 500).select("dup_key")
+    rows = bloom_sketch(hist, "dup_key", num_bits=num_bits,
+                        num_hashes=3).collect()
+    assert len(rows) == 1
+    assert len(rows[0]["bloom"]) <= num_bits // 64
+
+
+@pytest.mark.parametrize("num_bits,num_hashes", [(1 << 10, 2), (1 << 16, 7)])
+def test_exactness_across_sizings(spark, num_bits, num_hashes):
+    """Even a deliberately undersized (FP-heavy) sketch must stay
+    invisible — exactness never depends on the sizing."""
+    hist = _keys(spark, 0, 3000).select("dup_key")
+    batch = _keys(spark, 2000, 5000)
+    got = bloom_exclude(batch, hist, num_bits=num_bits,
+                        num_hashes=num_hashes)
+    assert got.count() == 2000
+    assert got.join(hist, "dup_key", "left_semi").count() == 0
