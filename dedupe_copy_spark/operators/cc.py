@@ -141,3 +141,24 @@ def connected_components(edges: DataFrame, cfg: DedupeConfig | None = None) -> D
     roots = cur.select(F.col("dst").alias("file_id"),
                        F.col("dst").alias("cluster_id")).distinct()
     return assign.unionByName(roots).dropDuplicates(["file_id"])
+
+
+def cluster_canonicals(assigned: DataFrame, quality_col: str,
+                       id_col: str = "doc_id",
+                       cluster_col: str = "cluster_id") -> DataFrame:
+    """(cluster_id, canonical_id, canonical_quality) — quality-aware
+    representative per cluster: the member with the MAXIMUM quality,
+    ties broken to the lowest id (deterministic at any parallelism).
+
+    This is the canonical-selection policy training pipelines actually
+    want over near-dup clusters: keep-first (the reference's policy,
+    core.py:1019-1024, fine for byte-identical copies) throws away the
+    longest/cleanest variant of an edited family; max_by keeps it. One
+    partial-aggregated groupBy on the cluster key — the same shape as
+    keep_first_winners, no window, no sort."""
+    order = F.struct(F.col(quality_col).alias("q"),
+                     (-F.col(id_col)).alias("tie"))
+    return assigned.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), order).alias("canonical_id"),
+        F.max(F.col(quality_col)).alias("canonical_quality"),
+    )

@@ -920,6 +920,68 @@ def dedupe_clusters_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cluster_best_pick", _TRUTH_CTE + """
+SELECT 'canon_same_and_longest' AS kind, a.doc_id AS doc_a,
+       b.doc_id AS doc_b, true AS ok
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE
+      / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.8
+UNION ALL
+SELECT 'canon_at_least_self', doc_id, doc_id, true FROM documents
+""")
+def cluster_best_pick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the FULL near-dup
+    pipeline's clusters (operators/cc.py cluster_canonicals): instead
+    of keep-first, each cluster keeps its highest-quality member
+    (here: longest text, ties → lowest doc). Cluster ids are not
+    SQL-reproducible, so — like dedupe_clusters — the oracle checks
+    the defining CONTRACT row-for-row:
+      (a) for every constructed near-dup truth pair, both docs resolve
+          to the SAME canonical whose quality is ≥ both members', and
+      (b) every doc's canonical has quality ≥ the doc's own.
+    Any cluster split, merge, or wrong argmax flips an `ok` to false
+    and fails the value hash."""
+    from dedupe_copy_spark.operators.cc import cluster_canonicals
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    files = files_from_documents(spark, sf_dir)
+    res = DedupePipeline(spark, _near_cfg()).run(files)
+    assigned = (
+        res.clusters.join(res.hashed.select("file_id", "path"), "file_id")
+        .select(_doc_id_from_path(F.col("path")).alias("doc"), "cluster_id")
+    )
+    per_doc = assigned.groupBy("doc").agg(F.min("cluster_id").alias("cluster_id"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), F.length("text").cast("long").alias("q"))
+    members = per_doc.join(docs, "doc")
+    canon = cluster_canonicals(members, "q", id_col="doc",
+                               cluster_col="cluster_id")
+    dc = members.join(canon, "cluster_id").select(
+        "doc", F.col("q").alias("own_q"), "canonical_id",
+        "canonical_quality")
+    self_rows = dc.select(
+        F.lit("canon_at_least_self").alias("kind"),
+        F.col("doc").alias("doc_a"), F.col("doc").alias("doc_b"),
+        (F.col("canonical_quality") >= F.col("own_q")).alias("ok"))
+    truth = _truth_pairs(spark, sf_dir, threshold=0.8)
+    ca = dc.select(F.col("doc").alias("doc_a"),
+                   F.col("canonical_id").alias("canon_a"),
+                   F.col("canonical_quality").alias("cq_a"),
+                   F.col("own_q").alias("q_a"))
+    cb = dc.select(F.col("doc").alias("doc_b"),
+                   F.col("canonical_id").alias("canon_b"),
+                   F.col("own_q").alias("q_b"))
+    pair_rows = (
+        truth.join(ca, "doc_a").join(cb, "doc_b")
+        .select(F.lit("canon_same_and_longest").alias("kind"),
+                "doc_a", "doc_b",
+                ((F.col("canon_a") == F.col("canon_b"))
+                 & (F.col("cq_a") >= F.col("q_a"))
+                 & (F.col("cq_a") >= F.col("q_b"))).alias("ok"))
+    )
+    return pair_rows.unionByName(self_rows)
+
+
 # DuckDB computes the exact rolling-polynomial fingerprint with a
 # recursive-CTE power table (base^k mod 2^64 as HUGEINT) — validated
 # byte-for-byte against the Python formula on all sf0.01 docs.

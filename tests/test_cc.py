@@ -104,3 +104,20 @@ def test_local_and_distributed_paths_agree(spark):
     dist = {(r.file_id, r.cluster_id) for r in
             cc.connected_components(df, DedupeConfig(cc_local_threshold=0)).collect()}
     assert local == dist and len(local) > 0
+
+
+def test_cluster_canonicals_argmax_and_tiebreak(spark):
+    from dedupe_copy_spark.operators.cc import cluster_canonicals
+    import pyspark.sql.functions as F
+
+    rows = [(1, 10, 5), (1, 11, 9), (1, 12, 9),   # tie at q=9 → lowest id 11
+            (2, 20, 3),                            # singleton
+            (3, 30, 7), (3, 31, 1)]
+    df = spark.createDataFrame(rows, "cluster_id long, doc_id long, q long")
+    got = {r["cluster_id"]: (r["canonical_id"], r["canonical_quality"])
+           for r in cluster_canonicals(df, "q").collect()}
+    assert got == {1: (11, 9), 2: (20, 3), 3: (30, 7)}
+    # same aggregation shape as keep_first_winners: no window, no sort
+    plan = cluster_canonicals(df, "q")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "max_by" in plan
