@@ -1,0 +1,209 @@
+"""Incremental bloom-accelerated exact dedup over a digest stream.
+
+The batch form (operators/bloom.py) routes bloom-negative rows around
+the anti-join; the streaming form is where that pays for itself: a
+continuously ingesting pipeline probes EVERY batch against the entire
+accumulated history (the reference's --compare skip-set consulted per
+file, threads.py:403-425 — but the history grows without bound). With
+a word-sketch maintained incrementally, each batch's definitely-new
+rows (the common case for a healthy crawler) are identified from the
+broadcast-sized sketch alone — the key-store anti-join only ever sees
+the bloom-POSITIVE minority, and output stays exactly equal to the
+plain anti-join against all earlier batches.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite
+subdirectories — the same idempotent at-least-once replay contract as
+incremental.py / cdc_stream.py):
+
+    words/batch_id=N/     (word_idx, word) — batch N's sketch
+                          contribution (bit_or-foldable, so replay
+                          overwrite and compaction both preserve the
+                          OR of history)
+    keys/batch_id=N/      (dup_key) distinct — exact confirmation set
+    new_rows/batch_id=N/  batch N's definitely-new rows (exact)
+    metrics/batch_id=N/   (n_batch, n_bloom_neg, n_bloom_pos, n_new) —
+                          n_bloom_neg is the join traffic the sketch
+                          deleted this batch
+
+Scale notes: the history sketch a batch reads is ≤ m/64 longs per
+stored batch dir and folds by bit_or into one m/8-byte map —
+``compact_words`` keeps the dir count bounded. The keys store is the
+same digest manifest an incremental dedup job already persists; only
+bloom positives join against it. Bloom-filter sizing is fixed at
+construction and recorded in the words path contract — resizing means
+rebuilding from the keys store (one pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.bloom import (
+    DEFAULT_NUM_BITS,
+    DEFAULT_NUM_HASHES,
+    _positions,
+    bloom_might_contain,
+)
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalBloomDedup:
+    """Accumulated word-sketch + key store; per-batch exact new-rows."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 key_col: str = "dup_key",
+                 num_bits: int = DEFAULT_NUM_BITS,
+                 num_hashes: int = DEFAULT_NUM_HASHES):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.key_col = key_col
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.words_path = f"{out_dir}/words"
+        self.keys_path = f"{out_dir}/keys"
+        self.new_path = f"{out_dir}/new_rows"
+        self.metrics_path = f"{out_dir}/metrics"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _before(self, path: str, batch_id: int) -> DataFrame | None:
+        """Rows of STRICTLY EARLIER batches (replay sees exactly the
+        state it saw the first time — same contract as cdc_stream)."""
+        df = self._read_state(path)
+        if df is None:
+            return None
+        if "batch_id" in df.columns:
+            df = df.filter(F.col("batch_id") < batch_id)
+        return df
+
+    # -- sketch pieces ------------------------------------------------------
+
+    def _batch_words(self, keys: DataFrame) -> DataFrame:
+        """(word_idx, word) contribution of this batch's keys."""
+        pos = keys.select(
+            F.explode(F.array(*_positions(F.col(self.key_col),
+                                          self.num_bits,
+                                          self.num_hashes))).alias("pos"))
+        return (
+            pos.select(
+                F.shiftright(F.col("pos"), 6).alias("word_idx"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"),
+                    (F.col("pos") % 64).cast("int")).alias("bit"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("bit").alias("word"))
+        )
+
+    def _history_sketch(self, batch_id: int) -> DataFrame | None:
+        """One-row bloom map folded (bit_or) over earlier batches'
+        word contributions — or None when no history exists."""
+        words = self._before(self.words_path, batch_id)
+        if words is None:
+            return None
+        folded = words.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+        return folded.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))).alias("bloom"))
+
+    # -- per-batch work ------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        n_batch = batch.count()
+        sketch = self._history_sketch(batch_id)
+        hist_keys = self._before(self.keys_path, batch_id)
+        if sketch is None or hist_keys is None:
+            new, n_neg, n_pos = batch, n_batch, 0
+        else:
+            probed = batch.crossJoin(sketch)
+            might = bloom_might_contain(F.col(self.key_col),
+                                        F.col("bloom"),
+                                        self.num_bits, self.num_hashes)
+            sure_new = probed.filter(~might).drop("bloom")
+            candidates = probed.filter(might).drop("bloom") \
+                .localCheckpoint()
+            n_pos = candidates.count()
+            n_neg = n_batch - n_pos
+            confirmed = candidates.join(
+                hist_keys.select(self.key_col).dropDuplicates(
+                    [self.key_col]),
+                on=self.key_col, how="left_anti")
+            new = sure_new.unionByName(confirmed.select(*sure_new.columns))
+        new.write.mode("overwrite").parquet(
+            f"{self.new_path}/batch_id={batch_id}")
+        keys = batch.select(self.key_col).distinct()
+        self._batch_words(keys).write.mode("overwrite").parquet(
+            f"{self.words_path}/batch_id={batch_id}")
+        keys.write.mode("overwrite").parquet(
+            f"{self.keys_path}/batch_id={batch_id}")
+        n_new = self.spark.read.parquet(
+            f"{self.new_path}/batch_id={batch_id}").count()
+        self.spark.createDataFrame(
+            [(int(n_batch), int(n_neg), int(n_pos), int(n_new))],
+            "n_batch long, n_bloom_neg long, n_bloom_pos long, n_new long",
+        ).write.mode("overwrite").parquet(
+            f"{self.metrics_path}/batch_id={batch_id}")
+
+    # -- read-side views ------------------------------------------------------
+
+    def new_rows(self) -> DataFrame:
+        """All definitely-new rows across batches (exact: equals the
+        concatenation's first-occurrence-per-key rows of each batch
+        against its own history)."""
+        df = self._read_state(self.new_path)
+        if df is None:
+            return self.spark.createDataFrame([], f"{self.key_col} string")
+        return df
+
+    def metrics(self) -> DataFrame:
+        df = self._read_state(self.metrics_path)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "n_batch long, n_bloom_neg long, n_bloom_pos long, "
+                    "n_new long")
+        return df
+
+    def compact_words(self, into_batch_id: int = -1) -> None:
+        """Fold word-contribution history into one base dir by bit_or —
+        the OR of history is preserved exactly, so every later batch's
+        sketch (and therefore its routing AND its output) is unchanged.
+        Run only between triggers after the checkpoint committed the
+        folded batches."""
+        import os
+        import shutil
+
+        words = self._read_state(self.words_path)
+        if words is None:
+            return
+        folded = words.groupBy("word_idx").agg(
+            F.bit_or("word").alias("word"))
+        tmp = f"{self.out_dir}/_words_compact"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.words_path)
+        os.makedirs(self.words_path, exist_ok=True)
+        shutil.move(tmp, f"{self.words_path}/batch_id={into_batch_id}")
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        keyed = stream.withColumn(self.key_col, F.sha2(
+            F.coalesce(F.col("text"), F.lit("")), 256))
+        writer = (
+            keyed.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,112 @@
+"""Streaming bloom-accelerated dedup: per-batch definitely-new rows
+must equal the plain anti-join against all earlier batches (the sketch
+is routing, never semantics), idempotent under replay, with the word
+store compactable."""
+
+import hashlib
+import time
+
+import pyspark.sql.functions as F
+
+from dedupe_copy_spark.streaming.bloom_stream import IncrementalBloomDedup
+
+
+def _key(i: int) -> str:
+    return hashlib.md5(f"key:{i}".encode()).hexdigest()
+
+
+def _batch(spark, ids):
+    return spark.createDataFrame(
+        [(_key(i), i) for i in ids], "dup_key string, id long")
+
+
+def _truth_new(spark, batches):
+    """Expected new_rows: per batch, rows whose key is absent from all
+    EARLIER batches (duplicates inside one batch both count)."""
+    seen: set[str] = set()
+    rows = []
+    for ids in batches:
+        fresh = [i for i in ids if _key(i) not in seen]
+        rows.extend(fresh)
+        seen.update(_key(i) for i in ids)
+    return sorted(rows)
+
+
+def test_new_rows_equal_anti_join_truth(spark, tmp_path):
+    job = IncrementalBloomDedup(spark, str(tmp_path / "bs"))
+    batches = [list(range(0, 100)),
+               list(range(50, 150)),
+               list(range(120, 160)) + [0, 1]]
+    for n, ids in enumerate(batches):
+        job.process_batch(_batch(spark, ids), n)
+    got = sorted(r["id"] for r in job.new_rows().collect())
+    assert got == _truth_new(spark, batches)
+    m = {r["batch_id"]: r for r in job.metrics().collect()}
+    assert all(m[b]["n_bloom_neg"] + m[b]["n_bloom_pos"] == m[b]["n_batch"]
+               for b in m)
+    # batch 0 has no history: everything routes as definitely-new
+    assert m[0]["n_bloom_neg"] == 100 and m[0]["n_new"] == 100
+    # later batches: every true dup must be bloom-positive (no false
+    # negatives), so n_new <= n_bloom_neg + n_bloom_pos - true_dups
+    assert m[1]["n_new"] == 50 and m[2]["n_new"] == 10
+
+
+def test_bloom_deletes_join_traffic(spark, tmp_path):
+    """Mostly-new batches: the sketch must route the bulk of rows
+    around the anti-join (n_bloom_neg ≈ new count; FPs only)."""
+    job = IncrementalBloomDedup(spark, str(tmp_path / "bs2"))
+    job.process_batch(_batch(spark, range(0, 500)), 0)
+    job.process_batch(_batch(spark, range(450, 1500)), 1)
+    m = {r["batch_id"]: r for r in job.metrics().collect()}
+    assert m[1]["n_new"] == 1000
+    # 50 true dups must be positive; allow a small FP margin on top
+    assert m[1]["n_bloom_pos"] >= 50
+    assert m[1]["n_bloom_neg"] >= 900
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    job = IncrementalBloomDedup(spark, str(tmp_path / "bs3"))
+    job.process_batch(_batch(spark, range(0, 80)), 0)
+    job.process_batch(_batch(spark, range(40, 120)), 1)
+    before = sorted(r["id"] for r in job.new_rows().collect())
+    # at-least-once: batch 1 delivered again
+    job.process_batch(_batch(spark, range(40, 120)), 1)
+    after = sorted(r["id"] for r in job.new_rows().collect())
+    assert before == after
+
+
+def test_compact_words_preserves_routing(spark, tmp_path):
+    job = IncrementalBloomDedup(spark, str(tmp_path / "bs4"))
+    job.process_batch(_batch(spark, range(0, 60)), 0)
+    job.process_batch(_batch(spark, range(30, 90)), 1)
+    job.compact_words()
+    job.process_batch(_batch(spark, range(80, 140)), 2)
+    got = sorted(r["id"] for r in job.new_rows().collect())
+    assert got == _truth_new(spark, [list(range(0, 60)),
+                                     list(range(30, 90)),
+                                     list(range(80, 140))])
+
+
+def test_end_to_end_readstream(spark, tmp_path):
+    watch = str(tmp_path / "incoming")
+    docs0 = spark.createDataFrame(
+        [(1, "alpha beta", "en", "web", 10), (2, "gamma", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs0.coalesce(1).write.mode("append").parquet(watch)
+    job = IncrementalBloomDedup(spark, str(tmp_path / "bs5"))
+    q = job.start(watch)
+    q.awaitTermination(120)
+    deadline = time.time() + 30
+    while time.time() < deadline and job.new_rows().count() == 0:
+        time.sleep(1)
+    # second drop: one dup text, one new
+    docs1 = spark.createDataFrame(
+        [(3, "alpha beta", "en", "web", 10), (4, "delta", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs1.coalesce(1).write.mode("append").parquet(watch)
+    q2 = job.start(watch)
+    q2.awaitTermination(120)
+    time.sleep(1)
+    new_ids = sorted(r["doc_id"] for r in job.new_rows().collect())
+    assert 1 in new_ids and 2 in new_ids and 4 in new_ids
+    assert 3 not in new_ids
