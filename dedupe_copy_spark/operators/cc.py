@@ -162,3 +162,63 @@ def cluster_canonicals(assigned: DataFrame, quality_col: str,
         F.max_by(F.col(id_col), order).alias("canonical_id"),
         F.max(F.col(quality_col)).alias("canonical_quality"),
     )
+
+
+def incremental_components(prev: DataFrame | None, new_edges: DataFrame,
+                           cfg: DedupeConfig | None = None) -> DataFrame:
+    """Update a cluster assignment with a batch of new edges, touching
+    only the AFFECTED subgraph — the 100 TB ingest path. A daily batch
+    of near-dup edges must not recompute connected components over the
+    10^12-edge history; only clusters containing an endpoint of a new
+    edge can change, so the update runs CC over
+
+        (members of affected clusters, as member→root star edges)
+        ∪ new edges
+
+    and every other assignment row passes through untouched. Work
+    scales with the affected subgraph (star edges are depth-1, so the
+    two-star loop converges in rounds set by the NEW edges' structure,
+    not history's). Labels are stable by construction: cluster_id is
+    the component's min node id (the invariant connected_components
+    maintains), so an untouched cluster keeps its id and merged
+    clusters deterministically adopt the smallest.
+
+    ``prev``: (file_id, cluster_id) with the min-id invariant — i.e.
+    the output of connected_components or a previous call of this
+    function (singletons welcome as self-rows). ``new_edges``:
+    (src, dst). New nodes appear via their edges; callers union back
+    edge-less new singletons, same contract as connected_components."""
+    cfg = cfg or DedupeConfig()
+    if prev is None:
+        return connected_components(new_edges, cfg)
+    touched = (
+        new_edges.select(F.col("src").alias("file_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("file_id")))
+        .distinct()
+    )
+    aff_roots = (
+        prev.join(touched, "file_id", "left_semi")
+        .select("cluster_id").distinct()
+    )
+    affected = prev.join(aff_roots, "cluster_id", "left_semi")
+    star = (
+        affected.select(F.col("file_id").alias("src"),
+                        F.col("cluster_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    sub_assign = connected_components(
+        star.unionByName(new_edges.select("src", "dst")), cfg)
+    untouched = prev.join(aff_roots, "cluster_id", "left_anti")
+    # sub_assign covers every affected member: multi-member clusters
+    # contribute their root as a star dst, and an affected singleton is
+    # by definition an endpoint of a new edge. The one degenerate gap —
+    # a touched singleton whose only new edges are self-loops (which
+    # connected_components drops) — keeps its previous assignment via
+    # the leftover anti-join; the three parts are disjoint by
+    # construction, so no dedup pass is needed.
+    leftover = affected.join(sub_assign.select("file_id"),
+                             "file_id", "left_anti")
+    return (
+        untouched.unionByName(sub_assign)
+        .unionByName(leftover.select("file_id", "cluster_id"))
+    )

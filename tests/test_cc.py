@@ -121,3 +121,71 @@ def test_cluster_canonicals_argmax_and_tiebreak(spark):
     plan = cluster_canonicals(df, "q")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "max_by" in plan
+
+
+def _assign_map(df):
+    return {r["file_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Randomized batches: folding edges in incrementally must equal
+    one CC over the union, at every step."""
+    import random
+
+    from dedupe_copy_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(1, 120))
+    batches = [[(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+               for _ in range(4)]
+    prev = None
+    seen = []
+    for edges in batches:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        prev = incremental_components(prev, df).localCheckpoint()
+        seen.extend(edges)
+        full = connected_components(
+            spark.createDataFrame(seen, "src long, dst long"))
+        assert _assign_map(prev) == _assign_map(full)
+
+
+def test_incremental_untouched_clusters_pass_through(spark):
+    from dedupe_copy_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 11), (11, 12)], "src long, dst long")
+    prev = connected_components(base)
+    # new edge touches only the {10,11,12} cluster
+    new = spark.createDataFrame([(12, 13)], "src long, dst long")
+    got = _assign_map(incremental_components(prev, new))
+    assert got[1] == got[2] == 1
+    assert got[3] == got[4] == 3
+    assert got[10] == got[11] == got[12] == got[13] == 10
+
+
+def test_incremental_merge_adopts_min_label(spark):
+    from dedupe_copy_spark.operators.cc import (
+        connected_components,
+        incremental_components,
+    )
+
+    prev = connected_components(spark.createDataFrame(
+        [(1, 2), (5, 6)], "src long, dst long"))
+    new = spark.createDataFrame([(2, 5)], "src long, dst long")
+    got = _assign_map(incremental_components(prev, new))
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1}
+
+
+def test_incremental_self_loop_singleton_survives(spark):
+    from dedupe_copy_spark.operators.cc import incremental_components
+
+    prev = spark.createDataFrame([(7, 7)], "file_id long, cluster_id long")
+    new = spark.createDataFrame([(7, 7)], "src long, dst long")
+    got = _assign_map(incremental_components(prev, new))
+    assert got == {7: 7}
