@@ -165,7 +165,8 @@ def cluster_canonicals(assigned: DataFrame, quality_col: str,
 
 
 def incremental_components(prev: DataFrame | None, new_edges: DataFrame,
-                           cfg: DedupeConfig | None = None) -> DataFrame:
+                           cfg: DedupeConfig | None = None,
+                           updated_only: bool = False) -> DataFrame:
     """Update a cluster assignment with a batch of new edges, touching
     only the AFFECTED subgraph — the 100 TB ingest path. A daily batch
     of near-dup edges must not recompute connected components over the
@@ -187,7 +188,13 @@ def incremental_components(prev: DataFrame | None, new_edges: DataFrame,
     the output of connected_components or a previous call of this
     function (singletons welcome as self-rows). ``new_edges``:
     (src, dst). New nodes appear via their edges; callers union back
-    edge-less new singletons, same contract as connected_components."""
+    edge-less new singletons, same contract as connected_components.
+
+    ``updated_only=True`` returns just the rows of affected clusters
+    (plus new nodes) instead of the full assignment — the DELTA a
+    streaming maintainer persists per batch, so per-batch write volume
+    scales with the affected subgraph, never the corpus
+    (streaming/cc_stream.py folds deltas by latest-batch-wins)."""
     cfg = cfg or DedupeConfig()
     if prev is None:
         return connected_components(new_edges, cfg)
@@ -218,7 +225,7 @@ def incremental_components(prev: DataFrame | None, new_edges: DataFrame,
     # construction, so no dedup pass is needed.
     leftover = affected.join(sub_assign.select("file_id"),
                              "file_id", "left_anti")
-    return (
-        untouched.unionByName(sub_assign)
-        .unionByName(leftover.select("file_id", "cluster_id"))
-    )
+    updated = sub_assign.unionByName(leftover.select("file_id", "cluster_id"))
+    if updated_only:
+        return updated
+    return untouched.unionByName(updated)

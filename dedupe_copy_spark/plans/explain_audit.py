@@ -38,6 +38,10 @@ CHECKS = {
          lambda p: "min_by" in p and "Window" not in p),
         ("partial min_by before exchange", lambda p: "partial_min_by" in p),
     ],
+    "cluster_best_pick": [
+        ("canonical selection is a max_by partial agg, not a window",
+         lambda p: "partial_max_by" in p and "Window" not in p),
+    ],
     "bloom_compare_exclude": [
         ("sketch words bit_or-aggregated with map-side partials",
          lambda p: "partial_bit_or" in p),

@@ -1,0 +1,126 @@
+"""Incremental cluster maintenance over an edge stream.
+
+The batch pipeline recomputes connected components over the full edge
+relation; a continuously ingesting pipeline cannot — a day's near-dup
+edges must not pay CC over the 10^12-edge history. This wrapper keeps
+the assignment current with operators/cc.py's incremental_components:
+each batch recomputes ONLY the clusters its edges touch and persists
+just those rows as a delta, so per-batch write volume scales with the
+affected subgraph, never the corpus.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite
+subdirectories — the same idempotent at-least-once replay contract as
+the other streaming modules):
+
+    deltas/batch_id=N/   (file_id, cluster_id) rows whose assignment
+                         was (re)computed by batch N — affected
+                         clusters' members plus batch-N-new nodes
+
+The current assignment folds deltas by LATEST-BATCH-WINS per file_id
+(one max_by aggregation — no ordering assumptions beyond batch_id).
+Replay is idempotent because a replayed batch reads the assignment of
+STRICTLY EARLIER batches only, recomputes the identical delta, and
+overwrites its own subdirectory. ``compact`` folds history into one
+base delta (the materialized assignment), preserving every reader's
+answer and bounding the fold's read fan-in.
+
+Label stability carries over from incremental_components: cluster_id
+is always the component's min node id, so untouched clusters keep
+their ids across batches — downstream consumers (shard packing,
+canonical picks) see stable keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.cc import incremental_components
+
+
+class IncrementalClusters:
+    """Accumulated cluster assignment maintained from edge batches."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.deltas_path = f"{out_dir}/deltas"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.deltas_path)
+        except Exception:
+            return None
+
+    def _fold(self, deltas: DataFrame) -> DataFrame:
+        """Latest-batch-wins per file_id."""
+        return deltas.groupBy("file_id").agg(
+            F.max_by("cluster_id", "batch_id").alias("cluster_id"))
+
+    def assignment_before(self, batch_id: int) -> DataFrame | None:
+        deltas = self._read_state()
+        if deltas is None:
+            return None
+        if "batch_id" in deltas.columns:
+            deltas = deltas.filter(F.col("batch_id") < batch_id)
+        return self._fold(deltas)
+
+    # -- per-batch work ------------------------------------------------------
+
+    def process_batch(self, edges: DataFrame, batch_id: int) -> None:
+        prev = self.assignment_before(batch_id)
+        if prev is None:
+            delta = incremental_components(None, edges)
+        else:
+            delta = incremental_components(prev.localCheckpoint(), edges,
+                                           updated_only=True)
+        delta.write.mode("overwrite").parquet(
+            f"{self.deltas_path}/batch_id={batch_id}")
+
+    # -- read-side views ------------------------------------------------------
+
+    def current(self) -> DataFrame:
+        """(file_id, cluster_id) as of the latest committed batch."""
+        deltas = self._read_state()
+        if deltas is None:
+            return self.spark.createDataFrame(
+                [], "file_id long, cluster_id long")
+        return self._fold(deltas)
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold delta history into one base subdir holding the
+        materialized assignment (id real batches never use). The fold
+        is the same latest-wins aggregation every reader applies, so
+        answers are unchanged. Run only between triggers after the
+        stream checkpoint committed the folded batches."""
+        import os
+        import shutil
+
+        deltas = self._read_state()
+        if deltas is None:
+            return
+        folded = self._fold(deltas)
+        tmp = f"{self.out_dir}/_deltas_compact"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.deltas_path)
+        os.makedirs(self.deltas_path, exist_ok=True)
+        shutil.move(tmp, f"{self.deltas_path}/batch_id={into_batch_id}")
+
+    # -- stream wiring ------------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream
+            .schema("src long, dst long")
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

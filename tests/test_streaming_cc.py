@@ -1,0 +1,84 @@
+"""Streaming cluster maintenance: the folded assignment must equal a
+full CC recompute over all edges so far at every step, deltas must
+scale with the affected subgraph, and replay/compaction must preserve
+answers."""
+
+import time
+
+from dedupe_copy_spark.operators.cc import connected_components
+from dedupe_copy_spark.streaming.cc_stream import IncrementalClusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _amap(df):
+    return {r["file_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_current_equals_full_recompute_each_step(spark, tmp_path):
+    job = IncrementalClusters(spark, str(tmp_path / "cc"))
+    batches = [
+        [(1, 2), (3, 4)],
+        [(5, 6), (2, 3)],          # merges {1,2} with {3,4}
+        [(10, 11)],
+        [(6, 10), (20, 21)],       # merges {5,6} with {10,11}
+    ]
+    seen = []
+    for n, pairs in enumerate(batches):
+        job.process_batch(_edges(spark, pairs), n)
+        seen.extend(pairs)
+        want = _amap(connected_components(_edges(spark, seen)))
+        assert _amap(job.current()) == want
+
+
+def test_deltas_scale_with_affected_subgraph(spark, tmp_path):
+    job = IncrementalClusters(spark, str(tmp_path / "cc2"))
+    job.process_batch(_edges(spark, [(i, i + 1) for i in range(0, 100, 2)]), 0)
+    # batch 1 touches exactly one existing cluster {0,1} plus new nodes
+    job.process_batch(_edges(spark, [(1, 200), (300, 301)]), 1)
+    delta1 = spark.read.parquet(f"{job.deltas_path}/batch_id=1")
+    got = {r["file_id"] for r in delta1.collect()}
+    assert got == {0, 1, 200, 300, 301}   # not the other 49 clusters
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    job = IncrementalClusters(spark, str(tmp_path / "cc3"))
+    job.process_batch(_edges(spark, [(1, 2)]), 0)
+    job.process_batch(_edges(spark, [(2, 3)]), 1)
+    before = _amap(job.current())
+    job.process_batch(_edges(spark, [(1, 2)]), 0)   # replayed batch 0
+    assert _amap(job.current()) == before
+
+
+def test_compact_preserves_assignment(spark, tmp_path):
+    job = IncrementalClusters(spark, str(tmp_path / "cc4"))
+    job.process_batch(_edges(spark, [(1, 2), (4, 5)]), 0)
+    job.process_batch(_edges(spark, [(2, 4)]), 1)
+    before = _amap(job.current())
+    job.compact()
+    assert _amap(job.current()) == before
+    job.process_batch(_edges(spark, [(5, 9)]), 2)
+    want = _amap(connected_components(
+        _edges(spark, [(1, 2), (4, 5), (2, 4), (5, 9)])))
+    assert _amap(job.current()) == want
+
+
+def test_end_to_end_readstream(spark, tmp_path):
+    watch = str(tmp_path / "incoming")
+    _edges(spark, [(1, 2), (3, 4)]).coalesce(1) \
+        .write.mode("append").parquet(watch)
+    job = IncrementalClusters(spark, str(tmp_path / "cc5"))
+    q = job.start(watch)
+    q.awaitTermination(120)
+    deadline = time.time() + 30
+    while time.time() < deadline and job.current().count() == 0:
+        time.sleep(1)
+    _edges(spark, [(2, 3)]).coalesce(1) \
+        .write.mode("append").parquet(watch)
+    q2 = job.start(watch)
+    q2.awaitTermination(120)
+    time.sleep(1)
+    got = _amap(job.current())
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
