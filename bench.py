@@ -86,6 +86,8 @@ HEADLINE = [
     "media_dedupe_gif",
     # round 3 cont.: pure-Catalyst bloom prefilter (exactness-checked)
     "bloom_compare_exclude",
+    # round 3 cont.: credential scan over seeded source docs (codegen)
+    "secret_scan",
 ]
 
 

@@ -340,6 +340,40 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# Credential material a source-code corpus must not ship into training:
+# cloud access keys, forge/chat-service tokens, PEM private-key blocks.
+# Same Java∩RE2 discipline as PII_PATTERNS. Shapes follow the public
+# formats (AWS access key IDs are 'AKIA'+16 base32-ish chars; GitHub
+# fine-scoped tokens are 'ghp_'+36 alnum; Slack bot/user tokens are
+# 'xox?-...'); production swaps in its full detector set.
+SECRET_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("github_token", r"\bghp_[A-Za-z0-9]{36}\b", "<GH_TOKEN>"),
+    ("private_key", r"-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----",
+     "<PRIVATE_KEY>"),
+    ("slack_token", r"\bxox[baprs]-[0-9A-Za-z-]{10,48}\b",
+     "<SLACK_TOKEN>"),
+)
+
+
+def secret_scan(docs: DataFrame, text_col: str = "text",
+                patterns: tuple[tuple[str, str, str], ...] = SECRET_PATTERNS,
+                ) -> DataFrame:
+    """Secret/credential scan over a source-code corpus: per-kind hit
+    counts, a redacted rewrite, and a composite ``has_secret`` gate —
+    the code-corpus sibling of :func:`redact_pii` (which it reuses, so
+    both stay one pure-codegen regexp chain: narrow scan, no shuffle,
+    no Python). Rows with ``has_secret`` feed either a drop filter or
+    the redacted column, the two standard policies for leaked
+    credentials in training data."""
+    out = redact_pii(docs, text_col=text_col, patterns=patterns)
+    flag = None
+    for name, _, _ in patterns:
+        hit = F.col(f"n_{name}") > 0
+        flag = hit if flag is None else (flag | hit)
+    return out.withColumn("has_secret", flag)
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text",
                patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
                ) -> DataFrame:
