@@ -86,8 +86,9 @@ HEADLINE = [
     "media_dedupe_gif",
     # round 3 cont.: pure-Catalyst bloom prefilter (exactness-checked)
     "bloom_compare_exclude",
-    # round 3 cont.: credential scan over seeded source docs (codegen)
+    # round 3 cont.: credential + license scans over seeded docs (codegen)
     "secret_scan",
+    "license_scan",
 ]
 
 

@@ -356,6 +356,50 @@ SECRET_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# Distinctive header phrases of the license families that dominate
+# public source code (checked in declaration order — first match wins);
+# an explicit SPDX tag always overrides the phrase heuristic. Phrases
+# are exact substrings (no regex) so both engines compare bytes.
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("MIT", "Permission is hereby granted, free of charge"),
+    ("Apache-2.0", "Licensed under the Apache License, Version 2.0"),
+    ("GPL", "GNU General Public License"),
+    ("BSD", "Redistribution and use in source and binary forms"),
+)
+SPDX_PATTERN = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+PERMISSIVE_LICENSES = ("MIT", "Apache-2.0", "BSD", "BSD-2-Clause",
+                       "BSD-3-Clause", "ISC", "Unlicense")
+
+
+def license_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """License detection over a source-code corpus: extract the SPDX
+    tag when present, else classify by distinctive header phrase, and
+    flag permissive licenses (the usual keep-gate for training data;
+    copyleft/unknown rows route to review or removal). Pure codegen —
+    one regexp_extract + a contains CASE chain, no shuffle, no Python.
+
+    Adds ``spdx_id`` ('' when untagged), ``header_guess`` ('' when no
+    phrase matches), ``license_id`` (SPDX > phrase > 'unknown'), and
+    ``permissive`` (license_id ∈ PERMISSIVE_LICENSES)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    spdx = F.regexp_extract(text, SPDX_PATTERN, 1)
+    guess = None
+    for name, phrase in LICENSE_PHRASES:
+        cond = F.contains(text, F.lit(phrase))
+        guess = F.when(cond, name) if guess is None else guess.when(cond, name)
+    guess = guess.otherwise("")
+    license_id = (F.when(spdx != "", spdx)
+                  .when(guess != "", guess)
+                  .otherwise("unknown"))
+    return docs.select(
+        *docs.columns,
+        spdx.alias("spdx_id"),
+        guess.alias("header_guess"),
+        license_id.alias("license_id"),
+        license_id.isin(*PERMISSIVE_LICENSES).alias("permissive"),
+    )
+
+
 def secret_scan(docs: DataFrame, text_col: str = "text",
                 patterns: tuple[tuple[str, str, str], ...] = SECRET_PATTERNS,
                 ) -> DataFrame:

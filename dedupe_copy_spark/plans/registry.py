@@ -2231,6 +2231,79 @@ def pii_redaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_redacted", "n_email", "n_phone", "n_ipv4")
 
 
+@register("license_scan", r"""
+WITH seeded AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+              || '// SPDX-License-Identifier: '
+              || CASE WHEN doc_id % 2 = 0 THEN 'MIT' ELSE 'Apache-2.0' END
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+              || '/* Permission is hereby granted, free of charge */'
+            ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+              || '/* GNU General Public License */'
+            ELSE '' END AS text
+  FROM documents
+), scanned AS (
+  SELECT doc_id,
+         regexp_extract(text,
+             'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) AS spdx_id,
+         CASE
+           WHEN contains(text, 'Permission is hereby granted, free of charge')
+             THEN 'MIT'
+           WHEN contains(text,
+               'Licensed under the Apache License, Version 2.0')
+             THEN 'Apache-2.0'
+           WHEN contains(text, 'GNU General Public License') THEN 'GPL'
+           WHEN contains(text,
+               'Redistribution and use in source and binary forms')
+             THEN 'BSD'
+           ELSE '' END AS header_guess
+  FROM seeded
+), resolved AS (
+  SELECT doc_id, spdx_id, header_guess,
+         CASE WHEN spdx_id <> '' THEN spdx_id
+              WHEN header_guess <> '' THEN header_guess
+              ELSE 'unknown' END AS license_id
+  FROM scanned
+)
+SELECT doc_id, spdx_id, header_guess, license_id,
+       license_id IN ('MIT', 'Apache-2.0', 'BSD', 'BSD-2-Clause',
+                      'BSD-3-Clause', 'ISC', 'Unlicense') AS permissive
+FROM resolved
+""")
+def license_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection over deterministically seeded source docs:
+    doc_id%3==0 rows get an SPDX tag (MIT or Apache-2.0 by parity),
+    %5==0 rows an MIT header phrase, %7==0 a GPL phrase — so the
+    fixture exercises SPDX-overrides-phrase, first-phrase-wins, and
+    'unknown' on untouched residues. Pure codegen (regexp_extract +
+    contains CASE chain); DuckDB replays it byte-for-byte."""
+    from dedupe_copy_spark.operators.corpus import license_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(did % 3 == 0, F.concat(
+                F.lit("\n// SPDX-License-Identifier: "),
+                F.when(did % 2 == 0, F.lit("MIT"))
+                .otherwise(F.lit("Apache-2.0")))).otherwise(""),
+            F.when(did % 5 == 0,
+                   F.lit("\n/* Permission is hereby granted, "
+                         "free of charge */")).otherwise(""),
+            F.when(did % 7 == 0,
+                   F.lit("\n/* GNU General Public License */"))
+            .otherwise(""),
+        ).alias("text"))
+    return license_scan(seeded).select(
+        "doc_id", "spdx_id", "header_guess", "license_id", "permissive")
+
+
 _SEC_AWS = r"\bAKIA[0-9A-Z]{16}\b"
 _SEC_GH = r"\bghp_[A-Za-z0-9]{36}\b"
 _SEC_PEM = r"-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----"

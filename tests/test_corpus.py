@@ -280,6 +280,27 @@ def test_redact_pii_counts_and_rewrite(spark):
     assert out[3].text_redacted == ""  # NULL text = empty
 
 
+def test_license_scan_resolution_order(spark):
+    mit = "Permission is hereby granted, free of charge"
+    gpl = "GNU General Public License"
+    docs = spark.createDataFrame(
+        [(1, f"// SPDX-License-Identifier: BSD-3-Clause\n{mit}"),  # SPDX wins
+         (2, f"{mit}\nand later {gpl}"),   # first phrase wins
+         (3, f"something {gpl} something"),
+         (4, "no license text at all"),
+         (5, None),
+         (6, "// SPDX-License-Identifier: GPL-3.0-only")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.license_scan(docs).collect()}
+    assert out[1].license_id == "BSD-3-Clause" and out[1].permissive is True
+    assert out[1].header_guess == "MIT"       # recorded, but overridden
+    assert out[2].license_id == "MIT" and out[2].permissive is True
+    assert out[3].license_id == "GPL" and out[3].permissive is False
+    assert out[4].license_id == "unknown" and out[4].permissive is False
+    assert out[5].license_id == "unknown" and out[5].spdx_id == ""
+    assert out[6].license_id == "GPL-3.0-only" and out[6].permissive is False
+
+
 def test_secret_scan_detects_and_redacts(spark):
     docs = spark.createDataFrame(
         [(1, "key = AKIA" + "A1B2C3D4E5F6G7H8"
