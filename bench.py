@@ -89,6 +89,7 @@ HEADLINE = [
     # round 3 cont.: credential + license scans over seeded docs (codegen)
     "secret_scan",
     "license_scan",
+    "encoding_sanity",
 ]
 
 

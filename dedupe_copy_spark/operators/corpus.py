@@ -356,6 +356,42 @@ SECRET_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def encoding_sanity(docs: DataFrame, text_col: str = "text",
+                    max_line_chars: int = 10_000,
+                    blob_run: int = 200) -> DataFrame:
+    """Encoding/binary sanity gate: the filter every text pipeline runs
+    before any modeling — catches binary junk mis-decoded as text
+    (control bytes), lossy transcodes (U+FFFD replacement chars),
+    base64/hex blobs embedded in source, and minified one-liners.
+    Pure codegen (regexp counts + a line-length fold), no shuffle.
+
+    Adds ``n_control`` (C0 control chars excluding tab/LF/CR),
+    ``n_replacement`` (U+FFFD count), ``n_blob_runs`` (runs of ≥
+    `blob_run` base64-alphabet chars), ``max_line_len``, and the
+    composite ``is_texty`` keep gate."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # the replacement char is embedded literally (not as an escape) so
+    # the same pattern string works in Java regex AND DuckDB's RE2
+    n_control = F.size(F.regexp_extract_all(
+        text, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"), 0)).cast("long")
+    n_replacement = F.size(F.regexp_extract_all(
+        text, F.lit("�"), 0)).cast("long")
+    n_blob = F.size(F.regexp_extract_all(
+        text, F.lit(rf"[A-Za-z0-9+/=]{{{blob_run},}}"), 0)).cast("long")
+    max_line = F.coalesce(
+        F.array_max(F.transform(F.split(text, "\n"), F.length)),
+        F.lit(0)).cast("long")
+    return docs.select(
+        *docs.columns,
+        n_control.alias("n_control"),
+        n_replacement.alias("n_replacement"),
+        n_blob.alias("n_blob_runs"),
+        max_line.alias("max_line_len"),
+        ((n_control == 0) & (n_replacement == 0) & (n_blob == 0)
+         & (max_line <= max_line_chars)).alias("is_texty"),
+    )
+
+
 # Distinctive header phrases of the license families that dominate
 # public source code (checked in declaration order — first match wins);
 # an explicit SPDX tag always overrides the phrase heuristic. Phrases

@@ -2231,6 +2231,72 @@ def pii_redaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_redacted", "n_email", "n_phone", "n_ipv4")
 
 
+@register("encoding_sanity", r"""
+WITH seeded AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 4 = 0 THEN chr(1) || chr(2) || chr(27)
+            ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'bad ' || chr(65533)
+              || ' transcode'
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'blob = '
+              || repeat(substr(md5(CAST(doc_id AS VARCHAR)), 1, 10), 25)
+            ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN chr(10)
+              || repeat('min;', 3000)
+            ELSE '' END AS text
+  FROM documents
+), scanned AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+         CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+           AS n_replacement,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9+/=]{200,}'))
+              AS BIGINT) AS n_blob_runs,
+         CAST(coalesce(list_max(list_transform(
+             string_split(text, chr(10)), x -> len(x))), 0) AS BIGINT)
+           AS max_line_len
+  FROM seeded
+)
+SELECT doc_id, n_control, n_replacement, n_blob_runs, max_line_len,
+       (n_control = 0 AND n_replacement = 0 AND n_blob_runs = 0
+        AND max_line_len <= 10000) AS is_texty
+FROM scanned
+""")
+def encoding_sanity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/binary sanity gate over deterministically corrupted
+    docs: doc_id%4==0 rows get C0 control bytes, %6==0 a U+FFFD
+    replacement char, %5==0 a 250-char base64-alphabet blob, %9==0 a
+    12,000-char minified line — so every rule fires on its own residue
+    set and is_texty is true exactly on the untouched rows. Pure
+    codegen; DuckDB replays the counts byte-for-byte."""
+    from dedupe_copy_spark.operators.corpus import encoding_sanity
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(did % 4 == 0,
+                   F.lit("\x01\x02\x1b")).otherwise(""),
+            F.when(did % 6 == 0,
+                   F.lit("\nbad � transcode")).otherwise(""),
+            F.when(did % 5 == 0, F.concat(
+                F.lit("\nblob = "),
+                F.repeat(F.substring(
+                    F.md5(did.cast("string").cast("binary")), 1, 10),
+                    25))).otherwise(""),
+            F.when(did % 9 == 0, F.concat(
+                F.lit("\n"), F.repeat(F.lit("min;"), 3000))).otherwise(""),
+        ).alias("text"))
+    return encoding_sanity(seeded).select(
+        "doc_id", "n_control", "n_replacement", "n_blob_runs",
+        "max_line_len", "is_texty")
+
+
 @register("license_scan", r"""
 WITH seeded AS (
   SELECT doc_id,

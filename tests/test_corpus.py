@@ -280,6 +280,26 @@ def test_redact_pii_counts_and_rewrite(spark):
     assert out[3].text_redacted == ""  # NULL text = empty
 
 
+def test_encoding_sanity_rules(spark):
+    docs = spark.createDataFrame(
+        [(1, "clean source\nreturn 0"),
+         (2, "binary junk \x00\x07 here"),
+         (3, "lossy � transcode"),
+         (4, "data = " + "QUJD" * 60),          # 240-char base64 run
+         (5, "x" * 10_001),                      # minified one-liner
+         (6, None),
+         (7, "tabs\tand\nnewlines are fine\r")],  # \t \n \r NOT control
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.encoding_sanity(docs).collect()}
+    assert out[1].is_texty is True and out[1].max_line_len == 12
+    assert out[2].n_control == 2 and out[2].is_texty is False
+    assert out[3].n_replacement == 1 and out[3].is_texty is False
+    assert out[4].n_blob_runs == 1 and out[4].is_texty is False
+    assert out[5].max_line_len == 10_001 and out[5].is_texty is False
+    assert out[6].is_texty is True and out[6].max_line_len == 0
+    assert out[7].n_control == 0 and out[7].is_texty is True
+
+
 def test_license_scan_resolution_order(spark):
     mit = "Permission is hereby granted, free of charge"
     gpl = "GNU General Public License"
