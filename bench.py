@@ -90,6 +90,8 @@ HEADLINE = [
     "secret_scan",
     "license_scan",
     "encoding_sanity",
+    # round 3 cont.: leakage-safe deterministic train/valid/test split
+    "dataset_split",
 ]
 
 

@@ -185,6 +185,64 @@ def sample_threshold(rate: float) -> str:
     return format(int(rate * 16 ** 8), "08x")
 
 
+def dataset_split(docs: DataFrame,
+                  splits: tuple[tuple[str, float], ...] = (
+                      ("train", 0.9), ("valid", 0.05), ("test", 0.05)),
+                  key_col: str = "doc_id",
+                  split_col: str = "split") -> DataFrame:
+    """Deterministic train/valid/test assignment by cumulative md5-hex
+    thresholds over the row key (the ``hash_sample`` trick extended from
+    one boundary to a CASE ladder). Three properties a training pipeline
+    needs that ``DataFrame.randomSplit`` cannot give:
+
+      (a) leakage-safe under corpus growth — membership depends only on
+          md5(key), so adding or removing OTHER rows never moves an
+          existing doc across splits (randomSplit reshuffles everything,
+          silently leaking yesterday's test docs into today's train);
+      (b) engine-portable — the DuckDB oracle replays the identical
+          CASE ladder byte-for-byte (md5 hex is md5 hex everywhere);
+      (c) monotone — growing an earlier split's fraction only promotes
+          docs forward across the moved boundary (train(0.8) is a
+          subset of train(0.9)); it never swaps train and test docs.
+
+    NULL keys hash as md5('') via coalesce — one fixed, documented
+    bucket on both engines, not an engine-dependent NULL comparison.
+    Pure codegen projection: one scan, zero exchanges."""
+    if len(splits) < 2:
+        raise ValueError(f"need at least 2 splits, got {len(splits)}")
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    fracs = [f for _, f in splits]
+    if any(f <= 0.0 for f in fracs):
+        raise ValueError(f"all split fractions must be > 0, got {fracs}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    hexkey = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
+    expr, cum = None, 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = hexkey < F.lit(sample_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(splits[-1][0])
+    return docs.withColumn(split_col, expr)
+
+
+def dataset_split_case_sql(splits: tuple[tuple[str, float], ...],
+                           key_sql: str) -> str:
+    """The oracle-side CASE ladder for ``dataset_split``, generated from
+    the SAME Python thresholds the operator compiles into its plan — the
+    boundary literals are shared, not re-derived, so the two engines
+    cannot round differently."""
+    arms, cum = [], 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        arms.append(f"WHEN md5(coalesce({key_sql}, '')) "
+                    f"< '{sample_threshold(cum)}' THEN '{name}'")
+    return ("CASE " + " ".join(arms)
+            + f" ELSE '{splits[-1][0]}' END")
+
+
 def quality_filter(docs: DataFrame, text_col: str = "text",
                    min_tokens: int = 16, max_avg_token_len: float = 12.0,
                    stop_words: tuple[str, ...] = ("the", "and", "of", "to",

@@ -140,6 +140,13 @@ CHECKS = {
         ("pure codegen filter — single stage, zero exchanges",
          lambda p: "Exchange" not in p and "EvalPython" not in p),
     ],
+    "dataset_split": [
+        ("pure codegen projection — single stage, zero exchanges",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+        ("column-pruned scan (only doc_id, source read)",
+         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,source:string>", p)
+         or re.search(r"ReadSchema: struct<source:string,doc_id:bigint>", p)),
+    ],
     "encoding_sanity": [
         ("pure codegen scan — zero exchanges, no python",
          lambda p: "Exchange" not in p and "EvalPython" not in p),

@@ -2006,6 +2006,36 @@ def hash_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, rate=0.25).select("doc_id", "lang", "source")
 
 
+# The registered split spec — one literal shared by the Spark operator
+# and the oracle CASE ladder (thresholds derived once, in Python).
+_SPLIT_SPEC = (("train", 0.9), ("valid", 0.05), ("test", 0.05))
+
+
+def _split_oracle_sql() -> str:
+    from dedupe_copy_spark.operators.corpus import dataset_split_case_sql
+
+    case = dataset_split_case_sql(_SPLIT_SPEC, "CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, source, {case} AS split FROM documents
+"""
+
+
+@register("dataset_split", _split_oracle_sql())
+def dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test assignment by cumulative
+    md5-hex thresholds on the doc key: leakage-safe under corpus growth
+    (membership depends only on md5(key), so new data never reshuffles
+    existing docs across splits — the property randomSplit lacks),
+    monotone in the boundaries, and replayed byte-for-byte by the
+    DuckDB oracle from the same threshold literals. Pure codegen
+    projection — one scan, zero exchanges."""
+    from dedupe_copy_spark.operators.corpus import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_split(docs, _SPLIT_SPEC).select(
+        "doc_id", "source", "split")
+
+
 # Domain-mix weights for the registered query: even-numbered sources
 # upweighted 3:1 over odd ones. BOTH the Spark literal table and the
 # oracle VALUES clause are generated from this one dict (normalized in

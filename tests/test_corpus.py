@@ -573,3 +573,54 @@ def test_domain_mix_sample_rejects_bad_weights(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with _pytest.raises(ValueError):
         domain_mix_sample(docs, {"src0": -1.0, "src1": 1.0}, 10)
+
+
+def test_dataset_split_partition_and_stability(spark):
+    docs = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    out = corpus.dataset_split(docs).collect()
+    assert len(out) == 3000                       # projection: no drops
+    by = {}
+    for r in out:
+        by.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by) == {"train", "valid", "test"}  # exhaustive + disjoint
+    assert sum(len(v) for v in by.values()) == 3000
+    # realized fractions near 90/5/5 (binomial margins at n=3000)
+    assert 0.86 < len(by["train"]) / 3000 < 0.94
+    assert 0.02 < len(by["valid"]) / 3000 < 0.08
+    assert 0.02 < len(by["test"]) / 3000 < 0.08
+    # leakage safety: assignment on a shrunk corpus is the restriction
+    # of the full assignment — other rows never move a doc's split
+    sub = corpus.dataset_split(docs.filter(F.col("doc_id") % 3 == 0))
+    for r in sub.collect():
+        for name, members in by.items():
+            if r.doc_id in members:
+                assert r.split == name
+    # stability under repartitioning
+    re = {r.doc_id: r.split
+          for r in corpus.dataset_split(docs.repartition(17)).collect()}
+    full = {r.doc_id: r.split for r in out}
+    assert re == full
+
+
+def test_dataset_split_monotone_boundaries(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    t80 = {r.doc_id for r in corpus.dataset_split(
+        docs, (("train", 0.8), ("rest", 0.2))).collect() if r.split == "train"}
+    t90 = {r.doc_id for r in corpus.dataset_split(
+        docs, (("train", 0.9), ("rest", 0.1))).collect() if r.split == "train"}
+    assert t80 <= t90                             # growing only promotes
+
+
+def test_dataset_split_null_key_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(None, "x"), (1, "y")], "doc_id long, text string")
+    rows = {r.text: r.split for r in corpus.dataset_split(docs).collect()}
+    assert rows["x"] in {"train", "valid", "test"}   # NULL key: md5('')
+    # md5('') = d41d8cd9... >= f3333333 is false; 'd41...' < 'e66' train
+    assert rows["x"] == "train"
+    for bad in [(("only", 1.0),),
+                (("a", 0.5), ("a", 0.5)),
+                (("a", 0.5), ("b", 0.6)),
+                (("a", 0.0), ("b", 1.0))]:
+        with pytest.raises(ValueError):
+            corpus.dataset_split(docs, bad)
