@@ -92,6 +92,8 @@ HEADLINE = [
     "encoding_sanity",
     # round 3 cont.: leakage-safe deterministic train/valid/test split
     "dataset_split",
+    # round 3 cont.: URL/link-density + domain-blocklist gate
+    "url_scan",
 ]
 
 

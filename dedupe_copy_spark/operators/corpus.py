@@ -450,6 +450,49 @@ def encoding_sanity(docs: DataFrame, text_col: str = "text",
     )
 
 
+# URL grammar shared by the operator and the oracle: scheme + a
+# lowercase host (group 1) + an optional path. The alphabet is the
+# Java-regex ∩ RE2 subset, so DuckDB replays it byte-for-byte.
+URL_PATTERN = r"https?://([a-z0-9.-]+)(?:/[^\s]*)?"
+DEFAULT_URL_BLOCKLIST = ("spam.example", "ads.example")
+
+
+def url_scan(docs: DataFrame, text_col: str = "text",
+             blocklist: tuple[str, ...] = DEFAULT_URL_BLOCKLIST,
+             max_link_density: float = 0.5) -> DataFrame:
+    """URL/link hygiene gate (the RefinedWeb-style pre-filter): count
+    links, count distinct domains, compute link density against the
+    token count, and flag docs whose links hit a domain blocklist.
+    Emits every row with per-rule columns and a composite ``keep`` —
+    the caller filters, rejected rows stay inspectable. Pure codegen
+    (regexp_extract_all + array ops), no shuffle, no Python.
+
+    Adds ``n_urls``, ``n_domains`` (distinct), ``link_density``
+    (n_urls / tokens, rounded to 6 so both engines compare equal
+    doubles), ``has_blocked`` (any extracted domain exactly equal to a
+    blocklist entry — byte equality, not regex, so no escaping
+    hazards), and ``keep`` (no blocked domain and density within
+    bounds)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    domains = F.regexp_extract_all(text, F.lit(URL_PATTERN), 1)
+    n_urls = F.size(domains).cast("long")
+    n_domains = F.size(F.array_distinct(domains)).cast("long")
+    n_tokens = F.size(_tokens(F.col(text_col)))
+    density = F.round(
+        n_urls.cast("double") / F.greatest(n_tokens, F.lit(1)), 6)
+    blocked = F.arrays_overlap(
+        F.array_distinct(domains),
+        F.array(*[F.lit(d) for d in blocklist]))
+    return docs.select(
+        *docs.columns,
+        n_urls.alias("n_urls"),
+        n_domains.alias("n_domains"),
+        density.alias("link_density"),
+        blocked.alias("has_blocked"),
+        (~blocked & (density <= F.lit(max_link_density))).alias("keep"),
+    )
+
+
 # Distinctive header phrases of the license families that dominate
 # public source code (checked in declaration order — first match wins);
 # an explicit SPDX tag always overrides the phrase heuristic. Phrases

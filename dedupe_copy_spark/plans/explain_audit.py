@@ -154,6 +154,13 @@ CHECKS = {
          lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
          or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
     ],
+    "url_scan": [
+        ("pure codegen scan — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+        ("column-pruned scan (only doc_id, text read)",
+         lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+         or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
+    ],
     "license_scan": [
         ("pure codegen scan — zero exchanges, no python",
          lambda p: "Exchange" not in p and "EvalPython" not in p),

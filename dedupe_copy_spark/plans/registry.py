@@ -2327,6 +2327,82 @@ def encoding_sanity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_line_len", "is_texty")
 
 
+def _url_scan_oracle_sql() -> str:
+    from dedupe_copy_spark.operators.corpus import (DEFAULT_URL_BLOCKLIST,
+                                                    URL_PATTERN)
+
+    block = ", ".join(f"'{d}'" for d in DEFAULT_URL_BLOCKLIST)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 2 = 0 THEN chr(10)
+              || 'see https://code.example/r' || CAST(doc_id AS VARCHAR)
+            ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+              || 'ref https://spam.example/x'
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+              || 'mirror https://pkg.example/p'
+            ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+              || 'again https://code.example/dup'
+            ELSE '' END AS text
+  FROM documents
+), scanned AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{URL_PATTERN}', 1) AS domains,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+              AS BIGINT) AS n_tokens
+  FROM seeded
+), derived AS (
+  SELECT doc_id,
+         CAST(len(domains) AS BIGINT) AS n_urls,
+         CAST(len(list_distinct(domains)) AS BIGINT) AS n_domains,
+         round(CAST(len(domains) AS DOUBLE) / greatest(n_tokens, 1), 6)
+           AS link_density,
+         list_has_any(list_distinct(domains), [{block}]) AS has_blocked
+  FROM scanned
+)
+SELECT doc_id, n_urls, n_domains, link_density, has_blocked,
+       (NOT has_blocked AND link_density <= 0.5) AS keep
+FROM derived
+"""
+
+
+@register("url_scan", _url_scan_oracle_sql())
+def url_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/link hygiene gate over deterministically seeded docs: each
+    doc_id residue class plants its own link pattern (%2 a code.example
+    URL with a per-doc path, %3 a blocklisted spam.example link, %5 a
+    second domain, %7 a repeat of code.example so n_urls and n_domains
+    diverge) — counts vary 0-4, the distinct-domain count exercises
+    dedup inside the row, and has_blocked fires exactly on the %3
+    residues. Pure codegen regexp + array ops sharing one pattern
+    literal with the DuckDB oracle."""
+    from dedupe_copy_spark.operators.corpus import url_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(did % 2 == 0, F.concat(
+                F.lit("\nsee https://code.example/r"),
+                did.cast("string"))).otherwise(""),
+            F.when(did % 3 == 0,
+                   F.lit("\nref https://spam.example/x")).otherwise(""),
+            F.when(did % 5 == 0,
+                   F.lit("\nmirror https://pkg.example/p")).otherwise(""),
+            F.when(did % 7 == 0,
+                   F.lit("\nagain https://code.example/dup")).otherwise(""),
+        ).alias("text"))
+    return url_scan(seeded).select(
+        "doc_id", "n_urls", "n_domains", "link_density", "has_blocked",
+        "keep")
+
+
 @register("license_scan", r"""
 WITH seeded AS (
   SELECT doc_id,

@@ -624,3 +624,27 @@ def test_dataset_split_null_key_and_validation(spark):
                 (("a", 0.0), ("b", 1.0))]:
         with pytest.raises(ValueError):
             corpus.dataset_split(docs, bad)
+
+
+def test_url_scan_counts_density_and_blocklist(spark):
+    docs = _docs(spark, [
+        (1, "go https://a.example/x then https://b.example/y?q=1 end"),
+        (2, "dup https://a.example/one https://a.example/two"),
+        (3, "bad https://spam.example/track plus text here"),
+        (4, "no links at all"),
+        (5, None),
+    ])
+    out = {r.doc_id: r for r in corpus.url_scan(docs).collect()}
+    assert (out[1].n_urls, out[1].n_domains) == (2, 2)
+    assert (out[2].n_urls, out[2].n_domains) == (2, 1)   # distinct inside row
+    assert out[3].has_blocked and not out[3].keep
+    assert not out[1].has_blocked and out[1].keep
+    assert (out[4].n_urls, out[4].has_blocked, out[4].keep) == (0, False, True)
+    assert (out[5].n_urls, out[5].keep) == (0, True)     # NULL text = empty
+    # density math: doc 2 tokens = dup,https,a,example,one,https,a,
+    # example,two = 9; 2 urls / 9 tokens
+    assert out[2].link_density == round(2 / 9, 6)
+    # density gate: same doc fails a stricter bound
+    strict = {r.doc_id: r for r in
+              corpus.url_scan(docs, max_link_density=0.1).collect()}
+    assert not strict[2].keep and strict[4].keep
