@@ -1,0 +1,129 @@
+"""Character-bigram language-model quality scoring (CCNet-style).
+
+CCNet / RefinedWeb / Dolma all gate web text on an n-gram LM
+perplexity score: train a small LM on a trusted slice, score every
+document, keep the low-perplexity head. This module implements that
+pattern Spark-first over the reference's file/text data model
+(/root/reference/dedupe_copy/threads.py:403-425 hashes whole files;
+this scores their *content* so the pipeline can rank, not just group):
+
+- ``train_char_bigram_lm``: bigram + continuation counts over a
+  training slice. Both model relations are bounded by the alphabet
+  (|Σ|² rows at most — a few thousand for real text), so at 100 TB
+  they are still AQE-broadcast tables; the only corpus-sized work is
+  one explode + hash aggregation per training pass.
+- ``lm_score``: add-one-smoothed conditional bigram log-probabilities
+  per document, averaged into an NLL and a perplexity. Scoring reads
+  each doc once (head-capped), explodes bigrams, and broadcast-joins
+  the model — linear in input, no corpus-sized shuffle.
+
+Cross-engine determinism: per-bigram log-probs are quantized to
+integer micro-nats (``round(ln(x) * 1e6)`` as BIGINT, each ``ln``
+rounded separately) and summed as exact integers, so the per-doc sum
+is independent of partition/aggregation order and DuckDB replays it
+bit-for-bit; only the final division/exp is floating point, rounded
+to 6 places on both sides.
+
+Everything is Catalyst built-ins (transform/sequence/explode/ln) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _norm_text(text_col: str, head_chars: int):
+    """Lowercased, NULL-as-empty, head-capped scoring text.
+
+    The head cap bounds per-doc work: quality gating needs a stable
+    estimate, not an exact full-document likelihood, and a fixed-size
+    head keeps the explode linear in *document count* even when the
+    corpus has multi-GB outliers.
+    """
+    return F.substring(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                       1, head_chars)
+
+
+def _bigrams(t):
+    """array<string> of overlapping 2-char grams of ``t`` (codegen).
+
+    Guarded so length<2 yields an empty array — Spark's ``sequence``
+    auto-reverses when stop < start, which would fabricate grams.
+    """
+    idx = F.sequence(F.lit(1), F.length(t) - 1)
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(2)))
+    return F.when(F.length(t) >= 2, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def train_char_bigram_lm(train_docs: DataFrame, text_col: str = "text",
+                         head_chars: int = 512) -> DataFrame:
+    """Bigram counts over the training slice.
+
+    Returns one row per distinct bigram: (gram, cnt). Continuation
+    totals and the smoothing alphabet size derive from this relation
+    (``lm_score`` computes them), so the trained model is a single
+    small table — checkpointable as parquet and broadcast at scoring
+    time.
+    """
+    t = _norm_text(text_col, head_chars).alias("t")
+    grams = (train_docs.select(F.explode(_bigrams(t)).alias("gram")))
+    return grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def lm_score(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", head_chars: int = 512) -> DataFrame:
+    """Score every doc against the trained bigram model.
+
+    Add-one smoothing: P(c2|c1) = (cnt(c1c2)+1) / (cont(c1)+V) where
+    cont(c1) sums the training bigrams starting with c1 and V is the
+    number of distinct continuation characters seen in training; a
+    first-char never seen in training scores 1/V. Per-gram log-probs
+    are integer micro-nats so the doc-level sum is exact.
+
+    Output: (id_col, n_bigrams, avg_nll, perplexity) — one row per
+    input doc, empty/1-char docs score avg_nll=0, perplexity=1.
+    """
+    cont = model.groupBy(
+        F.substring("gram", 1, 1).alias("c1")).agg(
+        F.sum("cnt").cast("long").alias("cont_cnt"))
+    vocab = model.select(
+        F.countDistinct(F.substring("gram", 2, 1))
+        .cast("double").alias("_v"))
+
+    t = _norm_text(text_col, head_chars)
+    grams = docs.select(
+        F.col(id_col), F.explode_outer(_bigrams(t)).alias("gram"))
+
+    lnq = (lambda x: F.round(F.log(x) * MICRO, 0).cast("long"))
+    scored = (
+        grams
+        .join(F.broadcast(model), "gram", "left")
+        .join(F.broadcast(cont),
+              F.substring("gram", 1, 1) == F.col("c1"), "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col, "gram",
+            F.when(F.col("gram").isNull(), F.lit(None).cast("long"))
+            .when(F.col("cont_cnt").isNull(), -lnq(F.col("_v")))
+            .otherwise(lnq(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                       - lnq(F.col("cont_cnt") + F.col("_v")))
+            .alias("lp_micro")))
+
+    agg = scored.groupBy(id_col).agg(
+        F.count("lp_micro").cast("long").alias("n_bigrams"),
+        F.sum("lp_micro").alias("_sum_lp"))
+    avg_nll = F.when(
+        F.col("n_bigrams") > 0,
+        -F.col("_sum_lp").cast("double")
+        / F.col("n_bigrams") / MICRO).otherwise(F.lit(0.0))
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        F.round(avg_nll, 6).alias("avg_nll"),
+        F.round(F.exp(F.round(avg_nll, 6)), 6).alias("perplexity"))

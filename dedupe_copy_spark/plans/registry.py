@@ -3018,6 +3018,65 @@ def cdc_dedup_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_dedup_ratio(cdc_chunks(docs))
 
 
+@register("lm_perplexity", r"""
+WITH norm AS (
+  SELECT doc_id, substr(lower(coalesce(text, '')), 1, 512) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(t) - 1), i -> substr(t, i, 2))) AS gram
+  FROM norm WHERE len(t) >= 2
+), model AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM grams
+  WHERE doc_id % 10 < 8 GROUP BY gram
+), cont AS (
+  SELECT substr(gram, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS cont_cnt
+  FROM model GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(DISTINCT substr(gram, 2, 1)) AS DOUBLE) AS v
+  FROM model
+), lp AS (
+  SELECT g.doc_id,
+    CASE WHEN c.cont_cnt IS NULL
+         THEN -CAST(round(ln(v.v) * 1000000) AS BIGINT)
+         ELSE CAST(round(ln(coalesce(m.cnt, 0) + 1) * 1000000) AS BIGINT)
+            - CAST(round(ln(c.cont_cnt + v.v) * 1000000) AS BIGINT)
+    END AS lp_micro
+  FROM grams g
+  LEFT JOIN model m USING (gram)
+  LEFT JOIN cont c ON substr(g.gram, 1, 1) = c.c1
+  CROSS JOIN vocab v
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lp_micro) AS BIGINT) AS sum_lp
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  ROUND(CASE WHEN a.n_bigrams > 0
+        THEN -(CAST(a.sum_lp AS DOUBLE)) / a.n_bigrams / 1000000
+        ELSE 0 END, 6) AS avg_nll,
+  ROUND(exp(ROUND(CASE WHEN a.n_bigrams > 0
+        THEN -(CAST(a.sum_lp AS DOUBLE)) / a.n_bigrams / 1000000
+        ELSE 0 END, 6)), 6) AS perplexity
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def lm_perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality score: train an add-one-smoothed
+    character-bigram LM on the deterministic 80% slice (doc_id%10<8),
+    score EVERY doc's 512-char head with integer micro-nat
+    log-probs (exact, order-independent sums), output per-doc average
+    NLL and perplexity. The model is alphabet-bounded (broadcast at
+    any corpus size); scoring is one explode + two broadcast joins.
+    DuckDB replays the training counts and every per-gram quantized
+    log-prob bit-for-bit."""
+    from dedupe_copy_spark.operators.lm import lm_score, train_char_bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_char_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8))
+    return lm_score(docs, model)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

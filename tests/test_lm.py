@@ -1,0 +1,96 @@
+"""Char-bigram LM quality scoring (operators/lm.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.lm import lm_score, train_char_bigram_lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_model_is_alphabet_bounded(spark):
+    train = _docs(spark, [(i, "the quick brown fox " * 10) for i in range(20)])
+    model = train_char_bigram_lm(train)
+    grams = [r.gram for r in model.collect()]
+    assert all(len(g) == 2 for g in grams)
+    alphabet = set("the quick brown fox ")
+    assert len(grams) <= len(alphabet) ** 2
+
+
+def test_garbage_scores_worse_than_fluent_text(spark):
+    fluent = "the cat sat on the mat and the dog sat on the log "
+    train = _docs(spark, [(i, fluent * 5) for i in range(50)])
+    model = train_char_bigram_lm(train)
+    scored = {r.doc_id: r for r in lm_score(_docs(spark, [
+        (1, fluent * 3),
+        (2, "zq xj vk wz qz jx kv zw " * 6),
+    ]), model).collect()}
+    assert scored[1].avg_nll < scored[2].avg_nll
+    assert scored[1].perplexity < scored[2].perplexity
+    # perplexity = exp(round(avg_nll, 6)) by contract
+    for r in scored.values():
+        assert abs(r.perplexity - math.exp(round(r.avg_nll, 6))) < 1e-5
+
+
+def test_empty_and_single_char_docs_score_neutral(spark):
+    model = train_char_bigram_lm(_docs(spark, [(0, "abcabc")]))
+    out = {r.doc_id: r for r in lm_score(_docs(spark, [
+        (1, ""), (2, None), (3, "x"),
+    ]), model).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r.n_bigrams == 0
+        assert r.avg_nll == 0.0
+        assert r.perplexity == 1.0
+
+
+def test_unseen_first_char_uses_vocab_fallback(spark):
+    # train alphabet = {a, b}; V = distinct continuation chars = 2
+    model = train_char_bigram_lm(_docs(spark, [(0, "abab")]))
+    out = lm_score(_docs(spark, [(1, "zz")]), model).collect()[0]
+    # one bigram "zz", first char unseen -> lp = -ln(V) = -ln(2)
+    assert out.n_bigrams == 1
+    assert abs(out.avg_nll - math.log(2)) < 1e-5
+
+
+def test_matches_python_reference_model(spark):
+    texts = ["hello world", "help the world", "low rolled hollow",
+             "dell wold hold", "we held the wheel"]
+    train_rows = [(i, t) for i, t in enumerate(texts)]
+    model = train_char_bigram_lm(_docs(spark, train_rows))
+
+    # python reference: add-one conditional bigram LM, micro-nat quantized
+    big: dict = {}
+    for _, t in train_rows:
+        t = t.lower()[:512]
+        for i in range(len(t) - 1):
+            big[t[i:i + 2]] = big.get(t[i:i + 2], 0) + 1
+    cont: dict = {}
+    for g, c in big.items():
+        cont[g[0]] = cont.get(g[0], 0) + c
+    v = float(len({g[1] for g in big}))
+
+    def lp(g):
+        if g[0] not in cont:
+            return -round(math.log(v) * 1e6)
+        return (round(math.log(big.get(g, 0) + 1) * 1e6)
+                - round(math.log(cont[g[0]] + v) * 1e6))
+
+    probe = "held low hello zebra"
+    want = -sum(lp(probe[i:i + 2]) for i in range(len(probe) - 1)) \
+        / (len(probe) - 1) / 1e6
+    got = lm_score(_docs(spark, [(99, probe)]), model).collect()[0]
+    assert got.n_bigrams == len(probe) - 1
+    assert abs(got.avg_nll - round(want, 6)) < 2e-6
+
+
+def test_scoring_plan_broadcasts_the_model(spark):
+    train = _docs(spark, [(i, "alpha beta gamma " * 4) for i in range(10)])
+    model = train_char_bigram_lm(train)
+    plan = lm_score(_docs(spark, [(1, "alpha")]), model) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
