@@ -450,6 +450,49 @@ def encoding_sanity(docs: DataFrame, text_col: str = "text",
     )
 
 
+def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """HTML → text extraction: the first transform a raw-crawl
+    pipeline applies before any quality or dedup stage. Drops
+    <script>/<style> elements with their payloads, strips remaining
+    tags, decodes the common character entities, and collapses
+    whitespace — the trafilatura/justext core, expressed as chained
+    codegen ``regexp_replace``/``replace`` so the stage is a pure
+    narrow map (no shuffle, no Python) at any corpus size.
+
+    Patterns stay inside the Java-regex ∩ RE2 subset (inline (?is)
+    flags, lazy quantifiers, character classes) so DuckDB replays the
+    extraction byte-for-byte.
+
+    Adds ``text_clean`` (extracted text), ``n_tags`` (markup tag count
+    in the raw input), ``had_script`` (script/style payload present),
+    and ``text_ratio`` (clean/raw length — near 0 flags markup-only
+    boilerplate pages worth dropping)."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n_tags = F.size(F.regexp_extract_all(raw, F.lit(r"<[^>]+>"), 0)) \
+        .cast("long")
+    had_script = raw.rlike(r"(?i)<(script|style)[^>]*>")
+    no_payload = F.regexp_replace(
+        F.regexp_replace(raw, r"(?is)<script[^>]*>.*?</script>", " "),
+        r"(?is)<style[^>]*>.*?</style>", " ")
+    untagged = F.regexp_replace(no_payload, r"<[^>]+>", " ")
+    # decode order matters: named/numeric entities first, &amp; last,
+    # so '&amp;lt;' decodes to the literal '&lt;' (HTML semantics)
+    decoded = untagged
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(decoded, "[ \t\r\n]+", " "))
+    return docs.select(
+        *docs.columns,
+        clean.alias("text_clean"),
+        n_tags.alias("n_tags"),
+        had_script.alias("had_script"),
+        F.round(F.length(clean).cast("double")
+                / F.greatest(F.length(raw), F.lit(1)), 6)
+        .alias("text_ratio"),
+    )
+
+
 # URL grammar shared by the operator and the oracle: scheme + a
 # lowercase host (group 1) + an optional path. The alphabet is the
 # Java-regex ∩ RE2 subset, so DuckDB replays it byte-for-byte.

@@ -3077,6 +3077,80 @@ def lm_perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, model)
 
 
+@register("markup_extract", r"""
+WITH seeded AS (
+  SELECT doc_id,
+    '<html><head><title>d' || doc_id || '</title>'
+    || CASE WHEN doc_id % 3 = 0
+         THEN '<script type="text/javascript">var x = 1 + 2;</script>'
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN '<style media="all">.c { color: red; }</style>' ELSE '' END
+    || '</head><body><p class="main">' || coalesce(text, '') || '</p>'
+    || CASE WHEN doc_id % 5 = 0
+         THEN '<div>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; '
+              || 'a&nbsp;b</div>'
+         ELSE '' END
+    || '</body></html>' AS text
+  FROM documents
+), x AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags,
+    regexp_matches(text, '(?i)<(script|style)[^>]*>') AS had_script,
+    regexp_replace(regexp_replace(text,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS np
+  FROM seeded
+), y AS (
+  SELECT doc_id, text, n_tags, had_script,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(np, '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '[ \t\r\n]+', ' ', 'g')) AS text_clean
+  FROM x
+)
+SELECT doc_id, text_clean, n_tags, had_script,
+  ROUND(CAST(len(text_clean) AS DOUBLE)
+        / greatest(len(text), 1), 6) AS text_ratio
+FROM y
+""")
+def markup_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction over deterministically wrapped docs:
+    every doc gets a full html/head/body skeleton, doc_id%3==0 rows a
+    <script> payload, %4==0 a <style> payload, %5==0 an
+    entity-escape block (including the double-escape &amp;lt; case).
+    The operator must drop script/style payloads, strip tags, decode
+    entities in HTML order, and collapse whitespace — DuckDB replays
+    the same RE2∩Java-regex pipeline byte-for-byte."""
+    from dedupe_copy_spark.operators.corpus import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>d"), did.cast("string"),
+            F.lit("</title>"),
+            F.when(did % 3 == 0, F.lit(
+                '<script type="text/javascript">var x = 1 + 2;</script>'
+            )).otherwise(""),
+            F.when(did % 4 == 0, F.lit(
+                '<style media="all">.c { color: red; }</style>'
+            )).otherwise(""),
+            F.lit('</head><body><p class="main">'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p>"),
+            F.when(did % 5 == 0, F.lit(
+                "<div>&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39; "
+                "a&nbsp;b</div>")).otherwise(""),
+            F.lit("</body></html>"),
+        ).alias("text"))
+    return strip_markup(seeded).select(
+        "doc_id", "text_clean", "n_tags", "had_script", "text_ratio")
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -648,3 +648,45 @@ def test_url_scan_counts_density_and_blocklist(spark):
     strict = {r.doc_id: r for r in
               corpus.url_scan(docs, max_link_density=0.1).collect()}
     assert not strict[2].keep and strict[4].keep
+
+
+def test_strip_markup_drops_payloads_and_tags(spark):
+    docs = _docs(spark, [
+        (1, "<html><body><p>hello <b>world</b></p>"
+            "<script>var junk = 'NOT TEXT';</script>"
+            "<style>.x{color:red}</style></body></html>"),
+        (2, "plain text, no markup"),
+        (3, None),
+    ])
+    out = {r.doc_id: r for r in corpus.strip_markup(docs).collect()}
+    assert out[1].text_clean == "hello world"
+    assert "NOT TEXT" not in out[1].text_clean
+    assert out[1].had_script and out[1].n_tags == 12
+    assert out[2].text_clean == "plain text, no markup"
+    assert not out[2].had_script and out[2].n_tags == 0
+    assert out[2].text_ratio == 1.0
+    assert (out[3].text_clean, out[3].n_tags) == ("", 0)
+
+
+def test_strip_markup_entity_decode_order(spark):
+    # &amp;lt; is an ESCAPED '&lt;' — must decode to the literal
+    # string '&lt;', not to '<' (entities decode once, &amp; last)
+    docs = _docs(spark, [(1, "a &amp;lt; b &lt;c&gt; &quot;d&quot; "
+                             "&#39;e&#39; f&nbsp;g &amp; h")])
+    out = corpus.strip_markup(docs).collect()[0]
+    assert out.text_clean == 'a &lt; b <c> "d" \'e\' f g & h'
+
+
+def test_strip_markup_whitespace_collapse_and_ratio(spark):
+    docs = _docs(spark, [(1, "<div>\n\n  a\t\tb  \r\n</div>")])
+    out = corpus.strip_markup(docs).collect()[0]
+    assert out.text_clean == "a b"
+    assert 0.0 < out.text_ratio < 1.0
+
+
+def test_strip_markup_is_single_narrow_stage(spark):
+    docs = _docs(spark, [(1, "<p>x</p>")])
+    plan = corpus.strip_markup(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
