@@ -664,3 +664,48 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .withColumn("approx", scorer(F.col("q_vec"), F.col("codes")))
     )
     return _pq_refine(approx, corpus, k, refine, id_col, vec_col)
+
+
+def embedding_sanity(emb: DataFrame, vec_col: str = "embedding",
+                     expected_dim: int | None = None,
+                     min_norm: float = 1e-6) -> DataFrame:
+    """Embedding-column sanity gate: the validation every ANN /
+    semantic-dedup stage runs before trusting vectors — catches NULL
+    and truncated vectors, NaN/Inf elements from broken encoders, and
+    zero vectors that silently poison cosine math (0/0 = NaN
+    similarities). Pure codegen fold per row, no shuffle, no Python.
+
+    The squared norm accumulates in integer micro-units
+    (round(x² · 1e6) per element, BIGINT sum) so it is exact,
+    fold-order-independent, and DuckDB-replayable bit-for-bit;
+    non-finite elements contribute 0 to the norm and are counted
+    separately.
+
+    Adds ``dim``, ``n_bad`` (NULL/NaN/±Inf elements), ``norm`` (L2 of
+    the finite elements), and ``is_valid`` (right dim, all finite,
+    norm above ``min_norm``)."""
+    vec = F.col(vec_col)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    bad = lambda x: (x.isNull() | F.isnan(xd(x))  # noqa: E731
+                     | (F.abs(xd(x)) == F.lit(float("inf"))))
+    dim = F.when(vec.isNull(), F.lit(0)).otherwise(F.size(vec)) \
+        .cast("long")
+    n_bad = F.when(vec.isNull(), F.lit(0)).otherwise(F.aggregate(
+        vec, F.lit(0),
+        lambda acc, x: acc + F.when(bad(x), 1).otherwise(0))) \
+        .cast("long")
+    norm_sq_micro = F.when(vec.isNull(), F.lit(0).cast("long")) \
+        .otherwise(F.aggregate(
+            vec, F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(bad(x), F.lit(0).cast("long"))
+            .otherwise(F.round(xd(x) * xd(x) * 1e6, 0).cast("long"))))
+    norm = F.round(F.sqrt(norm_sq_micro.cast("double") / 1e6), 6)
+    dim_ok = F.lit(True) if expected_dim is None \
+        else dim == F.lit(expected_dim)
+    return emb.select(
+        *emb.columns,
+        dim.alias("dim"),
+        n_bad.alias("n_bad"),
+        norm.alias("norm"),
+        (dim_ok & (n_bad == 0) & (norm > min_norm)).alias("is_valid"),
+    )

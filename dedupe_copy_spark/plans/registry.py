@@ -3151,6 +3151,68 @@ def markup_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_clean", "n_tags", "had_script", "text_ratio")
 
 
+@register("embedding_sanity", r"""
+WITH seeded AS (
+  SELECT vec_id,
+    CASE
+      WHEN vec_id % 23 = 0
+        THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+      WHEN vec_id % 29 = 0 THEN embedding[1:61]
+      WHEN vec_id % 17 = 0 THEN list_transform(embedding,
+          (x, i) -> CASE WHEN i = 1 THEN CAST('NaN' AS FLOAT)
+                    ELSE x END)
+      WHEN vec_id % 31 = 0 THEN list_transform(embedding,
+          (x, i) -> CASE WHEN i = 2 THEN CAST('Infinity' AS FLOAT)
+                    ELSE x END)
+      ELSE embedding END AS v
+  FROM embeddings
+), x AS (
+  SELECT vec_id,
+    CAST(len(v) AS BIGINT) AS dim,
+    CAST(len(list_filter(v, e -> e IS NULL OR isnan(e) OR isinf(e)))
+         AS BIGINT) AS n_bad,
+    CAST(coalesce(list_sum(list_transform(v, e ->
+      CASE WHEN e IS NULL OR isnan(e) OR isinf(e) THEN 0
+           ELSE CAST(round(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                           * 1000000) AS BIGINT) END)), 0) AS BIGINT)
+      AS nsq
+  FROM seeded
+)
+SELECT vec_id, dim, n_bad,
+  ROUND(sqrt(CAST(nsq AS DOUBLE) / 1000000), 6) AS norm,
+  (dim = 64 AND n_bad = 0
+   AND ROUND(sqrt(CAST(nsq AS DOUBLE) / 1000000), 6) > 0.000001)
+    AS is_valid
+FROM x
+""")
+def embedding_sanity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding sanity gate over deterministically corrupted vectors:
+    vec_id%23==0 rows become zero vectors, %29==0 truncate to 61 dims,
+    %17==0 get a NaN element, %31==0 an Inf element (one corruption
+    per row, fixed priority). The gate must report dim/n_bad/norm and
+    flag exactly the untouched rows valid; the micro-unit integer norm
+    makes the DuckDB replay exact."""
+    from dedupe_copy_spark.operators.similarity import embedding_sanity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    nan_f = F.lit(float("nan")).cast("float")
+    inf_f = F.lit(float("inf")).cast("float")
+    v = (F.when(vid % 23 == 0,
+                F.transform("embedding", lambda x: F.lit(0.0).cast("float")))
+         .when(vid % 29 == 0, F.slice("embedding", 1, 61))
+         .when(vid % 17 == 0, F.transform(
+             "embedding",
+             lambda x, i: F.when(i == 0, nan_f).otherwise(x)))
+         .when(vid % 31 == 0, F.transform(
+             "embedding",
+             lambda x, i: F.when(i == 1, inf_f).otherwise(x)))
+         .otherwise(F.col("embedding")))
+    seeded = emb.select("vec_id", v.alias("embedding"))
+    return embedding_sanity(seeded, expected_dim=64).select(
+        "vec_id", "dim", "n_bad", "norm", "is_valid")
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -344,3 +344,41 @@ def test_ivf_pq_probes_fewer_codes_than_full_pq(spark):
     ivfpq = similarity.ivf_pq_topk(emb, q, k=5, n_cells=16, n_probe=4,
                                    centroids=cents, books=books).collect()
     assert {r.query_id for r in ivfpq} == set(range(10))
+
+
+def test_embedding_sanity_flags_each_defect(spark):
+    import math
+    rows = [
+        (1, [3.0, 4.0]),                    # clean: norm 5
+        (2, [float("nan"), 1.0]),           # NaN element
+        (3, [1.0, float("inf")]),           # Inf element
+        (4, [0.0, 0.0]),                    # zero vector
+        (5, [1.0]),                         # wrong dim
+        (6, None),                          # NULL vector
+        (7, [None, 2.0]),                   # NULL element
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from dedupe_copy_spark.operators.similarity import embedding_sanity
+    out = {r.vec_id: r for r in
+           embedding_sanity(emb, expected_dim=2).collect()}
+    assert out[1].is_valid and out[1].norm == 5.0 and out[1].n_bad == 0
+    assert out[2].n_bad == 1 and not out[2].is_valid
+    assert out[2].norm == 1.0          # finite elements only
+    assert out[3].n_bad == 1 and not out[3].is_valid
+    assert out[4].n_bad == 0 and out[4].norm == 0.0 and not out[4].is_valid
+    assert out[5].dim == 1 and not out[5].is_valid
+    assert (out[6].dim, out[6].n_bad, out[6].norm) == (0, 0, 0.0)
+    assert not out[6].is_valid
+    assert out[7].n_bad == 1 and abs(out[7].norm - 2.0) < 1e-6
+    # no NaN ever leaks into the report itself
+    assert all(not math.isnan(r.norm) for r in out.values())
+
+
+def test_embedding_sanity_is_narrow_and_jvm_only(spark):
+    emb = spark.createDataFrame([(1, [1.0, 2.0])],
+                                "vec_id long, embedding array<float>")
+    from dedupe_copy_spark.operators.similarity import embedding_sanity
+    plan = embedding_sanity(emb) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
