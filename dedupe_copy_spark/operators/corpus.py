@@ -962,3 +962,30 @@ def domain_mix_sample(docs: DataFrame, weights: dict[str, float],
                 | (F.md5(F.col(key_col).cast("string")) < F.col("_thresh")))
     )
     return kept.select(*docs.columns)
+
+
+def cardinality_report(docs: DataFrame, group_col: str = "source",
+                       value_col: str = "text",
+                       rsd: float = 0.05,
+                       tolerance: float = 0.15) -> DataFrame:
+    """Distinct-value cardinality per group, sketched: HyperLogLog++
+    (``approx_count_distinct``) beside the exact count and a bound
+    check. At 100 TB the sketch is the only viable path — it
+    aggregates map-side into a fixed-size register set and never
+    shuffles the distinct values themselves; the exact count rides
+    along here so small-scale runs continuously validate the sketch
+    against its advertised error (``tolerance`` defaults to 3× the
+    requested rsd).
+
+    Output: (group, n_rows, n_distinct, approx_ok) — ``approx_ok``
+    asserts |approx − exact| ≤ tolerance·exact."""
+    approx = F.approx_count_distinct(value_col, rsd)
+    exact = F.countDistinct(value_col)
+    return (docs.groupBy(F.col(group_col).alias("grp"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 exact.cast("long").alias("n_distinct"),
+                 approx.cast("long").alias("_approx"))
+            .select(
+                F.col("grp").alias(group_col), "n_rows", "n_distinct",
+                (F.abs(F.col("_approx") - F.col("n_distinct"))
+                 <= F.col("n_distinct") * tolerance).alias("approx_ok")))

@@ -3213,6 +3213,27 @@ def embedding_sanity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "dim", "n_bad", "norm", "is_valid")
 
 
+@register("cardinality_report", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       true AS approx_ok
+FROM documents
+GROUP BY source
+""")
+def cardinality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact distinct cardinality per source: the HLL++
+    sketch is the 100-TB path (fixed-size registers, map-side merge,
+    no distinct-value shuffle); the contract checked here is that its
+    estimate lands within 3× the requested rsd of the exact count for
+    every group — a sketch regression flips approx_ok and fails the
+    value hash."""
+    from dedupe_copy_spark.operators.corpus import cardinality_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cardinality_report(docs)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -690,3 +690,23 @@ def test_strip_markup_is_single_narrow_stage(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cardinality_report_exact_and_sketch_agree(spark):
+    rows = [(i, f"text-{i % 7}", "a" if i % 2 == 0 else "b")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in
+           corpus.cardinality_report(docs).collect()}
+    assert out["a"].n_rows == 100 and out["b"].n_rows == 100
+    assert out["a"].n_distinct == 7 and out["b"].n_distinct == 7
+    assert out["a"].approx_ok and out["b"].approx_ok
+
+
+def test_cardinality_report_sketch_is_partial_agg(spark):
+    docs = spark.createDataFrame([(1, "x", "a")],
+                                 "doc_id long, text string, source string")
+    plan = corpus.cardinality_report(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # HLL must aggregate map-side (partial_approx_count_distinct)
+    assert "partial_approx_count_distinct" in plan
