@@ -94,6 +94,12 @@ HEADLINE = [
     "dataset_split",
     # round 3 cont.: URL/link-density + domain-blocklist gate
     "url_scan",
+    # round 3 cont.: char-bigram LM quality score, HTML extraction,
+    # embedding sanity gate, HLL cardinality contract
+    "lm_perplexity",
+    "markup_extract",
+    "embedding_sanity",
+    "cardinality_report",
 ]
 
 
