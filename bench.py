@@ -100,6 +100,10 @@ HEADLINE = [
     "markup_extract",
     "embedding_sanity",
     "cardinality_report",
+    # round 3 cont.: passage windows, cluster-size audit, source overlap
+    "passage_chunks",
+    "cluster_size_histogram",
+    "cross_source_overlap",
 ]
 
 

@@ -989,3 +989,109 @@ def cardinality_report(docs: DataFrame, group_col: str = "source",
                 F.col("grp").alias(group_col), "n_rows", "n_distinct",
                 (F.abs(F.col("_approx") - F.col("n_distinct"))
                  <= F.col("n_distinct") * tolerance).alias("approx_ok")))
+
+
+def passage_chunks(docs: DataFrame, window: int = 128, stride: int = 96,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the
+    context-preparation op between a cleaned corpus and training/RAG
+    indexing: each doc becomes ceil-covering windows of ``window``
+    tokens every ``stride`` tokens (trailing partial window included,
+    so every token lands in ≥1 chunk; overlap = window − stride).
+
+    Plan shape: tokens and the chunk count are STAGED columns, then one
+    explode over the chunk index and a slice per chunk — linear in
+    output tokens, no shuffle, no Python (the CDC module's staged-
+    projection pattern; re-evaluating the token array inside a
+    higher-order function would re-run the regex per chunk).
+
+    Output: (id, chunk_idx, n_tokens, chunk_len, chunk_sha256) —
+    content rides as a digest so downstream chunk-level dedup joins
+    on a 64-char key, not the text."""
+    if stride <= 0 or window <= 0:
+        raise ValueError(f"window/stride must be positive, got "
+                         f"{window}/{stride}")
+    staged = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    staged = staged.select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens"))
+    # explicit floor: Spark's int cast truncates but DuckDB's rounds,
+    # so the oracle mirrors floor() rather than a bare cast
+    n_chunks = F.when(F.col("n_tokens") <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(F.col("n_tokens") - window, F.lit(0))
+                 + (stride - 1)) / stride) + 1).cast("int")
+    staged = staged.select(id_col, "_toks", "n_tokens",
+                           n_chunks.alias("_n_chunks"))
+    exploded = staged.select(
+        id_col, "_toks", "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1))
+        .alias("chunk_idx")).filter(F.col("_n_chunks") > 0)
+    chunk = F.slice("_toks", F.col("chunk_idx") * stride + 1,
+                    F.lit(window))
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha256"))
+
+
+def cluster_size_histogram(groups: DataFrame,
+                           size_col: str = "n_files") -> DataFrame:
+    """Log2-bucketed histogram of duplicate-cluster sizes — the first
+    report anyone runs after a dedup pass ("how much of the corpus sits
+    in 2-copy pairs vs 10k-copy boilerplate?"). One partial agg over
+    the (already tiny) group relation; log2 of integers is exact at
+    the bucket boundaries (powers of two) in IEEE doubles, so the
+    bucketing is engine-portable.
+
+    Output: (bucket, min_size, n_groups, n_rows_total) where bucket b
+    covers sizes [2^b, 2^(b+1))."""
+    b = F.floor(F.log2(F.col(size_col))).cast("long")
+    return (groups
+            .groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum(size_col).cast("long").alias("n_rows_total"))
+            .select(
+                "bucket",
+                F.pow(F.lit(2.0), F.col("bucket").cast("double"))
+                .cast("long").alias("min_size"),
+                "n_groups", "n_rows_total"))
+
+
+def cross_source_overlap(docs: DataFrame, group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Exact-content overlap between every pair of sources: how many
+    distinct document bodies two crawls/dumps share, with the Jaccard
+    of their digest sets — the provenance matrix that decides which
+    redundant source to drop before paying near-dup compute.
+
+    Scale shape: the corpus collapses to DISTINCT (source, digest)
+    first (one partial agg); the pair expansion is a digest-keyed
+    self-join that only multiplies WITHIN a digest (sources per digest
+    ≤ source cardinality, a constant), and per-source totals ride in
+    as two AQE-broadcast joins of a |sources|-row relation."""
+    sd = docs.select(
+        F.col(group_col).alias("src"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+        .alias("digest")).distinct()
+    totals = sd.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_digests"))
+    a, b_ = sd.alias("a"), sd.alias("b")
+    shared = (a.join(b_, "digest")
+              .filter(F.col("a.src") < F.col("b.src"))
+              .groupBy(F.col("a.src").alias("source_a"),
+                       F.col("b.src").alias("source_b"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    ta = totals.select(F.col("src").alias("source_a"),
+                       F.col("n_digests").alias("_na"))
+    tb = totals.select(F.col("src").alias("source_b"),
+                       F.col("n_digests").alias("_nb"))
+    return (shared.join(F.broadcast(ta), "source_a")
+            .join(F.broadcast(tb), "source_b")
+            .select(
+                "source_a", "source_b", "n_shared",
+                F.round(F.col("n_shared").cast("double")
+                        / (F.col("_na") + F.col("_nb")
+                           - F.col("n_shared")), 6).alias("jaccard")))

@@ -307,6 +307,55 @@ CHECKS = {
          "(join against the in-plan counts relation)",
          lambda p: "Join" in p),
     ],
+    "lm_perplexity": [
+        # the trained model is alphabet²-bounded and localCheckpointed:
+        # scoring must broadcast it (never shuffle the corpus against it)
+        ("model/continuation/vocab joins are broadcasts",
+         lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+        ("no python eval (pure codegen train + score)",
+         lambda p: "EvalPython" not in p),
+        ("map-side partial aggregation of per-doc log-prob sums",
+         lambda p: "partial_sum" in p),
+    ],
+    "markup_extract": [
+        ("single narrow stage, zero exchanges",
+         lambda p: "Exchange" not in p),
+        ("no python eval (regex pipeline is pure codegen)",
+         lambda p: "EvalPython" not in p),
+    ],
+    "embedding_sanity": [
+        ("single narrow stage, zero exchanges",
+         lambda p: "Exchange" not in p),
+        ("no python eval (integer-norm fold is pure codegen)",
+         lambda p: "EvalPython" not in p),
+    ],
+    "cardinality_report": [
+        ("HLL sketch aggregates map-side (fixed-size registers travel, "
+         "not distinct values)",
+         lambda p: "partial_approx_count_distinct" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "passage_chunks": [
+        ("column-pruned scan (only doc_id+text read)",
+         lambda p: "lang" not in p.split("ReadSchema:")[1].split("\n")[0]
+         and "source" not in p.split("ReadSchema:")[1].split("\n")[0]),
+        ("single narrow stage, zero exchanges",
+         lambda p: "Exchange" not in p),
+        ("no python eval (staged tokens + chunk-index explode)",
+         lambda p: "EvalPython" not in p),
+    ],
+    "cluster_size_histogram": [
+        ("both aggregations partial before their exchanges",
+         lambda p: "partial_count" in p and "partial_sum" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "cross_source_overlap": [
+        ("per-source totals broadcast onto the pair relation",
+         lambda p: "BroadcastHashJoin" in p),
+        ("distinct/shared counts aggregate map-side",
+         lambda p: "partial_count" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
 }
 
 # ... and the RUNTIME check: after execution, AQE must have converted

@@ -3234,6 +3234,111 @@ def cardinality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cardinality_report(docs)
 
 
+@register("passage_chunks", r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) <= 0 THEN 0
+              ELSE CAST(floor((greatest(len(t) - 128, 0) + 95) / 96)
+                        AS BIGINT) + 1
+         END AS n_chunks
+  FROM toks
+), exploded AS (
+  SELECT doc_id, t, n_tokens,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM sized WHERE n_chunks > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       n_tokens,
+       CAST(len(t[(chunk_idx * 96 + 1):(chunk_idx * 96 + 128)])
+            AS BIGINT) AS chunk_len,
+       sha256(array_to_string(
+           t[(chunk_idx * 96 + 1):(chunk_idx * 96 + 128)], ' '))
+         AS chunk_sha256
+FROM exploded
+""")
+def passage_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 128-token windows every 96 tokens per document
+    (trailing partial window kept, content as sha256). DuckDB replays
+    the tokenizer, the ceil-covering chunk count, every slice, and
+    every digest."""
+    from dedupe_copy_spark.operators.corpus import passage_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_chunks(docs, window=128, stride=96)
+
+
+@register("cluster_size_histogram", FILES_CTE_SQL + """
+, groups AS (
+  SELECT sha256(content) AS digest, CAST(count(*) AS BIGINT) AS n_files
+  FROM files GROUP BY 1
+)
+SELECT CAST(floor(log2(n_files)) AS BIGINT) AS bucket,
+       CAST(power(2.0, floor(log2(n_files))) AS BIGINT) AS min_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_files) AS BIGINT) AS n_rows_total
+FROM groups
+GROUP BY 1, 2
+""")
+def cluster_size_histogram_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Log2 histogram of exact-duplicate cluster sizes over the files
+    relation — singletons in bucket 0, pairs in bucket 1, etc. The
+    post-dedup audit report; boundaries are powers of two so the
+    bucketing is float-exact on both engines."""
+    from dedupe_copy_spark.operators.corpus import cluster_size_histogram
+
+    groups = _files(spark, sf_dir).groupBy("content_sha256").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"))
+    return cluster_size_histogram(groups)
+
+
+@register("cross_source_overlap", """
+WITH seeded AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text,
+         'mirror_' || source AS source
+  FROM documents WHERE doc_id % 3 = 0
+), sd AS (
+  SELECT DISTINCT source AS src, sha256(coalesce(text, '')) AS digest
+  FROM seeded
+), totals AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n FROM sd GROUP BY src
+), shared AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sd a JOIN sd b USING (digest) WHERE a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE)
+             / (ta.n + tb.n - n_shared), 6) AS jaccard
+FROM shared
+JOIN totals ta ON ta.src = source_a
+JOIN totals tb ON tb.src = source_b
+""")
+def cross_source_overlap_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Pairwise exact-content overlap between sources, on a corpus
+    where every third doc is mirrored under a 'mirror_<source>' label
+    (the partial-mirror situation the report exists to expose). The
+    digest-keyed self-join only multiplies within a digest; per-source
+    totals broadcast."""
+    from dedupe_copy_spark.operators.corpus import cross_source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    mirrored = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text",
+        F.concat(F.lit("mirror_"), F.col("source")).alias("source"))
+    seeded = docs.select("doc_id", "text", "source").unionByName(mirrored)
+    return cross_source_overlap(seeded)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

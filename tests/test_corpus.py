@@ -710,3 +710,74 @@ def test_cardinality_report_sketch_is_partial_agg(spark):
         ._jdf.queryExecution().executedPlan().toString()
     # HLL must aggregate map-side (partial_approx_count_distinct)
     assert "partial_approx_count_distinct" in plan
+
+
+def test_passage_chunks_covering_windows(spark):
+    import hashlib
+    toks = [f"t{i}" for i in range(10)]
+    docs = _docs(spark, [(1, " ".join(toks)), (2, "a b"), (3, ""), (4, None)])
+    out = [r for r in corpus.passage_chunks(docs, window=4, stride=3)
+           .collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 10 tokens, starts 0,3,6 -> 3 chunks, all full width
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert [r.chunk_len for r in c1] == [4, 4, 4]
+    assert all(r.n_tokens == 10 for r in c1)
+    want = hashlib.sha256(" ".join(toks[0:4]).encode()).hexdigest()
+    assert c1[0].chunk_sha256 == want
+    # doc 2: shorter than the window -> ONE partial chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 2
+    # empty / NULL docs: no chunks
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_passage_chunks_trailing_partial_and_coverage(spark):
+    toks = [f"w{i}" for i in range(11)]
+    docs = _docs(spark, [(1, " ".join(toks))])
+    out = sorted(corpus.passage_chunks(docs, window=4, stride=3).collect(),
+                 key=lambda r: r.chunk_idx)
+    # starts 0,3,6,9 -> last chunk has 2 tokens; every token covered
+    assert [r.chunk_len for r in out] == [4, 4, 4, 2]
+    covered = set()
+    for r in out:
+        covered.update(range(r.chunk_idx * 3, r.chunk_idx * 3 + r.chunk_len))
+    assert covered == set(range(11))
+    with pytest.raises(ValueError):
+        corpus.passage_chunks(docs, window=4, stride=0)
+
+
+def test_passage_chunks_is_narrow_no_python(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    plan = corpus.passage_chunks(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cluster_size_histogram_buckets(spark):
+    groups = spark.createDataFrame(
+        [("g1", 1), ("g2", 1), ("g3", 2), ("g4", 3), ("g5", 4), ("g6", 8),
+         ("g7", 9)], "digest string, n_files long")
+    out = {r.bucket: r for r in
+           corpus.cluster_size_histogram(groups).collect()}
+    assert (out[0].n_groups, out[0].n_rows_total, out[0].min_size) == (2, 2, 1)
+    assert (out[1].n_groups, out[1].n_rows_total, out[1].min_size) == (2, 5, 2)
+    assert (out[2].n_groups, out[2].min_size) == (1, 4)
+    assert (out[3].n_groups, out[3].n_rows_total, out[3].min_size) == (2, 17, 8)
+
+
+def test_cross_source_overlap_counts_and_jaccard(spark):
+    rows = [(1, "x", "A"), (2, "y", "A"), (3, "z", "A"),
+            (4, "y", "B"), (5, "z", "B"), (6, "w", "B"),
+            (7, "q", "C"),
+            (8, "y", "A")]   # duplicate content within A: distinct first
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r for r in
+           corpus.cross_source_overlap(docs).collect()}
+    assert set(out) == {("A", "B")}          # C shares nothing
+    r = out[("A", "B")]
+    assert r.n_shared == 2
+    assert r.jaccard == round(2 / (3 + 3 - 2), 6)
