@@ -1,0 +1,152 @@
+"""Incremental LM quality gating over a document stream.
+
+The batch form (operators/lm.py) trains a char-bigram model once and
+scores the corpus. A continuously ingesting pipeline wants both
+halves incremental:
+
+  - **model maintenance**: bigram counts are associative, so each
+    micro-batch appends its (gram, cnt) contribution and the global
+    model is the per-gram sum over contributions — identical to
+    training on the concatenation of all batches (test-pinned), the
+    same additive-store design as corpus_stream's gram_freq.
+  - **scoring**: each batch is scored against the model as of its
+    ingestion (this batch's contribution included), so early batches
+    carry scores from a younger model — that is the honest semantics
+    of any online quality gate. ``rescore`` re-scores any relation
+    against the CURRENT model for a deterministic final pass.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py / corpus_stream.py):
+
+    model/batch_id=N/   (gram, cnt) contribution of batch N
+    scores/batch_id=N/  (doc_id, n_bigrams, avg_nll, perplexity)
+
+At-least-once replay: a re-delivered batch overwrites BOTH its own
+subdirectories, so contributions never double-count; its re-scored
+values may reflect a newer model (documented, same stance as
+near_dup.py's accumulated-store probe). ``compact_model`` folds
+history into one base contribution between triggers.
+
+Scale notes: the model store is alphabet²-bounded per batch (a few
+thousand rows), so reads/aggregations over it are free at any corpus
+size; scoring is the batch-linear explode + broadcast joins of
+operators/lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.lm import _with_bigrams, lm_score
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalLMQuality:
+    """Streaming char-bigram LM: additive model store + per-batch
+    quality scores."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 head_chars: int = 512, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.head_chars = head_chars
+        self.id_col = id_col
+        self.text_col = text_col
+        self.model_path = f"{out_dir}/model"
+        self.scores_path = f"{out_dir}/scores"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def _batch_counts(self, batch_df: DataFrame) -> DataFrame:
+        grams = _with_bigrams(batch_df, self.text_col, self.head_chars,
+                              keep=[]) \
+            .filter(F.col("gram").isNotNull())
+        return grams.groupBy("gram").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._batch_counts(batch_df).write.mode("overwrite").parquet(
+            f"{self.model_path}/batch_id={batch_id}")
+        scored = lm_score(batch_df, self.current_model(),
+                          id_col=self.id_col, text_col=self.text_col,
+                          head_chars=self.head_chars)
+        scored.write.mode("overwrite").parquet(
+            f"{self.scores_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def current_model(self) -> DataFrame:
+        """Global (gram, cnt) over every batch ingested so far —
+        identical to train_char_bigram_lm on the concatenation of all
+        batches (counts sum associatively)."""
+        store = self._read_state(self.model_path)
+        if store is None:
+            return self.spark.createDataFrame([], "gram string, cnt long")
+        return store.groupBy("gram").agg(
+            F.sum("cnt").cast("long").alias("cnt"))
+
+    def scores(self) -> DataFrame:
+        """As-of-ingestion scores across all batches; a doc re-sent in
+        several batches keeps its latest batch's row (max batch_id),
+        so replays never duplicate ids."""
+        store = self._read_state(self.scores_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, n_bigrams long, "
+                    "avg_nll double, perplexity double")
+        latest = store.groupBy(self.id_col).agg(
+            F.max("batch_id").alias("batch_id"))
+        return store.join(latest, [self.id_col, "batch_id"]) \
+            .drop("batch_id")
+
+    def rescore(self, docs: DataFrame) -> DataFrame:
+        """Deterministic final pass: score ``docs`` against the CURRENT
+        model (what the batch operator would produce given the full
+        ingested history as training data)."""
+        return lm_score(docs, self.current_model(), id_col=self.id_col,
+                        text_col=self.text_col,
+                        head_chars=self.head_chars)
+
+    def compact_model(self, into_batch_id: int = -1) -> None:
+        """Fold all model contributions into one base subdirectory —
+        bounded file count, identical sums (run between triggers; see
+        corpus_stream.compact_gram_freq for the replay argument)."""
+        import os
+        import shutil
+
+        store = self._read_state(self.model_path)
+        if store is None:
+            return
+        folded = store.groupBy("gram").agg(
+            F.sum("cnt").cast("long").alias("cnt"))
+        tmp = f"{self.out_dir}/_model_compact"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.model_path)
+        os.makedirs(self.model_path, exist_ok=True)
+        shutil.move(tmp, f"{self.model_path}/batch_id={into_batch_id}")
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,97 @@
+"""Incremental LM quality gating (streaming/lm_stream.py): additive
+model maintenance equals batch training on the concatenation; scoring
+and replay follow the batch_id-overwrite idempotency contract."""
+
+import time
+
+from dedupe_copy_spark.operators.lm import lm_score, train_char_bigram_lm
+from dedupe_copy_spark.streaming.lm_stream import IncrementalLMQuality
+
+FLUENT = "the cat sat on the mat and the dog slept near the warm fire "
+FLUENT2 = "a small bird sang in the tall tree while rain fell softly "
+GARBAGE = "zq xj vk wz qz jx kv zw qx jz kx wv "
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_model_equals_batch_training(spark, tmp_path):
+    out = str(tmp_path / "lm_stream")
+    job = IncrementalLMQuality(spark, out)
+    b0 = [(i, FLUENT * 3) for i in range(10)]
+    b1 = [(i + 10, FLUENT2 * 3) for i in range(10)]
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    job.process_batch(_docs(spark, b1), batch_id=1)
+
+    streaming = {r.gram: r.cnt for r in job.current_model().collect()}
+    batch = {r.gram: r.cnt for r in
+             train_char_bigram_lm(_docs(spark, b0 + b1)).collect()}
+    assert streaming == batch
+
+    # rescore against the full model == the batch operator's answer
+    probe = _docs(spark, [(99, FLUENT), (98, GARBAGE)])
+    got = {r.doc_id: r.avg_nll for r in job.rescore(probe).collect()}
+    model = train_char_bigram_lm(_docs(spark, b0 + b1))
+    want = {r.doc_id: r.avg_nll for r in lm_score(probe, model).collect()}
+    assert got == want
+    assert got[98] > got[99]        # garbage scores worse
+
+
+def test_scores_view_keeps_latest_and_replay_never_duplicates(
+        spark, tmp_path):
+    out = str(tmp_path / "lm_stream_replay")
+    job = IncrementalLMQuality(spark, out)
+    job.process_batch(_docs(spark, [(1, FLUENT), (2, GARBAGE)]), batch_id=0)
+    job.process_batch(_docs(spark, [(3, FLUENT2)]), batch_id=1)
+    # replay batch 0 (at-least-once): overwrites its own contribution
+    job.process_batch(_docs(spark, [(1, FLUENT), (2, GARBAGE)]), batch_id=0)
+
+    model_after = {r.gram: r.cnt for r in job.current_model().collect()}
+    batch = {r.gram: r.cnt for r in train_char_bigram_lm(
+        _docs(spark, [(1, FLUENT), (2, GARBAGE), (3, FLUENT2)])).collect()}
+    assert model_after == batch      # no double counting
+
+    rows = job.scores().collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3]   # no dup ids
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[2].avg_nll > by_id[1].avg_nll
+
+
+def test_compaction_preserves_model(spark, tmp_path):
+    out = str(tmp_path / "lm_stream_compact")
+    job = IncrementalLMQuality(spark, out)
+    job.process_batch(_docs(spark, [(1, FLUENT)]), batch_id=0)
+    job.process_batch(_docs(spark, [(2, FLUENT2)]), batch_id=1)
+    before = {r.gram: r.cnt for r in job.current_model().collect()}
+    job.compact_model()
+    after = {r.gram: r.cnt for r in job.current_model().collect()}
+    assert before == after
+    # further batches keep accumulating on the folded base
+    job.process_batch(_docs(spark, [(3, FLUENT)]), batch_id=2)
+    assert sum(r.cnt for r in job.current_model().collect()) \
+        > sum(before.values())
+
+
+def test_stream_wiring_available_now(spark, tmp_path):
+    out = str(tmp_path / "lm_stream_wire")
+    watch = str(tmp_path / "incoming")
+    _docs(spark, [(1, FLUENT), (2, GARBAGE)]) \
+        .withColumn("lang", _lit()) \
+        .withColumn("source", _lit()) \
+        .withColumn("n_chars", _lit().cast("long")) \
+        .write.mode("overwrite").parquet(watch)
+    job = IncrementalLMQuality(spark, out)
+    q = job.start(watch)
+    q.awaitTermination(60)
+    for _ in range(20):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    rows = job.scores().collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+
+
+def _lit():
+    from pyspark.sql import functions as F
+    return F.lit(None).cast("string")
