@@ -104,6 +104,8 @@ HEADLINE = [
     "passage_chunks",
     "cluster_size_histogram",
     "cross_source_overlap",
+    # round 3 cont.: BPE tokenizer (train 30 merges + encode contract)
+    "bpe_encode_contract",
 ]
 
 

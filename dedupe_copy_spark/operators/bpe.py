@@ -1,0 +1,250 @@
+"""Byte-pair-encoding tokenizer training and encoding (Sennrich et
+al. 2016) — the tokenizer-construction stage of a training-data
+pipeline, Spark-first.
+
+Training never materializes the corpus on the driver. The corpus
+collapses ONCE to the distinct-word frequency relation (explode +
+partial-agg count — at 100 TB that relation is vocabulary-sized,
+orders of magnitude smaller than the corpus, and it is the ONLY thing
+the merge loop ever touches). Each of the ``n_merges`` iterations is:
+
+  1. adjacent-symbol pair counts weighted by word freq (zip_with over
+     two shifted slices of the STAGED symbol array → explode → sum),
+  2. argmax pair with a deterministic tie-break (count desc, then
+     lexicographic pair asc) — a 1-row collect, the same bounded
+     driver pattern as the CC convergence loop (operators/cc.py),
+  3. greedy left-to-right merge applied via an aggregate fold on the
+     symbol arrays (pure codegen; overlapping occurrences merge
+     non-overlapping-first exactly like the reference algorithm), and
+  4. a localCheckpoint of the (bounded) vocab relation so lineage
+     stays flat across iterations.
+
+Encoding applies the learned merge table with the standard
+lowest-rank-first loop — driver-free, vectorized per Arrow batch
+(mergers are data, broadcast inside the UDF closure; row-at-a-time
+Python is banned repo-wide).
+
+The reference has no tokenizer (its unit of work is whole files,
+/root/reference/dedupe_copy/threads.py:403-425); this extends the
+engine down to the subword level the north-star pipeline needs.
+No SQL oracle is registered: the merge loop is iterative/stateful
+(the documented non-SQL-expressible class) — correctness is pinned by
+exact merge-table equality against an independent pure-Python
+Sennrich implementation in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOKEN_RE = r"[a-z0-9_]+"
+EOW = "</w>"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency relation: (word, freq). One explode +
+    one partial-agg count — the only corpus-sized pass in training."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(_TOKEN_RE), 0)
+    return (docs.select(F.explode(toks).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+
+
+def _initial_symbols(vocab: DataFrame) -> DataFrame:
+    """(word, freq, syms): characters plus the end-of-word marker."""
+    chars = F.filter(F.split("word", ""), lambda c: F.length(c) > 0)
+    return vocab.select(
+        "word", "freq",
+        F.concat(chars, F.array(F.lit(EOW))).alias("syms"))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol pairs weighted by word frequency. The symbol
+    array is already a staged column, so the two shifted slices cost
+    one array scan, not a re-tokenization."""
+    n = F.size("syms")
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice("syms", F.lit(1), n - 1),
+        F.slice("syms", F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("s1"), b.alias("s2")))
+    ).otherwise(F.array().cast(
+        "array<struct<s1:string,s2:string>>"))
+    return (vocab.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+            .agg(F.sum("freq").cast("long").alias("cnt")))
+
+
+def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of adjacent (a, b) into a+b via an
+    aggregate fold: [a,a,a] with pair (a,a) becomes [aa,a], exactly
+    the reference algorithm's non-overlapping semantics."""
+    merged = a + b
+    folded = F.aggregate(
+        "syms", F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+    return vocab.select("word", "freq", folded.alias("syms"))
+
+
+def _train_driver(vocab_rows, n_merges: int,
+                  min_freq: int) -> list[tuple[str, str]]:
+    """Exact merge loop on a driver-side (word, freq) dict — used only
+    below ``driver_vocab_limit`` (the cc.py small-graph pattern). Same
+    tie-break as the distributed loop; equality is test-pinned."""
+    vocab = {tuple(list(r.word) + [EOW]): r.freq for r in vocab_rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe(docs: DataFrame, n_merges: int = 50, min_freq: int = 2,
+              text_col: str = "text",
+              driver_vocab_limit: int = 100_000) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges; stops early when the best
+    remaining pair's weighted count drops below ``min_freq``. Returns
+    the ordered merge table (the tokenizer). Ties break
+    deterministically: highest count, then lexicographically smallest
+    (s1, s2) — pinned against the pure-Python reference in tests.
+
+    Size-routed like connected components (operators/cc.py): a bounded
+    probe checks whether the distinct-word vocabulary fits under
+    ``driver_vocab_limit``; if so the merge loop runs on the collected
+    (word, freq) dict — n_merges Spark jobs collapse to one, and a
+    tokenizer is trained on a bounded sample in production anyway.
+    Larger vocabularies run the fully distributed loop (pair-count
+    agg → 1-row argmax → fold-merge per round). Both paths produce
+    IDENTICAL merges (test-pinned)."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    freqs = word_freqs(docs, text_col).localCheckpoint()
+    probe = freqs.limit(driver_vocab_limit + 1).collect() \
+        if driver_vocab_limit > 0 else None
+    if probe is not None and len(probe) <= driver_vocab_limit:
+        return _train_driver(probe, n_merges, min_freq)
+    vocab = _initial_symbols(freqs).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    # checkpoint every few rounds, not every round: a fold-merge is one
+    # narrow projection, so a lineage depth of 4 is cheap, while each
+    # localCheckpoint is a full extra job — at 30 merges this cadence
+    # roughly halves the loop's fixed scheduling cost
+    ckpt_every = 4
+    for i in range(n_merges):
+        top = (_pair_counts(vocab)
+               .orderBy(F.col("cnt").desc(), F.col("s1").asc(),
+                        F.col("s2").asc())
+               .limit(1).collect())
+        if not top or top[0].cnt < min_freq:
+            break
+        a, b = top[0].s1, top[0].s2
+        merges.append((a, b))
+        vocab = _apply_merge(vocab, a, b)
+        if (i + 1) % ckpt_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def make_bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched encoder: token count + subword list per text,
+    applying merges lowest-rank-first (the standard BPE encode loop).
+    The merge table is closure data — broadcast with the UDF, never a
+    join — because it is tokenizer-sized (tens of thousands of rows at
+    most), not corpus-sized."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    import re as _re
+    tok_re = _re.compile(_TOKEN_RE)
+
+    def _encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}
+        for s in batches:
+            out = []
+            for text in s:
+                toks: list[str] = []
+                for w in tok_re.findall((text or "").lower()):
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = encode_word(w)
+                    toks.extend(got)
+                out.append(toks)
+            yield pd.Series(out)
+
+    return F.pandas_udf(_encode, T.ArrayType(T.StringType()))
+
+
+def bpe_token_stats(docs: DataFrame, merges: list[tuple[str, str]],
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-doc subword statistics under a trained tokenizer:
+    (id, n_bpe_tokens, n_chars, chars_per_token) — the
+    fertility/compression report that decides whether a tokenizer fits
+    a corpus. One Arrow-batched pass; everything else codegen."""
+    enc = make_bpe_encode_udf(merges)
+    staged = docs.select(
+        F.col(id_col),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+        .alias("n_chars"),
+        enc(F.col(text_col)).alias("_bpe"))
+    n_tok = F.size("_bpe").cast("long")
+    return staged.select(
+        id_col, n_tok.alias("n_bpe_tokens"), "n_chars",
+        F.round(F.col("n_chars").cast("double")
+                / F.greatest(n_tok, F.lit(1)), 6).alias("chars_per_token"))

@@ -349,6 +349,12 @@ CHECKS = {
          lambda p: "partial_count" in p and "partial_sum" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "bpe_encode_contract": [
+        ("encode is Arrow-batched, never row-at-a-time python",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("contract checks stay codegen around the one Arrow stage",
+         lambda p: "Exchange" not in p),
+    ],
     "cross_source_overlap": [
         ("per-source totals broadcast onto the pair relation",
          lambda p: "BroadcastHashJoin" in p),

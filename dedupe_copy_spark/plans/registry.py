@@ -3339,6 +3339,53 @@ def cross_source_overlap_query(spark: SparkSession,
     return cross_source_overlap(seeded)
 
 
+@register("bpe_encode_contract", r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z0-9_]+')) AS BIGINT) AS n_words,
+       CAST(len(array_to_string(
+           regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+'),
+           '')) AS BIGINT) AS n_word_chars,
+       true AS round_trip_ok,
+       true AS bounds_ok
+FROM documents
+""")
+def bpe_encode_contract_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """BPE tokenizer contract: train 30 merges on the deterministic
+    80% slice (pytest pins the trainer against an independent Sennrich
+    implementation — the iterative loop is the documented
+    non-SQL-expressible class), then encode EVERY doc and check the
+    two invariants SQL can replay: the encoding round-trips (token
+    concatenation reconstructs the tokenized words + end-of-word
+    markers — a lost or duplicated character flips it) and the token
+    count sits within the char-level/word-level bounds. A broken
+    merge application or encode loop fails the value hash."""
+    from dedupe_copy_spark.operators.bpe import (
+        EOW, make_bpe_encode_udf, train_bpe)
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs.filter(F.col("doc_id") % 10 < 8), n_merges=30)
+    enc = make_bpe_encode_udf(merges)
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit(r"[a-z0-9_]+"), 0)
+    staged = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.array_join(words, "")).cast("long")
+        .alias("n_word_chars"),
+        F.array_join(F.transform(words, lambda w: F.concat(w, F.lit(EOW))),
+                     "").alias("_recon"),
+        enc(F.col("text")).alias("_bpe"))
+    n_bpe = F.size("_bpe").cast("long")
+    return staged.select(
+        "doc_id", "n_words", "n_word_chars",
+        (F.array_join("_bpe", "") == F.col("_recon")).alias("round_trip_ok"),
+        ((n_bpe <= F.col("n_word_chars") + F.col("n_words"))
+         & (n_bpe >= F.col("n_words"))).alias("bounds_ok"))
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

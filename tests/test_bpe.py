@@ -1,0 +1,135 @@
+"""BPE tokenizer training/encoding (operators/bpe.py), pinned against
+an independent pure-Python Sennrich implementation: exact merge-table
+equality (including tie-breaks), exact encodings, round-trip."""
+
+import re
+
+import pytest
+
+from dedupe_copy_spark.operators import bpe
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---- independent reference implementation (Sennrich et al. 2016) ----
+
+def _ref_word_freqs(texts):
+    freqs = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9_]+", (t or "").lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def _ref_train(texts, n_merges, min_freq=2):
+    vocab = {tuple(list(w) + [bpe.EOW]): f
+             for w, f in _ref_word_freqs(texts).items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = \
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        # max count, then lexicographically smallest pair
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newer newer newer newer newer newer",
+    "newest newest newest widest widest widest",
+    "the low bar and the lower bar and the newest widest gap",
+]
+
+
+def test_merge_table_matches_reference_exactly(spark):
+    texts = CORPUS * 3
+    got = bpe.train_bpe(_docs(spark, list(enumerate(texts))), n_merges=20)
+    want = _ref_train(texts, 20)
+    assert got == want
+    assert len(got) >= 10            # non-trivial training actually ran
+
+
+def test_training_is_deterministic_across_partitionings(spark):
+    texts = CORPUS * 2
+    docs1 = _docs(spark, list(enumerate(texts))).repartition(1)
+    docs8 = _docs(spark, list(enumerate(texts))).repartition(8)
+    assert bpe.train_bpe(docs1, 12) == bpe.train_bpe(docs8, 12)
+
+
+def test_min_freq_stops_early(spark):
+    docs = _docs(spark, [(1, "ab ab"), (2, "cd")])
+    # pair counts: (a,b)=2 then everything else unique-ish
+    merges = bpe.train_bpe(docs, n_merges=50, min_freq=3)
+    assert merges == []              # nothing reaches count 3
+    merges2 = bpe.train_bpe(docs, n_merges=50, min_freq=2)
+    assert ("a", "b") in merges2
+    with pytest.raises(ValueError):
+        bpe.train_bpe(docs, n_merges=0)
+
+
+def test_encoding_matches_reference_and_round_trips(spark):
+    texts = CORPUS * 3
+    merges = _ref_train(texts, 20)
+    docs = _docs(spark, [(1, "low lower newest unseen_zzz")])
+    enc = bpe.make_bpe_encode_udf(merges)
+    toks = docs.select(enc("text").alias("t")).collect()[0].t
+    # round-trip: concatenation restores the words + EOW markers
+    assert "".join(toks) == ("low" + bpe.EOW + "lower" + bpe.EOW
+                             + "newest" + bpe.EOW + "unseen_zzz" + bpe.EOW)
+    # frequent whole words collapse to few symbols; unseen words stay
+    # near character-level
+    joined = "|".join(toks)
+    assert "low" + bpe.EOW in toks or "low" in toks
+    assert joined.count("z") >= 3    # unseen chars not merged
+
+
+def test_bpe_token_stats_shape_and_compression(spark):
+    texts = CORPUS * 3
+    merges = bpe.train_bpe(_docs(spark, list(enumerate(texts))), 20)
+    docs = _docs(spark, [(1, "low lower newest " * 10), (2, ""), (3, None)])
+    out = {r.doc_id: r for r in
+           bpe.bpe_token_stats(docs, merges).collect()}
+    assert out[1].n_bpe_tokens < out[1].n_chars   # real compression
+    assert out[1].chars_per_token > 1.0
+    assert out[2].n_bpe_tokens == 0 and out[3].n_bpe_tokens == 0
+    assert out[2].chars_per_token == 0.0
+
+
+def test_encode_udf_is_arrow_batched_not_row_python(spark):
+    merges = [("l", "o")]
+    docs = _docs(spark, [(1, "low")])
+    plan = bpe.bpe_token_stats(docs, merges) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    texts = CORPUS * 2
+    docs = _docs(spark, list(enumerate(texts)))
+    fast = bpe.train_bpe(docs, 15)                          # driver path
+    slow = bpe.train_bpe(docs, 15, driver_vocab_limit=0)    # distributed
+    assert fast == slow and len(fast) >= 10
