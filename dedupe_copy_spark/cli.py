@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write span_stats/ (per-file duplicated "
                         "3-gram fraction) and common_ngrams/ (top-50 "
                         "boilerplate grams) over the deduped corpus")
+    p.add_argument("--quality-lm", action="store_true",
+                   help="also write lm_scores/ (char-bigram LM avg-NLL "
+                        "+ perplexity per kept file; the model trains "
+                        "on the deduped corpus itself, so boilerplate-"
+                        "heavy or junk files score high)")
     p.add_argument("--report-extensions", action="store_true",
                    help="also write the top-extension report (reference -e)")
     p.add_argument("--verify", default=None, metavar="MANIFEST_PARQUET",
@@ -238,6 +243,13 @@ def main(argv: list[str] | None = None) -> int:
             corpus.common_ngrams(win, n=3, top_k=50, id_col="file_id",
                                  text_col="content") \
                 .write.mode("overwrite").parquet(f"{out}/common_ngrams")
+        if args.quality_lm:
+            from dedupe_copy_spark.operators.lm import (
+                lm_score, train_char_bigram_lm)
+
+            model = train_char_bigram_lm(win, text_col="content")
+            lm_score(win, model, id_col="file_id", text_col="content") \
+                .write.mode("overwrite").parquet(f"{out}/lm_scores")
         if args.report_extensions:
             exact.extension_report(hashed).write.mode("overwrite") \
                 .option("header", True).csv(f"{out}/extension_report")

@@ -180,3 +180,23 @@ def test_cli_rejects_wrong_schema(tmp_path):
         env={**os.environ, "PYTHONPATH": REPO})
     assert out.returncode != 0
     assert "missing required columns" in out.stderr
+
+
+def test_cli_quality_lm(input_parquet, tmp_path):
+    path, _ = input_parquet
+    out = tmp_path / "out_lm"
+    stats = _run_cli(["--input", path, "--output", str(out), "--no-near-dup",
+                      "--quality-lm", "--cores", "4"])
+    import duckdb
+
+    lm = duckdb.sql(
+        f"SELECT count(*), min(perplexity), max(perplexity) "
+        f"FROM '{out}/lm_scores/*.parquet'").fetchone()
+    # one score per distinct file_id: the fixture intentionally carries
+    # replayed (repo,path,commit) rows whose ids collapse in a keyed
+    # report (same id semantics as the manifest)
+    distinct_ids = duckdb.sql(
+        f"SELECT count(DISTINCT file_id) FROM '{out}/corpus/*.parquet'"
+    ).fetchone()[0]
+    assert lm[0] == distinct_ids
+    assert lm[1] >= 1.0 and lm[2] < 1000.0        # sane perplexity range
