@@ -40,11 +40,16 @@ def test_no_driver_side_collect_loops():
     # operators/similarity.py: train_ivf_centroids — model fitting is a
     # bounded explicit extra pass (TakeOrdered ≤ sample_size rows on
     # the driver), the same shape as MLlib's KMeans.fit
+    # operators/bpe.py: train_bpe — a limit(1) argmax per merge round
+    # (the cc.py convergence pattern) plus one limit(driver_vocab_limit
+    # + 1) probe that routes small vocabularies to the driver loop;
+    # both bounded by construction, never data-proportional
     # explorer.py: interactive tooling — LIMIT-ed / aggregate-only
     # collects are its output, never data-proportional
     allowed = {"operators/cc.py", "session.py", "operators/exact.py",
                "cli.py", "plans/explain_audit.py",
-               "operators/similarity.py", "explorer.py"}
+               "operators/similarity.py", "operators/bpe.py",
+               "explorer.py"}
     offenders = []
     for py in PKG.rglob("*.py"):
         rel = str(py.relative_to(PKG))
