@@ -106,6 +106,9 @@ HEADLINE = [
     "cross_source_overlap",
     # round 3 cont.: BPE tokenizer (train 30 merges + encode contract)
     "bpe_encode_contract",
+    # round 3 cont.: per-source top-k curation + first-appearance novelty
+    "stratified_quality_sample",
+    "ngram_novelty",
 ]
 
 

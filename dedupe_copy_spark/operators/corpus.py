@@ -1095,3 +1095,64 @@ def cross_source_overlap(docs: DataFrame, group_col: str = "source",
                 F.round(F.col("n_shared").cast("double")
                         / (F.col("_na") + F.col("_nb")
                            - F.col("n_shared")), 6).alias("jaccard")))
+
+
+def stratified_quality_sample(docs: DataFrame, k: int,
+                              group_col: str = "source",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Per-group top-k by a deterministic quality key: the curation
+    draw that keeps the k best docs of every source instead of a
+    uniform sample — long docs with healthy token shape rank first,
+    ties broken by id so the draw is stable under re-partitioning.
+
+    One shuffle (partitionBy group), rank inside the window; the
+    window never sees more than a group's rows and the output is
+    k·|groups|. For billion-row groups the same contract runs as a
+    TakeOrdered per group via groupBy + min_by arrays; the window form
+    is the readable default and AQE splits skewed groups."""
+    toks = _tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col), F.col(group_col),
+        F.size(toks).cast("long").alias("n_tokens"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, group_col, "n_tokens", "rank"))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """First-appearance novelty per document: the fraction of a doc's
+    distinct n-grams whose FIRST occurrence (by ascending id — ids
+    encode ingestion order) is this doc. Freshness scoring for
+    continuously crawled corpora: a near-zero novelty doc adds nothing
+    the corpus hasn't seen and is a drop candidate even when no single
+    earlier doc matches it (the cross-doc remix case document-level
+    near-dup misses).
+
+    Two shuffles: gram → min(id) partial agg, then a gram-keyed join
+    back and a per-id agg — the dup_span_stats plan shape with min
+    instead of count. Docs with no grams surface with novelty 0 via
+    the left join, never dropped."""
+    grams = doc_grams(docs, n, id_col, text_col)
+    first = grams.groupBy("gram").agg(
+        F.min(id_col).alias("_first_id"))
+    per_doc = (grams.join(first, "gram")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                    F.sum((F.col(id_col) == F.col("_first_id"))
+                          .cast("long")).cast("long").alias("n_novel")))
+    ids = docs.select(id_col)
+    out = ids.join(per_doc, id_col, "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        n_novel.cast("long").alias("n_novel"),
+        F.round(n_novel.cast("double")
+                / F.greatest(n_grams, F.lit(1)).cast("double"), 6)
+        .alias("novelty"))

@@ -349,6 +349,15 @@ CHECKS = {
          lambda p: "partial_count" in p and "partial_sum" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "stratified_quality_sample": [
+        ("single window pass over the group partition, no python",
+         lambda p: "EvalPython" not in p and p.count("Window") >= 1),
+    ],
+    "ngram_novelty": [
+        ("first-appearance via partial min before the gram exchange",
+         lambda p: "partial_min" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "bpe_encode_contract": [
         ("encode is Arrow-batched, never row-at-a-time python",
          lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),

@@ -3386,6 +3386,58 @@ def bpe_encode_contract_query(spark: SparkSession,
          & (n_bpe >= F.col("n_words"))).alias("bounds_ok"))
 
 
+@register("stratified_quality_sample", """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(row_number() OVER (
+             PARTITION BY source
+             ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, rank FROM ranked WHERE rank <= 5
+""")
+def stratified_quality_sample_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Top-5 docs per source by token count with a fully deterministic
+    tie-break — the per-group curation draw. DuckDB replays the
+    window rank row-for-row."""
+    from dedupe_copy_spark.operators.corpus import stratified_quality_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_quality_sample(docs, k=5)
+
+
+@register("ngram_novelty", _GRAMS3_CTE + """
+, first AS (
+  SELECT gram, min(doc_id) AS first_id FROM grams GROUP BY 1
+), per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN g.doc_id = f.first_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first f USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       ROUND(coalesce(p.n_novel, 0)::DOUBLE
+             / greatest(coalesce(p.n_grams, 0), 1), 6) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""")
+def ngram_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-appearance novelty per doc (ids encode ingestion order):
+    the freshness signal that flags remix documents adding nothing new
+    even when no single earlier doc near-matches them. Same two-shuffle
+    plan shape as dup_span_stats, min instead of count."""
+    from dedupe_copy_spark.operators.corpus import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

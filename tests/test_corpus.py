@@ -781,3 +781,37 @@ def test_cross_source_overlap_counts_and_jaccard(spark):
     r = out[("A", "B")]
     assert r.n_shared == 2
     assert r.jaccard == round(2 / (3 + 3 - 2), 6)
+
+
+def test_stratified_quality_sample_topk_and_tiebreak(spark):
+    rows = [(i, " ".join(["t"] * (i % 10 + 1)), "a" if i < 20 else "b")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.stratified_quality_sample(docs, k=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert all(len(v) == 3 for v in by_src.values())
+    # source a: longest docs are ids 9 (10 toks), 19 (10), 8 (9);
+    # the 10-token tie breaks by ascending id
+    a = sorted(by_src["a"], key=lambda r: r.rank)
+    assert [r.doc_id for r in a] == [9, 19, 8]
+    assert [r.n_tokens for r in a] == [10, 10, 9]
+    # determinism under re-partitioning
+    again = corpus.stratified_quality_sample(docs.repartition(7), k=3).collect()
+    assert sorted((r.doc_id, r.rank) for r in again) == \
+        sorted((r.doc_id, r.rank) for r in out)
+
+
+def test_ngram_novelty_first_appearance(spark):
+    docs = _docs(spark, [
+        (1, "a b c d"),        # grams abc, bcd — both first here
+        (2, "a b c d"),        # exact remix: nothing novel
+        (3, "a b c x"),        # abc old, bcx novel -> 0.5
+        (4, "zz"),             # no grams
+    ])
+    out = {r.doc_id: r for r in corpus.ngram_novelty(docs, n=3).collect()}
+    assert out[1].novelty == 1.0 and out[1].n_novel == 2
+    assert out[2].novelty == 0.0 and out[2].n_grams == 2
+    assert out[3].novelty == 0.5
+    assert out[4].n_grams == 0 and out[4].novelty == 0.0
