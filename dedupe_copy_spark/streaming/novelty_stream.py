@@ -1,0 +1,158 @@
+"""Incremental n-gram novelty over a document stream.
+
+The batch form (operators/corpus.ngram_novelty) scores each doc by the
+fraction of its distinct grams whose first corpus appearance is that
+doc. Streaming, the interesting state is the **first-seen store**:
+(gram, first_id) where first_id is the smallest doc id that ever
+carried the gram. min() is associative AND idempotent, so the store is
+the cleanest incremental surface in the repo: each batch appends its
+per-gram min contribution, the global store is the min over
+contributions, and a replayed batch cannot change the answer even
+WITHOUT the batch_id-overwrite discipline (it still gets it, for
+bounded file counts).
+
+Per batch, two outputs:
+    first_seen/batch_id=N/  (gram, first_id) min-contribution of batch N
+    novelty/batch_id=N/     (doc_id, n_grams, n_novel, novelty) —
+                            novelty of batch N's docs vs everything
+                            ingested up to AND INCLUDING batch N
+
+As-of-ingestion semantics (same stance as lm_stream scores): a doc's
+novelty is measured against the corpus state when it arrived, which is
+what a crawl-freshness gate wants — later arrivals of the same grams
+don't retroactively make an early doc less novel. ``renovelty``
+rescoring any relation against the CURRENT store gives the batch
+operator's answer over the full history (test-pinned).
+
+Scale notes: the store grows with distinct grams (vocabulary-shaped,
+like corpus_stream's gram_freq); reads aggregate min map-side;
+``compact_first_seen`` folds history into one base contribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.corpus import doc_grams
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalNovelty:
+    """Streaming first-seen gram store + per-batch novelty scores."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, n: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+        self.first_seen_path = f"{out_dir}/first_seen"
+        self.novelty_path = f"{out_dir}/novelty"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        grams = doc_grams(batch_df, self.n, self.id_col, self.text_col)
+        contrib = grams.groupBy("gram").agg(
+            F.min(self.id_col).cast("long").alias("first_id"))
+        contrib.write.mode("overwrite").parquet(
+            f"{self.first_seen_path}/batch_id={batch_id}")
+        scored = self._score(batch_df, self.current_first_seen())
+        scored.write.mode("overwrite").parquet(
+            f"{self.novelty_path}/batch_id={batch_id}")
+
+    def _score(self, docs: DataFrame, first: DataFrame) -> DataFrame:
+        grams = doc_grams(docs, self.n, self.id_col, self.text_col)
+        per_doc = (grams.join(first, "gram")
+                   .groupBy(self.id_col)
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                        F.sum((F.col(self.id_col) == F.col("first_id"))
+                              .cast("long")).cast("long")
+                        .alias("n_novel")))
+        ids = docs.select(self.id_col)
+        out = ids.join(per_doc, self.id_col, "left")
+        n_grams = F.coalesce(F.col("n_grams"), F.lit(0))
+        n_novel = F.coalesce(F.col("n_novel"), F.lit(0))
+        return out.select(
+            F.col(self.id_col),
+            n_grams.cast("long").alias("n_grams"),
+            n_novel.cast("long").alias("n_novel"),
+            F.round(n_novel.cast("double")
+                    / F.greatest(n_grams, F.lit(1)).cast("double"), 6)
+            .alias("novelty"))
+
+    # -- read-side views --------------------------------------------------
+
+    def current_first_seen(self) -> DataFrame:
+        """Global (gram, first_id) over everything ingested — the min
+        over contributions; identical to the batch operator's `first`
+        relation on the concatenation of all batches."""
+        store = self._read_state(self.first_seen_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "gram string, first_id long")
+        return store.groupBy("gram").agg(
+            F.min("first_id").cast("long").alias("first_id"))
+
+    def novelty_scores(self) -> DataFrame:
+        """As-of-ingestion novelty across all batches; re-sent docs
+        keep their latest batch's row."""
+        store = self._read_state(self.novelty_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, n_grams long, n_novel long, "
+                    "novelty double")
+        latest = store.groupBy(self.id_col).agg(
+            F.max("batch_id").alias("batch_id"))
+        return store.join(latest, [self.id_col, "batch_id"]) \
+            .drop("batch_id")
+
+    def renovelty(self, docs: DataFrame) -> DataFrame:
+        """Deterministic final pass: novelty of ``docs`` against the
+        CURRENT store — equals operators.corpus.ngram_novelty on the
+        full ingested history when ``docs`` IS that history."""
+        return self._score(docs, self.current_first_seen())
+
+    def compact_first_seen(self, into_batch_id: int = -1) -> None:
+        """Fold contributions into one base subdirectory (bounded file
+        count; min-merge makes this safe even against replays of
+        already-folded batches)."""
+        import os
+        import shutil
+
+        store = self._read_state(self.first_seen_path)
+        if store is None:
+            return
+        folded = store.groupBy("gram").agg(
+            F.min("first_id").cast("long").alias("first_id"))
+        tmp = f"{self.out_dir}/_first_seen_compact"
+        folded.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.first_seen_path)
+        os.makedirs(self.first_seen_path, exist_ok=True)
+        shutil.move(tmp, f"{self.first_seen_path}/batch_id={into_batch_id}")
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,69 @@
+"""Incremental novelty (streaming/novelty_stream.py): min-merge
+first-seen store equals the batch operator's first relation; replay
+safety is structural (min is idempotent); as-of-ingestion scores."""
+
+from dedupe_copy_spark.operators import corpus
+from dedupe_copy_spark.streaming.novelty_stream import IncrementalNovelty
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_first_seen_store_equals_batch_and_replay_safe(spark, tmp_path):
+    out = str(tmp_path / "nov_stream")
+    job = IncrementalNovelty(spark, out, n=3)
+    b0 = [(1, "a b c d"), (2, "a b c x")]
+    b1 = [(3, "a b c d"), (4, "p q r s")]
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    job.process_batch(_docs(spark, b1), batch_id=1)
+    # replay batch 1: min-merge makes this a no-op on the store
+    job.process_batch(_docs(spark, b1), batch_id=1)
+
+    store = {r.gram: r.first_id
+             for r in job.current_first_seen().collect()}
+    grams = corpus.doc_grams(_docs(spark, b0 + b1), n=3)
+    want = {r.gram: r.first_id for r in
+            grams.groupBy("gram").agg(
+                __import__("pyspark.sql.functions", fromlist=["min"])
+                .min("doc_id").alias("first_id")).collect()}
+    assert store == want
+    assert store["a b c"] == 1 and store["p q r"] == 4
+
+
+def test_as_of_ingestion_vs_full_history_rescore(spark, tmp_path):
+    out = str(tmp_path / "nov_stream2")
+    job = IncrementalNovelty(spark, out, n=3)
+    job.process_batch(_docs(spark, [(1, "a b c d")]), batch_id=0)
+    job.process_batch(_docs(spark, [(2, "a b c d"),      # pure remix
+                                    (3, "x y z w")]), batch_id=1)
+
+    scores = {r.doc_id: r for r in job.novelty_scores().collect()}
+    assert scores[1].novelty == 1.0      # first ever
+    assert scores[2].novelty == 0.0      # remix of batch 0
+    assert scores[3].novelty == 1.0      # brand new grams
+    assert sorted(scores) == [1, 2, 3]
+
+    # rescoring the full history against the current store == the
+    # batch operator on the concatenation
+    hist = _docs(spark, [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")])
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+           for r in job.renovelty(hist).collect()}
+    want = {r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+            for r in corpus.ngram_novelty(hist, n=3).collect()}
+    assert got == want
+
+
+def test_compaction_preserves_store_and_keeps_accumulating(spark, tmp_path):
+    out = str(tmp_path / "nov_stream3")
+    job = IncrementalNovelty(spark, out, n=3)
+    job.process_batch(_docs(spark, [(5, "m n o p")]), batch_id=0)
+    job.process_batch(_docs(spark, [(6, "m n o q")]), batch_id=1)
+    before = {r.gram: r.first_id for r in job.current_first_seen().collect()}
+    job.compact_first_seen()
+    after = {r.gram: r.first_id for r in job.current_first_seen().collect()}
+    assert before == after
+    # a LOWER id arriving later still wins the min (out-of-order crawl)
+    job.process_batch(_docs(spark, [(2, "m n o p")]), batch_id=2)
+    assert {r.gram: r.first_id for r in job.current_first_seen().collect()}[
+        "m n o"] == 2
