@@ -109,6 +109,8 @@ HEADLINE = [
     # round 3 cont.: per-source top-k curation + first-appearance novelty
     "stratified_quality_sample",
     "ngram_novelty",
+    # round 3 cont.: JSONL interchange source round-trip
+    "jsonl_roundtrip",
 ]
 
 

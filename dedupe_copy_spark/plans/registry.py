@@ -3438,6 +3438,28 @@ def ngram_novelty_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs)
 
 
+@register("jsonl_roundtrip", """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+""")
+def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interchange-source parity: export the documents table to
+    newline-delimited JSON (the crawl-dump format) and read it back
+    through the pinned-schema JSONL source — every row, including
+    embedded newlines/quotes/unicode in text, must survive escaping
+    byte-for-byte (the value hash against the parquet original is the
+    proof). Exercises sources/text_formats.py end to end."""
+    import tempfile
+
+    from dedupe_copy_spark.sources.text_formats import (
+        read_jsonl, write_jsonl)
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    out = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    write_jsonl(docs, out)
+    return read_jsonl(spark, out)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -1,0 +1,69 @@
+"""JSONL / CSV ingestion and export for the canonical files and
+documents schemas.
+
+The reference walks a filesystem; this engine's equivalent "sources"
+are table formats. Parquet/Iceberg/bucketed/snapshot readers live in
+their own modules — this one covers the interchange formats crawl and
+annotation tooling actually emit: newline-delimited JSON (the lingua
+franca of web-scrape dumps) and CSV (the reference's own report
+format, core.py:136-170).
+
+Readers take an EXPLICIT schema — never inference. At 100 TB schema
+inference is a full extra pass over the data, and a drifted field
+type silently changes every downstream digest; pinning the schema
+makes a malformed dump fail loudly at read time (columnNameOfCorruptRecord
+stays at Spark's default PERMISSIVE null-fill, so counts of NULL
+required columns are the validation hook)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FILES_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), True),
+    T.StructField("path", T.StringType(), True),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("content", T.StringType(), True),
+])
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+])
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType = DOCUMENTS_SCHEMA) -> DataFrame:
+    """Newline-delimited JSON with a pinned schema. Splittable (one
+    doc per line), so a 100 TB dump parallelizes by byte ranges like
+    any text source; JSON string escaping round-trips embedded
+    newlines/quotes/unicode in content fields."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: T.StructType = DOCUMENTS_SCHEMA,
+             multiline: bool = False) -> DataFrame:
+    """CSV with a pinned schema. ``multiline=True`` is required when
+    text fields carry embedded newlines — and it makes files
+    NON-splittable (one task per file), so at scale prefer JSONL for
+    content-bearing columns and keep CSV for flat reports."""
+    return (spark.read.schema(schema)
+            .option("header", True)
+            .option("multiLine", multiline)
+            .option("escape", '"')
+            .csv(path))
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", True) \
+        .option("escape", '"').csv(path)

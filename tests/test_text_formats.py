@@ -1,0 +1,104 @@
+"""JSONL/CSV interchange sources and the training-shard sink."""
+
+import glob
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.sources import shards, text_formats
+from dedupe_copy_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+NASTY = [
+    (1, 'line one\nline "two"', "en", "s1", 20),
+    (2, "unicode: éß中文 and a,comma", "de", "s2", 30),
+    (3, None, None, "s3", 0),
+    (4, "tab\there", "en", "s1", 8),
+]
+
+
+def _docs(spark, rows=NASTY):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_jsonl_round_trip_exact(spark, tmp_path):
+    path = str(tmp_path / "docs_jsonl")
+    orig = _docs(spark)
+    text_formats.write_jsonl(orig, path)
+    back = text_formats.read_jsonl(spark, path)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, orig.collect()))
+
+
+def test_jsonl_round_trip_real_fixture(spark, tmp_path):
+    path = str(tmp_path / "fixture_jsonl")
+    docs = load_table(spark, SF, "documents")
+    text_formats.write_jsonl(docs, path)
+    back = text_formats.read_jsonl(spark, path)
+    # digest equality: content survives JSON escaping byte-for-byte
+    dig = lambda df: df.agg(  # noqa: E731
+        F.bit_xor(F.xxhash64(F.coalesce("text", F.lit("\0")),
+                             "doc_id"))).collect()[0][0]
+    assert back.count() == docs.count()
+    assert dig(back) == dig(docs)
+
+
+def test_csv_round_trip_multiline(spark, tmp_path):
+    path = str(tmp_path / "docs_csv")
+    orig = _docs(spark)
+    text_formats.write_csv(orig, path)
+    back = text_formats.read_csv(spark, path, multiline=True)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, orig.collect()))
+
+
+def test_jsonl_pinned_schema_rejects_drift_loudly(spark, tmp_path):
+    # a dump whose doc_id column went string-typed: PERMISSIVE mode
+    # null-fills, so the validation hook (NULL required column) fires
+    path = str(tmp_path / "drift")
+    import os
+    os.makedirs(path)
+    with open(f"{path}/part-0.jsonl", "w") as f:
+        f.write('{"doc_id": "not-a-number", "text": "x"}\n')
+        f.write('{"doc_id": 7, "text": "ok"}\n')
+    back = text_formats.read_jsonl(spark, path)
+    rows = {r.text: r.doc_id for r in back.collect()}
+    assert rows["ok"] == 7 and rows["x"] is None
+
+
+def test_training_shards_layout_and_determinism(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    rows = [(i, f"text {i}", "train" if i % 10 else "valid")
+            for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    shards.write_training_shards(docs, out, max_records_per_file=100,
+                                 shards_per_split=4)
+    files = sorted(glob.glob(f"{out}/split=*/*.parquet"))
+    assert files
+    # bounded file sizes + split partitioning + nothing lost
+    per_split = duckdb.sql(
+        f"SELECT split, count(*) FROM read_parquet('{out}/split=*/*.parquet',"
+        f" hive_partitioning=1) GROUP BY 1").fetchall()
+    assert dict(per_split) == {"train": 900, "valid": 100}
+    for f in files:
+        n = duckdb.sql(f"SELECT count(*) FROM '{f}'").fetchone()[0]
+        assert n <= 100
+        ids = [r[0] for r in duckdb.sql(
+            f"SELECT doc_id FROM '{f}'").fetchall()]
+        assert ids == sorted(ids)          # order-stable within file
+    # deterministic re-run: same file count, same per-file row counts
+    counts1 = [duckdb.sql(f"SELECT count(*) FROM '{f}'").fetchone()[0]
+               for f in files]
+    shards.write_training_shards(docs, out, max_records_per_file=100,
+                                 shards_per_split=4)
+    files2 = sorted(glob.glob(f"{out}/split=*/*.parquet"))
+    counts2 = [duckdb.sql(f"SELECT count(*) FROM '{f}'").fetchone()[0]
+               for f in files2]
+    assert len(files) == len(files2) and counts1 == counts2
+    with pytest.raises(ValueError):
+        shards.write_training_shards(docs, out, max_records_per_file=0)
