@@ -111,6 +111,8 @@ HEADLINE = [
     "ngram_novelty",
     # round 3 cont.: JSONL interchange source round-trip
     "jsonl_roundtrip",
+    # round 3 cont.: char-entropy junk gate (integer micro-nat exact)
+    "char_entropy",
 ]
 
 

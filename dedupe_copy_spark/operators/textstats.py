@@ -161,3 +161,46 @@ def make_fingerprint_udf():
 
 def doc_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fingerprint", make_fingerprint_udf()(F.col(text_col)))
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", head_chars: int = 512,
+                 min_entropy: float = 2.0) -> DataFrame:
+    """Shannon character entropy of each doc's head — the
+    junk-vs-text signal compression-ratio filters approximate:
+    keyboard mash, repeated-char padding, and single-token spam all
+    score far below natural text (≈4.1 nats for English prose), while
+    base64 blobs score above it. Pure codegen: the char array is
+    STAGED once, per-distinct-char counts come from a nested
+    filter/transform fold, and each term is quantized to integer
+    micro-nats before the sum — so the result is independent of
+    `array_distinct`'s ordering (which differs across engines) and
+    DuckDB replays it bit-for-bit.
+
+    O(head × distinct-chars) per row, no shuffle, no Python. Adds
+    ``n_chars_head``, ``n_distinct_chars``, ``entropy`` (nats,
+    rounded), and ``is_diverse`` (entropy ≥ min_entropy)."""
+    staged = docs.select(
+        *docs.columns,
+        F.substring(F.coalesce(F.col(text_col), F.lit("")),
+                    1, head_chars).alias("_head"))
+    staged = staged.select(
+        *docs.columns, F.length("_head").alias("_n"),
+        F.when(F.length("_head") > 0,
+               F.split(F.col("_head"), ""))
+        .otherwise(F.array().cast("array<string>")).alias("_ch"))
+    cnt = lambda c: F.size(F.filter("_ch", lambda x: x == c))  # noqa: E731
+    p = lambda c: cnt(c).cast("double") / F.col("_n")  # noqa: E731
+    term_micro = lambda c: F.round(  # noqa: E731
+        -p(c) * F.log(p(c)) * 1e6, 0).cast("long")
+    ent_micro = F.when(F.col("_n") <= 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(F.array_distinct("_ch"), F.lit(0).cast("long"),
+                    lambda acc, c: acc + term_micro(c)))
+    entropy = F.round(ent_micro.cast("double") / 1e6, 6)
+    return staged.select(
+        *docs.columns,
+        F.col("_n").cast("long").alias("n_chars_head"),
+        F.size(F.array_distinct("_ch")).cast("long")
+        .alias("n_distinct_chars"),
+        entropy.alias("entropy"),
+        (entropy >= min_entropy).alias("is_diverse"))

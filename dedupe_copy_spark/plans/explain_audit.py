@@ -358,6 +358,12 @@ CHECKS = {
          lambda p: "partial_min" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "char_entropy": [
+        ("single narrow stage, zero exchanges",
+         lambda p: "Exchange" not in p),
+        ("no python eval (entropy fold is pure codegen)",
+         lambda p: "EvalPython" not in p),
+    ],
     "bpe_encode_contract": [
         ("encode is Arrow-batched, never row-at-a-time python",
          lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),

@@ -3460,6 +3460,56 @@ def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, out)
 
 
+@register("char_entropy", """
+WITH seeded AS (
+  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN repeat('a', 300)
+                      WHEN doc_id % 13 = 0 THEN repeat('ab', 150)
+                      ELSE coalesce(text, '') END AS text
+  FROM documents
+), staged AS (
+  SELECT doc_id, substr(text, 1, 512) AS h FROM seeded
+), arr AS (
+  SELECT doc_id, len(h) AS n,
+         list_transform(generate_series(1, len(h)),
+                        i -> substr(h, i, 1)) AS ch
+  FROM staged
+), ent AS (
+  SELECT doc_id, n,
+    CAST(len(list_distinct(ch)) AS BIGINT) AS n_distinct_chars,
+    CASE WHEN n <= 0 THEN 0 ELSE CAST(coalesce(list_sum(
+      list_transform(list_distinct(ch), c ->
+        CAST(round(-(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE) / n)
+                   * ln(CAST(len(list_filter(ch, x -> x = c)) AS DOUBLE)
+                        / n) * 1000000) AS BIGINT))), 0) AS BIGINT)
+    END AS e_micro
+  FROM arr
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_head, n_distinct_chars,
+       ROUND(CAST(e_micro AS DOUBLE) / 1000000, 6) AS entropy,
+       (ROUND(CAST(e_micro AS DOUBLE) / 1000000, 6) >= 2.0) AS is_diverse
+FROM ent
+""")
+def char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy junk gate over a deterministically corrupted
+    corpus: doc_id%11==0 rows become 300×'a' (entropy 0), %13==0
+    'ab'×150 (ln 2 ≈ 0.693 — still junk), everything else keeps its
+    natural text (diverse). Each per-char term is integer-quantized
+    before summing, so the engines' different array_distinct orderings
+    cannot change the answer; DuckDB replays every micro-nat."""
+    from dedupe_copy_spark.operators.textstats import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.when(did % 11 == 0, F.repeat(F.lit("a"), 300))
+        .when(did % 13 == 0, F.repeat(F.lit("ab"), 150))
+        .otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"))
+    return char_entropy(seeded).select(
+        "doc_id", "n_chars_head", "n_distinct_chars", "entropy",
+        "is_diverse")
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -114,3 +114,28 @@ def test_array_ngrams_matches_python_reference(spark):
             # concat_ws drops nothing for plain strings; empty tokens
             # join as consecutive spaces exactly like " ".join
             assert got[i] == expected, (n, toks, got[i], expected)
+
+
+def test_char_entropy_known_values(spark):
+    import math
+    from dedupe_copy_spark.operators.textstats import char_entropy
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None),
+         (6, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert out[1].entropy == 0.0 and not out[1].is_diverse
+    assert abs(out[2].entropy - math.log(2)) < 1e-5
+    assert abs(out[3].entropy - math.log(4)) < 1e-5
+    assert out[3].n_distinct_chars == 4
+    assert (out[4].entropy, out[4].n_chars_head) == (0.0, 0)
+    assert (out[5].entropy, out[5].is_diverse) == (0.0, False)
+    assert out[6].entropy > 2.5 and out[6].is_diverse   # natural text
+
+
+def test_char_entropy_is_narrow_codegen(spark):
+    from dedupe_copy_spark.operators.textstats import char_entropy
+    docs = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
