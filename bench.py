@@ -113,6 +113,8 @@ HEADLINE = [
     "jsonl_roundtrip",
     # round 3 cont.: char-entropy junk gate (integer micro-nat exact)
     "char_entropy",
+    # round 3 cont.: gap-based event sessionization (one user shuffle)
+    "sessionize_events",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Event sessionization: gap-based session assignment over the events
+table — the canonical stateful-windowing operator (the batch form of
+Structured Streaming's session windows).
+
+A session is a maximal run of a user's events with no gap larger than
+``gap_minutes``. The assignment is two window passes over ONE
+partitioning (user_id): lag() finds the gaps, a running sum of
+new-session flags numbers the sessions — Catalyst executes both in a
+single Exchange + sort, so the cost at any scale is one shuffle of the
+events keyed by user (skewed power-users are still one partition each;
+for adversarial skew pre-split by (user_id, day) and merge adjacent
+sessions at the boundary — the standard two-level refinement).
+
+Determinism: ordering ties break by event_id; timestamps compare as
+integer epoch-microseconds; per-session value totals are summed in
+integer cents — all exactly replayable by the DuckDB oracle.
+
+The reference has no time dimension at all (files, not events); this
+covers the testdata's events table the way a usage-analytics consumer
+of the engine would.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30,
+               user_col: str = "user_id", ts_col: str = "ts",
+               order_col: str = "event_id",
+               value_col: str = "value") -> DataFrame:
+    """One row per (user, session): bounds in epoch-micros, event
+    count, and the session's value total (summed in exact cents)."""
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    # the events fixture stores ts as TIMESTAMP_NTZ; the session runs
+    # in UTC so the cast is offset-free and unix_micros == DuckDB's
+    # epoch_us on the same naive value
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    numbered = events.select(
+        user_col, ts_col, order_col, value_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long").alias("session_n"))
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return (numbered.groupBy(user_col, "session_n")
+            .agg(F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                 .cast("long").alias("start_us"),
+                 F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                 .cast("long").alias("end_us"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.round(F.sum(cents).cast("double") / 100, 2)
+                 .alias("total_value")))

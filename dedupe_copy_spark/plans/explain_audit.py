@@ -358,6 +358,12 @@ CHECKS = {
          lambda p: "partial_min" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "sessionize_events": [
+        ("both window passes and the session agg share one user-keyed "
+         "exchange",
+         lambda p: p.count("Exchange") <= 2),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "char_entropy": [
         ("single narrow stage, zero exchanges",
          lambda p: "Exchange" not in p),

@@ -3510,6 +3510,44 @@ def char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_diverse")
 
 
+@register("sessionize_events", """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_n
+  FROM flagged
+)
+SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / 100, 2) AS total_value
+FROM numbered GROUP BY 1, 2
+""")
+def sessionize_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) of the events table: one
+    shuffle keyed by user, two window passes sharing its sort,
+    integer-exact bounds and totals — DuckDB replays every session
+    row-for-row."""
+    from dedupe_copy_spark.operators.sessions import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap_minutes=30)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

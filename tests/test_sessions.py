@@ -1,0 +1,56 @@
+"""Gap-based sessionization (operators/sessions.py)."""
+
+import datetime as dt
+
+import pytest
+
+from dedupe_copy_spark.operators.sessions import sessionize
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _at(minutes, seconds=0):
+    return T0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, _at(0), 7, 1.25),
+        (2, _at(10), 7, 2.50),     # same session (10 min gap)
+        (3, _at(50), 7, 4.00),     # 40 min gap -> new session
+        (4, _at(55), 7, 0.25),
+        (5, _at(0), 8, 9.99),      # other user: own sessions
+    ]
+    out = {(r.user_id, r.session_n): r
+           for r in sessionize(_events(spark, rows), 30).collect()}
+    assert set(out) == {(7, 1), (7, 2), (8, 1)}
+    s1, s2 = out[(7, 1)], out[(7, 2)]
+    assert s1.n_events == 2 and s1.total_value == 3.75
+    assert s2.n_events == 2 and s2.total_value == 4.25
+    assert s1.end_us < s2.start_us
+    assert out[(8, 1)].total_value == 9.99
+    with pytest.raises(ValueError):
+        sessionize(_events(spark, rows), 0)
+
+
+def test_sessionize_boundary_is_strictly_greater(spark):
+    rows = [(1, _at(0), 1, 1.0), (2, _at(30), 1, 1.0),       # exactly 30m: SAME
+            (3, _at(60, 1), 1, 1.0)]                          # 30m1s: NEW
+    out = sessionize(_events(spark, rows), 30).collect()
+    ns = sorted((r.session_n, r.n_events) for r in out)
+    assert ns == [(1, 2), (2, 1)]
+
+
+def test_sessionize_single_exchange(spark):
+    rows = [(1, _at(0), 1, 1.0)]
+    plan = sessionize(_events(spark, rows)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # both window passes + the session agg reuse ONE user-keyed exchange
+    assert plan.count("Exchange") <= 2
+    assert "EvalPython" not in plan
