@@ -109,12 +109,19 @@ def lm_score(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
 
     Output: (id_col, n_bigrams, avg_nll, perplexity) — one row per
     input doc, empty/1-char docs score avg_nll=0, perplexity=1.
+
+    Empty-model sentinel: an untrained model (zero rows — reachable via
+    IncrementalLMQuality.rescore before any batch) is treated as the
+    uniform model over a single symbol: V is clamped to 1, every gram
+    scores ln(1)=0, so docs report their TRUE n_bigrams with avg_nll=0
+    and perplexity=1. Without the clamp V=0 would make ln(V) NULL and
+    silently erase the bigram counts too.
     """
     cont = model.groupBy(
         F.substring("gram", 1, 1).alias("c1")).agg(
         F.sum("cnt").cast("long").alias("cont_cnt"))
     vocab = model.select(
-        F.countDistinct(F.substring("gram", 2, 1))
+        F.greatest(F.countDistinct(F.substring("gram", 2, 1)), F.lit(1))
         .cast("double").alias("_v"))
 
     grams = _with_bigrams(docs, text_col, head_chars, keep=[id_col])

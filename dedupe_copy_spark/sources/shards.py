@@ -11,9 +11,15 @@ give:
     shard work by file without a manifest of offsets;
   - determinism: rows are range-partitioned and sorted by
     (split, sort key) before the write, so re-running the sink on the
-    same input produces byte-stable file contents (modulo parquet
-    footer timestamps) and a stable global order — the property that
-    makes training runs reproducible from the data side.
+    same input produces the same stable GLOBAL order (file 0's rows
+    precede file 1's, each file internally sorted) — the property that
+    makes training runs reproducible from the data side.  Individual
+    file *boundaries* are NOT byte-stable across runs:
+    ``repartitionByRange`` samples its partition boundaries per run,
+    so the same row may land at the end of one file or the start of
+    the next.  A loader that concatenates files in name order always
+    sees the identical sequence; one that shards training by file may
+    see rows shift between shards across re-runs.
 
 One wide exchange total (the range partitioning); the per-partition
 sort is a spillable local sort. At 100 TB, bump ``shards_per_split``

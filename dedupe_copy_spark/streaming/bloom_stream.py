@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dedupe_copy_spark.streaming import statestore
+
 from dedupe_copy_spark.operators.bloom import (
     DEFAULT_NUM_BITS,
     DEFAULT_NUM_HASHES,
@@ -67,6 +69,7 @@ class IncrementalBloomDedup:
         self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
 
     def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
         try:
             return self.spark.read.parquet(path)
         except Exception:
@@ -175,19 +178,13 @@ class IncrementalBloomDedup:
         sketch (and therefore its routing AND its output) is unchanged.
         Run only between triggers after the checkpoint committed the
         folded batches."""
-        import os
-        import shutil
-
         words = self._read_state(self.words_path)
         if words is None:
             return
         folded = words.groupBy("word_idx").agg(
             F.bit_or("word").alias("word"))
         tmp = f"{self.out_dir}/_words_compact"
-        folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.words_path)
-        os.makedirs(self.words_path, exist_ok=True)
-        shutil.move(tmp, f"{self.words_path}/batch_id={into_batch_id}")
+        statestore.compact_into(folded, self.words_path, tmp, into_batch_id)
 
     # -- stream wiring ------------------------------------------------------
 

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dedupe_copy_spark.streaming import statestore
+
 from dedupe_copy_spark.operators.cc import incremental_components
 
 
@@ -48,6 +50,7 @@ class IncrementalClusters:
         self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
 
     def _read_state(self) -> DataFrame | None:
+        statestore.recover(self.deltas_path)
         try:
             return self.spark.read.parquet(self.deltas_path)
         except Exception:
@@ -94,18 +97,12 @@ class IncrementalClusters:
         is the same latest-wins aggregation every reader applies, so
         answers are unchanged. Run only between triggers after the
         stream checkpoint committed the folded batches."""
-        import os
-        import shutil
-
         deltas = self._read_state()
         if deltas is None:
             return
         folded = self._fold(deltas)
         tmp = f"{self.out_dir}/_deltas_compact"
-        folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.deltas_path)
-        os.makedirs(self.deltas_path, exist_ok=True)
-        shutil.move(tmp, f"{self.deltas_path}/batch_id={into_batch_id}")
+        statestore.compact_into(folded, self.deltas_path, tmp, into_batch_id)
 
     # -- stream wiring ------------------------------------------------------
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dedupe_copy_spark.streaming import statestore
+
 from dedupe_copy_spark.operators.cdc import cdc_chunks
 from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
 
@@ -56,6 +58,7 @@ class IncrementalChunkDedup:
         self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
 
     def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
         try:
             return self.spark.read.parquet(path)
         except Exception:
@@ -164,18 +167,12 @@ class IncrementalChunkDedup:
         Run only between triggers after the stream checkpoint
         committed the folded batches (same contract as
         corpus_stream.compact_gram_freq)."""
-        import os
-        import shutil
-
         store = self._read_state(self.chunks_path)
         if store is None:
             return
         folded = store.select("doc_id", "chunk_sha", "n_tokens").distinct()
         tmp = f"{self.out_dir}/_chunks_compact"
-        folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.chunks_path)
-        os.makedirs(self.chunks_path, exist_ok=True)
-        shutil.move(tmp, f"{self.chunks_path}/batch_id={into_batch_id}")
+        statestore.compact_into(folded, self.chunks_path, tmp, into_batch_id)
 
     # -- stream wiring ----------------------------------------------------
 

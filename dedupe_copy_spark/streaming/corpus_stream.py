@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dedupe_copy_spark.streaming import statestore
 from pyspark.sql import types as T
 
 from dedupe_copy_spark.operators.corpus import doc_grams
@@ -74,6 +76,7 @@ class IncrementalCorpusHygiene:
         grams.write.mode("overwrite").parquet(self.eval_grams_path)
 
     def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
         try:
             return self.spark.read.parquet(path)
         except Exception:
@@ -142,19 +145,13 @@ class IncrementalCorpusHygiene:
         batch would re-add a contribution the base already contains.
         Structured Streaming's checkpoint guarantees committed epochs
         are not re-delivered, so between-trigger compaction is safe."""
-        import os
-        import shutil
-
         store = self._read_state(self.gram_freq_path)
         if store is None:
             return
         folded = store.groupBy("gram").agg(
             F.sum("doc_freq").cast("long").alias("doc_freq"))
         tmp = f"{self.out_dir}/_gram_freq_compact"
-        folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.gram_freq_path)
-        os.makedirs(self.gram_freq_path, exist_ok=True)
-        shutil.move(tmp, f"{self.gram_freq_path}/batch_id={into_batch_id}")
+        statestore.compact_into(folded, self.gram_freq_path, tmp, into_batch_id)
 
     # -- stream wiring ----------------------------------------------------
 

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dedupe_copy_spark.streaming import statestore
+
 from dedupe_copy_spark.operators.lm import _with_bigrams, lm_score
 from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
 
@@ -59,6 +61,7 @@ class IncrementalLMQuality:
         self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
 
     def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
         try:
             return self.spark.read.parquet(path)
         except Exception:
@@ -120,19 +123,13 @@ class IncrementalLMQuality:
         """Fold all model contributions into one base subdirectory —
         bounded file count, identical sums (run between triggers; see
         corpus_stream.compact_gram_freq for the replay argument)."""
-        import os
-        import shutil
-
         store = self._read_state(self.model_path)
         if store is None:
             return
         folded = store.groupBy("gram").agg(
             F.sum("cnt").cast("long").alias("cnt"))
         tmp = f"{self.out_dir}/_model_compact"
-        folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.model_path)
-        os.makedirs(self.model_path, exist_ok=True)
-        shutil.move(tmp, f"{self.model_path}/batch_id={into_batch_id}")
+        statestore.compact_into(folded, self.model_path, tmp, into_batch_id)
 
     # -- stream wiring ----------------------------------------------------
 

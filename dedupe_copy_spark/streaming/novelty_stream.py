@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dedupe_copy_spark.streaming import statestore
+
 from dedupe_copy_spark.operators.corpus import doc_grams
 from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
 
@@ -53,6 +55,7 @@ class IncrementalNovelty:
         self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
 
     def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
         try:
             return self.spark.read.parquet(path)
         except Exception:
@@ -126,19 +129,13 @@ class IncrementalNovelty:
         """Fold contributions into one base subdirectory (bounded file
         count; min-merge makes this safe even against replays of
         already-folded batches)."""
-        import os
-        import shutil
-
         store = self._read_state(self.first_seen_path)
         if store is None:
             return
         folded = store.groupBy("gram").agg(
             F.min("first_id").cast("long").alias("first_id"))
         tmp = f"{self.out_dir}/_first_seen_compact"
-        folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.first_seen_path)
-        os.makedirs(self.first_seen_path, exist_ok=True)
-        shutil.move(tmp, f"{self.first_seen_path}/batch_id={into_batch_id}")
+        statestore.compact_into(folded, self.first_seen_path, tmp, into_batch_id)
 
     # -- stream wiring ----------------------------------------------------
 

@@ -1,0 +1,62 @@
+"""Crash-safe compaction for the file-backed streaming state stores.
+
+Every incremental module keeps its state as a Hive-partitioned parquet
+directory ``<store>/batch_id=<n>/...`` and periodically folds all batch
+contributions into one base partition to bound file count.  The naive
+sequence (write folded → rmtree store → move folded in) has a crash
+window after the rmtree where the store is simply *gone*, and a later
+read would treat that as a legitimately-empty model rather than an
+error.
+
+``compact_into`` closes the window with two atomic directory renames:
+
+  1. write the folded relation to ``<tmp>/batch_id=<into>`` (the store
+     is untouched; a stale tmp is never read);
+  2. ``os.rename(store, store + ".old")``        — atomic;
+  3. ``os.rename(tmp, store)``                   — atomic;
+  4. ``rmtree(store + ".old")``                  — cleanup only.
+
+Any crash leaves either the original store, or the ``.old`` sibling
+holding the complete pre-compaction state.  ``recover`` (called by the
+modules' ``_read_state`` before every read) finishes the job: if
+``.old`` exists without a live store the rename is rolled back; if both
+exist the compaction succeeded and ``.old`` is dropped.  No window
+yields an empty-but-plausible store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def recover(store_path: str) -> None:
+    """Repair a compaction interrupted between its two renames."""
+    old = store_path + ".old"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(store_path):
+        # Crash after step 3: the live store is the compacted one.
+        shutil.rmtree(old)
+    else:
+        # Crash between steps 2 and 3: roll the rename back.
+        os.rename(old, store_path)
+
+
+def compact_into(folded: DataFrame, store_path: str, tmp_path: str,
+                 into_batch_id: int = -1) -> None:
+    """Replace ``store_path`` with ``folded`` as its single
+    ``batch_id=<into_batch_id>`` partition, crash-safely.  ``folded``
+    must be derived from the current store contents (it is fully
+    materialized to ``tmp_path`` before the store is touched)."""
+    recover(store_path)
+    if os.path.exists(tmp_path):
+        shutil.rmtree(tmp_path)
+    folded.write.mode("overwrite").parquet(
+        f"{tmp_path}/batch_id={into_batch_id}")
+    old = store_path + ".old"
+    os.rename(store_path, old)
+    os.rename(tmp_path, store_path)
+    shutil.rmtree(old)

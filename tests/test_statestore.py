@@ -1,0 +1,111 @@
+"""Crash-safety of streaming state-store compaction (statestore.py):
+every interruption point of compact_into must leave a store that
+recover() restores to the full pre- or post-compaction contents —
+never an empty-but-plausible store (the failure mode ADVICE r3 flagged
+in the old rmtree-then-move sequence)."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.streaming import statestore
+
+
+def _write_store(spark, store):
+    for b, rows in enumerate([[("a", 1), ("b", 2)], [("a", 3), ("c", 4)]]):
+        spark.createDataFrame(rows, "gram string, cnt long") \
+            .write.mode("overwrite").parquet(f"{store}/batch_id={b}")
+
+
+def _sums(spark, store):
+    df = spark.read.parquet(store).groupBy("gram").agg(
+        F.sum("cnt").alias("cnt"))
+    return dict((r["gram"], r["cnt"]) for r in df.collect())
+
+
+EXPECT = {"a": 4, "b": 2, "c": 4}
+
+
+def test_compact_preserves_sums_and_bounds_partitions(spark, tmp_path):
+    store = str(tmp_path / "store")
+    _write_store(spark, store)
+    folded = spark.read.parquet(store).groupBy("gram").agg(
+        F.sum("cnt").cast("long").alias("cnt"))
+    statestore.compact_into(folded, store, str(tmp_path / "tmp"))
+    assert _sums(spark, store) == EXPECT
+    assert os.listdir(store) == ["batch_id=-1"]
+    assert not os.path.exists(store + ".old")
+
+
+def test_recover_rolls_back_interrupted_rename(spark, tmp_path):
+    """Crash between the two renames: store gone, .old complete —
+    recover() must roll back, and a read must see the full data."""
+    store = str(tmp_path / "store")
+    _write_store(spark, store)
+    os.rename(store, store + ".old")  # simulate crash after step 2
+    statestore.recover(store)
+    assert not os.path.exists(store + ".old")
+    assert _sums(spark, store) == EXPECT
+
+
+def test_recover_drops_old_after_completed_swap(spark, tmp_path):
+    """Crash after the tmp→store rename but before cleanup: both dirs
+    exist; the live store is the compacted one and .old is dropped."""
+    store = str(tmp_path / "store")
+    _write_store(spark, store)
+    folded = spark.read.parquet(store).groupBy("gram").agg(
+        F.sum("cnt").cast("long").alias("cnt"))
+    tmp = str(tmp_path / "tmp")
+    folded.write.mode("overwrite").parquet(f"{tmp}/batch_id=-1")
+    os.rename(store, store + ".old")
+    os.rename(tmp, store)  # crash before rmtree(.old)
+    statestore.recover(store)
+    assert not os.path.exists(store + ".old")
+    assert _sums(spark, store) == EXPECT
+
+
+def test_stream_read_state_self_heals(spark, tmp_path):
+    """End-to-end through a real module: IncrementalLMQuality's
+    _read_state recovers an interrupted model compaction before
+    reading, so current_model never silently reports empty."""
+    from dedupe_copy_spark.streaming.lm_stream import IncrementalLMQuality
+
+    q = IncrementalLMQuality(spark, str(tmp_path / "lm"))
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "abba")], "doc_id long, text string")
+    q.process_batch(docs, 0)
+    before = dict((r["gram"], r["cnt"])
+                  for r in q.current_model().collect())
+    assert before  # trained
+    os.rename(q.model_path, q.model_path + ".old")  # interrupted swap
+    after = dict((r["gram"], r["cnt"])
+                 for r in q.current_model().collect())
+    assert after == before
+
+
+def test_lm_score_empty_model_sentinel(spark):
+    """ADVICE r3: scoring against an untrained model must keep the TRUE
+    n_bigrams (uniform-model sentinel), not NULL-erase them."""
+    from dedupe_copy_spark.operators.lm import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "x")], "doc_id long, text string")
+    model = spark.createDataFrame([], "gram string, cnt long")
+    rows = {r["doc_id"]: r for r in lm_score(docs, model).collect()}
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["avg_nll"] == 0.0 and rows[1]["perplexity"] == 1.0
+    assert rows[2]["n_bigrams"] == 0
+
+
+def test_compact_into_recovers_stale_old_first(spark, tmp_path):
+    """A .old left by a previous crash must not break the next
+    compaction."""
+    store = str(tmp_path / "store")
+    _write_store(spark, store)
+    shutil.copytree(store, store + ".old")  # stale leftover
+    folded = spark.read.parquet(store).groupBy("gram").agg(
+        F.sum("cnt").cast("long").alias("cnt"))
+    statestore.compact_into(folded, store, str(tmp_path / "tmp"))
+    assert _sums(spark, store) == EXPECT
+    assert not os.path.exists(store + ".old")
