@@ -121,7 +121,10 @@ def bloom_exclude(batch: DataFrame, history: DataFrame,
     anti-join, so they are kept on either route — same semantics as
     the plain anti-join."""
     sketch = bloom_sketch(history.select(key), key, num_bits, num_hashes)
-    probed = batch.crossJoin(sketch)
+    # 1-row sketch side: explicit broadcast (BroadcastNestedLoopJoin)
+    # rather than a CartesianProduct whose task count is |batch
+    # partitions| × |sketch partitions|
+    probed = batch.crossJoin(F.broadcast(sketch))
     might = bloom_might_contain(F.col(key), F.col("bloom"),
                                 num_bits, num_hashes)
     sure_new = probed.filter(~might).drop("bloom")

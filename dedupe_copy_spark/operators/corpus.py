@@ -296,7 +296,7 @@ def tfidf_top_terms(docs: DataFrame, group_col: str = "source",
     gdf = tf.groupBy("token").agg(F.count(F.lit(1)).alias("g_df"))
     scored = (
         tf.join(gdf, "token")
-        .crossJoin(n_groups)  # one-row side — AQE broadcasts it
+        .crossJoin(F.broadcast(n_groups))  # one-row side, explicit broadcast
         .withColumn("tfidf", F.round(
             F.col("tf") * F.log(F.col("_n_groups") / F.col("g_df")), 6))
     )

@@ -41,6 +41,9 @@ CHECKS = {
     "cluster_best_pick": [
         ("canonical selection is a max_by partial agg, not a window",
          lambda p: "partial_max_by" in p and "Window" not in p),
+        ("no cartesian expansion in the operator pipeline "
+         "(the all-pairs truth harness lives only in the oracle wrapper)",
+         lambda p: "CartesianProduct" not in p),
     ],
     "bloom_compare_exclude": [
         ("sketch words bit_or-aggregated with map-side partials",
@@ -383,7 +386,173 @@ CHECKS = {
          lambda p: "partial_count" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    # ---- round-4 additions: every registry query now has explicit checks
+    "compare_select_victims": [
+        ("victim selection via semi join", lambda p: "LeftSemi" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "containment_pairs": [
+        ("capped bucket pairs via aggregate (collect_set), not self-join",
+         lambda p: "collect_set" in p),
+        ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
+    ],
+    "ctph_signatures": [
+        ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
+    ],
+    "dedupe_clusters": [
+        ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
+        ("no cartesian expansion", lambda p: "CartesianProduct" not in p),
+    ],
+    "dedupe_clusters_exact": [
+        ("no python eval anywhere (exact path is pure codegen)",
+         lambda p: "EvalPython" not in p),
+        ("no cartesian expansion", lambda p: "CartesianProduct" not in p),
+    ],
+    "dedupe_weights": [
+        # count + row_number windows share ONE dup_key-keyed exchange
+        ("both windows share a single dup_key exchange",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 1
+         and re.search(r"hashpartitioning\(dup_key", p)),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "doc_fingerprints": [
+        ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
+    ],
+    "dup_losers": [
+        # losers inherently needs every row tagged with its in-group
+        # rank, so a dup_key-partitioned window is the right shape —
+        # the invariant is that the window partitions on dup_key
+        # (parallel), never an empty/global partition (single task)
+        ("rank window partitioned by dup_key, not global",
+         lambda p: re.search(r"hashpartitioning\(dup_key", p)
+         and "SinglePartition" not in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "extension_report": [
+        ("top-k via TakeOrdered (k rows per partition, no global sort)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("map-side partial aggregation", lambda p: "partial_" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "extension_include_filter": [
+        ("pure codegen filter — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "ignore_glob_filter": [
+        ("pure codegen filter — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "jsonl_roundtrip": [
+        ("pinned-schema JSON scan, no python",
+         lambda p: "EvalPython" not in p),
+    ],
+    "lang_id": [
+        ("pure codegen n-gram heuristic, no python",
+         lambda p: "EvalPython" not in p),
+    ],
+    "media_dedupe": [
+        # the base exact-payload dedup runs its feature UDF exactly once
+        # inline (no pair expansion reuses it), so MapInPandas in the
+        # plan is correct here — row-at-a-time python is not
+        ("feature extraction via MapInPandas (Arrow), no row python",
+         lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ("map-side partial agg on the payload grouping",
+         lambda p: "partial_" in p),
+    ],
+    "media_dedupe_audio": [
+        ("no python eval in the pairs plan (keys materialized once)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+    ],
+    "media_dedupe_gif": [
+        ("no python eval in the pairs plan (keys materialized once)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+    ],
+    "media_dedupe_mjpeg": [
+        ("no python eval in the pairs plan (keys materialized once)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+    ],
+    "media_dedupe_png": [
+        ("no python eval in the pairs plan (keys materialized once)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+    ],
+    "media_dedupe_perceptual": [
+        ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
+        ("no cartesian expansion (LSH-routed pairs)",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "min_size_losers": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "ngram_jaccard_pairs": [
+        ("no cartesian expansion", lambda p: "CartesianProduct" not in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "path_rewrite": [
+        ("pure codegen projection — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "quality_scores": [
+        ("pure codegen scan — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+    ],
+    "read_sources_union": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "remove_files_manifest": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "repo_dup_stats": [
+        ("map-side partial aggregation", lambda p: "partial_" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "resume_skip": [
+        ("resume exclusion via anti join", lambda p: "LeftAnti" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "semdedup_prune": [
+        ("no row-at-a-time python (Arrow cell assignment only)",
+         lambda p: "BatchEvalPython" not in p),
+        ("no cartesian expansion", lambda p: "CartesianProduct" not in p),
+    ],
+    "simhash_short_pairs": [
+        ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
+        ("no cartesian expansion (pigeonhole equi-join)",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "snapshot_pinned_read": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "span_dedup": [
+        ("map-side partial aggregation on the span grouping",
+         lambda p: "partial_" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "union_dedup_manifests": [
+        ("map-side partial aggregation", lambda p: "partial_" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "verify_manifest": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "winnow_fingerprints": [
+        ("fingerprints via ArrowEvalPython (numpy windows), no row python",
+         lambda p: "BatchEvalPython" not in p),
+    ],
+    "zero_byte_salting": [
+        ("no python eval (salted key is codegen)",
+         lambda p: "EvalPython" not in p),
+    ],
 }
+
+# Applied to EVERY registered query in addition to its specific checks,
+# so a query added without a CHECKS entry still gets the two invariants
+# that are never acceptable to lose at 100 TB.
+GENERIC_CHECKS = [
+    ("generic: no row-at-a-time python eval",
+     lambda p: "BatchEvalPython" not in p),
+    ("generic: no cartesian product",
+     lambda p: "CartesianProduct" not in p),
+]
 
 # ... and the RUNTIME check: after execution, AQE must have converted
 # the small compare side to a broadcast from EXACT shuffle sizes.
@@ -402,35 +571,52 @@ def formatted_plan(spark, df) -> str:
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
 
-def main(out_md: str = "PLANS.md") -> int:
+def audited_names() -> list[str]:
+    """Every registered query plus the bench-only pipeline stages that
+    carry their own checks (signature/key materialization sub-jobs)."""
     from dedupe_copy_spark.plans import registry
+
+    names = list(registry.SPARK_QUERIES)
+    names += [n for n in CHECKS if n not in registry.SPARK_QUERIES]
+    return names
+
+
+def audit_query(spark, name: str):
+    """Build the query's plan at sf0.01 and evaluate its specific +
+    generic checks. Returns (plan_text, [(label, ok)], executed_rows)
+    — executed checks (AQE runtime shape) run only where declared."""
+    from dedupe_copy_spark.plans import registry
+
+    # BENCH_QUERIES = operator pipelines (raw variants where the
+    # driver query wraps them in truth computation for the oracle)
+    df = registry.BENCH_QUERIES[name](spark, SF)
+    plan = formatted_plan(spark, df)
+    results = [(label, bool(pred(plan)))
+               for label, pred in CHECKS.get(name, []) + GENERIC_CHECKS]
+    for label, pred in EXECUTED_CHECKS.get(name, []):
+        # collect() runs THIS df's queryExecution so AQE finalizes
+        # the audited plan in place. count() or a noop-sink write
+        # would wrap the logical plan in a NEW QueryExecution and
+        # leave this one un-executed (isFinalPlan=false). Offline
+        # diagnostics at sf0.01 — not library dataflow (the
+        # no-driver-collect discipline test allowlists this file).
+        df.collect()
+        executed = formatted_plan(spark, df)
+        results.append((label + " (executed)", bool(pred(executed))))
+    return plan, results
+
+
+def main(out_md: str = "PLANS.md") -> int:
     from dedupe_copy_spark.session import get_spark
 
     spark = get_spark(app_name="explain-audit", cores=4, shuffle_partitions=4)
     sections = []
     failures = []
-    for name, checks in CHECKS.items():
-        # BENCH_QUERIES = operator pipelines (raw variants where the
-        # driver query wraps them in truth computation for the oracle)
-        df = registry.BENCH_QUERIES[name](spark, SF)
-        plan = formatted_plan(spark, df)
+    for name in audited_names():
+        plan, results = audit_query(spark, name)
         lines = [f"## {name}", "", "| property | holds |", "|---|---|"]
-        for label, pred in checks:
-            ok = bool(pred(plan))
+        for label, ok in results:
             lines.append(f"| {label} | {'✅' if ok else '❌'} |")
-            if not ok:
-                failures.append(f"{name}: {label}")
-        for label, pred in EXECUTED_CHECKS.get(name, []):
-            # collect() runs THIS df's queryExecution so AQE finalizes
-            # the audited plan in place. count() or a noop-sink write
-            # would wrap the logical plan in a NEW QueryExecution and
-            # leave this one un-executed (isFinalPlan=false). Offline
-            # diagnostics at sf0.01 — not library dataflow (the
-            # no-driver-collect discipline test allowlists this file).
-            df.collect()
-            executed = formatted_plan(spark, df)
-            ok = bool(pred(executed))
-            lines.append(f"| {label} (executed) | {'✅' if ok else '❌'} |")
             if not ok:
                 failures.append(f"{name}: {label}")
         # keep plans readable: head of the physical plan only

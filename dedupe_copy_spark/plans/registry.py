@@ -982,6 +982,29 @@ def cluster_best_pick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_rows.unionByName(self_rows)
 
 
+def cluster_best_pick_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw quality-aware canonical assignments (bench variant): the
+    operator pipeline WITHOUT the all-pairs truth harness the oracle
+    wrapper adds — this is the plan that must stay clean at scale."""
+    from dedupe_copy_spark.operators.cc import cluster_canonicals
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    files = files_from_documents(spark, sf_dir)
+    res = DedupePipeline(spark, _near_cfg()).run(files)
+    assigned = (
+        res.clusters.join(res.hashed.select("file_id", "path"), "file_id")
+        .select(_doc_id_from_path(F.col("path")).alias("doc"), "cluster_id")
+    )
+    per_doc = assigned.groupBy("doc").agg(F.min("cluster_id").alias("cluster_id"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), F.length("text").cast("long").alias("q"))
+    members = per_doc.join(docs, "doc")
+    canon = cluster_canonicals(members, "q", id_col="doc",
+                               cluster_col="cluster_id")
+    return members.join(canon, "cluster_id").select(
+        "doc", "cluster_id", "canonical_id", "canonical_quality")
+
+
 # DuckDB computes the exact rolling-polynomial fingerprint with a
 # recursive-CTE power table (base^k mod 2^64 as HUGEINT) — validated
 # byte-for-byte against the Python formula on all sf0.01 docs.
@@ -3563,6 +3586,7 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": containment_pairs_raw,
     "ann_lsh_topk": ann_lsh_topk_raw,
     "dedupe_clusters": dedupe_clusters_raw,
+    "cluster_best_pick": cluster_best_pick_raw,
     "ivf_topk": ivf_topk_raw,
     "pq_topk": pq_topk_raw,
     "ivf_pq_topk": ivf_pq_topk_raw,

@@ -8,6 +8,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dedupe_copy_spark.session import get_spark  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running full-registry gates (plan audit)")
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     # warehouse in a temp dir so saveAsTable-based tests (bucketed

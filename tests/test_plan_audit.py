@@ -1,0 +1,25 @@
+"""Physical-plan regression gate: run every explain_audit CHECK under
+pytest so a lost pushdown, a new BatchEvalPython, or a surprise
+cartesian product fails CI instead of waiting for a manual
+`python -m dedupe_copy_spark.plans.explain_audit` run (VERDICT r3,
+item 3). Slow-marked: ~90 plan builds at sf0.01 in one session."""
+
+import pytest
+
+from dedupe_copy_spark.plans import explain_audit, registry
+
+
+def test_every_registry_query_is_audited():
+    """No query ships without explicit plan checks — CHECKS must cover
+    the whole registry (generic checks alone are not enough for a new
+    operator to count as plan-audited)."""
+    missing = sorted(set(registry.SPARK_QUERIES) - set(explain_audit.CHECKS))
+    assert not missing, f"queries without explain_audit.CHECKS: {missing}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", explain_audit.audited_names())
+def test_plan_checks(spark, name):
+    _plan, results = explain_audit.audit_query(spark, name)
+    failures = [label for label, ok in results if not ok]
+    assert not failures, f"{name}: failed plan checks {failures}"
