@@ -10,6 +10,7 @@ dedupecopy_cli.py:54-301). Here the filesystem flags become table paths:
       --checkpoint /path/ckpt \\
       [--compare /path/other_manifest_parquet] \\
       [--read-sources /path/ckpt2/read_sources] \\
+      [--manifest /path/prev_hashed_parquet [--ignore-old-collisions]] \\
       [--extensions py,md] [--ignore '*vendor*'] \\
       [--min-size 1] [--dedupe-empty] [--no-near-dup] \\
       [--hash-algo md5] [--dry-run] \\
@@ -54,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--read-sources", default=None,
                    help="processed-keys parquet (or reference .read SQLite "
                         "db); matching rows skipped (resume)")
+    p.add_argument("--manifest", default=None,
+                   help="previous run's hashed manifest parquet (reference "
+                        "-m: rows it covers are not re-hashed but still "
+                        "participate in collision detection); columns "
+                        "(repo,path,commit,size,dup_key) or raw rows with "
+                        "content, which are hashed on load")
+    p.add_argument("--ignore-old-collisions", action="store_true",
+                   help="with --manifest: report only collision groups "
+                        "touched by a newly-scanned file; groups wholly "
+                        "inside the old manifest are suppressed (reference "
+                        "bin/dedupecopy_cli.py:185-191, core.py:964-971)")
     p.add_argument("--extensions", default="", help="comma-separated include globs")
     p.add_argument("--ignore", default="", help="comma-separated ignore globs")
     p.add_argument("--min-size", type=int, default=0)
@@ -185,6 +197,19 @@ def main(argv: list[str] | None = None) -> int:
             rs = spark.read.parquet(args.read_sources)
             files = filters.resume_filter(files, rs)
 
+    old_hashed = None
+    if args.ignore_old_collisions and not args.manifest:
+        raise SystemExit("--ignore-old-collisions requires --manifest")
+    if args.manifest:
+        prev = spark.read.parquet(args.manifest)
+        # a raw previous snapshot (content, no digest) is hashed on
+        # load; a saved manifest already carries dup_key + size
+        old_hashed = (prev if "dup_key" in prev.columns
+                      else exact.with_digest(prev, cfg))
+        # reference -m semantics: manifest-covered rows are never
+        # re-hashed (they are dropped from the scan before ingest) ...
+        files = filters.resume_filter(files, old_hashed)
+
     pipe = DedupePipeline(spark, cfg)
     if args.no_near_dup:
         hashed = pipe.ingest(files)
@@ -195,6 +220,21 @@ def main(argv: list[str] | None = None) -> int:
         res = pipe.run(files)
         hashed, win, lose = res.hashed, res.winners, res.losers
         pairs, clusters, report = res.pairs, res.clusters, res.report
+
+    if old_hashed is not None:
+        # ... but they DO participate in collision detection: the
+        # report's universe is manifest ∪ newly-hashed rows, exactly
+        # the reference's md5_data after a manifest-seeded walk
+        # (core.py:964-971, threads.py:403-425)
+        report_cols = ["repo", "path", "commit", "size", "dup_key"]
+        universe = (
+            hashed.select(*report_cols)
+            .unionByName(old_hashed.select(*report_cols))
+        )
+        if args.ignore_old_collisions:
+            report = exact.collision_report_ignore_old(universe, old_hashed)
+        else:
+            report = exact.collision_report(universe)
 
     for cmp_path in args.compare:
         if cmp_path.endswith(".db"):

@@ -231,6 +231,45 @@ def collision_report(hashed: DataFrame) -> DataFrame:
     )
 
 
+def collision_report_ignore_old(hashed: DataFrame, old_manifest: DataFrame,
+                                key_cols: tuple[str, ...] = KEY_COLS) -> DataFrame:
+    """``--ignore-old-collisions``: the collision report restricted to
+    groups touched by NEWLY-scanned rows (reference
+    bin/dedupecopy_cli.py:185-191; core.py:964-971 — without the flag,
+    collision groups wholly contained in the pre-loaded manifest are
+    re-seeded and re-reported on every incremental run; with it they
+    are suppressed, so a daily re-scan reports only collisions that
+    involve at least one file the old manifest has not seen).
+
+    The reported group still contains ALL members (old + new) — the
+    reference stores ``self.md5_data[md5]`` (the full member list) when
+    a new file lands in an existing group (threads.py:403-425).
+
+    Shape at scale: one anti-join of the corpus against the manifest's
+    key columns (the same join resume_filter already pays), a distinct
+    projection of the touched dup keys, and a semi-join pushed BELOW
+    group numbering — old-only groups never reach the numbering stage,
+    so the report shuffle shrinks to the genuinely-new collision set.
+    Group ids stay dense over the reported groups (the reference's CSV
+    numbering is also over reported groups only).
+    """
+    keys = list(key_cols)
+    new_rows = hashed.join(
+        old_manifest.select(*keys).dropDuplicates(keys),
+        on=keys, how="left_anti")
+    touched = new_rows.select("dup_key").distinct()
+    dups = duplicates(hashed).join(touched, "dup_key", "left_semi")
+    groups = dups.select("dup_key").distinct()
+    numbered = _number_keys(groups, "dup_key")
+    return dups.join(numbered, "dup_key").select(
+        "group_id",
+        F.col("dup_key").alias("content_sha256"),
+        "repo", "path",
+        F.col("commit").alias("commit_id"),
+        "size",
+    )
+
+
 def extension_report(hashed: DataFrame, top_n: int = 10) -> DataFrame:
     """Top-N extensions by total size with counts
     (reference _extension_report, core.py:101-133)."""

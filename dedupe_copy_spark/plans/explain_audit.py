@@ -79,6 +79,13 @@ CHECKS = {
          lambda p: "SinglePartition" not in p),
         ("group ids fanned out via distributed join", lambda p: "Join" in p),
     ],
+    "ignore_old_collisions": [
+        ("old-manifest suppression via anti + semi joins",
+         lambda p: "LeftAnti" in p and "LeftSemi" in p),
+        ("no single-partition exchange (parallel group numbering)",
+         lambda p: "SinglePartition" not in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "ann_lsh_topk": [
         ("bucket keys via one ArrowEvalPython (numpy matmul), no "
          "hyperplane literals in the plan",

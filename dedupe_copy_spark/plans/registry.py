@@ -273,6 +273,41 @@ def resume_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remaining.select("repo", "path", F.col("commit").alias("commit_id"))
 
 
+@register("ignore_old_collisions", FILES_CTE_SQL + """
+, keyed AS (
+  SELECT repo, path, commit_id, CAST(length(content) AS BIGINT) AS size,
+         CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
+             ELSE sha256(content) END AS dup_key,
+         length(content) < 250 AS is_old
+  FROM files
+), dups AS (
+  SELECT *, count(*) OVER (PARTITION BY dup_key) AS n FROM keyed
+), kept AS (
+  SELECT * FROM dups
+  WHERE n > 1
+    AND dup_key IN (SELECT dup_key FROM keyed WHERE NOT is_old)
+)
+SELECT CAST(dense_rank() OVER (ORDER BY dup_key) AS BIGINT) AS group_id,
+       dup_key AS content_sha256, repo, path, commit_id, size
+FROM kept
+""")
+def ignore_old_collisions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--ignore-old-collisions on an incremental re-scan: the loaded
+    manifest is every row under 250 chars (the resume_skip convention
+    for 'previously scanned'); the report keeps only collision groups
+    with at least one NEW member, group-numbered densely over the
+    reported set (reference bin/dedupecopy_cli.py:185-191,
+    core.py:964-971)."""
+    hashed = _files(spark, sf_dir)
+    old_manifest = hashed.filter(F.length("content") < 250)
+    return (
+        exact.collision_report_ignore_old(hashed, old_manifest)
+        .withColumn("group_id", F.col("group_id").cast("long"))
+        .withColumn("size", F.col("size").cast("long"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set ops + manifest transforms (SURVEY §2.7, §2.8)
 # ---------------------------------------------------------------------------

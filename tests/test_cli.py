@@ -200,3 +200,73 @@ def test_cli_quality_lm(input_parquet, tmp_path):
     ).fetchone()[0]
     assert lm[0] == distinct_ids
     assert lm[1] >= 1.0 and lm[2] < 1000.0        # sane perplexity range
+
+
+def test_cli_ignore_old_collisions(tmp_path):
+    """Reference incremental-backup behavior (--ignore-old-collisions,
+    bin/dedupecopy_cli.py:185-191, core.py:964-971): day-2 scan against
+    the day-1 manifest reports the old collision group only WITHOUT the
+    flag; with it, only groups a newly-scanned file touches survive."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def row(path, content):
+        return {"repo": "r/repo", "path": path, "commit": "c0",
+                "lang": "text", "content": content}
+
+    old_rows = [
+        row("a/dup1.txt", "OLD DUP CONTENT"),      # old collision pair...
+        row("b/dup1_copy.txt", "OLD DUP CONTENT"),
+        row("a/base.txt", "BASE CONTENT"),          # unique on day 1
+        row("a/lonely.txt", "LONELY"),
+    ]
+    new_rows = [
+        row("c/base_copy.txt", "BASE CONTENT"),     # NEW dup of old unique
+        row("c/fresh.txt", "FRESH"),                # new unique
+    ]
+    old_path = str(tmp_path / "old.parquet")
+    full_path = str(tmp_path / "full.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(old_rows)), old_path)
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(old_rows + new_rows)), full_path)
+
+    def report_groups(out_dir):
+        df = duckdb.sql(
+            f"SELECT content_sha256, path FROM "
+            f"read_csv_auto('{out_dir}/report/*.csv')").df()
+        groups = {}
+        for sha, path in df.itertuples(index=False, name=None):
+            groups.setdefault(sha, set()).add(path)
+        return groups
+
+    # day-2 run with the day-1 manifest, WITHOUT the flag:
+    # old-only group still reported (reference re-seeds collisions)
+    stats = _run_cli(["--input", full_path, "--manifest", old_path,
+                      "--output", str(tmp_path / "out_noflag"),
+                      "--no-near-dup", "--cores", "2"])
+    assert stats["input_rows"] == len(new_rows)    # manifest rows not re-hashed
+    g = report_groups(tmp_path / "out_noflag")
+    assert len(g) == 2
+    assert {"a/dup1.txt", "b/dup1_copy.txt"} in g.values()
+    assert {"a/base.txt", "c/base_copy.txt"} in g.values()
+
+    # WITH the flag: the old-only group is suppressed; the group the
+    # new file touched keeps ALL members (old + new)
+    _run_cli(["--input", full_path, "--manifest", old_path,
+              "--ignore-old-collisions",
+              "--output", str(tmp_path / "out_flag"),
+              "--no-near-dup", "--cores", "2"])
+    g2 = report_groups(tmp_path / "out_flag")
+    assert list(g2.values()) == [{"a/base.txt", "c/base_copy.txt"}]
+
+    # flag without a manifest is a usage error
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "dedupe_copy_spark", "cli.py"),
+         "--input", full_path, "--ignore-old-collisions",
+         "--output", str(tmp_path / "o"), "--cores", "2"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert out.returncode != 0
+    assert "requires --manifest" in out.stderr
