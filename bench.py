@@ -115,6 +115,9 @@ HEADLINE = [
     "char_entropy",
     # round 3 cont.: gap-based event sessionization (one user shuffle)
     "sessionize_events",
+    # round 4: real directory-tree walk (binaryFile scan + raw-byte md5
+    # + collision grouping; includes the bounded fixture write)
+    "fs_collision_report",
 ]
 
 
@@ -132,6 +135,14 @@ def run_headline() -> None:
 
     from dedupe_copy_spark.session import warm_python_workers
 
+    # Load attribution (VERDICT r3 "what's wrong" #1): this sandbox shares
+    # hardware with invisible external load, so a bench JSON taken mid-load
+    # must be self-describing. pre_run_loadavg is sampled BEFORE the JVM
+    # starts (pure external load); loadavg_after_each_query tracks the mix
+    # of our own run + external load as the run progresses. A quiet-window
+    # run shows pre ≈ 0-2; a contended one shows pre >> CPUS/4.
+    pre_load = round(os.getloadavg()[0], 1)
+
     spark = get_spark(app_name="dedupe-bench", cores=CPUS,
                       shuffle_partitions=CPUS)
     # warm JVM + BOTH python-UDF worker pools outside the timed region
@@ -142,6 +153,7 @@ def run_headline() -> None:
     # recorded number. Each trial is still a cold plan (fresh lineage).
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     timings: dict[str, float] = {}
+    during_loads: list[float] = []
     for name in HEADLINE:
         fn = registry.BENCH_QUERIES[name]
         best, n = None, 0
@@ -150,6 +162,7 @@ def run_headline() -> None:
             n = fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+        during_loads.append(os.getloadavg()[0])
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -160,6 +173,12 @@ def run_headline() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "load": {
+            "pre_run_loadavg": pre_load,
+            "during_mean": round(sum(during_loads) / len(during_loads), 1),
+            "during_max": round(max(during_loads), 1),
+            "cpus": CPUS,
+        },
     }))
 
 

@@ -136,3 +136,54 @@ def run_dedupe(
         win, lose = update_paths(win, frm, to), update_paths(lose, frm, to)
 
     return DedupeOutputs(win, lose, pairs, clusters, report, hashed)
+
+
+def run_dedupe_fs(
+    spark: SparkSession,
+    read_paths,
+    *,
+    extensions: tuple[str, ...] = (),
+    ignored_patterns: tuple[str, ...] = (),
+    hash_algo: str = "md5",
+    dedupe_empty: bool = False,
+    min_size: int = 0,
+    modified_after: str | None = None,
+    csv_report_path: str | None = None,
+    **kwargs,
+) -> DedupeOutputs:
+    """run_dedupe over a REAL directory tree — the reference CLI's
+    primary mode (`dedupecopy -p /dir -r report.csv`, core.py:754-944),
+    walk replaced by the distributed ``binaryFile`` scan
+    (sources/fs.py). Defaults mirror the reference: md5 digests,
+    exact-only (file bytes are opaque binary; near-dup shingling is a
+    text-corpus operator — pass ``near_dup=True`` only for utf-8 trees
+    loaded as tables).
+
+    ``csv_report_path``, when given, also writes the reference's
+    single-file CSV report byte-for-byte (fs.write_reference_csv).
+    """
+    from dedupe_copy_spark.sources.fs import scan_fs, write_reference_csv
+
+    cfg = DedupeConfig(
+        extensions=tuple(extensions),
+        ignore_patterns=tuple(ignored_patterns),
+        hash_algo=hash_algo,
+        dedupe_empty=dedupe_empty,
+        min_size=min_size,
+    )
+    hashed = scan_fs(spark, read_paths, cfg=cfg,
+                     modified_after=modified_after)
+    kwargs.setdefault("near_dup", False)
+    out = run_dedupe(
+        spark, hashed,
+        hash_algo=hash_algo, dedupe_empty=dedupe_empty, min_size=min_size,
+        read_paths=tuple(read_paths) if not isinstance(read_paths, str)
+        else (read_paths,),
+        **kwargs,
+    )
+    if csv_report_path:
+        write_reference_csv(out.hashed, out.report, csv_report_path,
+                            read_paths=[read_paths] if
+                            isinstance(read_paths, str) else list(read_paths),
+                            hash_algo=hash_algo)
+    return out

@@ -44,7 +44,19 @@ import time
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dedupe_copy_spark",
                                 description="near-duplicate detection + clustering")
-    p.add_argument("--input", required=True, help="parquet path of files(repo,path,commit,lang,content)")
+    p.add_argument("--input", default=None,
+                   help="parquet path of files(repo,path,commit,lang,content)")
+    p.add_argument("--read-path", action="append", default=[],
+                   metavar="DIR",
+                   help="walk a real directory tree instead of --input "
+                        "(repeatable; reference -p/--read-path): a "
+                        "distributed binaryFile scan hashes file bytes "
+                        "directly (sources/fs.py); implies --no-near-dup "
+                        "(bytes are opaque binary)")
+    p.add_argument("--csv-report", default=None, metavar="PATH",
+                   help="with --read-path: also write the reference's "
+                        "single-file CSV collision report byte-for-byte "
+                        "(reference -r, core.py:136-170)")
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None, help="stage checkpoint root (resume)")
     p.add_argument("--compare", action="append", default=[],
@@ -175,14 +187,25 @@ def main(argv: list[str] | None = None) -> int:
 
         reporter = ProgressReporter(
             spark, metrics_root=args.checkpoint).start()
-    files = spark.read.parquet(args.input)
-    required = {"repo", "path", "commit", "content"}
-    missing = required - set(files.columns)
-    if missing:
-        raise SystemExit(
-            f"--input is missing required columns {sorted(missing)}; "
-            f"expected files(repo, path, commit, lang, content), "
-            f"got {files.columns}")
+    if bool(args.input) == bool(args.read_path):
+        raise SystemExit("exactly one of --input / --read-path is required")
+    if args.read_path:
+        from dedupe_copy_spark.sources.fs import scan_fs
+
+        # file bytes are opaque binary: near-dup shingling is a
+        # text-corpus operator, so fs mode is exact-only (the
+        # reference's capability)
+        args.no_near_dup = True
+        files = scan_fs(spark, args.read_path, cfg=cfg)
+    else:
+        files = spark.read.parquet(args.input)
+        required = {"repo", "path", "commit", "content"}
+        missing = required - set(files.columns)
+        if missing:
+            raise SystemExit(
+                f"--input is missing required columns {sorted(missing)}; "
+                f"expected files(repo, path, commit, lang, content), "
+                f"got {files.columns}")
 
     if args.read_sources:
         if args.read_sources.endswith((".db", ".read")):
@@ -274,6 +297,12 @@ def main(argv: list[str] | None = None) -> int:
         pairs.write.mode("overwrite").parquet(f"{out}/pairs")
         clusters.write.mode("overwrite").parquet(f"{out}/clusters")
         report.write.mode("overwrite").option("header", True).csv(f"{out}/report")
+        if args.csv_report:
+            from dedupe_copy_spark.sources.fs import write_reference_csv
+
+            write_reference_csv(hashed, report, args.csv_report,
+                                read_paths=args.read_path,
+                                hash_algo=cfg.hash_algo)
         if args.corpus_stats:
             from dedupe_copy_spark.operators import corpus
 

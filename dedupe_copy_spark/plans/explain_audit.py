@@ -18,6 +18,16 @@ SF = "/root/testdata/sf0.01"
 
 # query → list of (label, predicate) over the formatted plan text
 CHECKS = {
+    "fs_collision_report": [
+        # binaryFile scan → JVM digests → collision grouping: the whole
+        # path must stay codegen (raw-byte md5/sha2 are built-ins)
+        ("no python eval anywhere (digests are JVM built-ins)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("group membership via one window pass on dup_key (no "
+         "group-size join; numbering lineage cut by localCheckpoint)",
+         lambda p: "Window" in p),
+        ("no cartesian expansion", lambda p: "CartesianProduct" not in p),
+    ],
     "exact_dup_groups": [
         ("column-pruned scan (only text read)",
          lambda p: "ReadSchema: struct<text:string>" in p),

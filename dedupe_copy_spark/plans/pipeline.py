@@ -68,9 +68,15 @@ class DedupePipeline:
         cfg = self.cfg
 
         def compute():
-            df = filters.extension_filter(files, cfg.extensions)
-            df = filters.ignore_filter(df, cfg.ignore_patterns)
-            df = exact.with_digest(df, cfg)
+            df = files
+            if "dup_key" not in df.columns:
+                # raw corpus rows; pre-hashed relations (a saved
+                # manifest, sources.fs.scan_fs output) already carry
+                # filters + digests and must not be re-derived (fs rows
+                # have no content column to hash)
+                df = filters.extension_filter(df, cfg.extensions)
+                df = filters.ignore_filter(df, cfg.ignore_patterns)
+                df = exact.with_digest(df, cfg)
             df = minhash.add_file_id(df)
             # defuse giant-repo/vendored hotspots: spread rows uniformly
             # by the (already uniform) 64-bit row id before the heavy

@@ -3612,6 +3612,83 @@ def sessionize_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap_minutes=30)
 
 
+@register("fs_collision_report", """
+WITH subset AS (
+  SELECT doc_id, coalesce(lang, 'xx') AS lang, coalesce(text, '') AS text
+  FROM documents WHERE doc_id % 7 = 0
+), fs AS (
+  SELECT 'docs/' || lang || '/doc_' || doc_id || '.txt' AS rel_path, text
+  FROM subset
+  UNION ALL
+  SELECT 'mirror/' || lang || '/doc_' || doc_id || '.txt', text
+  FROM subset WHERE doc_id % 14 = 0
+), hashed AS (
+  SELECT rel_path, CAST(octet_length(encode(text)) AS BIGINT) AS size,
+         md5(text) AS digest
+  FROM fs WHERE octet_length(encode(text)) > 0
+), collided AS (
+  SELECT digest FROM hashed GROUP BY digest HAVING count(*) > 1
+), numbered AS (
+  SELECT digest,
+         CAST(DENSE_RANK() OVER (ORDER BY digest) AS BIGINT) AS group_id
+  FROM collided
+)
+SELECT n.group_id, h.digest, h.rel_path, h.size
+FROM hashed h JOIN numbered n USING (digest)
+""")
+def fs_collision_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filesystem source end-to-end (sources/fs.py): a REAL
+    directory tree synthesized from the documents table (1/7 subset;
+    every 14th doc mirrored into a second directory; two zero-byte
+    files), walked by the distributed binaryFile scan, md5-digested on
+    raw bytes, and collision-grouped. The DuckDB oracle recomputes the
+    expected report from the SOURCE table alone — it never touches the
+    tree — so listing, byte-exact digesting, zero-byte salting (the
+    empty files must NOT appear) and dense group numbering are all
+    independently checked.
+
+    The fixture write is driver-side but bounded (|documents|/7 files,
+    overwrite-replaced at a fixed per-sf scratch root); the scan and
+    report are the fully distributed production path.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from dedupe_copy_spark.sources.fs import scan_fs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.coalesce(F.col("lang"), F.lit("xx")).alias("lang"),
+                F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = f"{tempfile.gettempdir()}/fs_scan_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(f"{root}/docs", exist_ok=True)
+    for r in docs.collect():
+        targets = [f"{root}/docs/{r['lang']}/doc_{r['doc_id']}.txt"]
+        if r["doc_id"] % 14 == 0:
+            targets.append(f"{root}/mirror/{r['lang']}/doc_{r['doc_id']}.txt")
+        for p in targets:
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            with open(p, "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+    for name in ("empty_a.txt", "empty_b.txt"):
+        open(f"{root}/docs/{name}", "wb").close()
+
+    hashed = scan_fs(spark, root, cfg=DedupeConfig(hash_algo="md5"))
+    report = exact.collision_report(hashed)
+    return report.select(
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("content_sha256").alias("digest"),
+        F.expr(f"substring(path, {len(root) + 2})").alias("rel_path"),
+        F.col("size").cast("long").alias("size"),
+    )
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -1,0 +1,263 @@
+"""Filesystem source — Spark's ``binaryFile`` reader as the reference's
+multithreaded walk.
+
+The reference discovers work with 4 walk threads feeding a hash-thread
+pool (/root/reference/dedupe_copy/core.py:49-98, threads.py:124-172).
+Spark already owns that machinery: the ``binaryFile`` data source lists
+recursively with a distributed file index, splits the listing across
+executors, and reads (path, modificationTime, length, content) per
+file — so "the walk" becomes one declarative scan and the thread knobs
+disappear.
+
+Filter placement mirrors the reference's walk-time predicates
+(threads.py:112-121 — excluded files are never hashed):
+
+* extension include filters push down to the FILE LISTING via
+  ``pathGlobFilter`` when every extension is a plain suffix (Hadoop
+  brace-glob ``*.{jpg,png}``), so excluded files are never even
+  opened — stronger than the reference, which still stats them. The
+  exact reference semantics (clean_extensions/match_extension,
+  utils.py:164-222) are ALWAYS re-applied as a Catalyst ``rlike`` on
+  the path, so the pushed glob is pure pruning, never a semantic
+  change; fancy patterns ('j*', dotted) skip the pushdown and rely on
+  the rlike alone.
+* ignore globs cannot be pushed (Hadoop globs have no negation); they
+  run as the standard alternation-regex filter. Because digesting is
+  lazy column math, ignored rows are dropped before any hash work —
+  same effect as the walk-time check.
+* ``modified_after`` pushes to the listing (``modifiedAfter`` option)
+  — the incremental-rescan fast path a mtime-aware resume wants.
+
+Digests are computed on the RAW BYTES (no string cast): ``sha2``/
+``md5``/``sha1``/``xxhash64`` all accept binary input JVM-side, so the
+digest of a scanned file is hashlib-of-file-bytes compatible — the
+reference's ``hash_file`` contract (utils.py:102-144) byte-for-byte.
+Content is dropped right after digesting unless ``keep_content``: at
+100 TB the scan's output must be the ~100-byte manifest row, not the
+file body, or every downstream shuffle carries the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.functions import effective_dup_key, lower_extension
+from dedupe_copy_spark.operators import filters
+
+_SIMPLE_EXT = re.compile(r"^[A-Za-z0-9_~-]+$")
+
+
+def _binary_digest(content: Column, algo: str) -> Column:
+    """Digest of raw bytes — hashlib(file_bytes).hexdigest() parity.
+
+    Unlike functions.content_digest (which serves string-typed corpus
+    tables and casts), NOTHING is cast here: a UTF-8 round-trip would
+    corrupt arbitrary binary before hashing.
+    """
+    if algo == "sha256":
+        return F.sha2(content, 256)
+    if algo == "md5":
+        return F.md5(content)
+    if algo == "sha1":
+        return F.sha1(content)
+    if algo == "xxh64":
+        return F.lpad(F.lower(F.hex(F.xxhash64(content))), 16, "0")
+    if algo == "xxh64ref":
+        from dedupe_copy_spark.functions.xxh64 import xxh64_seed0
+
+        return xxh64_seed0(content)
+    raise ValueError(f"unknown hash_algo {algo!r}")
+
+
+def _push_glob(extensions: tuple[str, ...]) -> str | None:
+    """One Hadoop brace-glob covering every include extension, or None
+    when any pattern needs the full match_extension semantics.
+
+    Only plain alphanumeric suffixes qualify: for those,
+    ``*.{a,b}`` on the filename is EXACTLY the reference's
+    endswith('.a')-after-lowercase test for lowercase names and a
+    strict superset for no names (case-sensitive both sides, POSIX
+    normcase — see functions.extension_regex), so rows the glob drops
+    could never survive the rlike re-check.
+    """
+    if not extensions:
+        return None
+    norm = []
+    for ext in extensions:
+        e = ext.strip().lower().lstrip(".")
+        if not _SIMPLE_EXT.match(e) or ext.strip().startswith("*"):
+            return None
+        norm.append(e)
+    uniq = sorted(set(norm))
+    return f"*.{uniq[0]}" if len(uniq) == 1 else "*.{" + ",".join(uniq) + "}"
+
+
+def _repo_for(read_paths: tuple[str, ...]) -> Column:
+    """Attribute each row to its read root (longest prefix wins) — the
+    reference carries the originating read_path per file for the
+    no_change path rule (core.py:254-270)."""
+    roots = sorted((os.path.abspath(p) for p in read_paths), key=len,
+                   reverse=True)
+    col = F.lit(roots[-1] if roots else "")
+    for root in roots:
+        col = F.when(F.col("path").startswith(root + "/") |
+                     (F.col("path") == root), F.lit(root)).otherwise(col)
+    return col
+
+
+def _zero_byte_rows(spark: SparkSession, abs_paths: list[str],
+                    modified_after: str | None) -> DataFrame:
+    """Zero-byte files, recovered via a metadata-only Hadoop listing.
+
+    Spark's binaryFile source emits NO row for a zero-length file (it
+    plans splits from content length), but empty files are a core
+    reference semantic — zero-byte salting exists precisely for them
+    (threads.py:410-412). The listing walks the same FileSystem RPCs
+    Spark's own InMemoryFileIndex issues (no file is ever opened) and
+    lands driver-side; that is bounded by the COUNT OF EMPTY FILES
+    only — paths with content stay fully distributed — and mirrors
+    where Spark itself performs listing for modest directory counts.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    rows = []
+    for p in abs_paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(conf)
+        if not fs.exists(jpath):
+            continue
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            st = it.next()
+            if st.isFile() and st.getLen() == 0:
+                rows.append((
+                    re.sub(r"^file:(//)?", "", st.getPath().toString()),
+                    st.getModificationTime() / 1000.0,
+                ))
+    empties = spark.createDataFrame(rows or [], "path string, mtime double") \
+        .select("path", "mtime", F.lit(0).cast("long").alias("size"),
+                F.lit(b"").alias("content"))
+    if modified_after:
+        # same cutoff semantics as the reader's modifiedAfter option:
+        # the literal parses in the session time zone
+        cut = F.unix_timestamp(F.to_timestamp(F.lit(modified_after)))
+        empties = empties.filter(F.col("mtime") > cut)
+    return empties
+
+
+def scan_fs(
+    spark: SparkSession,
+    read_paths,
+    *,
+    cfg: DedupeConfig | None = None,
+    modified_after: str | None = None,
+    keep_content: bool = False,
+) -> DataFrame:
+    """Walk ``read_paths`` into the engine's hashed-manifest relation.
+
+    Returns (repo, path, commit, size, mtime, ext, is_empty,
+    content_sha256, [content_digest], dup_key[, content]) — the exact
+    shape ``exact.with_digest`` produces for corpus tables, so every
+    downstream operator (collision_report, winners/losers, resume
+    anti-joins, manifest export) plugs in unchanged. ``commit`` is ''
+    (a filesystem has no commit identity; the reference keys manifests
+    on path alone), ``mtime`` is float epoch seconds —
+    os.path.getmtime's type, millisecond precision (the listing's).
+    """
+    cfg = cfg or DedupeConfig()
+    paths = [read_paths] if isinstance(read_paths, str) else list(read_paths)
+    abs_paths = [os.path.abspath(p) for p in paths]
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true"))
+    glob = _push_glob(cfg.extensions)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if modified_after:
+        reader = reader.option("modifiedAfter", modified_after)
+    raw = reader.load(abs_paths)
+
+    df = raw.select(
+        F.regexp_replace(F.col("path"), r"^file:(//)?", "").alias("path"),
+        (F.unix_micros(F.col("modificationTime")) / 1e6).alias("mtime"),
+        F.col("length").alias("size"),
+        F.col("content"),
+    )
+    df = df.unionByName(_zero_byte_rows(spark, abs_paths, modified_after))
+    # exact reference include/ignore semantics (the pushed glob above is
+    # pruning only); ignore runs before any digest math is planned
+    df = filters.extension_filter(df, cfg.extensions)
+    df = filters.ignore_filter(df, cfg.ignore_patterns)
+
+    df = (
+        df.withColumn("repo", _repo_for(tuple(paths)))
+        .withColumn("commit", F.lit(""))
+        .withColumn("ext", lower_extension(F.col("path")))
+        .withColumn("is_empty", F.col("size") == 0)
+        .withColumn("content_sha256", _binary_digest(F.col("content"), "sha256"))
+    )
+    key_digest = F.col("content_sha256")
+    if cfg.hash_algo != "sha256":
+        df = df.withColumn("content_digest",
+                           _binary_digest(F.col("content"), cfg.hash_algo))
+        key_digest = F.col("content_digest")
+    df = df.withColumn(
+        "dup_key",
+        effective_dup_key(key_digest, F.col("size"), F.col("repo"),
+                          F.col("path"), F.col("commit"), cfg.dedupe_empty),
+    )
+    return df if keep_content else df.drop("content")
+
+
+def write_reference_csv(hashed: DataFrame, report: DataFrame,
+                        out_path: str, read_paths,
+                        hash_algo: str = "md5") -> int:
+    """Render the collision report as the reference's single-file CSV,
+    byte-for-byte (generate_report, core.py:136-170): a ``Src:`` header
+    when read_paths given, the column header with the algorithm name,
+    then one ``group, digest, repr(path), size, mtime`` line per member.
+
+    A single CSV file is inherently a driver-side sink (the reference
+    writes it from one process too); rows stream through
+    ``toLocalIterator`` so driver memory stays one-partition-bounded.
+    Distributed jobs wanting a parallel sink use the CLI's partitioned
+    ``report/`` directory instead — this writer exists for byte-level
+    interchange with reference tooling. Group order follows group_id;
+    mtime is formatted by PYTHON float repr (matching the reference's
+    f-string of os.path.getmtime), which no JVM double-format matches.
+
+    Returns the number of member lines written.
+    """
+    h = hashed.select("repo", "path", "commit", "mtime").alias("h")
+    r = report.alias("r")
+    rows = (
+        r.join(h, on=[F.col("r.repo") == F.col("h.repo"),
+                      F.col("r.path") == F.col("h.path"),
+                      F.col("r.commit_id") == F.col("h.commit")])
+        .select(F.col("r.group_id").alias("group_id"),
+                # collision_report keys the row on dup_key (aliased
+                # content_sha256) — under cfg.hash_algo that IS the
+                # configured digest, matching the header's algo name
+                F.col("r.content_sha256").alias("digest"),
+                F.col("r.path").alias("path"),
+                F.col("r.size").alias("size"),
+                F.col("h.mtime").alias("mtime"))
+        .orderBy("group_id", "path")
+    )
+    n = 0
+    with open(out_path, "wb") as fh:
+        if read_paths:
+            fh.write(f"Src: {list(read_paths)}\n".encode("utf-8"))
+        fh.write(
+            f"Collision #, {hash_algo.upper()}, Path, Size (bytes), mtime\n"
+            .encode("utf-8"))
+        for r in rows.toLocalIterator():
+            line = (f"{r['group_id']}, {r['digest']}, {r['path']!r}, "
+                    f"{r['size']}, {r['mtime']}\n")
+            fh.write(line.encode("utf-8"))
+            n += 1
+    return n

@@ -1,0 +1,251 @@
+"""Filesystem source (sources/fs.py) — e2e over a synthesized tree.
+
+Tree construction mirrors the reference's test fixture
+(/root/reference/dedupe_copy/test/utils.py:185-228 make_file_tree):
+nested random dirs, round-robin extensions, some unique and some
+duplicate contents. CSV byte parity is checked against the reference's
+OWN ``generate_report`` (core.py:136-170), extracted by AST so the
+genuine reference code writes the expected bytes without importing its
+thread/ui machinery (rich is absent here).
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.api import run_dedupe_fs
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators import exact
+from dedupe_copy_spark.sources.fs import (
+    _push_glob,
+    scan_fs,
+    write_reference_csv,
+)
+
+EXTS = [".mov", ".mp3", ".png", ".jpg"]
+
+
+def _load_reference_generate_report():
+    """Exec ONLY core.generate_report from the reference source (its
+    module imports rich, absent in this env)."""
+    import logging
+    from typing import Any, Literal
+
+    src = open("/root/reference/dedupe_copy/core.py").read()
+    tree = ast.parse(src)
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "generate_report")
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {"Any": Any, "Literal": Literal,
+          "logger": logging.getLogger("refdc.core")}
+    exec(compile(mod, "/root/reference/dedupe_copy/core.py", "exec"), ns)
+    return ns["generate_report"]
+
+
+def make_tree(root, n_unique=8, n_dup_groups=2, dup_width=3):
+    """Returns {abs_path: content_bytes}. Deterministic layout: nested
+    dirs a/, a/b/, c/; extensions round-robin like the reference
+    fixture; duplicate groups share exact bytes across directories."""
+    files = {}
+    dirs = ["", "a", os.path.join("a", "b"), "c"]
+    for d in dirs:
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    i = 0
+    for k in range(n_unique):
+        d = dirs[k % len(dirs)]
+        ext = EXTS[k % len(EXTS)]
+        p = os.path.join(root, d, f"u{k}{ext}")
+        files[p] = f"unique-{k}".encode() * (k + 1)
+        i += 1
+    for g in range(n_dup_groups):
+        content = f"dup-group-{g}".encode() * 40
+        for j in range(dup_width):
+            d = dirs[(g + j) % len(dirs)]
+            ext = EXTS[(g + j) % len(EXTS)]
+            p = os.path.join(root, d, f"g{g}_copy{j}{ext}")
+            files[p] = content
+    for p, content in files.items():
+        with open(p, "wb") as fh:
+            fh.write(content)
+    return files
+
+
+def test_scan_matches_stat_and_hashlib(spark, tmp_path):
+    root = str(tmp_path / "tree")
+    files = make_tree(root)
+    df = scan_fs(spark, root, cfg=DedupeConfig(hash_algo="md5"))
+    rows = {r["path"]: r for r in df.collect()}
+    assert set(rows) == set(files)
+    for p, content in files.items():
+        r = rows[p]
+        st = os.stat(p)
+        assert r["size"] == st.st_size == len(content)
+        assert r["content_digest"] == hashlib.md5(content).hexdigest()
+        assert r["content_sha256"] == hashlib.sha256(content).hexdigest()
+        # binaryFile's listing mtime is millisecond-truncated
+        assert abs(r["mtime"] - st.st_mtime) < 0.002
+        assert r["repo"] == root and r["commit"] == ""
+
+
+def test_collision_groups_match_tree_construction(spark, tmp_path):
+    root = str(tmp_path / "tree")
+    files = make_tree(root, n_unique=5, n_dup_groups=3, dup_width=2)
+    hashed = scan_fs(spark, root, cfg=DedupeConfig(hash_algo="md5"))
+    report = exact.collision_report(hashed).collect()
+    # groups found == the constructed duplicate groups, nothing else
+    by_group = {}
+    for r in report:
+        by_group.setdefault(r["group_id"], set()).add(r["path"])
+    expected = {}
+    for p, content in files.items():
+        expected.setdefault(content, set()).add(p)
+    expected_groups = {frozenset(v) for v in expected.values() if len(v) > 1}
+    assert {frozenset(v) for v in by_group.values()} == expected_groups
+    assert sorted(by_group) == list(range(1, len(expected_groups) + 1))
+
+
+def test_reference_csv_byte_parity(spark, tmp_path):
+    """Our CSV writer and the reference's generate_report must emit
+    identical bytes for the same collision groups."""
+    root = str(tmp_path / "tree")
+    make_tree(root, n_unique=4, n_dup_groups=3, dup_width=3)
+    ours = str(tmp_path / "ours.csv")
+    out = run_dedupe_fs(spark, root, hash_algo="md5", csv_report_path=ours)
+
+    # rebuild the reference's collisions dict {digest: [(path, size,
+    # mtime), ...]} in OUR report order (group_id, path) — dict
+    # insertion order drives its group numbering
+    rows = (
+        out.report.join(out.hashed.select("path", "mtime"), "path")
+        .select("group_id", F.col("content_sha256").alias("digest"),
+                "path", "size", "mtime")
+        .orderBy("group_id", "path").collect()
+    )
+    collisions = {}
+    for r in rows:
+        collisions.setdefault(r["digest"], []).append(
+            (r["path"], r["size"], r["mtime"]))
+    theirs = str(tmp_path / "theirs.csv")
+    _load_reference_generate_report()(theirs, collisions, [root], "md5")
+    assert open(ours, "rb").read() == open(theirs, "rb").read()
+    assert open(ours).readline().startswith("Src: [")
+
+
+def test_extension_include_pushdown_and_exactness(spark, tmp_path):
+    root = str(tmp_path / "tree")
+    files = make_tree(root)
+    # plain suffixes → brace-glob pushed to the listing
+    assert _push_glob(("jpg", "png")) == "*.{jpg,png}"
+    df = scan_fs(spark, root, cfg=DedupeConfig(extensions=("jpg", "png")))
+    got = {r["path"] for r in df.select("path").collect()}
+    want = {p for p in files if p.endswith((".jpg", ".png"))}
+    assert got == want
+    # fancy glob → no pushdown, rlike-only, same reference semantics
+    assert _push_glob(("j*",)) is None
+    fancy = scan_fs(spark, root, cfg=DedupeConfig(extensions=("j*",)))
+    got_f = {r["path"] for r in fancy.select("path").collect()}
+    assert got_f == {p for p in files if p.endswith(".jpg")}
+
+
+def test_ignore_filter_drops_subtree(spark, tmp_path):
+    root = str(tmp_path / "tree")
+    files = make_tree(root)
+    df = scan_fs(spark, root,
+                 cfg=DedupeConfig(ignore_patterns=("*/a/*",)))
+    got = {r["path"] for r in df.select("path").collect()}
+    assert got == {p for p in files if "/a/" not in p}
+    assert got  # non-vacuous
+
+
+def test_empty_files_never_collide_unless_dedupe_empty(spark, tmp_path):
+    root = str(tmp_path / "tree")
+    os.makedirs(root)
+    for name in ("e1.txt", "e2.txt"):
+        open(os.path.join(root, name), "wb").close()
+    salted = scan_fs(spark, root, cfg=DedupeConfig(hash_algo="md5"))
+    assert exact.collision_hashes(salted).count() == 0
+    merged = scan_fs(spark, root, cfg=DedupeConfig(hash_algo="md5",
+                                                   dedupe_empty=True))
+    assert exact.collision_hashes(merged).count() == 1
+
+
+def test_modified_after_prunes_listing(spark, tmp_path):
+    import time
+
+    root = str(tmp_path / "tree")
+    os.makedirs(root)
+    old = os.path.join(root, "old.txt")
+    with open(old, "wb") as fh:
+        fh.write(b"old")
+    cutoff_epoch = time.time() + 10
+    os.utime(old, (cutoff_epoch - 100, cutoff_epoch - 100))
+    new = os.path.join(root, "new.txt")
+    with open(new, "wb") as fh:
+        fh.write(b"new")
+    os.utime(new, (cutoff_epoch + 100, cutoff_epoch + 100))
+    cutoff = time.strftime("%Y-%m-%dT%H:%M:%S",
+                           time.localtime(cutoff_epoch))
+    df = scan_fs(spark, root, modified_after=cutoff)
+    assert [r["path"] for r in df.select("path").collect()] == [new]
+
+
+def test_multiple_read_paths_attribute_repo(spark, tmp_path):
+    r1, r2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    make_tree(r1, n_unique=3, n_dup_groups=0)
+    make_tree(r2, n_unique=3, n_dup_groups=0)
+    df = scan_fs(spark, [r1, r2])
+    repos = {r["repo"] for r in df.select("repo").distinct().collect()}
+    assert repos == {r1, r2}
+    for row in df.select("repo", "path").collect():
+        assert row["path"].startswith(row["repo"] + "/")
+
+
+def test_run_dedupe_fs_winners_losers(spark, tmp_path):
+    root = str(tmp_path / "tree")
+    files = make_tree(root, n_unique=6, n_dup_groups=2, dup_width=3)
+    out = run_dedupe_fs(spark, root, hash_algo="md5")
+    # 6 unique + 2 groups → 8 winners; 2*(3-1) losers
+    assert out.winners.count() == 8
+    assert out.losers.count() == 4
+    assert out.hashed.count() == len(files)
+    # keep-first: winner of each group is the lexicographically
+    # smallest member path (reference sorted()[0] semantics)
+    win_paths = {r["path"] for r in out.winners.select("path").collect()}
+    by_content = {}
+    for p, c in files.items():
+        by_content.setdefault(c, []).append(p)
+    for members in by_content.values():
+        assert min(members) in win_paths
+
+
+def test_cli_read_path_mode(spark, tmp_path):
+    from dedupe_copy_spark import cli
+
+    root = str(tmp_path / "tree")
+    make_tree(root, n_unique=4, n_dup_groups=2, dup_width=2)
+    out = str(tmp_path / "out")
+    csvp = str(tmp_path / "ref_report.csv")
+    rc = cli.main([
+        "--read-path", root, "--output", out, "--hash-algo", "md5",
+        "--csv-report", csvp,
+    ])
+    assert rc == 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == 6  # 4 unique + 2 group survivors
+    losers = spark.read.parquet(f"{out}/losers")
+    assert losers.count() == 2
+    lines = open(csvp).read().splitlines()
+    assert lines[1] == "Collision #, MD5, Path, Size (bytes), mtime"
+    assert len(lines) == 2 + 4  # header x2 + 2 groups x 2 members
+
+
+def test_cli_requires_exactly_one_source(tmp_path):
+    from dedupe_copy_spark import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--output", str(tmp_path / "o")])
