@@ -1156,3 +1156,51 @@ def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         F.round(n_novel.cast("double")
                 / F.greatest(n_grams, F.lit(1)).cast("double"), 6)
         .alias("novelty"))
+
+
+def robots_gate(docs: DataFrame, rules: DataFrame,
+                domain_col: str = "domain",
+                path_col: str = "url_path") -> DataFrame:
+    """Robots-compliance gate with true robots.txt precedence: per
+    (domain, path), the LONGEST matching rule prefix decides, and at
+    equal length Allow beats Disallow (RFC 9309 §2.2.2 — the rule
+    Googlebot applies). A crawl-sourced training corpus that ignores
+    per-domain disallow rules ships text it was asked not to take;
+    this gate re-checks compliance at curation time, after the fact.
+
+    ``rules``: (domain, prefix, allow boolean) — the parsed per-domain
+    robots directives. Every path should be covered by a root '/'
+    rule per domain (standard robots default is allow; feed an
+    explicit root rule to make the default visible in the output).
+
+    Plan shape at 100 TB: the decision is computed over the DISTINCT
+    (domain, path) pairs — document text never rides the rule-match
+    shuffle — via one equi-join on domain (rules relations are small —
+    broadcast under AQE), a prefix filter, then max_by over
+    (prefix_length, allow): a partial-aggregating argmax, no window,
+    no sort. The verdict joins back to the full rows on (domain,
+    path). Docs whose domain has no matching rule pass through
+    allowed (robots default) with a NULL matched_rule.
+    """
+    keys = [domain_col, path_col]
+    pairs = docs.select(*keys).distinct()
+    cand = (
+        pairs.join(rules, on=domain_col, how="left")
+        .filter(F.col("prefix").isNull() |
+                F.col(path_col).startswith(F.col("prefix")))
+    )
+    rank = F.struct(
+        F.length(F.col("prefix")).alias("l"),
+        F.col("allow").cast("int").alias("a"),
+    )
+    picked = F.max_by(
+        F.struct(F.col("prefix").alias("p"), F.col("allow").alias("al")),
+        rank)
+    decision = (
+        cand.groupBy(*keys).agg(picked.alias("_m"))
+        .select(*keys,
+                F.col("_m.p").alias("matched_rule"),
+                F.coalesce(F.col("_m.al"), F.lit(True)).alias("allowed"))
+    )
+    return docs.join(decision, on=keys, how="left") \
+        .withColumn("allowed", F.coalesce(F.col("allowed"), F.lit(True)))

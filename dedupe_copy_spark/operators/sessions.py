@@ -42,7 +42,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
     # under ANY session timezone, not just the repo session's UTC pin
     dt = dict(zip(events.schema.names,
                   [f.dataType for f in events.schema.fields]))[ts_col]
-    if dt.typeName() == "timestamp_ntz":
+    if dt.typeName() in ("long", "integer"):
+        # already integer epoch-microseconds (the streaming event store
+        # keeps ts this way so replays never re-interpret wall clocks)
+        def _us(c):
+            return c.cast("long")
+    elif dt.typeName() == "timestamp_ntz":
         def _us(c):
             return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
     else:  # already an instant — no wall-clock reinterpretation
@@ -66,3 +71,26 @@ def sessionize(events: DataFrame, gap_minutes: int = 30,
                  F.count(F.lit(1)).cast("long").alias("n_events"),
                  F.round(F.sum(cents).cast("double") / 100, 2)
                  .alias("total_value")))
+
+
+def session_durations(events: DataFrame, gap_minutes: int = 30,
+                      user_col: str = "user_id", **kwargs) -> DataFrame:
+    """Per-user session-shape rollup over the sessionized relation:
+    session count, event count, total/max session duration, and how
+    many sessions were single-event bounces. All integer math
+    (durations are epoch-micro differences), so the DuckDB oracle
+    replays it exactly.
+
+    Plan shape: the sessionize shuffle (keyed by user) feeds a groupBy
+    on the SAME key, so the rollup needs no second Exchange — Catalyst
+    reuses the child distribution (plan-asserted)."""
+    sess = sessionize(events, gap_minutes, user_col=user_col, **kwargs)
+    dur = F.col("end_us") - F.col("start_us")
+    return sess.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum(dur).cast("long").alias("sum_duration_us"),
+        F.max(dur).cast("long").alias("max_duration_us"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long").alias("n_singletons"),
+    )

@@ -378,6 +378,20 @@ CHECKS = {
          lambda p: "partial_min" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "session_durations": [
+        ("the per-user rollup reuses the sessionize exchange — no "
+         "extra shuffle over sessionize_events' plan",
+         lambda p: p.count("Exchange") <= 2),
+        ("rollup has a map-side partial pass", lambda p: "partial_" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
+    "robots_gate": [
+        ("longest-match pick is a max_by partial agg, not a window",
+         lambda p: "partial_max_by" in p and "Window" not in p),
+        ("no cartesian expansion (equi-join on domain)",
+         lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "sessionize_events": [
         ("both window passes and the session agg share one user-keyed "
          "exchange",

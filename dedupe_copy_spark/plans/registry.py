@@ -3612,6 +3612,116 @@ def sessionize_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap_minutes=30)
 
 
+@register("session_durations", """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL
+                OR epoch_us(ts) - epoch_us(prev) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_n
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_n,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+         count(*) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(end_us - start_us) AS BIGINT) AS sum_duration_us,
+       CAST(max(end_us - start_us) AS BIGINT) AS max_duration_us,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons
+FROM sessions GROUP BY user_id
+""")
+def session_durations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session-shape rollup (count / events / total + max
+    duration / single-event bounces) — the usage-analytics view over
+    gap sessionization. The rollup groups on the sessionize shuffle's
+    own key, so the whole query is ONE user-keyed Exchange
+    (plan-asserted); DuckDB replays every integer."""
+    from dedupe_copy_spark.operators.sessions import session_durations
+
+    events = load_table(spark, sf_dir, "events")
+    return session_durations(events, gap_minutes=30)
+
+
+@register("robots_gate", """
+WITH docs2 AS (
+  SELECT doc_id, source AS domain,
+         '/' || coalesce(lang, 'xx') || '/doc_' || doc_id AS url_path
+  FROM documents
+), srcs AS (
+  SELECT DISTINCT source AS domain,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) AS num
+  FROM documents
+), rules AS (
+  SELECT domain, '/' AS prefix, TRUE AS allow FROM srcs
+  UNION ALL SELECT domain, '/de/', FALSE FROM srcs
+  UNION ALL SELECT domain, '/de/doc_1', TRUE FROM srcs
+  UNION ALL SELECT domain, '/zh/', FALSE FROM srcs WHERE num % 2 = 0
+), cand AS (
+  SELECT d.doc_id, d.domain, d.url_path, r.prefix, r.allow
+  FROM docs2 d JOIN rules r ON d.domain = r.domain
+  WHERE starts_with(d.url_path, r.prefix)
+), ranked AS (
+  SELECT doc_id, domain, url_path, prefix, allow,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY length(prefix) DESC, CAST(allow AS INT) DESC) AS rn
+  FROM cand
+)
+SELECT doc_id, domain, url_path,
+       prefix AS matched_rule, allow AS allowed
+FROM ranked WHERE rn = 1
+""")
+def robots_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-compliance gate (RFC 9309 longest-match, Allow wins
+    ties) over synthesized per-source directives: every domain allows
+    '/' and disallows '/de/', re-allows '/de/doc_1*' (the longest-match
+    override case), and even-numbered domains also disallow '/zh/'.
+    The rules relation is DERIVED from the distinct sources in both
+    engines, so the matching machinery — not a hardcoded answer — is
+    what's compared."""
+    from dedupe_copy_spark.operators.corpus import robots_gate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.concat(F.lit("/"), F.coalesce(F.col("lang"), F.lit("xx")),
+                 F.lit("/doc_"), F.col("doc_id").cast("string"))
+        .alias("url_path"),
+    )
+    num = F.regexp_extract(F.col("domain"), r"(\d+)$", 1).cast("int")
+    base = F.array(
+        F.struct(F.lit("/").alias("prefix"), F.lit(True).alias("allow")),
+        F.struct(F.lit("/de/").alias("prefix"), F.lit(False).alias("allow")),
+        F.struct(F.lit("/de/doc_1").alias("prefix"),
+                 F.lit(True).alias("allow")),
+    )
+    zh = F.struct(F.lit("/zh/").alias("prefix"), F.lit(False).alias("allow"))
+    rules = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("source").alias("domain")).distinct()
+        .select("domain",
+                F.explode(F.when(num % 2 == 0,
+                                 F.concat(base, F.array(zh)))
+                          .otherwise(base)).alias("r"))
+        .select("domain", "r.prefix", "r.allow")
+    )
+    return robots_gate(docs, rules)
+
+
 @register("fs_collision_report", """
 WITH subset AS (
   SELECT doc_id, coalesce(lang, 'xx') AS lang, coalesce(text, '') AS text

@@ -1,0 +1,199 @@
+"""Incremental gap-sessionization over an event stream, with an
+explicit late-event contract.
+
+The batch operator (operators/sessions.py) sessionizes the full events
+relation; a continuously ingesting pipeline cannot re-window all
+history per batch. This module keeps per-user session rows current by
+recomputing ONLY the users a batch touches, against their own event
+history — per-batch work scales with the touched users' events, never
+the corpus.
+
+Late events. Gap sessions cannot be finalized under unbounded
+lateness: one sufficiently late event can merge any two neighboring
+sessions. The contract here is Structured Streaming's watermark
+semantics, applied at the batch boundary: an event older than
+``max(event time committed by STRICTLY EARLIER batches) -
+allowed_lateness`` is quarantined to ``late/`` (visible via
+``late_events()``, never silently dropped) and does not perturb
+sessions; anything newer is fully applied — INCLUDING session merges,
+which plain append-only session sinks cannot express (latest-wins
+deltas can rewrite a user's sessions).
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite
+subdirectories — the same idempotent at-least-once replay contract as
+the other streaming modules):
+
+    events/batch_id=N/    accepted events (user_id, ts_us, event_id,
+                          value) — the per-user history resessionizing
+                          reads back, pruned to touched users
+    late/batch_id=N/      quarantined too-late events
+    sessions/batch_id=N/  the FULL recomputed session set of every
+                          user batch N touched (latest-batch-wins per
+                          user on read)
+
+Replay is idempotent because a replayed batch derives everything —
+watermark included — from STRICTLY EARLIER batches only, then
+overwrites its own subdirectories. ``compact`` folds history
+crash-safely (statestore two-rename protocol); run it only after the
+stream checkpoint has committed the folded batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.sessions import sessionize
+from dedupe_copy_spark.streaming import statestore
+
+_EVENT_SCHEMA = ("user_id long, ts_us long, event_id long, value double")
+_SESSION_SCHEMA = ("user_id long, session_n long, start_us long, "
+                   "end_us long, n_events long, total_value double")
+
+
+class IncrementalSessions:
+    """Per-user session rows maintained from event batches."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 gap_minutes: int = 30,
+                 allowed_lateness_minutes: int = 60):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.gap_minutes = gap_minutes
+        self.lateness_us = allowed_lateness_minutes * 60 * 1_000_000
+        self.events_path = f"{out_dir}/events"
+        self.late_path = f"{out_dir}/late"
+        self.sessions_path = f"{out_dir}/sessions"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    # -- state reads ---------------------------------------------------------
+
+    def _read(self, path: str, schema: str) -> DataFrame:
+        statestore.recover(path)
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema + ", batch_id int")
+        return df
+
+    def _events_before(self, batch_id: int) -> DataFrame:
+        ev = self._read(self.events_path, _EVENT_SCHEMA)
+        return ev.filter(F.col("batch_id") < batch_id)
+
+    def _watermark_us(self, batch_id: int):
+        """max accepted event time of strictly earlier batches, minus
+        the lateness allowance; None before any event is committed.
+        Strictly-earlier keeps replays deterministic: a redelivered
+        batch sees the same watermark as its first attempt."""
+        row = self._events_before(batch_id).agg(
+            F.max("ts_us").alias("m")).collect()[0]
+        if row["m"] is None:
+            return None
+        return row["m"] - self.lateness_us
+
+    @staticmethod
+    def _normalize(events: DataFrame) -> DataFrame:
+        """(user_id, ts_us, event_id, value) with integer epoch-micro
+        timestamps — stored this way so replays never re-interpret
+        wall clocks under a different session zone."""
+        dt = dict((f.name, f.dataType.typeName()) for f in events.schema)
+        if "ts_us" in dt:                      # already normalized
+            us = F.col("ts_us").cast("long")
+        elif dt.get("ts") == "timestamp_ntz":
+            us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+        elif dt.get("ts") in ("long", "integer"):
+            us = F.col("ts").cast("long")
+        else:
+            us = F.unix_micros(F.col("ts").cast("timestamp"))
+        return events.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            us.alias("ts_us"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    # -- per-batch work ------------------------------------------------------
+
+    def process_batch(self, events: DataFrame, batch_id: int) -> None:
+        ev = self._normalize(events).localCheckpoint()
+        wm = self._watermark_us(batch_id)
+        if wm is None:
+            ok, late = ev, ev.limit(0)
+        else:
+            ok = ev.filter(F.col("ts_us") >= wm)
+            late = ev.filter(F.col("ts_us") < wm)
+        late.write.mode("overwrite").parquet(
+            f"{self.late_path}/batch_id={batch_id}")
+        ok = ok.localCheckpoint()  # two readers below; plan cut once
+        ok.write.mode("overwrite").parquet(
+            f"{self.events_path}/batch_id={batch_id}")
+
+        # resessionize ONLY the touched users, over their full accepted
+        # history (earlier batches ∪ this batch) — a semi-join keyed on
+        # user, so untouched users' events are never read into the sort
+        touched = ok.select("user_id").distinct()
+        hist = (
+            self._events_before(batch_id)
+            .drop("batch_id")
+            .unionByName(ok)
+            .join(touched, "user_id", "left_semi")
+        )
+        sess = sessionize(hist, self.gap_minutes, ts_col="ts_us")
+        sess.write.mode("overwrite").parquet(
+            f"{self.sessions_path}/batch_id={batch_id}")
+
+    # -- read-side views -----------------------------------------------------
+
+    def current(self) -> DataFrame:
+        """One row per (user, session) as of the latest committed
+        batch: each user's sessions come wholly from the last batch
+        that touched them (deltas carry the user's FULL session set,
+        so merges rewrite cleanly)."""
+        deltas = self._read(self.sessions_path, _SESSION_SCHEMA)
+        latest = deltas.groupBy("user_id").agg(
+            F.max("batch_id").alias("batch_id"))
+        return deltas.join(latest, ["user_id", "batch_id"]).drop("batch_id")
+
+    def late_events(self) -> DataFrame:
+        """Quarantined events (the contract's reject channel)."""
+        return self._read(self.late_path, _EVENT_SCHEMA).drop("batch_id")
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold both accumulated stores into single base partitions.
+        The sessions fold materializes current() (per-user latest), so
+        every reader's answer is unchanged."""
+        for path, tmp, fold in (
+            (self.events_path, f"{self.out_dir}/_events_compact",
+             lambda d: d.drop("batch_id")),
+            (self.sessions_path, f"{self.out_dir}/_sessions_compact",
+             self._fold_sessions),
+        ):
+            statestore.recover(path)
+            try:
+                df = self.spark.read.parquet(path)
+            except Exception:
+                continue
+            statestore.compact_into(fold(df), path, tmp, into_batch_id)
+
+    def _fold_sessions(self, deltas: DataFrame) -> DataFrame:
+        latest = deltas.groupBy("user_id").agg(
+            F.max("batch_id").alias("batch_id"))
+        return deltas.join(latest, ["user_id", "batch_id"]).drop("batch_id")
+
+    # -- stream wiring -------------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream
+            .schema("user_id long, ts timestamp, event_id long, value double")
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

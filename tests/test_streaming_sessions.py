@@ -1,0 +1,151 @@
+"""Incremental sessionization: current() must equal the batch operator
+over all ACCEPTED events at every step, too-late events must be
+quarantined (not applied, not dropped), session merges must rewrite
+cleanly, and replay/compaction must preserve answers."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.sessions import sessionize
+from dedupe_copy_spark.streaming.sessions_stream import IncrementalSessions
+
+MIN_US = 60 * 1_000_000
+GAP = 30          # minutes
+LATE = 60         # allowed lateness, minutes
+
+
+def _events(spark, rows):
+    """rows: (user_id, minutes, event_id, value) — minutes become
+    epoch-micros so the fixtures read as a timeline."""
+    data = [(u, m * MIN_US, e, v) for (u, m, e, v) in rows]
+    return spark.createDataFrame(
+        data, "user_id long, ts_us long, event_id long, value double")
+
+
+def _smap(df):
+    return {(r["user_id"], r["session_n"]):
+            (r["start_us"], r["end_us"], r["n_events"], r["total_value"])
+            for r in df.collect()}
+
+
+def _job(spark, tmp_path, name):
+    return IncrementalSessions(spark, str(tmp_path / name),
+                               gap_minutes=GAP,
+                               allowed_lateness_minutes=LATE)
+
+
+def test_current_equals_batch_operator_each_step(spark, tmp_path):
+    job = _job(spark, tmp_path, "s1")
+    batches = [
+        [(1, 0, 1, 1.0), (1, 10, 2, 2.0), (2, 0, 3, 5.0)],
+        [(1, 100, 4, 1.5), (2, 15, 5, 0.5)],        # new session for u1
+        [(3, 200, 6, 9.99)],                        # new user
+        # watermark after batch 2 = 200 - 60 = 140: these stay inside
+        # the allowance (a new session for u1, 50 min after t=100)
+        [(1, 150, 7, 3.0), (1, 155, 8, 3.0)],
+    ]
+    seen = []
+    for n, rows in enumerate(batches):
+        job.process_batch(_events(spark, rows), n)
+        seen.extend(rows)
+        want = _smap(sessionize(_events(spark, seen), GAP, ts_col="ts_us"))
+        assert _smap(job.current()) == want
+    assert job.late_events().count() == 0
+
+
+def test_in_lateness_event_merges_sessions(spark, tmp_path):
+    """An out-of-order event inside the allowance can MERGE two
+    existing sessions — the delta must rewrite the user's sessions."""
+    job = _job(spark, tmp_path, "s2")
+    # two sessions 40 min apart (> GAP), latest event at t=100
+    job.process_batch(_events(spark, [(1, 60, 1, 1.0), (1, 100, 2, 1.0)]), 0)
+    assert len(_smap(job.current())) == 2
+    # bridge event at t=80: 20 min from both — within lateness
+    # (watermark = 100 - 60 = 40), so it applies and merges
+    job.process_batch(_events(spark, [(1, 80, 3, 1.0)]), 1)
+    got = _smap(job.current())
+    assert got == {(1, 1): (60 * MIN_US, 100 * MIN_US, 3, 3.0)}
+    assert job.late_events().count() == 0
+
+
+def test_too_late_event_is_quarantined(spark, tmp_path):
+    job = _job(spark, tmp_path, "s3")
+    job.process_batch(_events(spark, [(1, 0, 1, 1.0), (1, 200, 2, 1.0)]), 0)
+    before = _smap(job.current())
+    # watermark = 200 - 60 = 140; an event at t=10 is too late
+    job.process_batch(_events(spark, [(1, 10, 3, 7.0)]), 1)
+    assert _smap(job.current()) == before          # sessions unperturbed
+    late = job.late_events().collect()
+    assert [(r["user_id"], r["ts_us"], r["event_id"]) for r in late] == \
+        [(1, 10 * MIN_US, 3)]                      # visible, not dropped
+
+
+def test_watermark_splits_one_batch(spark, tmp_path):
+    """A single batch can carry both acceptable and too-late rows."""
+    job = _job(spark, tmp_path, "s4")
+    job.process_batch(_events(spark, [(1, 300, 1, 1.0)]), 0)
+    # watermark = 300 - 60 = 240: t=250 applies, t=100 quarantines
+    job.process_batch(
+        _events(spark, [(1, 250, 2, 1.0), (2, 100, 3, 1.0)]), 1)
+    got = _smap(job.current())
+    accepted = [(1, 300, 1, 1.0), (1, 250, 2, 1.0)]
+    want = _smap(sessionize(_events(spark, accepted), GAP, ts_col="ts_us"))
+    assert got == want
+    assert {r["user_id"] for r in job.late_events().collect()} == {2}
+
+
+def test_untouched_users_not_recomputed(spark, tmp_path):
+    """Per-batch session deltas cover ONLY the touched users."""
+    job = _job(spark, tmp_path, "s5")
+    rows = [(u, 0, u * 10, 1.0) for u in range(1, 21)]
+    job.process_batch(_events(spark, rows), 0)
+    job.process_batch(_events(spark, [(7, 20, 999, 1.0)]), 1)
+    delta1 = spark.read.parquet(f"{job.sessions_path}/batch_id=1")
+    assert {r["user_id"] for r in delta1.collect()} == {7}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    job = _job(spark, tmp_path, "s6")
+    job.process_batch(_events(spark, [(1, 0, 1, 1.0), (1, 10, 2, 2.0)]), 0)
+    job.process_batch(_events(spark, [(1, 100, 3, 1.0)]), 1)
+    before = _smap(job.current())
+    n_late = job.late_events().count()
+    job.process_batch(_events(spark, [(1, 100, 3, 1.0)]), 1)  # redelivered
+    assert _smap(job.current()) == before
+    assert job.late_events().count() == n_late
+
+
+def test_compact_preserves_answers(spark, tmp_path):
+    job = _job(spark, tmp_path, "s7")
+    job.process_batch(_events(spark, [(1, 0, 1, 1.0), (2, 5, 2, 2.0)]), 0)
+    job.process_batch(_events(spark, [(1, 100, 3, 3.0)]), 1)
+    before = _smap(job.current())
+    job.compact()
+    assert _smap(job.current()) == before
+    # post-compaction batches keep composing (incl. a merge read from
+    # the compacted event base)
+    job.process_batch(_events(spark, [(1, 115, 4, 1.0)]), 2)
+    seen = [(1, 0, 1, 1.0), (2, 5, 2, 2.0), (1, 100, 3, 3.0),
+            (1, 115, 4, 1.0)]
+    want = _smap(sessionize(_events(spark, seen), GAP, ts_col="ts_us"))
+    assert _smap(job.current()) == want
+
+
+def test_end_to_end_readstream(spark, tmp_path):
+    watch = str(tmp_path / "incoming")
+    ts = (F.col("ts_us") / 1e6).cast("timestamp")
+    _events(spark, [(1, 0, 1, 1.0), (1, 10, 2, 2.0)]) \
+        .select("user_id", ts.alias("ts"), "event_id", "value") \
+        .coalesce(1).write.mode("append").parquet(watch)
+    job = _job(spark, tmp_path, "s8")
+    q = job.start(watch)
+    q.awaitTermination(120)
+    deadline = time.time() + 30
+    while time.time() < deadline and job.current().count() == 0:
+        time.sleep(1)
+    got = _smap(job.current())
+    assert len(got) == 1
+    (_, _), (start_us, end_us, n, total) = next(iter(got.items())), \
+        next(iter(got.values()))
+    assert (start_us, end_us, n, total) == (0, 10 * MIN_US, 2, 3.0)
