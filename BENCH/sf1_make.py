@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Synthesize a deterministic sf1-scale fixture (10x sf0.1) for the
+once-per-round scale-stress run (VERDICT r3 item 8: constants that
+hide at sf0.1 — the CDC 40x and minhash 17x bugs — only surface when
+scaled).
+
+No external data: each table is 10 deterministic replicas of the
+driver's sf0.1 parquet, transformed so the DATA SHAPE scales the way a
+10x corpus would rather than a 10x-duplicated one:
+
+* every id/key column shifts by replica * 10^9 — joins stay consistent
+  within a replica, keys never collide across replicas;
+* document text passes through a per-replica character cipher
+  (``translate`` with a rotated alphabet): a bijection on characters
+  is a bijection on n-grams, so WITHIN a replica every exact/near-dup
+  relationship (and every Jaccard value) is preserved exactly, while
+  across replicas no shingle matches — dup structure scales linearly,
+  the way independent crawl shards do;
+* embeddings rotate circularly by replica index — norms (and within-
+  replica cosines) are exactly preserved, cross-replica cosines decay
+  to the random-vector baseline, so ANN/near-dup candidate counts also
+  scale linearly;
+* event times shift by replica days and users by the id shift, so
+  sessions never straddle replicas.
+
+Usage: python BENCH/sf1_make.py [out_dir]   (default /tmp/sfsynth1)
+Then:  SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from dedupe_copy_spark.session import get_spark  # noqa: E402
+from dedupe_copy_spark.sources.tables import TABLES  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_SRC", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SF1_REPLICAS", "10"))
+SHIFT = 10**9
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+ALPHA_U = ALPHA.upper()
+DIGITS = "0123456789"
+
+# tiny dimension tables stay as-is (they are lookup relations; scaling
+# them would change join semantics, not load)
+KEEP_SMALL = {"region", "nation"}
+
+
+def _cipher(col, i: int):
+    """Per-replica character bijection (rot-i over each class)."""
+    if i == 0:
+        return col
+    rot = ALPHA[i:] + ALPHA[:i]
+    rot_u = ALPHA_U[i:] + ALPHA_U[:i]
+    rot_d = DIGITS[i % 10:] + DIGITS[:i % 10]
+    return F.translate(col, ALPHA + ALPHA_U + DIGITS, rot + rot_u + rot_d)
+
+
+def _replica(df: DataFrame, i: int, name: str) -> DataFrame:
+    out = df
+    for f in df.schema.fields:
+        c = f.name
+        t = f.dataType.typeName()
+        if t in ("long", "integer") and (
+                c.endswith("key") or c.endswith("_id") or c == "doc_id"):
+            out = out.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+    if name == "documents":
+        out = out.withColumn("text", _cipher(F.col("text"), i)) \
+                 .withColumn("source", F.concat(F.col("source"),
+                                                F.lit(f"_r{i}")))
+    if name == "embeddings" and i > 0:
+        dim_probe = df.select(F.size("embedding").alias("d")).first()["d"]
+        k = i % dim_probe
+        if k:
+            out = out.withColumn(
+                "embedding",
+                F.concat(F.slice("embedding", k + 1, dim_probe - k),
+                         F.slice("embedding", 1, k)))
+    if name == "events" and i > 0:
+        out = out.withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {i} DAYS"))
+    return out
+
+
+def main(out_dir: str) -> None:
+    spark = get_spark(app_name="sf1-make", cores=16, shuffle_partitions=32)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        n = 1 if name in KEEP_SMALL else REPLICAS
+        parts = [_replica(src, i, name) for i in range(n)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        print(f"# {name}: {df.count()} rows", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth1")

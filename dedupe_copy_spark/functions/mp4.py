@@ -19,8 +19,16 @@ creation times, chunk layout, interleaving) keeps its per-sample
 ENCODED SIZES bit-for-bit, while every byte-level digest changes. So
 features derived from the stsz sequence + track geometry detect
 "same video, repackaged" — the dominant video-dup class in scraped
-corpora — without touching a single frame. Re-encoding detection (same
-content, new bitstream) genuinely needs frame decode and stays out.
+corpora — without touching a single frame. For AVC tracks the
+signature goes one honest level deeper WITHOUT decoding:
+``h264_keyframe_signature`` parses the avcC decoder configuration and
+the sync-sample (stss) table, splits each keyframe into its
+length-prefixed NAL units, and digests the IDR slice payloads — a
+remux keeps those bytes bit-for-bit, while a re-encode that mimics
+the original's sample-size table (invisible to the stsz histogram)
+cannot fake them. Full re-encode CONTENT matching (same video, new
+bitstream, "are the frames alike?") still needs frame decode and
+stays out.
 
 Writer (`build_mp4`) emits a minimal valid box tree (ftyp + moov with
 mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl + mdat) for fixtures and
@@ -61,6 +69,41 @@ def _iter_boxes(data: bytes, start: int, end: int):
         pos += size
 
 
+def _parse_avcc_children(entry_tail: bytes) -> dict | None:
+    """Find + parse the avcC box among a sample entry's child boxes:
+    the AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1) —
+    profile/level, NAL length-prefix width, and the parameter sets.
+    Returns None when no well-formed avcC is present."""
+    for btype, boff, bend in _iter_boxes(entry_tail, 0, len(entry_tail)):
+        if btype != b"avcC":
+            continue
+        rec = entry_tail[boff:bend]
+        if len(rec) < 7 or rec[0] != 1:
+            return None
+        out = {
+            "profile_idc": rec[1],
+            "profile_compat": rec[2],
+            "level_idc": rec[3],
+            "nal_length_size": (rec[4] & 0x03) + 1,
+            "sps": [], "pps": [],
+        }
+        pos = 6
+        for key, count in (("sps", rec[5] & 0x1F), ("pps", None)):
+            if count is None:          # PPS count is its own byte
+                if pos >= len(rec):
+                    return out
+                count = rec[pos]
+                pos += 1
+            for _ in range(count):
+                if pos + 2 > len(rec):
+                    return out
+                ln = int.from_bytes(rec[pos:pos + 2], "big")
+                out[key].append(bytes(rec[pos + 2:pos + 2 + ln]))
+                pos += 2 + ln
+        return out
+    return None
+
+
 def parse_mp4(payload: bytes) -> dict:
     """Parse the container: movie duration/timescale plus per-track
     handler kind, codec fourcc, visual dimensions, and the full sample
@@ -76,7 +119,8 @@ def parse_mp4(payload: bytes) -> dict:
             if btype in _CONTAINERS:
                 t = {"kind": None, "codec": None, "width": None,
                      "height": None, "sample_sizes": [],
-                     "chunk_offsets": [], "stsc": []} \
+                     "chunk_offsets": [], "stsc": [],
+                     "sync_samples": [], "avcc": None} \
                     if btype == b"trak" else track
                 walk(boff, bend, t)
                 if btype == b"trak":
@@ -100,6 +144,20 @@ def parse_mp4(payload: bytes) -> dict:
                 n = int.from_bytes(body[4:8], "big")
                 if n >= 1 and len(body) >= 16:
                     track["codec"] = body[12:16].decode("latin1")
+                    # AVC sample entries nest an avcC decoder-config box
+                    # after the 78-byte VisualSampleEntry fields
+                    # (ISO 14496-15 §5.3.4); parse it for the keyframe-
+                    # level stream signature
+                    entry_len = int.from_bytes(body[8:12], "big")
+                    entry = body[16:8 + entry_len]
+                    if track["codec"] in ("avc1", "avc3") \
+                            and len(entry) > 78 + 8:
+                        track["avcc"] = _parse_avcc_children(entry[78:])
+            elif btype == b"stss" and track is not None:
+                n = int.from_bytes(body[4:8], "big")
+                track["sync_samples"] = [
+                    int.from_bytes(body[8 + 4 * i:12 + 4 * i], "big")
+                    for i in range(n)]
             elif btype == b"stsz" and track is not None:
                 fixed = int.from_bytes(body[4:8], "big")
                 count = int.from_bytes(body[8:12], "big")
@@ -208,9 +266,90 @@ def mp4_features(payload: bytes, dim: int = 32) -> np.ndarray:
     return feats.astype(np.float32)
 
 
+def h264_keyframe_signature(payload: bytes) -> dict | None:
+    """Keyframe-level stream signature for AVC tracks — container
+    parsing only, NO frame decode (the honest boundary stands): walk
+    the sync-sample table (stss), extract each keyframe's bytes, split
+    the length-prefixed NAL units (prefix width from avcC), and digest
+    the IDR slice payloads.
+
+    Why this upgrades the stsz signature: a re-encode that mimics the
+    original's GOP cadence and bitrate can land near the same
+    sample-size histogram (mp4_features' signal), but it cannot
+    reproduce the IDR NAL bytes — while a REMUX preserves them
+    bit-for-bit no matter how the chunk layout, box order, or
+    timestamps change. So:
+
+        remux      → identical signature (test-pinned)
+        re-encode  → different idr_sha / gop_gaps, same geometry
+
+    Returns None when no AVC video track with an avcC record exists
+    (callers fall back to mp4_features). NAL type 5 = IDR slice,
+    7 = SPS (ITU-T H.264 §7.4.1)."""
+    meta = parse_mp4(payload)
+    for track in meta["tracks"]:
+        avcc = track.get("avcc")
+        if track.get("kind") != "vide" or not avcc:
+            continue
+        ranges = sample_ranges(track)
+        if not ranges:
+            return None
+        syncs = track.get("sync_samples") or \
+            list(range(1, len(ranges) + 1))
+        nls = avcc["nal_length_size"]
+        idr = hashlib.sha256()
+        n_idr_nals = 0
+        for s in syncs:
+            if not 1 <= s <= len(ranges):
+                continue
+            off, size = ranges[s - 1]
+            sample = payload[off:off + size]
+            pos = 0
+            while pos + nls <= len(sample):
+                ln = int.from_bytes(sample[pos:pos + nls], "big")
+                nal = sample[pos + nls:pos + nls + ln]
+                pos += nls + ln
+                if nal and (nal[0] & 0x1F) == 5:
+                    idr.update(nal)
+                    n_idr_nals += 1
+        gaps = [b - a for a, b in zip(syncs, syncs[1:])]
+        return {
+            "profile_idc": avcc["profile_idc"],
+            "level_idc": avcc["level_idc"],
+            "sps_sha": hashlib.sha256(b"".join(avcc["sps"])).hexdigest(),
+            "n_keyframes": len(syncs),
+            "n_idr_nals": n_idr_nals,
+            "gop_gaps": gaps,
+            "idr_sha": idr.hexdigest(),
+            "width": track["width"], "height": track["height"],
+        }
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Writer (fixtures / tests)
 # ---------------------------------------------------------------------------
+
+def _avcc_box(avcc: dict) -> bytes:
+    """AVCDecoderConfigurationRecord writer (mirror of
+    _parse_avcc_children; ISO 14496-15 §5.2.4.1)."""
+    sps = avcc.get("sps", [])
+    pps = avcc.get("pps", [])
+    rec = bytes([
+        1,
+        avcc.get("profile_idc", 66),
+        avcc.get("profile_compat", 0),
+        avcc.get("level_idc", 30),
+        0xFC | (avcc.get("nal_length_size", 4) - 1),
+        0xE0 | len(sps),
+    ])
+    for s in sps:
+        rec += len(s).to_bytes(2, "big") + s
+    rec += bytes([len(pps)])
+    for p in pps:
+        rec += len(p).to_bytes(2, "big") + p
+    return _box(b"avcC", rec)
+
 
 def _box(btype: bytes, body: bytes) -> bytes:
     return (len(body) + 8).to_bytes(4, "big") + btype + body
@@ -269,7 +408,10 @@ def build_mp4(duration_s: float, tracks: list[dict],
                         + timescale.to_bytes(4, "big")
                         + dur.to_bytes(4, "big") + bytes(4))
             hdlr = _box(b"hdlr", bytes(8) + t["kind"].encode() + bytes(13))
-            entry = _box(t["codec"].encode(), bytes(78))
+            entry_tail = b""
+            if t.get("avcc"):
+                entry_tail = _avcc_box(t["avcc"])
+            entry = _box(t["codec"].encode(), bytes(78) + entry_tail)
             stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
             stsz = _box(b"stsz", bytes(4) + bytes(4)
                         + len(sizes).to_bytes(4, "big")
@@ -293,7 +435,12 @@ def build_mp4(duration_s: float, tracks: list[dict],
             offs = chunk_offsets[ti]
             stco = _box(b"stco", bytes(4) + len(offs).to_bytes(4, "big")
                         + b"".join(o.to_bytes(4, "big") for o in offs))
-            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+            stss = b""
+            if t.get("sync_samples"):
+                ss = t["sync_samples"]
+                stss = _box(b"stss", bytes(4) + len(ss).to_bytes(4, "big")
+                            + b"".join(s.to_bytes(4, "big") for s in ss))
+            stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
             minf = _box(b"minf", stbl)
             mdia = _box(b"mdia", mdhd + hdlr + minf)
             traks.append(_box(b"trak", tkhd + mdia))

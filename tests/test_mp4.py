@@ -111,3 +111,98 @@ def test_media_stream_dup_pairs_end_to_end(spark):
     for i, j in truth:
         assert by_id[i].stream_sha256 == by_id[j].stream_sha256
         assert by_id[i].payload_sha256 != by_id[j].payload_sha256
+
+
+# ---------------------------------------------------------------------------
+# H.264 keyframe-only parse (avcC + stss): re-encode vs remux
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from dedupe_copy_spark.functions.mp4 import h264_keyframe_signature
+
+
+def _fake_h264_track(content_seed: bytes, encoder_salt: bytes,
+                     n_frames=40, gop=5, w=64, h=32):
+    """A synthesized AVC track: length-prefixed NAL units with real
+    type bytes (5=IDR on keyframes, 1=non-IDR, 6=SEI) whose SIZES
+    depend only on the frame index — so a 're-encode' (different
+    encoder_salt) reproduces the stsz table byte-for-byte while every
+    NAL payload differs, exactly the case container-level features
+    cannot see."""
+    sps = hashlib.sha256(b"sps" + encoder_salt).digest()[:16]
+    pps = hashlib.sha256(b"pps" + encoder_salt).digest()[:8]
+    samples, syncs = [], []
+    for f in range(n_frames):
+        key = f % gop == 0
+        body = (hashlib.sha256(content_seed + encoder_salt
+                               + f.to_bytes(4, "big")).digest() * 3)
+        nal = bytes([5 if key else 1]) + body[:40 + (f % 7)]
+        sample = len(nal).to_bytes(4, "big") + nal
+        if key:
+            sei = bytes([6]) + b"\x00\x01\x02"
+            sample = len(sei).to_bytes(4, "big") + sei + sample
+            syncs.append(f + 1)
+        samples.append(sample)
+    return {"kind": "vide", "codec": "avc1", "width": w, "height": h,
+            "samples": samples, "sync_samples": syncs,
+            "avcc": {"profile_idc": 100, "profile_compat": 0,
+                     "level_idc": 41, "nal_length_size": 4,
+                     "sps": [sps], "pps": [pps]}}
+
+
+def test_avcc_and_stss_parse_roundtrip():
+    t = _fake_h264_track(b"contentX", b"encA")
+    payload = build_mp4(2.0, [t], creation_time=111, chunk_size=7)
+    meta = parse_mp4(payload)
+    (track,) = meta["tracks"]
+    assert track["sync_samples"] == t["sync_samples"]
+    avcc = track["avcc"]
+    assert avcc["profile_idc"] == 100 and avcc["level_idc"] == 41
+    assert avcc["nal_length_size"] == 4
+    assert avcc["sps"] == t["avcc"]["sps"]
+    assert avcc["pps"] == t["avcc"]["pps"]
+
+
+def test_keyframe_signature_remux_invariant():
+    t = _fake_h264_track(b"contentX", b"encA")
+    orig = build_mp4(2.0, [t], creation_time=111, chunk_size=7)
+    remux = build_mp4(2.0, [t], creation_time=999_999, chunk_size=3)
+    assert orig != remux                       # bytes really moved
+    assert h264_keyframe_signature(orig) == h264_keyframe_signature(remux)
+
+
+def test_keyframe_signature_catches_stsz_identical_reencode():
+    """The upgrade over mp4_features: a re-encode that reproduces the
+    original's EXACT sample-size table (and GOP cadence) is invisible
+    to the stsz histogram signature but cannot fake the IDR bytes."""
+    a = _fake_h264_track(b"contentX", b"encA")
+    b = _fake_h264_track(b"contentX", b"encB")   # same sizes, new bits
+    pa = build_mp4(2.0, [a], creation_time=111, chunk_size=7)
+    pb = build_mp4(2.0, [b], creation_time=111, chunk_size=7)
+    # container-level features are blind to it ...
+    assert np.allclose(mp4_features(pa), mp4_features(pb))
+    sa, sb = h264_keyframe_signature(pa), h264_keyframe_signature(pb)
+    # ... the keyframe signature is not
+    assert sa["idr_sha"] != sb["idr_sha"]
+    assert sa["sps_sha"] != sb["sps_sha"]
+    # geometry + cadence agree (it IS plausibly the same content)
+    for k in ("width", "height", "n_keyframes", "gop_gaps",
+              "profile_idc", "level_idc"):
+        assert sa[k] == sb[k]
+
+
+def test_keyframe_signature_sees_gop_change():
+    a = _fake_h264_track(b"contentX", b"encA", gop=5)
+    b = _fake_h264_track(b"contentX", b"encA", gop=4)
+    sa = h264_keyframe_signature(build_mp4(2.0, [a]))
+    sb = h264_keyframe_signature(build_mp4(2.0, [b]))
+    assert sa["gop_gaps"] != sb["gop_gaps"]
+    assert sa["n_keyframes"] != sb["n_keyframes"]
+
+
+def test_keyframe_signature_none_without_avcc():
+    rng = np.random.RandomState(5)
+    payload = build_mp4(2.0, [_track(rng.randint(500, 2000, 30),
+                                     codec="mjpg")])
+    assert h264_keyframe_signature(payload) is None
