@@ -1442,14 +1442,22 @@ WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
 def embedding_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the size-routed operator:
     label blocks up to exact_block_limit are compared exactly (the
-    oracle's semantics — every block here is far below the limit);
-    blocks beyond it would route through capped LSH bucketing instead
-    of exploding the self-join (tests/test_similarity.py pins that
-    path). All JVM-side double math on the exact path."""
+    oracle's semantics — at the oracle SFs every block is far below
+    the limit); bigger blocks route through capped LSH bucketing
+    instead of exploding the self-join (tests/test_similarity.py pins
+    that path). All JVM-side double math on the exact path.
+
+    exact_block_limit is 500 here, NOT the operator's 10k default: the
+    sf1 scale-stress measured the exact path going quadratic exactly
+    as designed (10x rows in a block = 100x cosine evals, 43x wall
+    clock) while blocks were still under 10k — the limit must sit just
+    above the oracle-SF block width (~200 at sf0.1) so a 10x corpus
+    routes hot labels through LSH instead of riding the O(block²)
+    window."""
     from dedupe_copy_spark.operators.similarity import blocked_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return blocked_near_dups(emb, threshold=0.3)
+    return blocked_near_dups(emb, threshold=0.3, exact_block_limit=500)
 
 
 # ---------------------------------------------------------------------------
@@ -1889,6 +1897,17 @@ _SEMDEDUP_TH = 0.4   # sf0.01: 99/500 vecs have a >=0.4 global neighbor
                      # — prunes some, keeps most (non-vacuous both ways)
 
 
+
+def _semdedup_cells(emb) -> int:
+    """SemDeDup's own scaling rule (the paper uses 50k clusters for
+    LAION): cells must grow with the corpus so within-cell exact pairs
+    stay ~bounded. max(16, n/250) keeps every oracle/bench SF at the
+    historical 16 (200..2k vectors) while the sf1 scale-stress (20k
+    vectors, measured 26x wall clock at fixed 16) gets 80 cells and
+    linear behavior. One count() over a pruned scan."""
+    return max(16, emb.count() // 250)
+
+
 @register("semdedup_prune", """
 SELECT vec_id, true AS sound, true AS cell_clean, true AS any_pruned
 FROM embeddings
@@ -1918,7 +1937,8 @@ def semdedup_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_copy_spark.operators.similarity import cosine_topk, semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    res = semdedup(emb, threshold=_SEMDEDUP_TH, n_cells=16)
+    res = semdedup(emb, threshold=_SEMDEDUP_TH,
+                   n_cells=_semdedup_cells(emb))
     pruned_ids = res.filter(~F.col("keep")).select("vec_id")
     top1 = cosine_topk(emb, emb.join(pruned_ids, "vec_id"), k=1)
     sound_ok = (
@@ -1957,7 +1977,8 @@ def semdedup_prune_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_copy_spark.operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, threshold=_SEMDEDUP_TH, n_cells=16)
+    return semdedup(emb, threshold=_SEMDEDUP_TH,
+                    n_cells=_semdedup_cells(emb))
 
 
 # ---------------------------------------------------------------------------
@@ -3778,7 +3799,8 @@ def fs_collision_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"{tempfile.gettempdir()}/fs_scan_{tag}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/docs", exist_ok=True)
-    for r in docs.collect():
+
+    def _write_one(r):
         targets = [f"{root}/docs/{r['lang']}/doc_{r['doc_id']}.txt"]
         if r["doc_id"] % 14 == 0:
             targets.append(f"{root}/mirror/{r['lang']}/doc_{r['doc_id']}.txt")
@@ -3786,6 +3808,14 @@ def fs_collision_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.makedirs(os.path.dirname(p), exist_ok=True)
             with open(p, "wb") as fh:
                 fh.write(r["text"].encode("utf-8"))
+
+    # I/O-bound fixture write: serial open/write/close measured 56 s
+    # for the 7k files at the sf1 scale-stress; a thread pool cuts it
+    # to seconds and changes nothing about the written bytes
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        list(pool.map(_write_one, docs.collect()))
     for name in ("empty_a.txt", "empty_b.txt"):
         open(f"{root}/docs/{name}", "wb").close()
 

@@ -123,22 +123,46 @@ def _zero_byte_rows(spark: SparkSession, abs_paths: list[str],
     only — paths with content stay fully distributed — and mirrors
     where Spark itself performs listing for modest directory counts.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     rows = []
-    for p in abs_paths:
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        fs = jpath.getFileSystem(conf)
-        if not fs.exists(jpath):
+    local = [p for p in abs_paths if "://" not in p]
+    remote = [p for p in abs_paths if "://" in p]
+    # local roots: os.scandir recursion — the py4j-per-file Hadoop
+    # iterator costs ~5 ms/file in JVM round-trips (measured 55 s on a
+    # 10k-file tree at the sf1 scale-stress); scandir does the same
+    # stat work in-process
+    stack = list(local)
+    while stack:
+        d = stack.pop()
+        try:
+            entries = os.scandir(d)
+        except FileNotFoundError:
             continue
-        it = fs.listFiles(jpath, True)
-        while it.hasNext():
-            st = it.next()
-            if st.isFile() and st.getLen() == 0:
-                rows.append((
-                    re.sub(r"^file:(//)?", "", st.getPath().toString()),
-                    st.getModificationTime() / 1000.0,
-                ))
+        with entries:
+            for e in entries:
+                if e.is_dir(follow_symlinks=False):
+                    stack.append(e.path)
+                elif e.is_file(follow_symlinks=False):
+                    st = e.stat()
+                    if st.st_size == 0:
+                        rows.append((e.path, st.st_mtime))
+    # non-local schemes (hdfs/s3a/...): the Hadoop listing is the only
+    # portable metadata source; still no file is ever opened
+    if remote:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for p in remote:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(conf)
+            if not fs.exists(jpath):
+                continue
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                st = it.next()
+                if st.isFile() and st.getLen() == 0:
+                    rows.append((
+                        re.sub(r"^file:(//)?", "", st.getPath().toString()),
+                        st.getModificationTime() / 1000.0,
+                    ))
     empties = spark.createDataFrame(rows or [], "path string, mtime double") \
         .select("path", "mtime", F.lit(0).cast("long").alias("size"),
                 F.lit(b"").alias("content"))
