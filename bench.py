@@ -118,6 +118,11 @@ HEADLINE = [
     # round 4: real directory-tree walk (binaryFile scan + raw-byte md5
     # + collision grouping; includes the bounded fixture write)
     "fs_collision_report",
+    # round 4: session rollup, robots longest-match gate, URL
+    # canonicalization (all pure codegen)
+    "session_durations",
+    "robots_gate",
+    "url_canonicalize",
 ]
 
 

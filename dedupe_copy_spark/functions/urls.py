@@ -1,0 +1,167 @@
+"""URL canonicalization — the crawl-dedup normalizer.
+
+Two fetches of the same resource rarely share bytes of URL: scheme and
+host case differ, default ports appear and disappear, tracking
+parameters (utm_*, gclid, fbclid) are appended per campaign, query
+parameters reorder, fragments are client-side only, and path slashes
+double up. Grouping crawl records by RAW url therefore under-merges
+badly; every major pipeline canonicalizes first (the rules below are
+the common core of RFC 3986 §6 syntax-based normalization plus the
+industry tracking-param strip).
+
+Rules, in order — all pure Catalyst (regexp + higher-order array
+functions, zero Python), each independently pinned by tests and
+replayed verbatim by the DuckDB oracle:
+
+  1. scheme and host lowercase (RFC 3986 §6.2.2.1); path case KEPT
+     (paths are case-sensitive);
+  2. fragment dropped (never sent to the server);
+  3. default port stripped (:80 for http, :443 for https — §6.2.3);
+  4. duplicate path slashes collapsed; trailing slash stripped except
+     for the root path; empty path becomes '/';
+  5. tracking parameters removed (utm_*, gclid, fbclid), remaining
+     query parameters SORTED (order never distinguishes resources in
+     practice and sorting makes the form canonical), '?' dropped when
+     nothing survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: parameters that identify a campaign, not a resource
+TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")          # 2. fragment
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 30))
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    port_norm = F.when(
+        (port == "") |
+        ((scheme == "http") & (port == "80")) |
+        ((scheme == "https") & (port == "443")), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    has_q = pathq.contains("?")
+    query = F.when(has_q, F.regexp_replace(pathq, r"^[^?]*\?", "")) \
+        .otherwise(F.lit(""))
+    path = F.regexp_replace(path, r"/{2,}", "/")        # 4. slashes
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - F.lit(1))
+    ).otherwise(path)
+
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_RE)))
+    qstr = F.when(F.size(params) > 0,
+                  F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_norm, path, qstr)
+
+
+#: the same rules as one DuckDB SQL expression over a column named {u}
+#: (used by registry oracles; kept adjacent so the two engines' rule
+#: text can be reviewed side by side)
+CANONICAL_URL_SQL = """
+    lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+    || '://'
+    || lower(regexp_extract(regexp_extract(
+           regexp_replace(regexp_replace({u},
+               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''),
+           '^([^/?]*)', 1), '^([^:]*)', 1))
+    || CASE
+         WHEN regexp_extract(regexp_extract(
+                regexp_replace(regexp_replace({u},
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''),
+                '^([^/?]*)', 1), ':(\\d+)$', 1) = '' THEN ''
+         WHEN lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                = 'http'
+              AND regexp_extract(regexp_extract(
+                    regexp_replace(regexp_replace({u},
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''),
+                    '^([^/?]*)', 1), ':(\\d+)$', 1) = '80' THEN ''
+         WHEN lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                = 'https'
+              AND regexp_extract(regexp_extract(
+                    regexp_replace(regexp_replace({u},
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''),
+                    '^([^/?]*)', 1), ':(\\d+)$', 1) = '443' THEN ''
+         ELSE ':' || regexp_extract(regexp_extract(
+                regexp_replace(regexp_replace({u},
+                    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''),
+                '^([^/?]*)', 1), ':(\\d+)$', 1)
+       END
+    || CASE
+         WHEN CASE WHEN regexp_replace(regexp_extract(
+                     {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') = ''
+                   THEN '/'
+                   ELSE regexp_replace(regexp_extract(
+                     {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') END
+                <> '/'
+              AND ends_with(
+                CASE WHEN regexp_replace(regexp_extract(
+                       {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') = ''
+                     THEN '/'
+                     ELSE regexp_replace(regexp_extract(
+                       {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') END,
+                '/')
+         THEN substring(
+                CASE WHEN regexp_replace(regexp_extract(
+                       {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') = ''
+                     THEN '/'
+                     ELSE regexp_replace(regexp_extract(
+                       {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') END,
+                1,
+                length(
+                  CASE WHEN regexp_replace(regexp_extract(
+                         {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') = ''
+                       THEN '/'
+                       ELSE regexp_replace(regexp_extract(
+                         {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') END)
+                - 1)
+         ELSE CASE WHEN regexp_replace(regexp_extract(
+                     {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') = ''
+                   THEN '/'
+                   ELSE regexp_replace(regexp_extract(
+                     {pathq}, '^([^?]*)', 1), '/{{2,}}', '/', 'g') END
+       END
+    || CASE
+         WHEN len(list_sort(list_filter(
+                str_split(CASE WHEN contains({pathq}, '?')
+                               THEN regexp_replace({pathq}, '^[^?]*\\?', '')
+                               ELSE '' END, '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[^=]*|gclid|fbclid)(=|$)')))) > 0
+         THEN '?' || array_to_string(list_sort(list_filter(
+                str_split(CASE WHEN contains({pathq}, '?')
+                               THEN regexp_replace({pathq}, '^[^?]*\\?', '')
+                               ELSE '' END, '&'),
+                p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&')
+         ELSE ''
+       END
+"""
+
+#: {pathq} helper: everything after the authority, fragment stripped
+PATHQ_SQL = """
+    substring(regexp_replace(regexp_replace({u},
+        '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''),
+      length(regexp_extract(regexp_replace(regexp_replace({u},
+        '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''),
+        '^([^/?]*)', 1)) + 1)
+"""
+
+
+def canonical_url_sql(u: str) -> str:
+    """The full DuckDB expression for column expression ``u``."""
+    pathq = PATHQ_SQL.format(u=u)
+    return CANONICAL_URL_SQL.format(u=u, pathq=pathq)

@@ -18,6 +18,14 @@ SF = "/root/testdata/sf0.01"
 
 # query → list of (label, predicate) over the formatted plan text
 CHECKS = {
+    "url_canonicalize": [
+        ("pure codegen normalization — no python, no exchange",
+         lambda p: "EvalPython" not in p and "Exchange" not in p),
+        ("column-pruned scan (doc_id, lang, source only)",
+         lambda p: re.search(
+             r"ReadSchema: struct<doc_id:bigint,(text:string,)?lang:string,"
+             r"source:string", p) is not None),
+    ],
     "fs_collision_report": [
         # binaryFile scan → JVM digests → collision grouping: the whole
         # path must stay codegen (raw-byte md5/sha2 are built-ins)

@@ -3829,6 +3829,68 @@ def fs_collision_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from dedupe_copy_spark.functions.urls import canonical_url_sql as _canon_sql
+
+_URL_CANON_SQL = """
+WITH base AS (
+  SELECT doc_id, coalesce(lang, 'xx') AS lang, source FROM documents
+), variants AS (
+  SELECT doc_id, 'a' AS variant,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'HTTPS' END)
+         || '://WWW.' || source || '.Example.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || '/' || lang || '//Doc_' || doc_id
+         || '?utm_source=feed&b=2&a=1#Sec' AS url
+  FROM base
+  UNION ALL
+  SELECT doc_id, 'b',
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+         || '://www.' || source || '.example.com/'
+         || lang || '/Doc_' || doc_id || '/?a=1&b=2&gclid=zz'
+  FROM base
+)
+SELECT doc_id, variant, url, """ + _canon_sql("url") + """ AS canon_url
+FROM variants
+"""
+
+
+@register("url_canonicalize", _URL_CANON_SQL)
+def url_canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): RFC 3986 syntax-based
+    normalization + tracking-param strip, the crawl-dedup key maker.
+    Every doc gets two raw variants that differ in every normalizable
+    way (scheme/host case, explicit default port, doubled and trailing
+    path slashes, tracking params, param order, fragment) and in NO
+    resource-identifying way — so each doc's two canon_url values
+    collapse to one string, which the DuckDB oracle replays rule for
+    rule. Pure codegen: regexp + higher-order array functions, no
+    Python, no Exchange."""
+    from dedupe_copy_spark.functions.urls import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("xx")).alias("lang"),
+        "source")
+    did = F.col("doc_id").cast("string")
+    upper = F.when(F.col("doc_id") % 2 == 0, "HTTP").otherwise(F.lit("HTTPS"))
+    lower = F.when(F.col("doc_id") % 2 == 0, "http").otherwise(F.lit("https"))
+    port = F.when(F.col("doc_id") % 2 == 0, ":80").otherwise(F.lit(":443"))
+    url_a = F.concat(upper, F.lit("://WWW."), F.col("source"),
+                     F.lit(".Example.COM"), port, F.lit("/"), F.col("lang"),
+                     F.lit("//Doc_"), did, F.lit("?utm_source=feed&b=2&a=1#Sec"))
+    url_b = F.concat(lower, F.lit("://www."), F.col("source"),
+                     F.lit(".example.com/"), F.col("lang"),
+                     F.lit("/Doc_"), did, F.lit("/?a=1&b=2&gclid=zz"))
+    variants = docs.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit("a").alias("variant"), url_a.alias("url")),
+            F.struct(F.lit("b").alias("variant"), url_b.alias("url")),
+        )).alias("v"))
+    return variants.select(
+        "doc_id", "v.variant", "v.url",
+        canonical_url(F.col("v.url")).alias("canon_url"))
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -1,0 +1,69 @@
+"""URL canonicalization (functions/urls.py): each rule pinned on its
+own fixture, idempotence, and Spark/DuckDB expression parity on the
+full battery (the registry oracle depends on the two expressions
+agreeing byte-for-byte)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.functions.urls import canonical_url, canonical_url_sql
+
+BATTERY = [
+    # (raw, canonical)
+    ("HTTP://WWW.Ex.COM:80/a//b/?utm_source=x&b=2&a=1#frag",
+     "http://www.ex.com/a/b?a=1&b=2"),
+    ("http://www.ex.com/a/b?a=1&b=2&gclid=z",
+     "http://www.ex.com/a/b?a=1&b=2"),
+    ("https://Host.com:443/", "https://host.com/"),
+    ("https://host.com", "https://host.com/"),        # empty path → '/'
+    ("http://h.com:8080/p/", "http://h.com:8080/p"),  # non-default port kept
+    ("http://h.com/p?", "http://h.com/p"),            # bare '?' dropped
+    ("http://h.com/p?utm_campaign=only", "http://h.com/p"),
+    ("http://h.com/p?fbclid=abc&z=9&utm_x=1", "http://h.com/p?z=9"),
+    ("https://h.com/CaseKept/Path", "https://h.com/CaseKept/Path"),
+    ("http://h.com//a///b//c/", "http://h.com/a/b/c"),
+    ("ftp://H.com:21/x", "ftp://h.com:21/x"),         # only http(s) defaults
+    ("http://h.com/p?b=2&a=1&a=0", "http://h.com/p?a=0&a=1&b=2"),
+]
+
+
+def _spark_canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "u string") \
+        .select("u", canonical_url(F.col("u")).alias("c"))
+    return {r["u"]: r["c"] for r in df.collect()}
+
+
+def test_rules_battery(spark):
+    got = _spark_canon(spark, [u for u, _ in BATTERY])
+    for raw, want in BATTERY:
+        assert got[raw] == want, raw
+
+
+def test_idempotent(spark):
+    """canon(canon(x)) == canon(x) — the canonical form is a fixpoint."""
+    first = _spark_canon(spark, [u for u, _ in BATTERY])
+    second = _spark_canon(spark, list(first.values()))
+    for c in first.values():
+        assert second[c] == c
+
+
+def test_duckdb_expression_parity(spark):
+    urls = [u for u, _ in BATTERY]
+    con = duckdb.connect()
+    duck = dict(con.execute(
+        "SELECT u, " + canonical_url_sql("u") + " AS c "
+        "FROM (SELECT unnest(?) AS u)", [urls]).fetchall())
+    assert duck == _spark_canon(spark, urls)
+
+
+def test_campaign_variants_collapse(spark):
+    """The crawl-dedup property: re-crawls of one resource under
+    different campaigns/cases group under one key."""
+    variants = [
+        "HTTP://News.SITE.com:80/2026/story//index.html?utm_source=tw#top",
+        "http://news.site.com/2026/story/index.html/?utm_medium=em",
+        "http://news.site.com/2026/story/index.html?gclid=xyz",
+    ]
+    got = set(_spark_canon(spark, variants).values())
+    assert got == {"http://news.site.com/2026/story/index.html"}
