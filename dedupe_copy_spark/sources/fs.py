@@ -78,12 +78,14 @@ def _push_glob(extensions: tuple[str, ...]) -> str | None:
     """One Hadoop brace-glob covering every include extension, or None
     when any pattern needs the full match_extension semantics.
 
-    Only plain alphanumeric suffixes qualify: for those,
-    ``*.{a,b}`` on the filename is EXACTLY the reference's
-    endswith('.a')-after-lowercase test for lowercase names and a
-    strict superset for no names (case-sensitive both sides, POSIX
-    normcase — see functions.extension_regex), so rows the glob drops
-    could never survive the rlike re-check.
+    Only plain alphanumeric suffixes qualify. The include filter
+    matches on the LOWERCASED path (filters.extension_filter — the
+    reference lowercases before testing, utils.py:164-189), so the
+    pushed glob must be case-insensitive too or it would prune
+    'X.TXT' that the rlike re-check keeps: letters expand to
+    ``[tT]``-style classes (Hadoop globs support character classes),
+    making the glob exactly the endswith-any-case test — a superset of
+    nothing and a subset of nothing the re-check disagrees with.
     """
     if not extensions:
         return None
@@ -93,8 +95,15 @@ def _push_glob(extensions: tuple[str, ...]) -> str | None:
         if not _SIMPLE_EXT.match(e) or ext.strip().startswith("*"):
             return None
         norm.append(e)
+
+    def ci(ext: str) -> str:
+        return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c
+                       for c in ext)
+
     uniq = sorted(set(norm))
-    return f"*.{uniq[0]}" if len(uniq) == 1 else "*.{" + ",".join(uniq) + "}"
+    if len(uniq) == 1:
+        return f"*.{ci(uniq[0])}"
+    return "*.{" + ",".join(ci(e) for e in uniq) + "}"
 
 
 def _repo_for(read_paths: tuple[str, ...]) -> Column:

@@ -139,17 +139,25 @@ def test_reference_csv_byte_parity(spark, tmp_path):
 def test_extension_include_pushdown_and_exactness(spark, tmp_path):
     root = str(tmp_path / "tree")
     files = make_tree(root)
-    # plain suffixes → brace-glob pushed to the listing
-    assert _push_glob(("jpg", "png")) == "*.{jpg,png}"
+    # an UPPERCASE-extension file: the include filter lowercases the
+    # path before matching (reference semantics), so the pushed glob
+    # must keep it — a case-sensitive '*.jpg' would wrongly prune it
+    # at listing time, before the rlike re-check could run
+    upper = os.path.join(root, "SHOUTY.JPG")
+    with open(upper, "wb") as fh:
+        fh.write(b"upper-case-ext")
+    files[upper] = b"upper-case-ext"
+    # plain suffixes → case-insensitive brace-glob pushed to the listing
+    assert _push_glob(("jpg", "png")) == "*.{[jJ][pP][gG],[pP][nN][gG]}"
     df = scan_fs(spark, root, cfg=DedupeConfig(extensions=("jpg", "png")))
     got = {r["path"] for r in df.select("path").collect()}
-    want = {p for p in files if p.endswith((".jpg", ".png"))}
-    assert got == want
+    want = {p for p in files if p.lower().endswith((".jpg", ".png"))}
+    assert upper in want and got == want
     # fancy glob → no pushdown, rlike-only, same reference semantics
     assert _push_glob(("j*",)) is None
     fancy = scan_fs(spark, root, cfg=DedupeConfig(extensions=("j*",)))
     got_f = {r["path"] for r in fancy.select("path").collect()}
-    assert got_f == {p for p in files if p.endswith(".jpg")}
+    assert got_f == {p for p in files if p.lower().endswith(".jpg")}
 
 
 def test_ignore_filter_drops_subtree(spark, tmp_path):
