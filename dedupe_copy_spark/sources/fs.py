@@ -265,7 +265,10 @@ def write_reference_csv(hashed: DataFrame, report: DataFrame,
 
     Returns the number of member lines written.
     """
-    h = hashed.select("repo", "path", "commit", "mtime").alias("h")
+    mtime = (F.col("mtime") if "mtime" in hashed.columns
+             else F.lit(None).cast("double"))  # table inputs may not carry one
+    h = hashed.select("repo", "path", "commit",
+                      mtime.alias("mtime")).alias("h")
     r = report.alias("r")
     rows = (
         r.join(h, on=[F.col("r.repo") == F.col("h.repo"),
