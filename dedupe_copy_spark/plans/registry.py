@@ -3811,11 +3811,13 @@ def fs_collision_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # I/O-bound fixture write: serial open/write/close measured 56 s
     # for the 7k files at the sf1 scale-stress; a thread pool cuts it
-    # to seconds and changes nothing about the written bytes
+    # to seconds and changes nothing about the written bytes.
+    # toLocalIterator keeps driver memory one-partition-bounded (the
+    # subset is |documents|/7 rows by construction).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=32) as pool:
-        list(pool.map(_write_one, docs.collect()))
+        list(pool.map(_write_one, docs.toLocalIterator()))
     for name in ("empty_a.txt", "empty_b.txt"):
         open(f"{root}/docs/{name}", "wb").close()
 

@@ -86,7 +86,7 @@ class IncrementalSessions:
         Strictly-earlier keeps replays deterministic: a redelivered
         batch sees the same watermark as its first attempt."""
         row = self._events_before(batch_id).agg(
-            F.max("ts_us").alias("m")).collect()[0]
+            F.max("ts_us").alias("m")).first()
         if row["m"] is None:
             return None
         return row["m"] - self.lateness_us
