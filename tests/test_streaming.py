@@ -69,3 +69,47 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     job.process_batch(synth.to_df(spark, rows2), batch_id=2)
     final = spark.read.parquet(f"{out}/corpus")
     assert final.count() == final.select("content_sha256").distinct().count()
+
+
+def test_char_entropy_under_readstream(spark, tmp_path):
+    """char_entropy is stateless per-row (one narrow expression), so
+    its streaming form IS the batch operator inside foreachBatch — no
+    store, no watermark, no replay hazard. This pins that the entropy
+    expression evaluates identically under a micro-batch plan."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dedupe_copy_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaa" * 30), (2, "the quick brown fox " * 15),
+         (3, "abab" * 75)],
+        "doc_id long, text string")
+    watch = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    docs.coalesce(1).write.mode("append").parquet(watch)
+
+    def sink(batch, batch_id):
+        char_entropy(batch).write.mode("overwrite") \
+            .parquet(f"{outdir}/batch_id={batch_id}")
+
+    q = (spark.readStream.schema("doc_id long, text string")
+         .parquet(watch).writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    deadline = time.time() + 30
+    got = None
+    while time.time() < deadline:
+        try:
+            got = spark.read.parquet(outdir).drop("batch_id")
+            if got.count() == 3:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    want = char_entropy(docs)
+    cols = sorted(want.columns)
+    assert sorted(got.select(*cols).collect()) == \
+        sorted(want.select(*cols).collect())
