@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Head-to-head: this engine's MinHash/LSH near-dup pairs vs Spark
+ML's own MinHashLSH (pyspark.ml.feature), same session, same input
+relation, same truth set.
+
+Why this comparison is fair and what it shows:
+
+* IDENTICAL input: the exact-group representatives at sf0.1 (the
+  relation the registered `minhash_near_pairs` benches).
+* MLlib pipeline is its canonical recipe: RegexTokenizer → NGram(3) →
+  binary HashingTF(2^20) → MinHashLSH → approxSimilarityJoin at
+  Jaccard distance ≤ 0.2 (J ≥ 0.8).
+* Truth: exact shingle-Jaccard ≥ 0.8 pairs over the same reps via the
+  inverted-index join (the recall_sf01.py construction).
+
+Structural difference this measures: MLlib's MinHashLSH amplifies by
+OR only (numHashTables independent single-hash tables — no banding),
+so its candidate set at a given recall is inherently larger than a
+16-band × 8-row AND-OR scheme's; every candidate then pays a
+JaccardDistance evaluation over hashed sets. Our pairs come from
+band-bucket equi-joins with signature-estimate verification.
+
+Prints ONE JSON line with per-system seconds, emitted pairs, recall
+vs truth, and the speedup ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+THRESHOLD = 0.8
+
+
+def rep_truth_pairs(spark, reps):
+    """Exact 3-token-shingle Jaccard >= THRESHOLD over the reps, via
+    the linear inverted-index join (no all-pairs)."""
+    from dedupe_copy_spark.operators.textstats import token_ngrams
+
+    grams = reps.select(
+        "file_id",
+        F.array_distinct(token_ngrams(F.col("content"), 3)).alias("g"))
+    ex = grams.select("file_id", F.explode("g").alias("gram"))
+    a = ex.select(F.col("file_id").alias("id_a"), "gram")
+    b = ex.select(F.col("file_id").alias("id_b"), "gram")
+    shared = (a.join(b, "gram").filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
+    sizes = grams.select("file_id", F.size("g").alias("sz"))
+    return (
+        shared
+        .join(sizes.select(F.col("file_id").alias("id_a"),
+                           F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("file_id").alias("id_b"),
+                           F.col("sz").alias("sb")), "id_b")
+        .filter(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i"))
+                >= THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+
+def run_ours(spark, reps):
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import minhash as mh
+
+    cfg = DedupeConfig(short_file_max_tokens=2)   # bench parity
+    t0 = time.perf_counter()
+    pairs = mh.minhash_pairs(reps, cfg).select("id_a", "id_b")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    return time.perf_counter() - t0, got
+
+
+def run_mllib(spark, reps):
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    t0 = time.perf_counter()
+    tok = RegexTokenizer(inputCol="content", outputCol="toks",
+                         pattern=r"\W+", minTokenLength=1)
+    ng = NGram(n=3, inputCol="toks", outputCol="grams")
+    tf = HashingTF(inputCol="grams", outputCol="features",
+                   numFeatures=1 << 20, binary=True)
+    staged = tf.transform(ng.transform(tok.transform(reps)))
+    # MinHashLSH requires ≥1 non-zero entry per vector
+    staged = staged.filter(F.size("grams") > 0).select("file_id", "features")
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=16, seed=42)
+    model = lsh.fit(staged)
+    joined = model.approxSimilarityJoin(staged, staged, 1.0 - THRESHOLD,
+                                        distCol="dist")
+    pairs = joined.select(
+        F.col("datasetA.file_id").alias("id_a"),
+        F.col("datasetB.file_id").alias("id_b")) \
+        .filter(F.col("id_a") < F.col("id_b")).distinct()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    return time.perf_counter() - t0, got
+
+
+def main():
+    from dedupe_copy_spark.plans import registry
+    from dedupe_copy_spark.session import get_spark, warm_python_workers
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(app_name="vs-mllib", cores=cpus,
+                      shuffle_partitions=cpus)
+    warm_python_workers(spark)
+    pre_load = round(os.getloadavg()[0], 1)
+
+    reps = registry._reps(spark, SF).select("file_id", "content") \
+        .localCheckpoint()
+    n = reps.count()
+    truth = {(r["id_a"], r["id_b"])
+             for r in rep_truth_pairs(spark, reps).collect()}
+
+    t_ours, p_ours = run_ours(spark, reps)
+    t_ml, p_ml = run_mllib(spark, reps)
+
+    def recall(pairs):
+        return round(len(pairs & truth) / max(len(truth), 1), 4)
+
+    print(json.dumps({
+        "metric": "minhash_vs_mllib",
+        "reps": n, "truth_pairs": len(truth),
+        "ours": {"seconds": round(t_ours, 2), "pairs": len(p_ours),
+                 "recall": recall(p_ours)},
+        "mllib": {"seconds": round(t_ml, 2), "pairs": len(p_ml),
+                  "recall": recall(p_ml)},
+        "speedup": round(t_ml / t_ours, 2),
+        "pre_run_loadavg": pre_load,
+        "sf_dir": SF,
+    }))
+
+
+if __name__ == "__main__":
+    main()
