@@ -123,6 +123,8 @@ HEADLINE = [
     "session_durations",
     "robots_gate",
     "url_canonicalize",
+    # round 4: --delete-on-copy move-mode manifest reconciliation
+    "move_reconcile",
 ]
 
 

@@ -91,6 +91,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference xxh64 manifests)")
     p.add_argument("--dry-run", action="store_true",
                    help="compute + print stats, write nothing")
+    p.add_argument("--delete-on-copy", action="store_true",
+                   help="move mode (reference --delete-on-copy): every "
+                        "scanned row is either MOVED (one winner per dup "
+                        "group, to its --path-rules/--dest-root "
+                        "destination) or DELETED (all other duplicates); "
+                        "writes moved_manifest/ (paths swapped to "
+                        "destinations, losers removed — reference "
+                        "update_paths + remove_files, core.py:1117-1131) "
+                        "and moved_log/ (src→dest pairs). With "
+                        "--read-path the copy+delete is EXECUTED on the "
+                        "real tree (threads.py:274-308)")
+    p.add_argument("--copy-metadata", action="store_true",
+                   help="with --read-path --delete-on-copy: preserve "
+                        "file stat on copy (shutil.copy2; reference "
+                        "--copy-metadata / preserve_stat, "
+                        "threads.py:190-193)")
     p.add_argument("--path-rules", action="append", default=[],
                    metavar="PATTERN:RULE",
                    help="destination rule (repeatable), e.g. '*.jpg:mtime'")
@@ -283,6 +299,24 @@ def main(argv: list[str] | None = None) -> int:
             args.path_rules, args.dest_root, F.col("path"),
             mtime=mtime, read_paths=read_paths))
 
+    moved = deleted = move_stats = None
+    if args.delete_on_copy:
+        from dedupe_copy_spark.functions.path_rules import dest_path
+        from dedupe_copy_spark.operators import move
+
+        if "dest_path" not in win.columns:
+            # default destination: dest_root + path with the walk-root
+            # prefix stripped — the reference's no_change rule
+            # (path_rules.py:11-15), its default when no -R is given
+            roots = tuple(args.read_path) or tuple(
+                x for x in args.read_paths.split(",") if x)
+            win = win.withColumn("dest_path", dest_path(
+                ("*:no_change",), args.dest_root, F.col("path"),
+                read_paths=roots))
+        keys = ["repo", "path", "commit"]
+        moved = win
+        deleted = hashed.join(moved.select(*keys), on=keys, how="left_anti")
+
     if args.convert_path_prefix:
         from dedupe_copy_spark.sources.manifest import update_paths
 
@@ -292,6 +326,22 @@ def main(argv: list[str] | None = None) -> int:
 
     out = args.output
     if not args.dry_run:
+        if moved is not None:
+            from dedupe_copy_spark.operators import move
+
+            # manifest projection: the ~100-byte row, never the corpus
+            # bytes (content may still be a column in table mode)
+            man_cols = [c for c in hashed.columns if c != "content"]
+            moved_manifest = move.move_reconcile(
+                hashed.select(*man_cols),
+                moved.select("repo", "path", "commit", "dest_path"),
+                deleted.select("repo", "path", "commit"))
+            moved_manifest.write.mode("overwrite") \
+                .parquet(f"{out}/moved_manifest")
+            moved.select("path", "dest_path").write.mode("overwrite") \
+                .parquet(f"{out}/moved_log")
+            deleted.select("path").write.mode("overwrite") \
+                .parquet(f"{out}/deleted_log")
         win.drop("dup_key").write.mode("overwrite").parquet(f"{out}/corpus")
         lose.drop("dup_key").write.mode("overwrite").parquet(f"{out}/losers")
         pairs.write.mode("overwrite").parquet(f"{out}/pairs")
@@ -343,6 +393,26 @@ def main(argv: list[str] | None = None) -> int:
         "dry_run": bool(args.dry_run),
         "seconds": round(time.time() - t0, 2),
     }
+    if moved is not None:
+        from dedupe_copy_spark.sources.fs import execute_move
+
+        if args.read_path and not args.dry_run:
+            # every lazy plan above has been forced from the intact
+            # tree by now (parquet writes + the counts just taken);
+            # execute the move from the WRITTEN logs so nothing
+            # re-lists the tree mid-mutation
+            move_stats = execute_move(
+                spark.read.parquet(f"{out}/moved_log"),
+                spark.read.parquet(f"{out}/deleted_log"),
+                copy_metadata=args.copy_metadata, dry_run=False)
+        else:
+            move_stats = execute_move(moved, deleted,
+                                      copy_metadata=args.copy_metadata,
+                                      dry_run=True)
+            move_stats["dry_run"] = bool(args.dry_run)
+        stats["moved"] = move_stats["moved"]
+        stats["deleted"] = move_stats["deleted"]
+        stats["move_executed"] = bool(args.read_path) and not args.dry_run
     if reporter is not None:
         reporter.stop()
         stats["progress_samples"] = len(reporter.samples)

@@ -1,0 +1,133 @@
+"""Move mode — the reference's ``--delete-on-copy`` / ``--copy-metadata``
+flow as relational operators.
+
+Reference semantics (/root/reference/dedupe_copy):
+
+* copy_data with ``delete_on_copy`` iterates every scanned row once
+  (core.py:429-454): the first file per digest not in the skip set is
+  COPIED to its rule-built destination and its source then deleted
+  (threads.py:288-308), emitting a ``(src, dest)`` moved pair; every
+  further file of that digest — and every file whose digest is already
+  in the compare manifest's skip set — is DELETED without a copy
+  (core.py:444-451, no min-size check on this path).
+* The skip-set probe uses the RAW digest (``md5 not in hashes_to_skip``,
+  core.py:433), while the "don't skip later empties" rule only controls
+  *adding* to the set (core.py:440-441): an empty file whose digest IS
+  in the compare manifest is deleted, but empties never suppress each
+  other — exactly the asymmetry ``effective_dup_key`` salting gives the
+  group side, and why the compare probe here joins on the digest
+  column, not on ``dup_key``.
+* Afterwards the manifest is reconciled (core.py:1117-1131): moved rows
+  keep their size/mtime but get the destination path
+  (``update_paths``, manifest.py:220-253 — ``file_info[1:]`` is
+  preserved verbatim), then rows deleted-but-not-moved are dropped
+  (``remove_files`` over ``deleted − moved_sources``); read_sources
+  swaps src → dest (manifest.py:247-250).
+
+Spark restatement: one ``row_number`` ranking (the same keep-first
+window every exact-dup operator shares) + one broadcast-able digest
+anti-probe splits the scan into the ``moved`` and ``deleted``
+relations; reconciliation is a key-equi join (path swap) and an
+anti-join (removal) — no per-row Python anywhere, and the whole plan
+is three shuffles end-to-end regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators import exact
+
+KEYS = ("repo", "path", "commit")
+
+
+def _digest_col(df: DataFrame) -> str:
+    """The raw-digest column the reference's skip-set probe uses:
+    the configured algorithm's digest when present, sha256 otherwise."""
+    return "content_digest" if "content_digest" in df.columns else "content_sha256"
+
+
+def move_plan(hashed: DataFrame, dest, compare: DataFrame | None = None,
+              cfg: DedupeConfig | None = None) -> tuple[DataFrame, DataFrame]:
+    """Split the scan into (moved, deleted) — the reference's single
+    pass over ``all_data`` in move mode (core.py:429-454).
+
+    ``dest`` is a Column computing the destination path per row (built
+    by functions.path_rules.dest_path or any expression). ``compare``,
+    when given, is a one-column relation of raw digests to exclude
+    (reference ``--compare`` + ``--delete-on-copy``: matching rows are
+    deleted at the source, never copied).
+
+    Returns:
+      moved   — one winner per dup group whose digest is not in
+                ``compare``, with a ``dest_path`` column appended.
+      deleted — every other scanned row: the keep-first losers and ALL
+                rows (winners included) of compare-matched digests.
+    Every scanned row lands in exactly one of the two relations.
+    """
+    cfg = cfg or DedupeConfig()
+    ranked = exact.keep_first(hashed, cfg)
+    dig = _digest_col(hashed)
+    if compare is not None:
+        cmp_keys = (compare.select(F.col(compare.columns[0]).alias(dig))
+                    .dropDuplicates()
+                    .withColumn("_in_cmp", F.lit(True)))
+        ranked = (ranked.join(cmp_keys, on=dig, how="left")
+                  .withColumn("_in_cmp",
+                              F.coalesce(F.col("_in_cmp"), F.lit(False))))
+    else:
+        ranked = ranked.withColumn("_in_cmp", F.lit(False))
+    moved = (ranked.filter((F.col("rn") == 1) & ~F.col("_in_cmp"))
+             .drop("rn", "_in_cmp")
+             .withColumn("dest_path", dest))
+    deleted = (ranked.filter((F.col("rn") > 1) | F.col("_in_cmp"))
+               .drop("rn", "_in_cmp"))
+    return moved, deleted
+
+
+def move_reconcile(manifest: DataFrame, moved: DataFrame,
+                   deleted: DataFrame,
+                   keys: tuple[str, ...] = KEYS) -> DataFrame:
+    """Post-move manifest reconciliation (core.py:1117-1131).
+
+    Rows matching a ``deleted``-but-not-moved key are dropped
+    (``remove_files`` over the set difference, core.py:1126-1131);
+    rows matching a ``moved`` source key get ``path := dest_path``
+    with every other column preserved verbatim (``update_paths``
+    keeps ``file_info[1:]``, manifest.py:246). Removal runs first —
+    the two key sets are disjoint by construction (core.py:1128), so
+    the order is semantics-free, but removing before the path swap
+    means the anti-join never has to reason about a destination path
+    colliding with a deleted source path.
+    """
+    keys_l = list(keys)
+    remove_only = deleted.join(moved.select(*keys_l), on=keys_l,
+                               how="left_anti")
+    from dedupe_copy_spark.sources.manifest import remove_files
+
+    kept = remove_files(manifest, remove_only, keys=keys)
+    mv = moved.select(
+        *[F.col(k).alias(f"_mv_{k}") for k in keys_l],
+        F.col("dest_path").alias("_mv_dest"),
+    ).dropDuplicates([f"_mv_{k}" for k in keys_l])
+    cond = [kept[k] == mv[f"_mv_{k}"] for k in keys_l]
+    joined = kept.join(mv, cond, "left")
+    return joined.select(
+        *[F.coalesce(F.col("_mv_dest"), F.col("path")).alias("path")
+          if c == "path" else kept[c] for c in kept.columns]
+    )
+
+
+def move_read_sources(read_sources: DataFrame, moved: DataFrame,
+                      path_col: str = "path") -> DataFrame:
+    """Swap moved source paths for destination paths in the
+    read-sources set (manifest.py:247-250: ``del read_sources[old]``
+    + ``read_sources[new] = None``). Paths-only relation in and out,
+    matching the reference's path-keyed set."""
+    srcs = moved.select(F.col(path_col).alias(path_col)).dropDuplicates()
+    dests = moved.select(F.col("dest_path").alias(path_col)).dropDuplicates()
+    kept = read_sources.select(path_col).join(srcs, on=path_col,
+                                              how="left_anti")
+    return kept.unionByName(dests).dropDuplicates([path_col])

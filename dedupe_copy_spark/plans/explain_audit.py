@@ -18,6 +18,21 @@ SF = "/root/testdata/sf0.01"
 
 # query → list of (label, predicate) over the formatted plan text
 CHECKS = {
+    "move_reconcile": [
+        # whole flow is relational: keep-first window + digest probe +
+        # two anti-joins (removal, set difference) — no python anywhere
+        ("no python eval (move split + reconcile are pure Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("keep-first ranking window present",
+         lambda p: "row_number" in p),
+        ("removal / set-difference via anti-join",
+         lambda p: "LeftAnti" in p),
+        ("column-pruned scans (manifest side reads 4 cols; the "
+         "compare digest side prunes to text+source only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string,"
+                   "lang:string,source:string>" in p
+         and "ReadSchema: struct<text:string,source:string>" in p),
+    ],
     "url_canonicalize": [
         ("pure codegen normalization — no python, no exchange",
          lambda p: "EvalPython" not in p and "Exchange" not in p),

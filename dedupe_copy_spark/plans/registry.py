@@ -2945,6 +2945,54 @@ def token_percentiles_approx_query(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("move_reconcile", FILES_CTE_SQL + """
+, prim AS (
+  SELECT repo, path, commit_id, sha256(content) AS content_sha256,
+         CAST(length(content) AS BIGINT) AS size,
+         CASE WHEN length(content) = 0
+             THEN 'EMPTY' || chr(0) || repo || chr(0) || path
+                  || chr(0) || commit_id
+             ELSE sha256(content) END AS dup_key
+  FROM files WHERE repo NOT LIKE '%/mirror'
+), cmp AS (
+  SELECT DISTINCT sha256(content) AS h FROM files
+  WHERE repo LIKE '%/mirror'
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dup_key
+                               ORDER BY repo, path, commit_id) AS rn
+  FROM prim
+)
+SELECT repo, 'moved/' || path AS path, commit_id, content_sha256, size
+FROM ranked r
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM cmp WHERE cmp.h = r.content_sha256)
+""")
+def move_reconcile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--delete-on-copy move mode, end-to-end manifest reconciliation
+    (reference core.py:429-454 single-pass copy/delete split +
+    core.py:1117-1131 update_paths/remove_files): scan = primary repos,
+    compare manifest = mirror digests, destination = 'moved/' prefix.
+    The surviving manifest is exactly one moved winner per non-mirror
+    dup group — losers and mirror-matched rows removed, winner paths
+    swapped to destinations with size/digest preserved verbatim. The
+    oracle replays the same split relationally (NOT EXISTS mirrors the
+    digest-keyed skip-set probe, null-safe)."""
+    from dedupe_copy_spark.operators import move
+
+    hashed = _files(spark, sf_dir)
+    prim = hashed.filter(~F.col("repo").endswith("/mirror"))
+    compare = (hashed.filter(F.col("repo").endswith("/mirror"))
+               .select("content_sha256"))
+    moved, deleted = move.move_plan(
+        prim, F.concat(F.lit("moved/"), F.col("path")), compare=compare)
+    manifest = prim.select("repo", "path", "commit", "content_sha256",
+                           F.col("size").cast("long").alias("size"))
+    out = move.move_reconcile(
+        manifest, moved.select("repo", "path", "commit", "dest_path"),
+        deleted.select("repo", "path", "commit"))
+    return out.withColumnRenamed("commit", "commit_id")
+
+
 # ---------------------------------------------------------------------------
 # Bench registry: the driver-facing SPARK_QUERIES plus raw-output
 # variants of the recall-oracle queries (bench times the operator

@@ -297,3 +297,67 @@ def write_reference_csv(hashed: DataFrame, report: DataFrame,
             fh.write(line.encode("utf-8"))
             n += 1
     return n
+
+
+def execute_move(moved: DataFrame, deleted: DataFrame, *,
+                 copy_metadata: bool = False,
+                 dry_run: bool = False) -> dict:
+    """Perform the move: copy each ``moved`` row's file to its
+    ``dest_path`` then remove the source, and delete every ``deleted``
+    row's file — the reference's --delete-on-copy CopyThread/
+    DeleteThread work (threads.py:274-308 copy-then-os.remove,
+    threads.py:638-673 delete), executed per partition on the
+    executors instead of by a hand-rolled thread pool.
+
+    ``copy_metadata`` picks shutil.copy2 (stat-preserving) over
+    copyfile, the reference --copy-metadata / preserve_stat switch
+    (threads.py:190-193). Parent directories are created as needed
+    (threads.py:183-189).
+
+    Paths must be visible from the executors (shared filesystem, or
+    local mode) — the same single-namespace assumption the reference
+    makes. An OSError fails the task and surfaces through Spark's
+    task-retry machinery rather than the reference's log-and-continue,
+    so a partially-applied move is re-entrant: copyfile/copy2
+    overwrite an existing dest, os.remove of a already-removed src is
+    the only non-idempotent step and is guarded.
+
+    Returns {"moved": n, "deleted": n} (counted before execution;
+    dry_run skips the side effects entirely, core.py:291-299).
+    """
+    n_moved = moved.count()
+    n_deleted = deleted.count()
+    if dry_run:
+        return {"moved": n_moved, "deleted": n_deleted, "dry_run": True}
+
+    preserve = bool(copy_metadata)
+
+    def _move_part(rows):
+        import os
+        import shutil
+
+        for r in rows:
+            dest_dir = os.path.dirname(r["dest_path"])
+            if dest_dir:
+                os.makedirs(dest_dir, exist_ok=True)
+            if preserve:
+                shutil.copy2(r["path"], r["dest_path"])
+            else:
+                shutil.copyfile(r["path"], r["dest_path"])
+            try:
+                os.remove(r["path"])
+            except FileNotFoundError:
+                pass  # task retry after a partial partition: already moved
+
+    def _delete_part(rows):
+        import os
+
+        for r in rows:
+            try:
+                os.remove(r["path"])
+            except FileNotFoundError:
+                pass
+
+    moved.select("path", "dest_path").foreachPartition(_move_part)
+    deleted.select("path").foreachPartition(_delete_part)
+    return {"moved": n_moved, "deleted": n_deleted, "dry_run": False}

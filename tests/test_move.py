@@ -1,0 +1,189 @@
+"""Move mode (operators/move.py + CLI --delete-on-copy) — the
+reference's copy-then-delete-source flow (threads.py:274-308) and its
+manifest reconciliation (core.py:1117-1131, manifest.py:220-253).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import exact, move
+
+from tests.test_fs_source import make_tree
+
+
+def _hashed(spark, rows):
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+    return exact.with_digest(df)
+
+
+ROWS = [
+    # dup group of 3 across repos
+    ("r1", "a.txt", "c1", "en", "same"),
+    ("r1", "b.txt", "c2", "en", "same"),
+    ("r2", "a.txt", "c3", "en", "same"),
+    # unique file
+    ("r1", "u.txt", "c4", "en", "only"),
+    # content present in the compare manifest → all rows deleted
+    ("r1", "cmp.txt", "c5", "en", "excluded"),
+    ("r2", "cmp2.txt", "c6", "en", "excluded"),
+    # two empty files: salted keys, each its own winner
+    ("r1", "e1.txt", "c7", "en", ""),
+    ("r2", "e2.txt", "c8", "en", ""),
+]
+
+
+def test_move_plan_split(spark):
+    hashed = _hashed(spark, ROWS)
+    compare = spark.createDataFrame(
+        [(hashlib.sha256(b"excluded").hexdigest(),)], "content_sha256 string")
+    moved, deleted = move.move_plan(
+        hashed, F.concat(F.lit("out/"), F.col("path")), compare=compare)
+    mv = {(r.repo, r.path): r.dest_path for r in moved.collect()}
+    de = {(r.repo, r.path) for r in deleted.collect()}
+    # disjoint and exhaustive: every scanned row lands in exactly one
+    assert set(mv) | de == {(r[0], r[1]) for r in ROWS}
+    assert set(mv) & de == set()
+    # keep-first winner of the dup group is the lexicographic minimum
+    assert ("r1", "a.txt") in mv and ("r1", "b.txt") in de and ("r2", "a.txt") in de
+    # unique file moves; both empties move (never collide, threads.py:410-412)
+    assert ("r1", "u.txt") in mv
+    assert ("r1", "e1.txt") in mv and ("r2", "e2.txt") in mv
+    # compare-matched digests are deleted wholesale — winners included
+    # (raw-digest skip-set probe, core.py:433)
+    assert ("r1", "cmp.txt") in de and ("r2", "cmp2.txt") in de
+    assert mv[("r1", "a.txt")] == "out/a.txt"
+
+
+def test_move_plan_compare_probe_uses_raw_digest_for_empties(spark):
+    """An empty file whose digest IS in the compare manifest is deleted
+    even though empties never suppress each other: the skip-set probe
+    tests the raw digest while salting only affects grouping
+    (core.py:433 vs core.py:440-441)."""
+    hashed = _hashed(spark, ROWS)
+    compare = spark.createDataFrame(
+        [(hashlib.sha256(b"").hexdigest(),)], "content_sha256 string")
+    moved, deleted = move.move_plan(
+        hashed, F.concat(F.lit("out/"), F.col("path")), compare=compare)
+    de = {(r.repo, r.path) for r in deleted.collect()}
+    assert ("r1", "e1.txt") in de and ("r2", "e2.txt") in de
+
+
+def test_move_reconcile_swaps_paths_and_preserves_stats(spark):
+    manifest = spark.createDataFrame(
+        [("r1", "a.txt", "c1", 100, 1.5),
+         ("r1", "b.txt", "c2", 100, 2.5),
+         ("r1", "u.txt", "c4", 7, 3.5),
+         ("r9", "untouched.txt", "c9", 1, 4.5)],
+        "repo string, path string, commit string, size long, mtime double")
+    moved = spark.createDataFrame(
+        [("r1", "a.txt", "c1", "out/a.txt"),
+         ("r1", "u.txt", "c4", "out/u.txt")],
+        "repo string, path string, commit string, dest_path string")
+    deleted = spark.createDataFrame(
+        [("r1", "b.txt", "c2")], "repo string, path string, commit string")
+    out = {r.path: r for r in
+           move.move_reconcile(manifest, moved, deleted).collect()}
+    # moved rows: path := dest, size/mtime verbatim (manifest.py:246)
+    assert set(out) == {"out/a.txt", "out/u.txt", "untouched.txt"}
+    assert out["out/a.txt"].size == 100 and out["out/a.txt"].mtime == 1.5
+    # deleted-not-moved row dropped; unrelated manifest row untouched
+    assert out["untouched.txt"].repo == "r9"
+
+
+def test_move_read_sources_swap(spark):
+    rs = spark.createDataFrame([("a.txt",), ("b.txt",), ("z.txt",)],
+                               "path string")
+    moved = spark.createDataFrame([("a.txt", "out/a.txt")],
+                                  "path string, dest_path string")
+    got = {r.path for r in move.move_read_sources(rs, moved).collect()}
+    assert got == {"out/a.txt", "b.txt", "z.txt"}
+
+
+def _tree_contents(root):
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            p = os.path.join(dirpath, n)
+            with open(p, "rb") as fh:
+                out[p] = fh.read()
+    return out
+
+
+def test_cli_delete_on_copy_moves_tree(spark, tmp_path):
+    from dedupe_copy_spark import cli
+
+    root = str(tmp_path / "tree")
+    files = make_tree(root, n_unique=4, n_dup_groups=2, dup_width=3)
+    # add an empty file: must be moved, never deleted
+    empty = os.path.join(root, "a", "empty.dat")
+    open(empty, "wb").close()
+    dest_root = str(tmp_path / "dest")
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "--read-path", root, "--output", out, "--hash-algo", "md5",
+        "--delete-on-copy", "--dest-root", dest_root,
+    ])
+    assert rc == 0
+    dest = _tree_contents(dest_root)
+    # one winner per distinct content + the empty = 4 + 2 + 1
+    assert len(dest) == 7
+    assert sorted(set(dest.values())) == sorted(set(files.values()) | {b""})
+    # source tree fully consumed: every file moved or deleted
+    assert _tree_contents(root) == {}
+    # relative layout preserved under dest_root (no_change rule)
+    moved_log = {r.path: r.dest_path for r in
+                 spark.read.parquet(f"{out}/moved_log").collect()}
+    for src, dst in moved_log.items():
+        assert dst.startswith(dest_root + os.sep)
+        assert os.path.relpath(dst, dest_root) == os.path.relpath(src, root)
+    # reconciled manifest points at the destination files, which exist
+    man = spark.read.parquet(f"{out}/moved_manifest")
+    man_paths = {r.path for r in man.select("path").collect()}
+    assert man_paths == set(dest)
+    # keep-first winners: lexicographically smallest member per group
+    by_content = {}
+    for p, c in files.items():
+        by_content.setdefault(c, []).append(p)
+    for members in by_content.values():
+        assert moved_log and min(members) in moved_log
+
+
+def test_cli_delete_on_copy_copy_metadata_preserves_mtime(tmp_path):
+    from dedupe_copy_spark import cli
+
+    old = 946684800.0  # 2000-01-01
+    for flag, preserved in ((["--copy-metadata"], True), ([], False)):
+        sub = tmp_path / ("meta" if preserved else "nometa")
+        root = str(sub / "tree")
+        make_tree(root, n_unique=2, n_dup_groups=1, dup_width=2)
+        src = os.path.join(root, "u0.mov")
+        os.utime(src, (old, old))
+        dest_root = str(sub / "dest")
+        rc = cli.main(["--read-path", root, "--output", str(sub / "out"),
+                       "--delete-on-copy", "--dest-root", dest_root] + flag)
+        assert rc == 0
+        got = os.path.getmtime(os.path.join(dest_root, "u0.mov"))
+        if preserved:
+            assert abs(got - old) < 2, got  # shutil.copy2 (threads.py:190-193)
+        else:
+            assert got > old + 1e6  # fresh stat (shutil.copyfile)
+
+
+def test_cli_delete_on_copy_dry_run_touches_nothing(tmp_path):
+    from dedupe_copy_spark import cli
+
+    root = str(tmp_path / "tree")
+    files = make_tree(root, n_unique=3, n_dup_groups=1, dup_width=2)
+    out = str(tmp_path / "out")
+    rc = cli.main(["--read-path", root, "--output", out,
+                   "--delete-on-copy", "--dry-run",
+                   "--dest-root", str(tmp_path / "dest")])
+    assert rc == 0
+    assert _tree_contents(root) == files
+    assert not os.path.exists(str(tmp_path / "dest"))
+    assert not os.path.exists(f"{out}/moved_log")
