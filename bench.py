@@ -125,6 +125,9 @@ HEADLINE = [
     "url_canonicalize",
     # round 4: --delete-on-copy move-mode manifest reconciliation
     "move_reconcile",
+    # round 4: real image resize + real video frame sampling
+    "media_resize_dedupe",
+    "media_frame_pairs",
 ]
 
 

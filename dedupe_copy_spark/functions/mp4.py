@@ -119,7 +119,8 @@ def parse_mp4(payload: bytes) -> dict:
             if btype in _CONTAINERS:
                 t = {"kind": None, "codec": None, "width": None,
                      "height": None, "sample_sizes": [],
-                     "chunk_offsets": [], "stsc": [],
+                     "chunk_offsets": [], "stsc": [], "stts": [],
+                     "media_timescale": None,
                      "sync_samples": [], "avcc": None} \
                     if btype == b"trak" else track
                 walk(boff, bend, t)
@@ -135,6 +136,17 @@ def parse_mp4(payload: bytes) -> dict:
                     out["duration"] = int.from_bytes(body[16:20], "big")
             elif btype == b"hdlr" and track is not None:
                 track["kind"] = body[8:12].decode("latin1")
+            elif btype == b"mdhd" and track is not None:
+                ver = body[0]
+                off = 20 if ver == 1 else 12
+                track["media_timescale"] = int.from_bytes(
+                    body[off:off + 4], "big")
+            elif btype == b"stts" and track is not None:
+                n = int.from_bytes(body[4:8], "big")
+                track["stts"] = [
+                    (int.from_bytes(body[8 + 8 * i:12 + 8 * i], "big"),
+                     int.from_bytes(body[12 + 8 * i:16 + 8 * i], "big"))
+                    for i in range(n)]
             elif btype == b"tkhd" and track is not None:
                 ver = body[0]
                 off = 76 if ver == 0 else 88
@@ -232,6 +244,34 @@ def extract_samples(payload: bytes, track: dict,
             if off + size <= len(payload):
                 out.append(payload[off:off + size])
     return out
+
+
+def sample_start_times_ms(meta: dict, track: dict) -> list[int]:
+    """Per-sample start timestamps in milliseconds, reconstructed from
+    the stts run-length table (ISO 14496-12 §8.6.1.2: each entry is
+    (sample_count, sample_delta) in media-timescale ticks). Falls back
+    to uniform spacing over the movie duration when a track has no
+    stts — tolerated, not assumed, so real files drive the real path.
+    The returned list is clipped/padded to exactly one entry per stsz
+    sample, because a decoder must never trust two tables to agree."""
+    n = len(track["sample_sizes"])
+    if n == 0:
+        return []
+    ts = track.get("media_timescale") or meta["timescale"] or 1000
+    starts: list[int] = []
+    t = 0
+    for count, delta in track.get("stts") or []:
+        for _ in range(count):
+            if len(starts) >= n:
+                break
+            starts.append(t * 1000 // ts)
+            t += delta
+    if not starts:
+        dur_ms = (meta["duration"] or 0) * 1000 // (meta["timescale"] or 1000)
+        return [i * dur_ms // n for i in range(n)]
+    while len(starts) < n:                  # stts shorter than stsz
+        starts.append(starts[-1])
+    return starts
 
 
 def mp4_features(payload: bytes, dim: int = 32) -> np.ndarray:
@@ -416,9 +456,14 @@ def build_mp4(duration_s: float, tracks: list[dict],
             stsz = _box(b"stsz", bytes(4) + bytes(4)
                         + len(sizes).to_bytes(4, "big")
                         + b"".join(s.to_bytes(4, "big") for s in sizes))
+            # uniform sample duration covering the movie: the one-run
+            # stts a fixed-rate encoder writes (self-consistent with
+            # the mvhd/mdhd duration so timestamp reconstruction in
+            # sample_start_times is exercised on honest numbers)
+            delta = max(1, dur // max(1, len(sizes)))
             stts = _box(b"stts", bytes(4) + (1).to_bytes(4, "big")
                         + len(sizes).to_bytes(4, "big")
-                        + (1).to_bytes(4, "big"))
+                        + delta.to_bytes(4, "big"))
             # stsc: every chunk holds chunk_size samples; a shorter
             # final chunk gets its own run (spec §8.7.4)
             nc, rem = n_chunks(len(sizes)), len(sizes) % chunk_size

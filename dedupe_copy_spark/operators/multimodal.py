@@ -5,8 +5,10 @@ The Spark-side machinery — schema, partition-preserving mapInPandas,
 Arrow batch shapes, deterministic routing — is real and tested. The
 codecs are REAL pure-numpy implementations for the formats a pipeline
 actually meets: baseline JPEG (functions/jpeg.py — Huffman + IDCT, no
-PIL/libjpeg), PNG, PCM WAV, binary PPM, and Motion-JPEG video frames
-(container sample extraction + per-frame JPEG decode). Only
+PIL/libjpeg), PNG, GIF, PCM WAV, binary PPM, and Motion-JPEG video
+frames (container sample extraction + per-frame JPEG decode). Image
+resize (decode → numpy box-filter → canonical PNG) and video frame
+sampling (stts timestamps → mdat byte ranges) are REAL too. Only
 H.264/HEVC/AAC frame decode remains a deterministic stub (ffmpeg
 genuinely can't be reimplemented here); each codec stays an
 injectable function so a production deploy
@@ -495,6 +497,55 @@ def mjpeg_frame_features(payload: bytes,
     return None
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte image decode to (h, w, 3) RGB uint8 via the
+    pure-Python codecs (PNG/GIF/JPEG/PPM). Raises ValueError on
+    anything else — callers decide whether that fails the job
+    (strict) or flags the row."""
+    payload = payload or b""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        from dedupe_copy_spark.functions.png import decode_png
+        return decode_png(payload)
+    if payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a"):
+        from dedupe_copy_spark.functions.gif import decode_gif
+        return decode_gif(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from dedupe_copy_spark.functions.jpeg import decode_jpeg
+        return decode_jpeg(payload)
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    raise ValueError("undecodable image payload (not PNG/GIF/JPEG/PPM)")
+
+
+def resize_image_array(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic box-filter (area-average) resample, pure numpy:
+    output pixel (r, c) averages the source box
+    [r*h//H, (r+1)*h//H) x [c*w//W, (c+1)*w//W). Downscale is an exact
+    area mean; upscale degenerates to pixel replication (empty boxes
+    clamp to one source pixel). Integral-image formulation — one
+    cumsum pass, O(h*w) regardless of output size — and pure integer
+    box edges, so the result is bit-reproducible across platforms
+    (no float coordinate math to drift)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or width <= 0 or height <= 0:
+        raise ValueError("resize requires non-empty source and target")
+    ys = (np.arange(height + 1, dtype=np.int64) * h) // height
+    xs = (np.arange(width + 1, dtype=np.int64) * w) // width
+    y0, y1 = np.minimum(ys[:-1], h - 1), ys[1:]
+    x0, x1 = np.minimum(xs[:-1], w - 1), xs[1:]
+    y1 = np.maximum(y1, y0 + 1)
+    x1 = np.maximum(x1, x0 + 1)
+    ii = np.zeros((h + 1, w + 1, img.shape[2]), dtype=np.float64)
+    ii[1:, 1:] = img.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    total = (ii[y1][:, x1] - ii[y1][:, x0]
+             - ii[y0][:, x1] + ii[y0][:, x0])
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)
+    out = total / area[..., None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def codec_decode(payload: bytes, kind: str) -> np.ndarray:
     """Default decode: REAL parsing for JPEG/PNG/WAV/PPM payloads and
     for the MP4 *container* (box tree + remux-invariant stsz signature
@@ -563,32 +614,150 @@ def extract_features(media: DataFrame,
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("src_sha256", T.StringType(), False),
+    T.StructField("ok", T.BooleanType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
 def resize_images(media: DataFrame, width: int, height: int,
-                  strict: bool = False) -> DataFrame:
-    """Image resize plumbing: filters to images, tags the target shape;
-    the pixel work is the stub (payload passthrough) unless a real codec
-    is injected."""
-    if strict:
-        raise NotImplementedError("image resize requires PIL — not in container")
-    return (
-        media.filter(F.col("kind") == "image")
-        .withColumn("width", F.lit(width))
-        .withColumn("height", F.lit(height))
-    )
+                  strict: bool = False, zlevel: int = 6) -> DataFrame:
+    """REAL image resize (replaces the round-3 stub): decode any
+    PNG/GIF/JPEG/PPM payload via the pure-Python codecs, box-filter
+    resample to (width, height) with resize_image_array, re-encode as
+    a canonical truecolor PNG at a fixed (filter, zlevel). Because
+    decode → integer-box resample → PNG encode is byte-deterministic,
+    identical pixels in ANY source encoding collapse to IDENTICAL
+    output bytes — the resized payload doubles as a canonicalization
+    key for cross-encoding exact dedup (oracle query
+    `media_resize_dedupe` pins exactly this property).
+
+    Scale shape: mapInPandas streams Arrow record batches; pixels and
+    payloads never leave the executor; output rows are small (target
+    thumbnails). Undecodable payloads fail the job under strict=True
+    (ValueError surfaces through task retry) and otherwise emit
+    ok=false with a NULL payload, so one corrupt file can't kill a
+    100-TB scan (reference log-and-continue, threads.py:759-765)."""
+    from dedupe_copy_spark.functions.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out, ok, src = [], [], []
+            for p in pdf["payload"]:
+                src.append(hashlib.sha256(p or b"").hexdigest())
+                try:
+                    img = decode_image(p)
+                    out.append(encode_png(
+                        resize_image_array(img, width, height),
+                        zlevel=zlevel))
+                    ok.append(True)
+                except ValueError:
+                    if strict:
+                        raise
+                    out.append(None)
+                    ok.append(False)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": ["image/png"] * len(out),
+                "width": [width] * len(out),
+                "height": [height] * len(out),
+                "src_sha256": src,
+                "ok": ok,
+                "payload": out,
+            })
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema=RESIZED_SCHEMA))
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_ts_ms", T.LongType(), False),
+    T.StructField("sample_idx", T.IntegerType(), False),
+    T.StructField("codec", T.StringType(), False),
+    T.StructField("frame_sha256", T.StringType(), False),
+    T.StructField("frame_payload", T.BinaryType(), True),
+])
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
-                  strict: bool = False) -> DataFrame:
-    """Video frame sampling plumbing: emits (media_id, frame_ts_ms) rows
-    via sequence+explode (JVM-side); frame decode itself is the stub."""
-    if strict:
-        raise NotImplementedError("frame extraction requires ffmpeg — not in container")
-    vids = media.filter(F.col("kind") == "video")
-    return vids.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1,
-                             F.lit(every_ms))).alias("frame_ts_ms"),
-    )
+                  strict: bool = False,
+                  with_payload: bool = True) -> DataFrame:
+    """REAL video frame sampling (replaces the round-3 stub): parse
+    the ISO-BMFF container (functions/mp4.py), reconstruct per-sample
+    start timestamps from the stts run-length table at the media
+    timescale, and for every tick t = 0, every_ms, 2·every_ms, …
+    < duration emit the covering sample's encoded bytes, sliced
+    straight out of mdat via the stsc/stco/stsz location tables.
+
+    Extraction is codec-independent: for Motion-JPEG tracks each
+    emitted frame is a complete baseline JPEG that functions/jpeg.py
+    decodes for real; for H.264 tracks the bytes are the genuine
+    length-prefixed NAL units (decodable only with external codec
+    libs — the documented boundary). `with_payload=False` keeps just
+    the per-frame digest for pairing jobs, so wide video bytes never
+    ride the shuffle. Unparseable payloads: strict=True fails the
+    task, default skips the row (emits nothing for that video)."""
+    from dedupe_copy_spark.functions.mp4 import (
+        parse_mp4, sample_ranges, sample_start_times_ms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "frame_ts_ms", "sample_idx", "codec",
+                "frame_sha256", "frame_payload")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta = parse_mp4(p or b"")
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                track = next((t for t in meta["tracks"]
+                              if t["kind"] == "vide"
+                              and t["sample_sizes"]), None)
+                if track is None:
+                    if strict:
+                        raise ValueError("no sampled video track")
+                    continue
+                starts = sample_start_times_ms(meta, track)
+                dur_ms = ((meta["duration"] or 0) * 1000
+                          // (meta["timescale"] or 1000))
+                ticks = list(range(0, max(dur_ms, 1), every_ms))
+                # covering sample for tick t = last sample starting ≤ t
+                idxs = [max(0, int(np.searchsorted(
+                    np.asarray(starts), t, side="right")) - 1)
+                    for t in ticks]
+                ranges = sample_ranges(track)
+                frames: dict[int, bytes] = {}
+                for i in sorted(set(idxs)):
+                    if 0 <= i < len(ranges):
+                        off, size = ranges[i]
+                        if off + size <= len(p):
+                            frames[i] = p[off:off + size]
+                for t, i in zip(ticks, idxs):
+                    frame = frames.get(i)
+                    if frame is None:       # beyond addressable ranges
+                        continue
+                    rows["media_id"].append(mid)
+                    rows["frame_ts_ms"].append(t)
+                    rows["sample_idx"].append(i)
+                    rows["codec"].append(track["codec"] or "?")
+                    rows["frame_sha256"].append(
+                        hashlib.sha256(frame).hexdigest())
+                    rows["frame_payload"].append(
+                        frame if with_payload else None)
+            yield pd.DataFrame(rows)
+
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id", "payload")
+            .mapInPandas(run, schema=FRAMES_SCHEMA))
 
 
 def media_near_dups(features: DataFrame, threshold: float = 0.99,

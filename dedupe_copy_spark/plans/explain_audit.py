@@ -529,6 +529,20 @@ CHECKS = {
         ("no python eval in the pairs plan (keys materialized once)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),
     ],
+    "media_resize_dedupe": [
+        # decode/resample materialized once via localCheckpoint, so the
+        # audited pairs plan is pure relational: digest equi-join
+        ("no python eval in the pairs plan (resized keys materialized once)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("digest self-join is an equi-join, not a cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "media_frame_pairs": [
+        ("no python eval in the pairs plan (signatures materialized once)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("signature self-join is an equi-join, not a cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "media_dedupe_perceptual": [
         ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
         ("no cartesian expansion (LSH-routed pairs)",

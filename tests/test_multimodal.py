@@ -28,28 +28,33 @@ def test_media_dedupe_finds_binary_dups(spark):
 
 
 def test_strict_mode_raises_for_missing_codecs(spark):
+    # extract_features: strict still refuses up front (non-MJPEG video
+    # decode is the documented boundary). resize/sample are REAL now:
+    # strict surfaces at execution, on the first undecodable payload
+    # (synth_media payloads are opaque ASCII, not image/video files).
     media = mm.synth_media(spark, n_rows=3)
     with pytest.raises(NotImplementedError):
         mm.extract_features(media, strict=True)
-    with pytest.raises(NotImplementedError):
-        mm.resize_images(media, 224, 224, strict=True)
-    with pytest.raises(NotImplementedError):
-        mm.sample_frames(media, strict=True)
+    with pytest.raises(Exception, match="undecodable image payload"):
+        mm.resize_images(media, 224, 224, strict=True).collect()
+    with pytest.raises(Exception, match="not an ISO-BMFF payload"):
+        mm.sample_frames(media, strict=True).collect()
 
 
-def test_frame_sampling_plumbing(spark):
+def test_frame_sampling_skips_non_containers_by_default(spark):
+    # opaque non-BMFF payloads produce no frames (log-and-continue
+    # semantics); real extraction is covered in test_resize_frames.py
     media = mm.synth_media(spark, n_rows=9)
-    frames = mm.sample_frames(media, every_ms=1000).collect()
-    vids = media.filter(F.col("kind") == "video").collect()
-    expected = sum((v.duration_ms + 999) // 1000 for v in vids)
-    assert len(frames) == expected
-    assert all(f.frame_ts_ms % 1000 == 0 for f in frames)
+    assert mm.sample_frames(media, every_ms=1000).count() == 0
 
 
-def test_resize_plumbing_tags_targets(spark):
+def test_resize_flags_undecodable_payloads(spark):
     media = mm.synth_media(spark, n_rows=9)
     out = mm.resize_images(media, 224, 224).collect()
-    assert all(r.kind == "image" and r.width == 224 and r.height == 224 for r in out)
+    assert len(out) == 3          # images only
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    assert all(not r.ok and r.payload is None for r in out)
+    assert all(len(r.src_sha256) == 64 for r in out)
 
 
 # ---------------------------------------------------------------------------
