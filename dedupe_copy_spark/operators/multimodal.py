@@ -688,7 +688,8 @@ FRAMES_SCHEMA = T.StructType([
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   strict: bool = False,
-                  with_payload: bool = True) -> DataFrame:
+                  with_payload: bool = True,
+                  keyframes_only: bool = False) -> DataFrame:
     """REAL video frame sampling (replaces the round-3 stub): parse
     the ISO-BMFF container (functions/mp4.py), reconstruct per-sample
     start timestamps from the stts run-length table at the media
@@ -702,8 +703,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     length-prefixed NAL units (decodable only with external codec
     libs — the documented boundary). `with_payload=False` keeps just
     the per-frame digest for pairing jobs, so wide video bytes never
-    ride the shuffle. Unparseable payloads: strict=True fails the
-    task, default skips the row (emits nothing for that video)."""
+    ride the shuffle. `keyframes_only=True` snaps each tick's sample
+    back to the nearest preceding sync sample (the stss table — what
+    a real player seeks to), so for GOP-coded tracks every emitted
+    frame is independently decodable; tracks without an stss box
+    treat every sample as sync (ISO 14496-12 §8.6.2). Unparseable
+    payloads: strict=True fails the task, default skips the row
+    (emits nothing for that video)."""
     from dedupe_copy_spark.functions.mp4 import (
         parse_mp4, sample_ranges, sample_start_times_ms)
 
@@ -734,6 +740,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                 idxs = [max(0, int(np.searchsorted(
                     np.asarray(starts), t, side="right")) - 1)
                     for t in ticks]
+                sync = sorted(s - 1 for s in track["sync_samples"] or []
+                              if s >= 1)
+                if keyframes_only and sync:
+                    arr = np.asarray(sync)
+                    idxs = [int(arr[max(0, int(np.searchsorted(
+                        arr, i, side="right")) - 1)]) for i in idxs]
                 ranges = sample_ranges(track)
                 frames: dict[int, bytes] = {}
                 for i in sorted(set(idxs)):

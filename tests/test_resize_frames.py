@@ -208,6 +208,27 @@ def test_resize_feeds_exact_dedup_as_canonical_key(spark):
     assert groups == 3                               # ids 0, 3, 6
 
 
+def test_sample_frames_keyframes_only_snaps_to_sync_samples(spark):
+    # 12 samples over 2.4 s (200 ms each), keyframes at samples 1/5/9
+    # (1-based): tick 0 ms → sample 0 → sync 0; tick 1000 ms → sample
+    # 5 → sync 4; tick 2000 ms → sample 10 → sync 8
+    payload = build_mp4(2.4, [{"kind": "vide", "codec": "avc1",
+                               "width": 64, "height": 32,
+                               "sample_sizes": [100] * 12,
+                               "sync_samples": [1, 5, 9]}])
+    rows = [{"media_id": 0, "kind": "video", "mime": "video/mp4",
+             "width": 64, "height": 32, "duration_ms": 2400,
+             "payload": payload}]
+    media = mm._media_df(spark, rows)
+    plain = {r.frame_ts_ms: r.sample_idx
+             for r in mm.sample_frames(media, every_ms=1000).collect()}
+    snapped = {r.frame_ts_ms: r.sample_idx
+               for r in mm.sample_frames(media, every_ms=1000,
+                                         keyframes_only=True).collect()}
+    assert plain == {0: 0, 1000: 5, 2000: 10}
+    assert snapped == {0: 0, 1000: 4, 2000: 8}
+
+
 def test_sample_frames_jpeg_payload_is_not_video(spark):
     # a non-container binary in a video row: skipped, not crashed
     rng = np.random.RandomState(4)
