@@ -125,6 +125,11 @@ HEADLINE = [
     "url_canonicalize",
     # round 4: --delete-on-copy move-mode manifest reconciliation
     "move_reconcile",
+    # round 4: manifest-seeded incremental collision suppression
+    "ignore_old_collisions",
+    # round 4: per-registrable-domain frequency cap (map-side
+    # WindowGroupLimit — megadomains ship ≤cap rows per partition)
+    "domain_frequency_cap",
     # round 4: real image resize + real video frame sampling
     "media_resize_dedupe",
     "media_frame_pairs",

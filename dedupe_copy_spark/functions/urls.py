@@ -165,3 +165,68 @@ def canonical_url_sql(u: str) -> str:
     """The full DuckDB expression for column expression ``u``."""
     pathq = PATHQ_SQL.format(u=u)
     return CANONICAL_URL_SQL.format(u=u, pathq=pathq)
+
+
+# ---------------------------------------------------------------------------
+# Registrable domain (the per-site grouping key)
+# ---------------------------------------------------------------------------
+
+#: second-level public suffixes recognized by the heuristic. The real
+#: public-suffix list is ~9k rules; at cluster scale it rides as a
+#: broadcast lookup table joined on the last-two-label suffix — the
+#: expression below keeps the common cases (and the whole contract)
+#: engine-portable for the oracle. Sorted, deduped, lowercase.
+MULTI_SUFFIXES: tuple[str, ...] = (
+    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.au", "com.br", "com.cn", "com.mx", "com.tr", "gov.uk",
+    "ne.jp", "net.au", "or.jp", "org.au", "org.uk",
+)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased authority host of a URL (port/userinfo dropped)."""
+    return F.lower(F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)", 1))
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 of a lowercase host: the site identity key that domain
+    frequency caps and per-site statistics group on. Last two labels,
+    or last three when the two-label tail is a known second-level
+    public suffix (MULTI_SUFFIXES) — 'a.b.news.co.uk' → 'news.co.uk',
+    'www.example.com' → 'example.com'. Single-label hosts (intranet
+    names, 'localhost') pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    two = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)),
+                                   F.lit(2)))
+    three = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)),
+                                     F.lit(3)))
+    return F.when((n >= 3) & two.isin(*MULTI_SUFFIXES), three).otherwise(two)
+
+
+#: the same two rules as DuckDB SQL over a host expression {h}
+REGISTRABLE_SQL = """
+    CASE
+      WHEN len(str_split({h}, '.')) >= 3
+           AND array_to_string(list_slice(str_split({h}, '.'),
+                 len(str_split({h}, '.')) - 1,
+                 len(str_split({h}, '.'))), '.')
+               IN ({suffixes})
+      THEN array_to_string(list_slice(str_split({h}, '.'),
+             greatest(len(str_split({h}, '.')) - 2, 1),
+             len(str_split({h}, '.'))), '.')
+      ELSE array_to_string(list_slice(str_split({h}, '.'),
+             greatest(len(str_split({h}, '.')) - 1, 1),
+             len(str_split({h}, '.'))), '.')
+    END
+"""
+
+HOST_SQL = ("lower(regexp_extract({u}, "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)', 1))")
+
+
+def registrable_domain_sql(host_expr: str) -> str:
+    """DuckDB expression: registrable domain of host expression."""
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return REGISTRABLE_SQL.format(h=host_expr, suffixes=suffixes)

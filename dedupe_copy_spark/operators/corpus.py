@@ -1204,3 +1204,34 @@ def robots_gate(docs: DataFrame, rules: DataFrame,
     )
     return docs.join(decision, on=keys, how="left") \
         .withColumn("allowed", F.coalesce(F.col("allowed"), F.lit(True)))
+
+
+def domain_frequency_cap(docs: DataFrame, cap: int,
+                         url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-registrable-domain frequency cap: keep at most ``cap`` docs
+    per site (eTLD+1 of the URL host), the anti-SEO-farm step every
+    web-scale corpus applies after URL dedup — a single template
+    domain can otherwise contribute millions of near-identical pages
+    that document-level near-dup only partially catches (reference has
+    no analogue; this is LLM-pipeline surface, C4/FineWeb-style).
+
+    Which ``cap`` docs survive is a deterministic pseudo-random draw:
+    rank by md5(id) inside the domain (the hash_sample idiom), ties by
+    id — stable under re-partitioning and engine-portable, so the
+    DuckDB oracle replays the exact draw. One Exchange (partitionBy
+    domain) + in-window rank; megadomains are exactly the rows the cap
+    discards, so the window never materializes more than it must and
+    AQE splits the skewed partitions. For caps small enough to hold
+    per-domain arrays, the same contract runs shuffle-lighter as
+    groupBy + min_by(id, md5) arrays — the window form is the
+    readable default (same trade as stratified_quality_sample)."""
+    from dedupe_copy_spark.functions.urls import host_of, registrable_domain
+
+    domain = registrable_domain(host_of(F.col(url_col)))
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+    return (docs
+            .withColumn("domain", domain)
+            .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("domain_rank") <= cap))

@@ -33,6 +33,22 @@ CHECKS = {
                    "lang:string,source:string>" in p
          and "ReadSchema: struct<text:string,source:string>" in p),
     ],
+    "domain_frequency_cap": [
+        ("no python eval (host parse + eTLD+1 + rank are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("single exchange keyed on the registrable domain",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+         and "hashpartitioning(domain" in p),
+        ("map-side group limit: megadomains ship ≤cap rows per input "
+         "partition, not their full row set",
+         lambda p: "WindowGroupLimit" in p and "Partial" in p),
+        ("in-window rank (row_number), cap filter after",
+         lambda p: "row_number" in p),
+        ("column-pruned scan (doc_id, lang, source only)",
+         lambda p: re.search(
+             r"ReadSchema: struct<doc_id:bigint,lang:string,"
+             r"source:string>", p) is not None),
+    ],
     "url_canonicalize": [
         ("pure codegen normalization — no python, no exchange",
          lambda p: "EvalPython" not in p and "Exchange" not in p),

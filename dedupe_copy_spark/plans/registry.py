@@ -4010,6 +4010,60 @@ def url_canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical_url(F.col("v.url")).alias("canon_url"))
 
 
+from dedupe_copy_spark.functions.urls import (  # noqa: E402
+    HOST_SQL as _HOST_SQL, registrable_domain_sql as _reg_sql)
+
+_DOMAIN_CAP_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || coalesce(lang, 'xx') || '.' || source
+           || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE doc_id % 3 WHEN 0 THEN '.co.uk'
+                               WHEN 1 THEN '.com' ELSE '.org' END)
+           || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), dom AS (
+  SELECT doc_id, url, """ + _reg_sql(_HOST_SQL.format(u="url")) + """ AS domain
+  FROM urls
+), ranked AS (
+  SELECT doc_id, url, domain,
+         CAST(row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS domain_rank
+  FROM dom
+) SELECT doc_id, url, domain, domain_rank FROM ranked
+WHERE domain_rank <= 5
+"""
+
+
+@register("domain_frequency_cap", _DOMAIN_CAP_SQL)
+def domain_frequency_cap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain frequency cap (operators/corpus.py):
+    keep ≤5 docs per eTLD+1, the C4/FineWeb anti-template-farm step.
+    Every doc gets a deterministic URL whose host mixes subdomain
+    depth and suffix type (.com/.org vs the two-level .co.uk), so the
+    eTLD+1 extraction, the md5 draw, and the cap are all exercised;
+    the DuckDB oracle replays the identical host parse, suffix rule,
+    and window rank. One Exchange (domain) + in-window row_number."""
+    from dedupe_copy_spark.operators.corpus import domain_frequency_cap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("xx")).alias("lang"),
+        "source")
+    did = F.col("doc_id").cast("string")
+    suffix = (F.when(F.col("doc_id") % 3 == 0, ".co.uk")
+              .when(F.col("doc_id") % 3 == 1, ".com")
+              .otherwise(F.lit(".org")))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("lang"), F.lit("."),
+                 F.col("source"), (F.col("doc_id") % 7).cast("string"),
+                 suffix, F.lit("/doc/"), did).alias("url"))
+    return domain_frequency_cap(urls, cap=5).select(
+        "doc_id", "url", "domain", "domain_rank")
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

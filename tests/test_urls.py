@@ -67,3 +67,65 @@ def test_campaign_variants_collapse(spark):
     ]
     got = set(_spark_canon(spark, variants).values())
     assert got == {"http://news.site.com/2026/story/index.html"}
+
+
+# ---------------------------------------------------------------------------
+# Registrable domain + per-domain frequency cap
+# ---------------------------------------------------------------------------
+
+DOMAIN_BATTERY = [
+    # (url, registrable domain)
+    ("https://a.b.news.co.uk/x", "news.co.uk"),
+    ("https://www.example.com/x", "example.com"),
+    ("https://example.com/x", "example.com"),
+    ("http://user:pw@Sub.Site.ORG:8080/x", "site.org"),
+    ("https://deep.sub.tree.blog.com.au/x", "blog.com.au"),
+    ("http://localhost/x", "localhost"),              # single label
+    ("https://gov.uk/x", "gov.uk"),                   # bare 2-label suffix
+]
+
+
+def test_registrable_domain_battery(spark):
+    from dedupe_copy_spark.functions.urls import host_of, registrable_domain
+    df = spark.createDataFrame([(u,) for u, _ in DOMAIN_BATTERY],
+                               "url string")
+    got = {r.url: r.dom for r in df.select(
+        "url", registrable_domain(host_of(F.col("url"))).alias("dom"))
+        .collect()}
+    for url, want in DOMAIN_BATTERY:
+        assert got[url] == want, url
+
+
+def test_registrable_domain_duckdb_parity(spark):
+    from dedupe_copy_spark.functions.urls import (
+        HOST_SQL, host_of, registrable_domain, registrable_domain_sql)
+    urls = [u for u, _ in DOMAIN_BATTERY]
+    con = duckdb.connect()
+    duck = dict(con.execute(
+        "SELECT u, " + registrable_domain_sql(HOST_SQL.format(u="u"))
+        + " AS d FROM (SELECT unnest(?) AS u)", [urls]).fetchall())
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r.d for r in df.select(
+        "url", registrable_domain(host_of(F.col("url"))).alias("d"))
+        .collect()}
+    assert duck == got
+
+
+def test_domain_frequency_cap_semantics(spark):
+    """≤cap rows per domain, ranks are exactly 1..min(cap, n), and the
+    draw is a deterministic function of ids (stable across runs and
+    partitionings)."""
+    from dedupe_copy_spark.operators.corpus import domain_frequency_cap
+    rows = [(i, f"https://www.d{i % 3}.example.com/p/{i}")
+            for i in range(60)] + [(100, "https://rare.org/only")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_frequency_cap(df, cap=4).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert set(by_dom) == {"example.com", "rare.org"}
+    # the three d{0,1,2} hosts share one registrable domain → one cap
+    assert sorted(r.domain_rank for r in by_dom["example.com"]) == [1, 2, 3, 4]
+    assert [r.domain_rank for r in by_dom["rare.org"]] == [1]
+    again = domain_frequency_cap(df.repartition(7), cap=4).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
