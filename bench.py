@@ -130,6 +130,10 @@ HEADLINE = [
     # round 4: per-registrable-domain frequency cap (map-side
     # WindowGroupLimit — megadomains ship ≤cap rows per partition)
     "domain_frequency_cap",
+    # round 4: DSIR importance weights + deterministic resampling
+    # (Xie et al. 2023 — target-vs-raw bigram models, broadcast)
+    "dsir_weights",
+    "dsir_select",
     # round 4: real image resize + real video frame sampling
     "media_resize_dedupe",
     "media_frame_pairs",

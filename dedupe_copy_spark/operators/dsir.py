@@ -1,0 +1,124 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023): pick pretraining data that LOOKS LIKE a trusted target
+domain by scoring every raw document with an importance weight
+
+    log w(x) = log p_target(features(x)) - log p_raw(features(x))
+
+under two cheap bag-of-features multinomials — one fit on the target
+slice, one on the raw corpus — then keeping the highest-weight docs.
+This is the selection step Pile-of-Law/DoReMi-era pipelines run
+between dedup and training; the reference engine has no analogue (it
+stops at duplicate grouping, /root/reference/dedupe_copy/core.py),
+so this is LLM-pipeline surface built on the same text data model.
+
+Feature choice: the paper hashes word unigrams+bigrams into 10k
+buckets; here features are character bigrams of the normalized head
+(shared with operators/lm.py), which keeps BOTH model relations
+alphabet²-bounded — a few thousand rows at any corpus size, so the
+models ride as AQE-broadcast tables and the only corpus-sized work is
+one explode + hash aggregation per model plus one scoring pass. A
+hashed-word variant is the same plan with a different gram projection.
+
+Probability model (add-one smoothing over the UNION gram domain D —
+both models smooth over the same support, so the weight of an unseen
+gram is exactly 0, not an artifact of differing vocabularies):
+
+    ln p_m(g) = ln(cnt_m(g) + 1) - ln(total_m + |D|)
+
+Cross-engine determinism: every ln is quantized to integer micro-nats
+(round(ln(x) * 1e6) as BIGINT) before the per-doc sum, the same
+contract as operators/lm.py — sums are exact integers, independent of
+partition and aggregation order, and DuckDB replays them bit-for-bit.
+Only the final /1e6 presentation divide is floating point.
+
+Scale shape: two explode+agg passes (target model, raw model), one
+scoring explode with a single broadcast join against the merged
+domain relation, one per-doc agg. No corpus-sized shuffle other than
+the per-doc agg keyed on the doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.lm import MICRO, _with_bigrams
+
+
+def _gram_counts(docs: DataFrame, text_col: str,
+                 head_chars: int) -> DataFrame:
+    grams = _with_bigrams(docs, text_col, head_chars, keep=[]) \
+        .filter(F.col("gram").isNotNull())
+    return grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 head_chars: int = 512) -> DataFrame:
+    """Importance weight per raw doc: how target-like its features
+    are. ``target`` is the trusted slice (a filtered view of ``docs``
+    or a separate corpus with the same text column).
+
+    Output, one row per input doc (gram-less docs kept at weight 0):
+      (id_col, n_grams, log_weight_micro BIGINT exact,
+       log_weight DOUBLE = micro/1e6 rounded to 6)
+    Positive = more target-like than corpus-average; the resampling
+    step is a top-k or Gumbel draw on this column.
+
+    Both count relations are materialized once (localCheckpoint) —
+    they are alphabet²-bounded, and the scoring plan branches each of
+    them two ways (domain join + totals), which would otherwise re-run
+    the corpus-sized training pass per branch (the train_char_bigram_lm
+    lesson, operators/lm.py)."""
+    m_t = _gram_counts(target, text_col, head_chars) \
+        .withColumnRenamed("cnt", "cnt_t").localCheckpoint()
+    m_r = _gram_counts(docs, text_col, head_chars) \
+        .withColumnRenamed("cnt", "cnt_r").localCheckpoint()
+
+    dom = (m_t.join(m_r, "gram", "full")
+           .select("gram",
+                   F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
+                   F.coalesce("cnt_r", F.lit(0)).alias("cnt_r")))
+    totals = dom.agg(
+        F.sum("cnt_t").cast("double").alias("tot_t"),
+        F.sum("cnt_r").cast("double").alias("tot_r"),
+        F.count(F.lit(1)).cast("double").alias("d"))
+
+    lnq = (lambda x: F.round(F.log(x) * MICRO, 0).cast("long"))
+    grams = _with_bigrams(docs, text_col, head_chars, keep=[id_col])
+    scored = (
+        grams
+        .join(F.broadcast(dom), "gram", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.when(F.col("gram").isNull(), F.lit(None).cast("long"))
+            .otherwise(
+                lnq(F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
+                - lnq(F.col("tot_t") + F.col("d"))
+                - lnq(F.coalesce(F.col("cnt_r"), F.lit(0)) + 1)
+                + lnq(F.col("tot_r") + F.col("d")))
+            .alias("lw_micro")))
+
+    agg = scored.groupBy(id_col).agg(
+        F.count("lw_micro").cast("long").alias("n_grams"),
+        F.coalesce(F.sum("lw_micro"), F.lit(0)).cast("long")
+        .alias("log_weight_micro"))
+    return agg.select(
+        id_col, "n_grams", "log_weight_micro",
+        F.round(F.col("log_weight_micro").cast("double") / MICRO, 6)
+        .alias("log_weight"))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                head_chars: int = 512) -> DataFrame:
+    """The resampling step, deterministic variant: global top-k docs
+    by importance weight, ties by id — the greedy selection the DSIR
+    paper's Gumbel draw converges to at low temperature. A TakeOrdered
+    over (k)-bounded state per partition, no full sort materialized."""
+    w = dsir_weights(docs, target, id_col, text_col, head_chars)
+    return (w.orderBy(F.col("log_weight_micro").desc(),
+                      F.col(id_col).asc())
+            .limit(k))

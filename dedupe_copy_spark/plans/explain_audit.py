@@ -33,6 +33,21 @@ CHECKS = {
                    "lang:string,source:string>" in p
          and "ReadSchema: struct<text:string,source:string>" in p),
     ],
+    "dsir_weights": [
+        ("no python eval (grams, models, weights all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("scoring pass joins the merged model domain as a broadcast "
+         "(corpus-sized grams never shuffle on gram)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("column-pruned scoring scan (doc_id + text only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "dsir_select": [
+        ("top-k never materializes a full sort (TakeOrdered)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no python eval",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+    ],
     "domain_frequency_cap": [
         ("no python eval (host parse + eTLD+1 + rank are Catalyst)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

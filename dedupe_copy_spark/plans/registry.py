@@ -3273,6 +3273,78 @@ def lm_perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, model)
 
 
+_DSIR_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lang, substr(lower(coalesce(text, '')), 1, 512) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(list_transform(
+      generate_series(1, len(t) - 1), i -> substr(t, i, 2))) AS gram
+  FROM norm WHERE len(t) >= 2
+), mt AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt_t FROM grams
+  WHERE lang = 'en' GROUP BY gram
+), mr AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt_r FROM grams GROUP BY gram
+), dom AS (
+  SELECT coalesce(mt.gram, mr.gram) AS gram,
+         coalesce(cnt_t, 0) AS cnt_t, coalesce(cnt_r, 0) AS cnt_r
+  FROM mt FULL JOIN mr ON mt.gram = mr.gram
+), tot AS (
+  SELECT CAST(sum(cnt_t) AS DOUBLE) AS tot_t,
+         CAST(sum(cnt_r) AS DOUBLE) AS tot_r,
+         CAST(count(*) AS DOUBLE) AS d
+  FROM dom
+), lw AS (
+  SELECT g.doc_id,
+    CAST(round(ln(coalesce(dom.cnt_t, 0) + 1) * 1000000) AS BIGINT)
+    - CAST(round(ln(tot.tot_t + tot.d) * 1000000) AS BIGINT)
+    - CAST(round(ln(coalesce(dom.cnt_r, 0) + 1) * 1000000) AS BIGINT)
+    + CAST(round(ln(tot.tot_r + tot.d) * 1000000) AS BIGINT) AS lw_micro
+  FROM grams g LEFT JOIN dom USING (gram) CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(lw_micro) AS BIGINT) AS lw
+  FROM lw GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(a.lw, 0) AS BIGINT) AS log_weight_micro,
+  ROUND(CAST(coalesce(a.lw, 0) AS DOUBLE) / 1000000, 6) AS log_weight
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dsir_weights", _DSIR_SQL)
+def dsir_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py, Xie et al. 2023):
+    target model = char bigrams of the lang='en' slice, raw model =
+    the whole corpus; every doc scores log p_target - log p_raw in
+    exact integer micro-nats. Both models are alphabet²-bounded
+    broadcast relations; scoring is one explode + one broadcast join.
+    DuckDB replays the counts, the shared smoothing domain, and every
+    quantized log bit-for-bit."""
+    from dedupe_copy_spark.operators.dsir import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register("dsir_select", _DSIR_SQL.replace(
+    "FROM documents d LEFT JOIN agg a USING (doc_id)", """
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY coalesce(a.lw, 0) DESC, d.doc_id LIMIT 200"""))
+def dsir_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step, deterministic variant: global top-200
+    by importance weight, ties by id (the paper's Gumbel draw at low
+    temperature). TakeOrdered — k-bounded state per partition, no full
+    sort materialized."""
+    from dedupe_copy_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=200)
+
+
 @register("markup_extract", r"""
 WITH seeded AS (
   SELECT doc_id,

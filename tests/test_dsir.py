@@ -1,0 +1,80 @@
+"""DSIR importance resampling (operators/dsir.py): the selection
+property (target-like docs outrank off-target docs), exactness/
+stability of the integer micro-nat weights, and edge cases (empty
+target, gram-less docs)."""
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.dsir import dsir_select, dsir_weights
+
+
+def _corpus(spark):
+    # two populations with disjoint character style: "target-like"
+    # docs are lowercase latin prose, "off-target" docs are digit
+    # soup. 10 labeled target docs train the target model; 20
+    # unlabeled docs (10 of each style) get scored.
+    rows = []
+    for i in range(10):
+        rows.append((i, "the quick brown fox jumps over the lazy dog " * 3,
+                     "target"))
+    for i in range(10, 20):
+        rows.append((i, "the lazy dog sleeps under the quick brown fox " * 3,
+                     "raw"))
+    for i in range(20, 30):
+        rows.append((i, "9871 2345 6789 0123 4567 8901 2345 6789 " * 3,
+                     "raw"))
+    return spark.createDataFrame(rows, "doc_id long, text string, kind string")
+
+
+def test_target_like_docs_outrank_off_target(spark):
+    docs = _corpus(spark)
+    w = dsir_weights(docs, docs.filter(F.col("kind") == "target"))
+    scored = {r.doc_id: r.log_weight for r in w.collect()}
+    prose = [scored[i] for i in range(10, 20)]
+    digits = [scored[i] for i in range(20, 30)]
+    assert min(prose) > max(digits)
+    # and the deterministic top-k picks exactly the prose docs first
+    top = dsir_select(docs, docs.filter(F.col("kind") == "target"),
+                      k=20).collect()
+    assert all(r.doc_id < 20 for r in top)
+
+
+def test_weights_exact_and_partition_stable(spark):
+    docs = _corpus(spark)
+    target = docs.filter(F.col("kind") == "target")
+    a = {r.doc_id: r.log_weight_micro
+         for r in dsir_weights(docs, target).collect()}
+    b = {r.doc_id: r.log_weight_micro
+         for r in dsir_weights(docs.repartition(13), target).collect()}
+    assert a == b                        # exact integers, order-free
+    assert all(isinstance(v, int) for v in a.values())
+
+
+def test_gramless_docs_kept_at_zero(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcd", "t"), (1, "", "r"), (2, None, "r"), (3, "x", "r")],
+        "doc_id long, text string, kind string")
+    w = {r.doc_id: (r.n_grams, r.log_weight_micro)
+         for r in dsir_weights(
+             docs, docs.filter(F.col("kind") == "t")).collect()}
+    assert set(w) == {0, 1, 2, 3}
+    assert w[1] == (0, 0) and w[2] == (0, 0) and w[3] == (0, 0)
+
+
+def test_uniform_target_means_near_zero_weights(spark):
+    """If the target IS the corpus, p_t == p_r and every weight is
+    exactly zero — the calibration identity that makes the sign of
+    log_weight interpretable."""
+    docs = _corpus(spark)
+    w = dsir_weights(docs, docs)
+    assert w.filter(F.col("log_weight_micro") != 0).count() == 0
+
+
+def test_empty_target_is_well_defined(spark):
+    """An empty target slice degrades to uniform smoothing mass over
+    the raw domain — finite weights, no NULL/NaN (the lm.py
+    empty-model lesson, ADVICE r3)."""
+    docs = _corpus(spark)
+    w = dsir_weights(docs, docs.filter(F.lit(False))).collect()
+    assert len(w) == 30
+    assert all(r.log_weight_micro is not None for r in w)
