@@ -71,19 +71,39 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     them two ways (domain join + totals), which would otherwise re-run
     the corpus-sized training pass per branch (the train_char_bigram_lm
     lesson, operators/lm.py)."""
-    m_t = _gram_counts(target, text_col, head_chars) \
-        .withColumnRenamed("cnt", "cnt_t").localCheckpoint()
-    m_r = _gram_counts(docs, text_col, head_chars) \
-        .withColumnRenamed("cnt", "cnt_r").localCheckpoint()
+    m_t = _gram_counts(target, text_col, head_chars)
+    m_r = _gram_counts(docs, text_col, head_chars)
+    return dsir_weights_from_models(docs, m_t, m_r, id_col=id_col,
+                                    text_col=text_col,
+                                    head_chars=head_chars)
+
+
+def dsir_weights_from_models(docs: DataFrame, target_model: DataFrame,
+                             raw_model: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             head_chars: int = 512) -> DataFrame:
+    """Score ``docs`` against PREBUILT (gram, cnt) model relations —
+    the entry point streaming maintenance uses (streaming/
+    dsir_stream.py keeps both models as additive stores and scores
+    each batch against the models as of its ingestion)."""
+    m_t = target_model.select(
+        "gram", F.col("cnt").alias("cnt_t")).localCheckpoint()
+    m_r = raw_model.select(
+        "gram", F.col("cnt").alias("cnt_r")).localCheckpoint()
 
     dom = (m_t.join(m_r, "gram", "full")
            .select("gram",
                    F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
                    F.coalesce("cnt_r", F.lit(0)).alias("cnt_r")))
+    # Empty-model guard (the lm.py ADVICE-r3 lesson): with BOTH models
+    # empty, NULL totals would null every per-gram term and erase
+    # n_grams. coalesce(0) + a domain floor of 1 degrade to uniform
+    # smoothing mass instead: every gram scores exactly 0.
     totals = dom.agg(
-        F.sum("cnt_t").cast("double").alias("tot_t"),
-        F.sum("cnt_r").cast("double").alias("tot_r"),
-        F.count(F.lit(1)).cast("double").alias("d"))
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("double").alias("tot_t"),
+        F.coalesce(F.sum("cnt_r"), F.lit(0)).cast("double").alias("tot_r"),
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("d"))
 
     lnq = (lambda x: F.round(F.log(x) * MICRO, 0).cast("long"))
     grams = _with_bigrams(docs, text_col, head_chars, keep=[id_col])

@@ -3291,9 +3291,9 @@ WITH norm AS (
          coalesce(cnt_t, 0) AS cnt_t, coalesce(cnt_r, 0) AS cnt_r
   FROM mt FULL JOIN mr ON mt.gram = mr.gram
 ), tot AS (
-  SELECT CAST(sum(cnt_t) AS DOUBLE) AS tot_t,
-         CAST(sum(cnt_r) AS DOUBLE) AS tot_r,
-         CAST(count(*) AS DOUBLE) AS d
+  SELECT CAST(coalesce(sum(cnt_t), 0) AS DOUBLE) AS tot_t,
+         CAST(coalesce(sum(cnt_r), 0) AS DOUBLE) AS tot_r,
+         CAST(greatest(count(*), 1) AS DOUBLE) AS d
   FROM dom
 ), lw AS (
   SELECT g.doc_id,

@@ -1,0 +1,159 @@
+"""Incremental DSIR over a document stream.
+
+The batch form (operators/dsir.py) fits a target model and a raw
+model once and scores the corpus. A continuously ingesting pipeline
+maintains both incrementally:
+
+  - **model maintenance**: both models are bags of bigram counts —
+    associative — so each micro-batch appends its (gram, cnt)
+    contribution to TWO additive stores (target-slice grams, all
+    grams) and the global models are per-gram sums, identical to
+    fitting on the concatenation of every batch (test-pinned, the
+    lm_stream/corpus_stream additive-store design).
+  - **weighting**: each batch is weighted against the models as of
+    its ingestion (own contribution included) — the honest online
+    semantics; ``reweight`` replays any relation against the CURRENT
+    models for a deterministic final selection pass.
+
+Target membership is a SQL boolean over the batch row (default
+``lang = 'en'``) so the stream needs no second input: the trusted
+slice is a filtered view of the same firehose, exactly how DSIR runs
+in practice when the target is "docs like our curated subset".
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py):
+
+    target_model/batch_id=N/  (gram, cnt) of batch N's target slice
+    raw_model/batch_id=N/     (gram, cnt) of all batch-N docs
+    weights/batch_id=N/       (doc_id, n_grams, log_weight_micro,
+                               log_weight) as of ingestion
+
+At-least-once replay: a re-delivered batch overwrites all three of
+its own subdirectories, so contributions never double-count; its
+re-computed weights may reflect newer models (documented, same stance
+as lm_stream.scores). ``compact`` folds both model histories into one
+base contribution between triggers (crash-safe: statestore.compact_
+into writes the folded base before removing old batch dirs).
+
+Scale notes: both model stores are alphabet²-bounded per batch;
+weighting is the batch-linear explode + broadcast join of
+operators/dsir.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.dsir import (
+    _gram_counts, dsir_weights_from_models)
+from dedupe_copy_spark.streaming import statestore
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalDSIR:
+    """Streaming DSIR: two additive model stores + per-batch
+    importance weights."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 target_filter: str = "lang = 'en'",
+                 head_chars: int = 512, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.target_filter = target_filter
+        self.head_chars = head_chars
+        self.id_col = id_col
+        self.text_col = text_col
+        self.target_path = f"{out_dir}/target_model"
+        self.raw_path = f"{out_dir}/raw_model"
+        self.weights_path = f"{out_dir}/weights"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        counts_t = _gram_counts(batch_df.filter(F.expr(self.target_filter)),
+                                self.text_col, self.head_chars)
+        counts_r = _gram_counts(batch_df, self.text_col, self.head_chars)
+        counts_t.write.mode("overwrite").parquet(
+            f"{self.target_path}/batch_id={batch_id}")
+        counts_r.write.mode("overwrite").parquet(
+            f"{self.raw_path}/batch_id={batch_id}")
+        weighted = dsir_weights_from_models(
+            batch_df, self.current_model(self.target_path),
+            self.current_model(self.raw_path), id_col=self.id_col,
+            text_col=self.text_col, head_chars=self.head_chars)
+        weighted.write.mode("overwrite").parquet(
+            f"{self.weights_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def current_model(self, path: str) -> DataFrame:
+        """Global (gram, cnt) over every batch ingested so far —
+        identical to _gram_counts on the concatenation (associative
+        sums)."""
+        store = self._read_state(path)
+        if store is None:
+            return self.spark.createDataFrame([], "gram string, cnt long")
+        return store.groupBy("gram").agg(
+            F.sum("cnt").cast("long").alias("cnt"))
+
+    def weights(self) -> DataFrame:
+        """As-of-ingestion weights across all batches; a doc re-sent
+        in several batches keeps its latest batch's row."""
+        store = self._read_state(self.weights_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, n_grams long, "
+                    "log_weight_micro long, log_weight double")
+        latest = store.groupBy(self.id_col).agg(
+            F.max("batch_id").alias("batch_id"))
+        return store.join(latest, [self.id_col, "batch_id"]) \
+            .drop("batch_id")
+
+    def reweight(self, docs: DataFrame) -> DataFrame:
+        """Deterministic final pass: weight ``docs`` against the
+        CURRENT models (what the batch operator would produce given
+        the full ingested history)."""
+        return dsir_weights_from_models(
+            docs, self.current_model(self.target_path),
+            self.current_model(self.raw_path), id_col=self.id_col,
+            text_col=self.text_col, head_chars=self.head_chars)
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold both model stores into one base contribution each —
+        bounded file count, identical sums."""
+        for path, tmp in ((self.target_path, "_target_compact"),
+                          (self.raw_path, "_raw_compact")):
+            store = self._read_state(path)
+            if store is None:
+                continue
+            folded = store.groupBy("gram").agg(
+                F.sum("cnt").cast("long").alias("cnt"))
+            statestore.compact_into(folded, path,
+                                    f"{self.out_dir}/{tmp}", into_batch_id)
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
