@@ -717,13 +717,10 @@ def mask_dup_spans(docs: DataFrame, n: int = 8, max_doc_freq: int = 1,
         (F.col("n_tokens") - n_kept).cast("long").alias("n_removed"))
 
 
-def pack_shards(docs: DataFrame, budget_tokens: int,
-                order_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Token-budget shard packing: lay the corpus out in `order_col`
-    order and assign each document to the shard its starting token
-    offset falls in — (doc_id, n_tokens, start_offset, shard_id) for
-    the training-data writer.
+def _prefix_layout(sized: DataFrame, order_col: str,
+                   len_col: str) -> tuple[DataFrame, DataFrame]:
+    """Exclusive global prefix sum of `len_col` in `order_col` order —
+    the shared layout core under pack_shards and pack_sequences.
 
     A naive global cumsum window is a SinglePartition exchange — the
     whole corpus through one task. This is the scalable two-phase
@@ -734,33 +731,115 @@ def pack_shards(docs: DataFrame, budget_tokens: int,
     AQE broadcasts the join back. Output is independent of the actual
     range boundaries (prefix sums depend only on global order), so the
     result is deterministic even though sampling-based partitioning is
-    not."""
+    not.
+
+    Returns (laid, offsets): `laid` is the input plus `start_offset`;
+    `offsets` is the #partitions-row (_part, _part_total, _part_offset)
+    relation, so callers needing the GRAND total (e.g. how many full
+    sequences the stream holds) aggregate those few rows instead of
+    re-scanning — and re-tokenizing — the whole corpus."""
     from pyspark.sql import Window
 
-    sized = docs.select(
-        F.col(order_col),
-        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"))
     parted = (sized.repartitionByRange(F.col(order_col))
               .withColumn("_part", F.spark_partition_id()))
     w_in = (Window.partitionBy("_part").orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, 0))
-    local = parted.withColumn("_local_end", F.sum("n_tokens").over(w_in))
+    local = parted.withColumn("_local_end", F.sum(len_col).over(w_in))
     totals = local.groupBy("_part").agg(
-        F.sum("n_tokens").alias("_part_total"))
+        F.sum(len_col).alias("_part_total"))
     w_parts = (Window.orderBy("_part")
                .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.withColumn(
         "_part_offset",
         F.coalesce(F.sum("_part_total").over(w_parts), F.lit(0)))
-    return (local.join(offsets.select("_part", "_part_offset"), "_part")
+    laid = (local.join(offsets.select("_part", "_part_offset"), "_part")
+            .withColumn("start_offset",
+                        F.col("_part_offset") + F.col("_local_end")
+                        - F.col(len_col))
+            .drop("_part", "_local_end", "_part_offset"))
+    return laid, offsets
+
+
+def pack_shards(docs: DataFrame, budget_tokens: int,
+                order_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Token-budget shard packing: lay the corpus out in `order_col`
+    order and assign each document to the shard its starting token
+    offset falls in — (doc_id, n_tokens, start_offset, shard_id) for
+    the training-data writer. Layout via the two-phase prefix sum
+    (see `_prefix_layout` for why not a global cumsum window)."""
+    sized = docs.select(
+        F.col(order_col),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+    laid, _ = _prefix_layout(sized, order_col, "n_tokens")
+    return laid.select(
+        F.col(order_col),
+        F.col("n_tokens"),
+        F.col("start_offset"),
+        F.floor(F.col("start_offset") / budget_tokens)
+        .cast("long").alias("shard_id"))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   order_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: lay the corpus out
+    in `order_col` order as one token stream with an EOS position
+    appended after every document, cut the stream into fixed
+    `seq_len`-token training sequences, and emit the SPAN MAP the
+    training-data writer materializes from —
+    (seq_id, doc_id, seq_pos, doc_pos, span_len, has_eos) with one row
+    per document × sequence intersection:
+
+      - seq_pos  — where the span starts inside its sequence [0, L);
+      - doc_pos  — where it starts inside the doc's own token stream
+        (doc_pos == n_tokens ⇒ the span is the EOS position alone);
+      - span_len — tokens covered (EOS included);
+      - has_eos  — the span reaches the doc's end, i.e. carries the
+        EOS token.
+
+    Within every emitted seq_id the spans tile [0, L) exactly — no
+    gaps, no overlaps — so the writer reconstructs each sequence by
+    concatenating doc slices. The final PARTIAL sequence is dropped
+    (the standard causal-LM recipe): only seq_id < total_stream div L
+    survives, decided from the #partitions-row offsets relation, not a
+    second corpus scan.
+
+    Distinct from `pack_shards` (whole docs → file-budget shards):
+    this SPLITS documents across fixed-length rows. All arithmetic is
+    integer (div, not float floor) so offsets past 2^53 — real at
+    10^12 docs — stay exact. The per-doc explode emits
+    ceil(stream/L)+1 rows max, linear in corpus tokens / L."""
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    sized = docs.select(
+        F.col(order_col),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        (F.size(_tokens(F.col(text_col))) + 1).cast("long")
+        .alias("stream_len"))
+    laid, offsets = _prefix_layout(sized, order_col, "stream_len")
+    n_seqs = offsets.agg(
+        F.expr(f"sum(_part_total) div {L}").alias("_n_seqs"))
+    spans = laid.select(
+        F.col(order_col),
+        F.col("start_offset").alias("_o"),
+        (F.col("start_offset") + F.col("stream_len")).alias("_end"),
+        F.explode(F.sequence(
+            F.expr(f"start_offset div {L}"),
+            F.expr(f"(start_offset + stream_len - 1) div {L}")))
+        .alias("seq_id"))
+    gs = F.greatest(F.col("_o"), F.col("seq_id") * L)
+    ge = F.least(F.col("_end"), (F.col("seq_id") + 1) * L)
+    return (spans.crossJoin(F.broadcast(n_seqs))  # 1-row relation
+            .filter(F.col("seq_id") < F.col("_n_seqs"))
             .select(
+                F.col("seq_id"),
                 F.col(order_col),
-                F.col("n_tokens"),
-                (F.col("_part_offset") + F.col("_local_end")
-                 - F.col("n_tokens")).alias("start_offset"),
-                F.floor((F.col("_part_offset") + F.col("_local_end")
-                         - F.col("n_tokens")) / budget_tokens)
-                .cast("long").alias("shard_id")))
+                (gs - F.col("seq_id") * L).cast("long").alias("seq_pos"),
+                (gs - F.col("_o")).cast("long").alias("doc_pos"),
+                (ge - gs).cast("long").alias("span_len"),
+                (ge == F.col("_end")).alias("has_eos")))
 
 
 # Published repetition-removal thresholds (Gopher, Rae et al. 2021,

@@ -334,6 +334,17 @@ CHECKS = {
          and re.search(r"hashpartitioning\(_part", p)),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "sequence_packing": [
+        ("two-phase prefix sum (same layout core as shard_packing): "
+         "data windows keyed by partition id",
+         lambda p: "SPARK_PARTITION_ID()" in p
+         and re.search(r"hashpartitioning\(_part", p)),
+        ("tail cutoff joins the BROADCAST 1-row total — never a "
+         "cartesian against the span relation",
+         lambda p: "CartesianProduct" not in p),
+        ("span explode is a codegen Generate; no python eval anywhere",
+         lambda p: "Generate" in p and "EvalPython" not in p),
+    ],
     "bucketed_group_join": [
         ("co-bucketed join: ZERO exchanges on either side",
          lambda p: "Exchange" not in p),

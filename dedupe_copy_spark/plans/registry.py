@@ -2916,6 +2916,50 @@ def shard_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, budget_tokens=5000)
 
 
+@register("sequence_packing", """
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens + 1) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+              - (n_tokens + 1) AS BIGINT) AS o
+  FROM sized
+), tot AS (
+  SELECT CAST(sum(n_tokens + 1) AS BIGINT) // 512 AS n_seqs FROM sized
+), spans AS (
+  SELECT l.doc_id, l.o, l.o + l.n_tokens + 1 AS e, g.seq_id
+  FROM laid l,
+       (SELECT unnest(generate_series(l.o // 512,
+                                      (l.o + l.n_tokens) // 512)))
+       AS g(seq_id)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(o, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_pos,
+       CAST(greatest(o, seq_id * 512) - o AS BIGINT) AS doc_pos,
+       CAST(least(e, (seq_id + 1) * 512)
+            - greatest(o, seq_id * 512) AS BIGINT) AS span_len,
+       (least(e, (seq_id + 1) * 512) = e) AS has_eos
+FROM spans, tot
+WHERE seq_id < n_seqs
+""")
+def sequence_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing span map: EOS-joined token
+    stream in doc_id order, cut into 512-token training sequences,
+    final partial sequence dropped. The oracle replays the WHOLE
+    layout — plain cumsum + lateral generate_series — position-exact
+    (every seq_pos/doc_pos/span_len/has_eos hashed), which also proves
+    the two-phase prefix-sum decomposition and the explode/clamp span
+    arithmetic exact."""
+    from dedupe_copy_spark.operators.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512)
+
+
 @register("token_percentiles_approx", """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        true AS ok_p25, true AS ok_p50, true AS ok_p75, true AS ok_p95

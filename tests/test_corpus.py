@@ -393,6 +393,83 @@ def test_pack_shards_matches_sequential_cumsum(spark):
     assert shards == sorted(shards)
 
 
+def _reference_pack_sequences(token_counts, L):
+    """Pure-Python concat-and-chunk span map (EOS after every doc,
+    partial tail dropped) — the independent truth pack_sequences
+    must reproduce exactly."""
+    spans, offset = [], 0
+    total = sum(n + 1 for _, n in token_counts)
+    n_seqs = total // L
+    for doc_id, n in token_counts:
+        end = offset + n + 1  # +1 EOS
+        pos = offset
+        while pos < end:
+            seq_id = pos // L
+            ge = min(end, (seq_id + 1) * L)
+            if seq_id < n_seqs:
+                spans.append((seq_id, doc_id, pos - seq_id * L,
+                              pos - offset, ge - pos, ge == end))
+            pos = ge
+        offset = end
+    return spans
+
+
+def test_pack_sequences_matches_reference(spark):
+    # token counts 1..23 cycle, incl. docs longer than L (split across
+    # sequences) and an empty doc (EOS-only span); scrambled partitions
+    counts = [(i, (i * 7) % 23 + (40 if i % 9 == 0 else 0))
+              for i in range(1, 150)] + [(0, 0)]
+    docs = spark.createDataFrame(
+        [(i, "tok " * n) for i, n in counts],
+        "doc_id long, text string").repartition(8)
+    L = 32
+    got = sorted((r.seq_id, r.doc_id, r.seq_pos, r.doc_pos,
+                  r.span_len, r.has_eos)
+                 for r in corpus.pack_sequences(docs, L).collect())
+    want = sorted(_reference_pack_sequences(sorted(counts), L))
+    assert got == want
+
+
+def test_pack_sequences_tiling_and_eos(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * ((i * 13) % 37 + 1)) for i in range(120)],
+        "doc_id long, text string")
+    L = 64
+    rows = corpus.pack_sequences(docs, L).collect()
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    total = sum((i * 13) % 37 + 2 for i in range(120))  # +1 EOS each
+    # every kept sequence tiles [0, L) exactly: no gaps, no overlaps
+    assert set(by_seq) == set(range(total // L))
+    for seq_id, spans in by_seq.items():
+        spans.sort(key=lambda r: r.seq_pos)
+        cursor = 0
+        for s in spans:
+            assert s.seq_pos == cursor, (seq_id, s)
+            assert s.span_len >= 1
+            cursor += s.span_len
+        assert cursor == L, seq_id
+    # every doc fully inside kept sequences has exactly one EOS span
+    # ending at n_tokens + 1; doc spans are contiguous in doc_pos
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r.doc_pos)
+        n = (doc_id * 13) % 37 + 1
+        covered = spans[0].doc_pos == 0 and sum(
+            s.span_len for s in spans) == n + 1
+        cursor = spans[0].doc_pos
+        for s in spans:
+            assert s.doc_pos == cursor, (doc_id, s)
+            cursor += s.span_len
+        eos = [s for s in spans if s.has_eos]
+        if covered:
+            assert len(eos) == 1
+            assert eos[0].doc_pos + eos[0].span_len == n + 1
+
+
 def test_mask_dup_spans_known_coverage(spark):
     """Hand-computable fixture with n=3 grams: docs 1 and 2 share the
     span 'a b c d' (two overlapping dup 3-grams: 'a b c', 'b c d');
