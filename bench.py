@@ -137,6 +137,10 @@ HEADLINE = [
     # round 4: real image resize + real video frame sampling
     "media_resize_dedupe",
     "media_frame_pairs",
+    # round 4: GPT-style concat-and-chunk sequence packing (span map)
+    "sequence_packing",
+    # round 4: near-dup-leakage-safe split keyed on the dedup cluster
+    "cluster_split",
 ]
 
 

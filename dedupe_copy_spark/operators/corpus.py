@@ -243,6 +243,43 @@ def dataset_split_case_sql(splits: tuple[tuple[str, float], ...],
             + f" ELSE '{splits[-1][0]}' END")
 
 
+def cluster_split(docs: DataFrame, clusters: DataFrame | None = None,
+                  splits: tuple[tuple[str, float], ...] = (
+                      ("train", 0.9), ("valid", 0.05), ("test", 0.05)),
+                  id_col: str = "doc_id",
+                  cluster_col: str = "cluster_id",
+                  split_col: str = "split") -> DataFrame:
+    """Near-dup-leakage-safe dataset split: key ``dataset_split``'s md5
+    CASE ladder on the CLUSTER id instead of the row key, so every
+    member of a dedup cluster — exact copies AND near-dup variants —
+    lands in the SAME split. Plain ``dataset_split`` keeps assignments
+    stable under corpus growth but still lets two near-identical docs
+    straddle train/test (the classic contamination vector: the model is
+    evaluated on a light edit of its own training data). Keying on the
+    cluster representative closes it: split(doc) is a pure function of
+    the doc's cluster key, so same cluster ⇒ same split by
+    construction, for any upstream clustering (exact dup groups, the
+    near-dup CC labels, SemDeDup cells).
+
+    ``clusters`` is an (id_col, cluster_col) assignment relation —
+    typically ids only, broadcast-able next to the doc table; pass
+    ``None`` when ``docs`` already carries ``cluster_col``. Docs
+    without an assignment are singletons and key on their own id,
+    which is exactly what ``dataset_split`` would do — so a corpus
+    with no duplicates degrades to the plain split, same boundaries.
+    One join + the codegen ladder; inherits dataset_split's stability
+    and monotonicity properties at cluster granularity."""
+    labeled = docs if clusters is None else docs.join(
+        clusters.select(F.col(id_col), F.col(cluster_col)),
+        id_col, "left")
+    key = F.coalesce(F.col(cluster_col).cast("string"),
+                     F.col(id_col).cast("string"))
+    tmp = "_cluster_split_key"
+    out = dataset_split(labeled.withColumn(tmp, key), splits,
+                        key_col=tmp, split_col=split_col)
+    return out.drop(tmp)
+
+
 def quality_filter(docs: DataFrame, text_col: str = "text",
                    min_tokens: int = 16, max_avg_token_len: float = 12.0,
                    stop_words: tuple[str, ...] = ("the", "and", "of", "to",

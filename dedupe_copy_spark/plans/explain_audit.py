@@ -334,6 +334,13 @@ CHECKS = {
          and re.search(r"hashpartitioning\(_part", p)),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "cluster_split": [
+        ("split ladder is a codegen md5 CASE over the cluster key — "
+         "no python eval anywhere in the labeled plan",
+         lambda p: "md5" in p and "EvalPython" not in p),
+        ("no cartesian expansion",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "sequence_packing": [
         ("two-phase prefix sum (same layout core as shard_packing): "
          "data windows keyed by partition id",

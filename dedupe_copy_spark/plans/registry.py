@@ -916,21 +916,23 @@ def dedupe_clusters_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedupe_clusters_exact", FILES_CTE_SQL + """
+_EXACT_CLUSTERS_SQL = FILES_CTE_SQL + """
 SELECT repo, path, commit_id,
        min(repo || chr(1) || path || chr(1) || commit_id) OVER (
          PARTITION BY CASE WHEN length(content) = 0
              THEN 'EMPTY' || chr(0) || repo || chr(0) || path || chr(0) || commit_id
              ELSE sha256(content) END) AS cluster_key
 FROM files
-""")
-def dedupe_clusters_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-only cluster assignments, oracle-checked end to end THROUGH
-    the connected-components operator: exact dup edges (row → group-min
+"""
+
+
+def _exact_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(repo, path, commit_id, cluster_key) THROUGH the real
+    connected-components operator: exact dup edges (row → group-min
     file_id) feed the two-star loop, singletons rejoin as themselves,
     and each xxhash64 cluster_id is relabeled with the cluster's
-    minimum composite key so DuckDB can reproduce it (clusters must
-    equal dup groups exactly)."""
+    minimum composite key so DuckDB can reproduce it. Shared by
+    dedupe_clusters_exact and cluster_split."""
     from dedupe_copy_spark.operators import cc as ccm
     from dedupe_copy_spark.operators import minhash as mh
 
@@ -953,6 +955,14 @@ def dedupe_clusters_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.join(labels, "cluster_id")
         .select("repo", "path", F.col("commit").alias("commit_id"), "cluster_key")
     )
+
+
+@register("dedupe_clusters_exact", _EXACT_CLUSTERS_SQL)
+def dedupe_clusters_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-only cluster assignments, oracle-checked end to end through
+    the connected-components operator (clusters must equal dup groups
+    exactly — see _exact_cluster_assignments)."""
+    return _exact_cluster_assignments(spark, sf_dir)
 
 
 @register("cluster_best_pick", _TRUTH_CTE + """
@@ -2113,6 +2123,31 @@ def dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dataset_split(docs, _SPLIT_SPEC).select(
         "doc_id", "source", "split")
+
+
+def _cluster_split_oracle_sql() -> str:
+    from dedupe_copy_spark.operators.corpus import dataset_split_case_sql
+
+    case = dataset_split_case_sql(_SPLIT_SPEC, "cluster_key")
+    return (f"WITH lab AS ({_EXACT_CLUSTERS_SQL})\n"
+            f"SELECT repo, path, commit_id, cluster_key, {case} AS split\n"
+            f"FROM lab")
+
+
+@register("cluster_split", _cluster_split_oracle_sql())
+def cluster_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split keyed on the dedup CLUSTER: every member of a
+    duplicate cluster — here the exact CC labels, SQL-replayed end to
+    end — gets the same train/valid/test assignment, so near-identical
+    rows can never straddle the evaluation boundary. The oracle replays
+    the cluster labels AND the md5 CASE ladder, so a wrong cluster key
+    or a moved boundary fails the value hash; same-cluster ⇒ same-split
+    holds by construction (split is a pure function of cluster_key)."""
+    from dedupe_copy_spark.operators.corpus import cluster_split
+
+    assigned = _exact_cluster_assignments(spark, sf_dir)
+    return cluster_split(assigned, clusters=None, splits=_SPLIT_SPEC,
+                         id_col="path", cluster_col="cluster_key")
 
 
 # Domain-mix weights for the registered query: even-numbered sources

@@ -393,6 +393,48 @@ def test_pack_shards_matches_sequential_cumsum(spark):
     assert shards == sorted(shards)
 
 
+def test_cluster_split_same_cluster_same_split(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)],
+        "doc_id long, text string")
+    # 100 clusters of 3 (docs i, i+100, i+200 together)
+    clusters = spark.createDataFrame(
+        [(i, i % 100) for i in range(300)],
+        "doc_id long, cluster_id long")
+    out = corpus.cluster_split(docs, clusters).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.doc_id % 100, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # with 90/5/5 over 100 clusters all three splits must be populated
+    assert {r.split for r in out} == {"train", "valid", "test"}
+
+
+def test_cluster_split_singletons_match_plain_split(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)],
+        "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, cluster_id long")
+    got = {r.doc_id: r.split
+           for r in corpus.cluster_split(docs, empty).collect()}
+    want = {r.doc_id: r.split
+            for r in corpus.dataset_split(docs).collect()}
+    assert got == want  # no duplicates ⇒ degrades to the plain split
+
+
+def test_cluster_split_precomputed_label_column(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "cX"), (2, "b", "cX"), (3, "c", None)],
+        "doc_id long, text string, cluster_id string")
+    out = {r.doc_id: r.split
+           for r in corpus.cluster_split(docs, clusters=None).collect()}
+    assert out[1] == out[2]  # shared label, same split
+    # NULL label falls back to the row's own id
+    want = {r.doc_id: r.split for r in corpus.dataset_split(
+        docs.select("doc_id", "text")).collect()}
+    assert out[3] == want[3]
+
+
 def _reference_pack_sequences(token_counts, L):
     """Pure-Python concat-and-chunk span map (EOS after every doc,
     partial tail dropped) — the independent truth pack_sequences
