@@ -141,6 +141,10 @@ HEADLINE = [
     "sequence_packing",
     # round 4: near-dup-leakage-safe split keyed on the dedup cluster
     "cluster_split",
+    # round 4: Type-1/Type-2 code clone groups (normalize → hash-groupBy;
+    # reformatted + identifier-renamed copies without a pairwise stage)
+    "clone_groups_type1",
+    "clone_groups_type2",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Source-code normalization for clone detection (Type-1 / Type-2).
+
+The classic clone-detection ladder (Roy & Cordy 2007, public taxonomy):
+  - Type-1: identical code up to whitespace and comments;
+  - Type-2: additionally identical up to identifier names and literal
+    values.
+Raw-text dedup (sha256 / MinHash over characters) misses both: a
+reformatted file or a renamed-variable copy shares few raw shingles.
+Normalizing first turns clone detection into EXACT grouping — a plain
+hash-groupBy, the cheapest possible plan at 10^12 files (no pairwise
+stage at all; reference analogue: the hash-collision grouping in
+/root/reference/dedupe_copy/threads.py:403-425, applied post-transform).
+
+The normalizer is one ordered regexp chain, pure Catalyst (JVM codegen,
+zero Python) — and the SAME step table compiles to nested DuckDB
+`regexp_replace` calls, so the oracle replays it rule for rule. Every
+pattern is written in the common Java-regex ∩ RE2 dialect (no
+lookaround, no backrefs in patterns; `(?s)`, `\\b`, `\\d`, `\\s`,
+non-greedy all mean the same thing in both engines); replacements
+differ only in group syntax ($1 vs \\1), carried per-engine in the
+table.
+
+Steps, in order (order matters and is part of the contract):
+  1. string literals (double- then single-quoted, LINE-BOUNDED so an
+     unmatched quote never eats past its line) → the two-char token
+     `""` — distinct from any identifier so Type-2 abstraction keeps
+     strings and identifiers apart;
+  2. block comments `/* ... */` (dotall, non-greedy) → space;
+  3. line comments `// ...` and `# ...` → space;
+  4. punctuation spacing: every non-word char EXCEPT `"` (so the string
+     token survives intact) becomes space-delimited — `total=0` and
+     `total = 0` normalize identically (a token-stream view without a
+     lexer). This step runs BEFORE any `\\b`-using step on purpose:
+     Java's `\\b` is Unicode-aware while RE2's is ASCII, so the two
+     engines disagree about a boundary between `h` and `é`; spacing
+     every non-ASCII char first leaves only ASCII adjacency, where the
+     dialects agree;
+  5. [Type-2 only] identifiers → `ID`;
+  6. integer literals → `0` (floats were already split to `0 . 0` by
+     punctuation spacing — deliberate: float syntax is language-
+     dependent, token-run form is not);
+  7. whitespace collapse + trim.
+
+Known single-pass-regex limits, deterministic and identical on both
+engines: a quote character inside a comment can mask the rest of its
+line as a string; `#`/`//` inside a string survive only because strings
+are masked first. A real per-language lexer is the upgrade path; this
+chain is language-agnostic by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, spark_replacement, duckdb_replacement, type2_only)
+_STEPS: tuple[tuple[str, str, str, bool], ...] = (
+    (r'"(\\.|[^"\\\n])*"', ' "" ', ' "" ', False),
+    (r"'(\\.|[^'\\\n])*'", ' "" ', ' "" ', False),
+    (r"(?s)/\*.*?\*/", " ", " ", False),
+    (r"(//|#)[^\n]*", " ", " ", False),
+    (r'([^A-Za-z0-9_ \t\n"])', " $1 ", r" \1 ", False),
+    (r"\b[A-Za-z_][A-Za-z0-9_]*\b", " ID ", " ID ", True),
+    (r"\b\d+\b", " 0 ", " 0 ", False),
+    (r"\s+", " ", " ", False),
+)
+
+
+def normalize_code(col: Column, abstract_identifiers: bool = False) -> Column:
+    """Normalized token-stream text: Type-1 form by default, Type-2
+    form with ``abstract_identifiers=True``. Pure Catalyst regexp
+    chain — whole-stage codegen, no shuffle, no Python."""
+    c = F.coalesce(col, F.lit(""))
+    for pattern, spark_rep, _, type2_only in _STEPS:
+        if type2_only and not abstract_identifiers:
+            continue
+        c = F.regexp_replace(c, pattern, spark_rep)
+    return F.trim(c)
+
+
+def normalize_code_sql(expr: str, abstract_identifiers: bool = False) -> str:
+    """The DuckDB mirror of ``normalize_code``, compiled from the SAME
+    step table — nested regexp_replace(..., 'g') calls (DuckDB replaces
+    only the first match without 'g'; Spark always replaces all)."""
+    sql = f"coalesce({expr}, '')"
+    for pattern, _, duck_rep, type2_only in _STEPS:
+        if type2_only and not abstract_identifiers:
+            continue
+        pat = pattern.replace("'", "''")
+        rep = duck_rep.replace("'", "''")
+        sql = f"regexp_replace({sql}, '{pat}', '{rep}', 'g')"
+    return f"trim({sql})"

@@ -1,0 +1,60 @@
+"""Type-1 / Type-2 code clone grouping.
+
+Near-identical source-file variants (reformatted copies, renamed-
+identifier copies) are the code payload's version of "near-identical
+variants" — and after `functions.code.normalize_code` they collapse to
+EXACT duplicates, so detection is a hash-groupBy: map-side partial
+aggregation, one shuffle keyed by the normalized digest, no pairwise
+candidate generation at all. At 10^12 files this is strictly cheaper
+than routing reformatted clones through MinHash (which needs shingle
+signatures + an LSH join to find what a normalized hash catches
+exactly), and complements it: MinHash/containment still cover edited
+clones (Type-3), which normalization alone cannot.
+
+Reference parity: the same group-by-digest collision shape as
+/root/reference/dedupe_copy/threads.py:403-425, applied to the
+normalized text instead of raw bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.functions.code import normalize_code
+
+
+def clone_groups(docs: DataFrame, level: int = 1,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Clone groups at the requested taxonomy level (1 = whitespace/
+    comment-insensitive, 2 = additionally identifier/literal-abstracted)
+    — (clone_key, n_docs, min_doc, max_doc) per group with >1 member.
+
+    clone_key is sha256 over the normalized form, so the key is stable
+    across runs/engines and safe to join against a manifest. min/max
+    member ids make the group row self-describing without carrying a
+    collect_list of 10^6 members for a vendored-everywhere file; the
+    full membership is one semi-join away on clone_key."""
+    if level not in (1, 2):
+        raise ValueError(f"level must be 1 or 2, got {level}")
+    norm = normalize_code(F.col(text_col), abstract_identifiers=(level == 2))
+    keyed = docs.select(F.col(id_col),
+                        F.sha2(norm, 256).alias("clone_key"))
+    return (keyed.groupBy("clone_key")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("min_doc"),
+                 F.max(id_col).alias("max_doc"))
+            .filter(F.col("n_docs") > 1))
+
+
+def clone_assignments(docs: DataFrame, level: int = 1,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-row clone labels — (id, clone_key) for every doc, singletons
+    included — the relation downstream consumers (cluster_split,
+    keep-one-per-clone-class selection) join on."""
+    if level not in (1, 2):
+        raise ValueError(f"level must be 1 or 2, got {level}")
+    norm = normalize_code(F.col(text_col), abstract_identifiers=(level == 2))
+    return docs.select(F.col(id_col), F.sha2(norm, 256).alias("clone_key"))

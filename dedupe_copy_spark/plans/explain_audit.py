@@ -334,6 +334,23 @@ CHECKS = {
          and re.search(r"hashpartitioning\(_part", p)),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "clone_groups_type1": [
+        ("normalizer chain is pure codegen (regexp_replace in-plan, "
+         "no python eval)",
+         lambda p: "EvalPython" not in p),
+        ("map-side partial agg before the clone-key exchange "
+         "(clone detection is a hash-groupBy, no pairwise stage)",
+         lambda p: "partial_count" in p),
+        ("column-pruned scan: only doc_id and text read",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "clone_groups_type2": [
+        ("normalizer chain is pure codegen (regexp_replace in-plan, "
+         "no python eval)",
+         lambda p: "EvalPython" not in p),
+        ("map-side partial agg before the clone-key exchange",
+         lambda p: "partial_count" in p),
+    ],
     "cluster_split": [
         ("split ladder is a codegen md5 CASE over the cluster key — "
          "no python eval anywhere in the labeled plan",

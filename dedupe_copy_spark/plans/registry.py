@@ -2150,6 +2150,80 @@ def cluster_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                          id_col="path", cluster_col="cluster_key")
 
 
+# Clone-detection fixtures: three snippet variants seeded over doc_id
+# residues — A/B are the same code up to comments and whitespace
+# (Type-1 clones), C renames every identifier (Type-2 only). Seeding is
+# a CASE both engines replay, so the clone structure is deterministic
+# and the oracle re-derives it from the same literals.
+_SNIPPET_A = ("int total = 0; // accumulate\n"
+              "for (int i = 0; i < count; i++) {\n"
+              "  total += values[i];\n"
+              "}\nreturn total;")
+_SNIPPET_B = ("/* sum the window */\n"
+              "int total=0;\n"
+              "for (int i=0; i<count; i++) { total += values[i]; }\n"
+              "return total;")
+_SNIPPET_C = ("int acc = 0; // running sum\n"
+              "for (int j = 0; j < limit; j++) {\n"
+              "  acc += window[j];\n"
+              "}\nreturn acc;")
+_SNIPPETS = ((0, _SNIPPET_A), (1, _SNIPPET_B), (2, _SNIPPET_C))
+
+
+def _seeded_code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, s in _SNIPPETS:
+        cond = F.col("doc_id") % 17 == k
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    return docs.select("doc_id", expr.otherwise(F.col("text")).alias("text"))
+
+
+def _seeded_code_sql() -> str:
+    arms = " ".join(f"WHEN {k} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+                    for k, s in _SNIPPETS)
+    return (f"SELECT doc_id, CASE doc_id % 17 {arms} ELSE text END AS text "
+            f"FROM documents")
+
+
+def _clone_oracle_sql(level: int) -> str:
+    from dedupe_copy_spark.functions.code import normalize_code_sql
+
+    norm = normalize_code_sql("text", abstract_identifiers=(level == 2))
+    return f"""
+WITH seeded AS ({_seeded_code_sql()}),
+keyed AS (SELECT doc_id, sha256({norm}) AS clone_key FROM seeded)
+SELECT clone_key, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM keyed GROUP BY clone_key HAVING count(*) > 1
+"""
+
+
+@register("clone_groups_type1", _clone_oracle_sql(1))
+def clone_groups_type1_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 (whitespace/comment-insensitive) clone groups: normalize
+    → sha256 → hash-groupBy. The reformatted variant (snippet B) joins
+    snippet A's group; the renamed variant (C) stays separate. The
+    oracle replays the ENTIRE normalizer chain (same step table, RE2 ∩
+    Java dialect) plus the grouping, so one divergent regexp rule
+    fails the value hash."""
+    from dedupe_copy_spark.operators.clones import clone_groups
+
+    return clone_groups(_seeded_code_docs(spark, sf_dir), level=1)
+
+
+@register("clone_groups_type2", _clone_oracle_sql(2))
+def clone_groups_type2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 (identifier/literal-abstracted) clone groups: the
+    renamed-identifier variant now collapses into the same group as
+    A/B — the merge the raw-text dedup path cannot see. Same full
+    oracle replay as type1."""
+    from dedupe_copy_spark.operators.clones import clone_groups
+
+    return clone_groups(_seeded_code_docs(spark, sf_dir), level=2)
+
+
 # Domain-mix weights for the registered query: even-numbered sources
 # upweighted 3:1 over odd ones. BOTH the Spark literal table and the
 # oracle VALUES clause are generated from this one dict (normalized in
