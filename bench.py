@@ -138,7 +138,9 @@ HEADLINE = [
     "media_resize_dedupe",
     "media_frame_pairs",
     # round 4: GPT-style concat-and-chunk sequence packing (span map)
+    # + the materializer (token slices, EOS insertion, reassembly)
     "sequence_packing",
+    "sequence_assembly",
     # round 4: near-dup-leakage-safe split keyed on the dedup cluster
     "cluster_split",
     # round 4: Type-1/Type-2 code clone groups (normalize → hash-groupBy;

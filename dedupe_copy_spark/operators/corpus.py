@@ -879,6 +879,53 @@ def pack_sequences(docs: DataFrame, seq_len: int,
                 (ge == F.col("_end")).alias("has_eos")))
 
 
+def assemble_sequences(docs: DataFrame, seq_len: int,
+                       eos: str = "<|eos|>",
+                       order_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Materialize the training sequences `pack_sequences` laid out:
+    join the span map back to the tokenized docs, slice each doc's
+    token array at (doc_pos, span_len), append the EOS token where the
+    span carries it, and reassemble each sequence in seq_pos order —
+    (seq_id, n_spans, full_len, seq_sha256) with ``full_len`` the
+    self-contract that every emitted sequence holds EXACTLY seq_len
+    tokens (a packing bug cannot hide: a gap or overlap flips the
+    flag, a wrong slice changes the digest).
+
+    The digest stands in for shipping the 10^9-row token matrix
+    through the comparator; the writer's real output is the same
+    assembly with the tokens kept. All array work is Catalyst HOFs
+    (slice / array_sort / transform / concat_ws) — no Python. The
+    groupBy(seq_id) shuffle moves each token once, the minimum any
+    materializer must pay; spans of one sequence are contiguous in the
+    stream order, so AQE-coalesced post-shuffle partitions stay
+    balanced (seq_id is dense)."""
+    spans = pack_sequences(docs, seq_len, order_col, text_col)
+    toks = docs.select(F.col(order_col),
+                       _tokens(F.col(text_col)).alias("_toks"))
+    j = spans.join(toks, order_col)
+    n_words = (F.col("span_len")
+               - F.col("has_eos").cast("long")).cast("int")
+    words = F.slice(F.col("_toks"), (F.col("doc_pos") + 1).cast("int"),
+                    F.greatest(n_words, F.lit(0)))
+    piece_arr = F.when(F.col("has_eos"),
+                       F.concat(words, F.array(F.lit(eos)))) \
+        .otherwise(words)
+    piece = j.select("seq_id", "seq_pos", "span_len",
+                     F.array_join(piece_arr, " ").alias("piece"))
+    seqs = (piece.groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("span_len").alias("_tok_total"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("seq_pos", "piece"))),
+                     lambda s: s["piece"])).alias("_text")))
+    return seqs.select(
+        "seq_id", "n_spans",
+        (F.col("_tok_total") == seq_len).alias("full_len"),
+        F.sha2(F.col("_text"), 256).alias("seq_sha256"))
+
+
 # Published repetition-removal thresholds (Gopher, Rae et al. 2021,
 # arXiv:2112.11446 Table A1): a document is kept only if EVERY signal
 # is at or below its threshold.

@@ -351,6 +351,15 @@ CHECKS = {
         ("map-side partial agg before the clone-key exchange",
          lambda p: "partial_count" in p),
     ],
+    "sequence_assembly": [
+        ("array slicing/assembly is Catalyst HOFs — no python eval",
+         lambda p: "EvalPython" not in p),
+        ("same two-phase prefix-sum layout core underneath",
+         lambda p: "SPARK_PARTITION_ID()" in p
+         and re.search(r"hashpartitioning\(_part", p)),
+        ("tail cutoff stays a broadcast, not a cartesian",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "cluster_split": [
         ("split ladder is a codegen md5 CASE over the cluster key — "
          "no python eval anywhere in the labeled plan",

@@ -3069,6 +3069,71 @@ def sequence_packing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=512)
 
 
+@register("sequence_assembly", """
+WITH sized AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+                            '[a-z0-9_]+') AS toks,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT doc_id, toks, n_tokens,
+         CAST(sum(n_tokens + 1) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+              - (n_tokens + 1) AS BIGINT) AS o
+  FROM sized
+), tot AS (
+  SELECT CAST(sum(n_tokens + 1) AS BIGINT) // 512 AS n_seqs FROM sized
+), spans AS (
+  SELECT l.doc_id, l.toks, l.o, l.o + l.n_tokens + 1 AS e, g.seq_id
+  FROM laid l,
+       (SELECT unnest(generate_series(l.o // 512,
+                                      (l.o + l.n_tokens) // 512)))
+       AS g(seq_id)
+), pieces AS (
+  SELECT seq_id,
+         greatest(o, seq_id * 512) - seq_id * 512 AS seq_pos,
+         least(e, (seq_id + 1) * 512) - greatest(o, seq_id * 512)
+           AS span_len,
+         greatest(o, seq_id * 512) - o AS doc_pos,
+         (least(e, (seq_id + 1) * 512) = e) AS has_eos,
+         least(e, (seq_id + 1) * 512) - greatest(o, seq_id * 512)
+           - (least(e, (seq_id + 1) * 512) = e)::BIGINT AS n_words,
+         toks
+  FROM spans, tot
+  WHERE seq_id < n_seqs
+), strs AS (
+  SELECT seq_id, seq_pos, span_len,
+         -- array_to_string([]) is NULL in DuckDB, which string_agg
+         -- would silently drop — coalesce keeps EOS-only pieces
+         coalesce(array_to_string(
+           list_slice(toks, CAST(doc_pos + 1 AS BIGINT),
+                      CAST(doc_pos + n_words AS BIGINT)), ' '), '')
+         || CASE WHEN has_eos THEN
+              (CASE WHEN n_words > 0 THEN ' ' ELSE '' END) || '<|eos|>'
+            ELSE '' END AS piece
+  FROM pieces
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       (sum(span_len) = 512) AS full_len,
+       sha256(string_agg(piece, ' ' ORDER BY seq_pos)) AS seq_sha256
+FROM strs GROUP BY seq_id
+""")
+def sequence_assembly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-sequence MATERIALIZER over the span map: token
+    slices + EOS insertion + in-order reassembly, digested per
+    sequence so the comparator checks every token of every training
+    row without shipping the token matrix. full_len is the built-in
+    tiling contract (every sequence exactly 512 tokens). The oracle
+    replays layout, slicing, EOS placement, and assembly order."""
+    from dedupe_copy_spark.operators.corpus import assemble_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assemble_sequences(docs, seq_len=512)
+
+
 @register("token_percentiles_approx", """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        true AS ok_p25, true AS ok_p50, true AS ok_p75, true AS ok_p95

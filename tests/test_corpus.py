@@ -512,6 +512,32 @@ def test_pack_sequences_tiling_and_eos(spark):
             assert eos[0].doc_pos + eos[0].span_len == n + 1
 
 
+def test_assemble_sequences_matches_reference(spark):
+    """Digest equality against a pure-Python assembly of the same
+    EOS-joined stream — every token of every emitted sequence checked,
+    plus the exact-length contract."""
+    import hashlib
+
+    counts = [(i, (i * 11) % 29 + (50 if i % 7 == 0 else 0))
+              for i in range(80)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{k}" for k in range(n)))
+         for i, n in counts],
+        "doc_id long, text string").repartition(8)
+    L, EOS = 48, "<|eos|>"
+    stream = []
+    for i, n in sorted(counts):
+        stream += [f"t{i}_{k}" for k in range(n)] + [EOS]
+    n_seqs = len(stream) // L
+    want = {}
+    for s in range(n_seqs):
+        text = " ".join(stream[s * L:(s + 1) * L])
+        want[s] = hashlib.sha256(text.encode()).hexdigest()
+    rows = corpus.assemble_sequences(docs, L, eos=EOS).collect()
+    assert {r.seq_id: r.seq_sha256 for r in rows} == want
+    assert all(r.full_len for r in rows)
+
+
 def test_mask_dup_spans_known_coverage(spark):
     """Hand-computable fixture with n=3 grams: docs 1 and 2 share the
     span 'a b c d' (two overlapping dup 3-grams: 'a b c', 'b c d');
