@@ -147,6 +147,9 @@ HEADLINE = [
     # reformatted + identifier-renamed copies without a pairwise stage)
     "clone_groups_type1",
     "clone_groups_type2",
+    # round 4: supervised multinomial NB (closed-form train, broadcast
+    # dense model, integer micro-nat scoring)
+    "nb_classify",
 ]
 
 

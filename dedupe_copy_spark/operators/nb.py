@@ -1,0 +1,122 @@
+"""Multinomial Naive Bayes document classification.
+
+The supervised counterpart to textstats.lang_id's fixed heuristic:
+train a token-level NB model on a labeled slice (labels come from the
+corpus itself — language tags, source tags, a curated quality seed)
+and score the rest. NB is the one classifier whose training IS a
+groupBy — closed-form counts, no gradient loop — which makes it the
+natural first classifier for a Spark-first pipeline: one explode +
+two hash aggregations to train, one broadcast join to score, and
+every number is exactly replayable in SQL.
+
+Scale shape (the 100 TB story):
+  - the model is DENSE over a capped vocabulary: top-``vocab_size``
+    training tokens (count desc, token asc — a deterministic
+    TakeOrdered, never a single-partition window) × labels. K×L rows
+    broadcast to every executor; raise K with cluster memory.
+  - scoring explodes doc tokens once, inner-joins the broadcast dense
+    model (out-of-vocab tokens drop out — the add-one prior already
+    absorbs them symmetrically across labels), and partial-aggregates
+    (doc, label) sums map-side. No corpus-sized shuffle beyond the
+    per-doc rollup any scorer must pay.
+
+Cross-engine determinism (the lm.py idiom): per-token conditional
+log-probs ln((cnt+1)/(tot_label+V)) are quantized to integer
+micro-nats TERM BY TERM (each ln rounded separately, differences and
+sums exact BIGINTs), priors likewise; the argmax tie-breaks on label
+ascending. DuckDB replays training counts, vocabulary cutoff, every
+quantized log, and the ranking bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.corpus import _tokens
+
+MICRO = 1_000_000
+
+
+def _lnq(x):
+    """ln(x) in integer micro-nats — one rounding per ln, sums exact."""
+    return F.round(F.log(x) * MICRO, 0).cast("long")
+
+
+def train_nb(docs: DataFrame, label_col: str = "lang",
+             text_col: str = "text", vocab_size: int = 2000,
+             materialize: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Train: returns (dense_model, label_priors).
+
+    dense_model — (label, tok, cnt) for EVERY capped-vocab token ×
+    label pair (zeros materialized), so scoring needs no per-label
+    missing-token handling; K×L rows, broadcastable.
+    label_priors — (label, n_docs).
+
+    Both relations are localCheckpointed by default so the
+    corpus-sized token pass runs once even though scoring branches
+    the model several ways (per-label totals, vocab scalar, join)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = docs.select(F.col(label_col).alias("label"),
+                       F.explode(_tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+             .orderBy(F.col("_c").desc(), F.col("tok").asc())
+             .limit(vocab_size).select("tok"))
+    priors = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    dense = (vocab.crossJoin(priors.select("label"))
+             .join(counts, ["label", "tok"], "left")
+             .select("label", "tok",
+                     F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    if materialize:
+        dense, priors = dense.localCheckpoint(), priors.localCheckpoint()
+    return dense, priors
+
+
+def nb_classify(docs: DataFrame, dense: DataFrame, priors: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Score every doc against every label and emit the argmax —
+    (id_col, pred, score_micro). Add-one smoothing over the capped
+    vocabulary V: P(tok|label) = (cnt+1)/(tot_label+V); docs whose
+    tokens are all out-of-vocab (or empty) fall back to the prior
+    argmax. Ties break on label ascending — deterministic, and the
+    same rule the SQL oracle ranks by."""
+    tot = dense.groupBy("label").agg(
+        F.sum("cnt").cast("long").alias("tot"))
+    v = dense.select(F.countDistinct("tok").cast("long").alias("_v"))
+    total_docs = priors.select(
+        F.sum("n_docs").cast("long").alias("_total"))
+
+    stoks = docs.select(F.col(id_col),
+                        F.explode(_tokens(F.col(text_col))).alias("tok"))
+    contrib = (stoks.join(F.broadcast(dense), "tok")
+               .join(F.broadcast(tot), "label")
+               .crossJoin(F.broadcast(v))
+               .select(id_col, "label",
+                       (_lnq(F.col("cnt") + 1)
+                        - _lnq(F.col("tot") + F.col("_v")))
+                       .alias("lp")))
+    persum = contrib.groupBy(id_col, "label").agg(
+        F.sum("lp").cast("long").alias("_s"))
+
+    prior_lp = (priors.crossJoin(F.broadcast(total_docs))
+                .select("label",
+                        (_lnq(F.col("n_docs")) - _lnq(F.col("_total")))
+                        .alias("prior_lp")))
+    base = (docs.select(id_col)
+            .crossJoin(F.broadcast(prior_lp))
+            .join(persum, [id_col, "label"], "left")
+            .select(id_col, "label",
+                    (F.coalesce(F.col("_s"), F.lit(0))
+                     + F.col("prior_lp")).alias("score")))
+    best = base.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("score")).alias("_neg"),
+                       F.col("label"))).alias("_b"))
+    return best.select(
+        id_col,
+        F.col("_b.label").alias("pred"),
+        (-F.col("_b._neg")).cast("long").alias("score_micro"))

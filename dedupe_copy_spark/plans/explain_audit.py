@@ -334,6 +334,15 @@ CHECKS = {
          and re.search(r"hashpartitioning\(_part", p)),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "nb_classify": [
+        ("model joins are broadcast (dense model + totals + priors "
+         "ship to executors; token stream never reshuffles for them)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("map-side partial aggregation on the (doc,label) rollup",
+         lambda p: "partial_sum" in p),
+        ("no python eval anywhere (train or score)",
+         lambda p: "EvalPython" not in p),
+    ],
     "clone_groups_type1": [
         ("normalizer chain is pure codegen (regexp_replace in-plan, "
          "no python eval)",

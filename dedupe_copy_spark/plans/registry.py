@@ -2150,6 +2150,88 @@ def cluster_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                          id_col="path", cluster_col="cluster_key")
 
 
+@register("nb_classify", """
+WITH train AS (
+  SELECT * FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '80000000'
+), test AS (
+  SELECT * FROM documents
+  WHERE NOT (md5(CAST(doc_id AS VARCHAR)) < '80000000')
+), ttoks AS (
+  SELECT lang AS label,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z0-9_]+')) AS tok
+  FROM train
+), counts AS (
+  SELECT label, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM ttoks GROUP BY label, tok
+), vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS c FROM ttoks GROUP BY tok
+                   ORDER BY c DESC, tok ASC LIMIT 2000)
+), priors AS (
+  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+  FROM train GROUP BY lang
+), dense AS (
+  SELECT p.label, v.tok, coalesce(c.cnt, 0) AS cnt
+  FROM vocab v CROSS JOIN priors p
+  LEFT JOIN counts c ON c.label = p.label AND c.tok = v.tok
+), tot AS (
+  SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM dense GROUP BY label
+), nv AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM vocab
+), ntot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM priors
+), stoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z0-9_]+')) AS tok
+  FROM test
+), contrib AS (
+  SELECT s.doc_id, d.label,
+         CAST(round(ln(d.cnt + 1) * 1000000, 0) AS BIGINT)
+         - CAST(round(ln(t.tot + nv.v) * 1000000, 0) AS BIGINT) AS lp
+  FROM stoks s JOIN dense d USING (tok)
+  JOIN tot t ON d.label = t.label, nv
+), persum AS (
+  SELECT doc_id, label, CAST(sum(lp) AS BIGINT) AS s
+  FROM contrib GROUP BY doc_id, label
+), prior_lp AS (
+  SELECT label, CAST(round(ln(n_docs) * 1000000, 0) AS BIGINT)
+         - CAST(round(ln(total) * 1000000, 0) AS BIGINT) AS plp
+  FROM priors, ntot
+), base AS (
+  SELECT t.doc_id, pl.label, coalesce(ps.s, 0) + pl.plp AS score
+  FROM test t CROSS JOIN prior_lp pl
+  LEFT JOIN persum ps ON ps.doc_id = t.doc_id AND ps.label = pl.label
+), ranked AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label ASC) AS rn
+  FROM base
+)
+SELECT t.doc_id, t.lang, r.label AS pred,
+       CAST(r.score AS BIGINT) AS score_micro,
+       (t.lang = r.label) AS correct
+FROM test t JOIN ranked r ON r.doc_id = t.doc_id AND r.rn = 1
+""")
+def nb_classify_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised multinomial NB: train on the deterministic md5-half
+    of the corpus (labels = lang), classify the complement. The oracle
+    replays training counts, the top-2000 vocabulary cutoff, every
+    quantized log-prob, the prior, and the tie-broken argmax — a
+    drifted count, boundary token, or rounding divergence anywhere in
+    the model fails the value hash on score_micro."""
+    from dedupe_copy_spark.operators.nb import nb_classify, train_nb
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = F.md5(F.col("doc_id").cast("string")) < "80000000"
+    train, test = docs.filter(is_train), docs.filter(~is_train)
+    dense, priors = train_nb(train, label_col="lang", vocab_size=2000)
+    out = nb_classify(test, dense, priors)
+    return (out.join(test.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "lang", "pred", "score_micro",
+                    (F.col("lang") == F.col("pred")).alias("correct")))
+
+
 # Clone-detection fixtures: three snippet variants seeded over doc_id
 # residues — A/B are the same code up to comments and whitespace
 # (Type-1 clones), C renames every identifier (Type-2 only). Seeding is

@@ -1,0 +1,82 @@
+"""Multinomial Naive Bayes: separability, prior fallback, tie-break
+determinism, vocabulary cap, and guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import nb
+
+
+def _fit_predict(spark, train_rows, test_rows, vocab_size=100):
+    train = spark.createDataFrame(train_rows,
+                                  "doc_id long, lang string, text string")
+    test = spark.createDataFrame(test_rows, "doc_id long, text string")
+    dense, priors = nb.train_nb(train, vocab_size=vocab_size)
+    return {r.doc_id: r for r in
+            nb.nb_classify(test, dense, priors).collect()}
+
+
+def test_separable_corpus(spark):
+    train = [(i, "aa", "alpha beta gamma delta") for i in range(6)] + \
+            [(i + 10, "zz", "omega psi chi phi") for i in range(6)]
+    out = _fit_predict(spark, train,
+                       [(100, "beta gamma gamma"),
+                        (101, "phi phi omega"),
+                        (102, "beta phi gamma psi chi")])
+    assert out[100].pred == "aa"
+    assert out[101].pred == "zz"
+    assert out[102].pred == "zz"  # 3 zz tokens vs 2 aa tokens
+
+
+def test_prior_fallback_all_oov(spark):
+    # unbalanced priors: 3 aa docs vs 1 zz doc; OOV-only test doc
+    train = [(1, "aa", "left side words"), (2, "aa", "left side words"),
+             (3, "aa", "left side words"), (4, "zz", "right tokens")]
+    out = _fit_predict(spark, train, [(9, "xyzzy quux")])
+    assert out[9].pred == "aa"  # prior argmax, no token evidence
+
+
+def test_tiebreak_label_ascending(spark):
+    # perfectly symmetric training → symmetric scores on neutral doc
+    train = [(1, "bb", "tok"), (2, "aa", "tok")]
+    out = _fit_predict(spark, train, [(5, "tok")])
+    assert out[5].pred == "aa"
+
+
+def test_vocab_cap_excludes_tail_tokens(spark):
+    # cap=1 keeps only the most frequent token ('common'); the rare
+    # distinguishing token is OOV so both test docs follow the prior
+    train = [(1, "aa", "common common common rareaa"),
+             (2, "aa", "common common"),
+             (3, "zz", "common rarezz")]
+    out = _fit_predict(spark, train, [(7, "rareaa"), (8, "rarezz")],
+                       vocab_size=1)
+    assert out[7].pred == "aa" and out[8].pred == "aa"
+    # with the full vocab the rare tokens dominate
+    out2 = _fit_predict(spark, train, [(7, "rareaa"), (8, "rarezz")])
+    assert out2[7].pred == "aa" and out2[8].pred == "zz"
+
+
+def test_guards(spark):
+    train = spark.createDataFrame([(1, "aa", "x")],
+                                  "doc_id long, lang string, text string")
+    with pytest.raises(ValueError):
+        nb.train_nb(train, vocab_size=0)
+
+
+def test_scores_are_exact_integers(spark):
+    """score_micro must be reproducible integer arithmetic: two runs
+    with scrambled partitioning produce identical scores."""
+    train = [(i, "aa" if i % 2 else "zz",
+              f"w{i % 5} w{i % 3} shared") for i in range(40)]
+    test = [(100 + i, f"w{i % 5} shared shared") for i in range(10)]
+    a = _fit_predict(spark, train, test)
+    tr = spark.createDataFrame(train,
+                               "doc_id long, lang string, text string") \
+        .repartition(13)
+    te = spark.createDataFrame(test, "doc_id long, text string") \
+        .repartition(7)
+    dense, priors = nb.train_nb(tr)
+    b = {r.doc_id: r for r in nb.nb_classify(te, dense, priors).collect()}
+    assert {k: (v.pred, v.score_micro) for k, v in a.items()} \
+        == {k: (v.pred, v.score_micro) for k, v in b.items()}
