@@ -43,36 +43,62 @@ def _lnq(x):
     return F.round(F.log(x) * MICRO, 0).cast("long")
 
 
-def train_nb(docs: DataFrame, label_col: str = "lang",
-             text_col: str = "text", vocab_size: int = 2000,
-             materialize: bool = True) -> tuple[DataFrame, DataFrame]:
-    """Train: returns (dense_model, label_priors).
-
-    dense_model — (label, tok, cnt) for EVERY capped-vocab token ×
-    label pair (zeros materialized), so scoring needs no per-label
-    missing-token handling; K×L rows, broadcastable.
-    label_priors — (label, n_docs).
-
-    Both relations are localCheckpointed by default so the
-    corpus-sized token pass runs once even though scoring branches
-    the model several ways (per-label totals, vocab scalar, join)."""
-    if vocab_size < 1:
-        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+def token_label_counts(docs: DataFrame, label_col: str = "lang",
+                       text_col: str = "text") -> DataFrame:
+    """Per-(label, token) occurrence counts — the model's additive
+    sufficient statistic (a bag of counts: per-batch contributions sum
+    to the full-corpus fit, which is what the streaming maintainer
+    relies on)."""
     toks = docs.select(F.col(label_col).alias("label"),
                        F.explode(_tokens(F.col(text_col))).alias("tok"))
-    counts = toks.groupBy("label", "tok").agg(
+    return toks.groupBy("label", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))
-    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+
+
+def label_doc_counts(docs: DataFrame,
+                     label_col: str = "lang") -> DataFrame:
+    """Per-label document counts — the prior's additive sufficient
+    statistic."""
+    return docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def dense_from_counts(counts: DataFrame, priors: DataFrame,
+                      vocab_size: int = 2000,
+                      materialize: bool = True) -> DataFrame:
+    """Dense model from summed counts: cap the vocabulary at the
+    top-``vocab_size`` tokens by total count (desc, token asc — a
+    deterministic TakeOrdered, never a single-partition window) and
+    materialize EVERY capped-vocab token × label pair (zeros
+    included), so scoring needs no per-label missing-token handling;
+    K×L rows, broadcastable. The cap is applied at model-READ time,
+    which is why the stored statistic stays the uncapped additive
+    counts relation."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    vocab = (counts.groupBy("tok").agg(F.sum("cnt").alias("_c"))
              .orderBy(F.col("_c").desc(), F.col("tok").asc())
              .limit(vocab_size).select("tok"))
-    priors = docs.groupBy(F.col(label_col).alias("label")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"))
     dense = (vocab.crossJoin(priors.select("label"))
              .join(counts, ["label", "tok"], "left")
              .select("label", "tok",
                      F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")))
+    return dense.localCheckpoint() if materialize else dense
+
+
+def train_nb(docs: DataFrame, label_col: str = "lang",
+             text_col: str = "text", vocab_size: int = 2000,
+             materialize: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Train: returns (dense_model, label_priors) — see
+    ``dense_from_counts`` for the model shape. Both relations are
+    localCheckpointed by default so the corpus-sized token pass runs
+    once even though scoring branches the model several ways
+    (per-label totals, vocab scalar, join)."""
+    counts = token_label_counts(docs, label_col, text_col)
+    priors = label_doc_counts(docs, label_col)
     if materialize:
-        dense, priors = dense.localCheckpoint(), priors.localCheckpoint()
+        priors = priors.localCheckpoint()
+    dense = dense_from_counts(counts, priors, vocab_size, materialize)
     return dense, priors
 
 

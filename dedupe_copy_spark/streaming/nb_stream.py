@@ -1,0 +1,165 @@
+"""Incremental Naive Bayes over a document stream.
+
+The batch form (operators/nb.py) fits once and classifies once. A
+continuously ingesting pipeline maintains the classifier as it goes:
+
+  - **model maintenance**: NB's sufficient statistics are bags of
+    counts — associative — so each micro-batch appends its
+    (label, tok, cnt) and (label, n_docs) contributions to TWO
+    additive stores; the global model is the per-key sums, identical
+    to training on the concatenation of every batch (test-pinned, the
+    lm_stream/dsir_stream additive-store design). The vocabulary cap
+    is applied at model-READ time (dense_from_counts), so capping
+    never corrupts the stored statistic and a different cap needs no
+    re-ingestion.
+  - **prediction**: each batch is classified against the model as of
+    its ingestion (own labeled rows included — the honest online
+    semantics); ``classify`` replays any relation against the CURRENT
+    model for a deterministic final pass.
+
+Labels ride the same firehose (default: the batch's ``lang`` column);
+rows with NULL labels contribute nothing to the model but are still
+classified — the semi-supervised reality of a tagged-where-possible
+corpus.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py):
+
+    token_counts/batch_id=N/  (label, tok, cnt) of batch N's labeled rows
+    doc_counts/batch_id=N/    (label, n_docs) of batch N's labeled rows
+    predictions/batch_id=N/   (doc_id, pred, score_micro) as of ingestion
+
+At-least-once replay: a re-delivered batch overwrites its own
+subdirectories, so counts never double; its re-computed predictions
+may reflect newer models (documented, same stance as lm_stream).
+``compact`` folds both stores into one base contribution (crash-safe
+via statestore.compact_into).
+
+Scale notes: stored contributions are vocab-bounded per batch;
+classification is the batch-linear explode + broadcast-model join of
+operators/nb.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.nb import (
+    dense_from_counts, label_doc_counts, nb_classify, token_label_counts)
+from dedupe_copy_spark.streaming import statestore
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalNB:
+    """Streaming NB: two additive statistic stores + per-batch
+    as-of-ingestion predictions."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 label_col: str = "lang", vocab_size: int = 2000,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.label_col = label_col
+        self.vocab_size = vocab_size
+        self.id_col = id_col
+        self.text_col = text_col
+        self.counts_path = f"{out_dir}/token_counts"
+        self.priors_path = f"{out_dir}/doc_counts"
+        self.preds_path = f"{out_dir}/predictions"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        labeled = batch_df.filter(F.col(self.label_col).isNotNull())
+        token_label_counts(labeled, self.label_col, self.text_col) \
+            .write.mode("overwrite") \
+            .parquet(f"{self.counts_path}/batch_id={batch_id}")
+        label_doc_counts(labeled, self.label_col) \
+            .write.mode("overwrite") \
+            .parquet(f"{self.priors_path}/batch_id={batch_id}")
+        self.classify(batch_df).write.mode("overwrite") \
+            .parquet(f"{self.preds_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def current_counts(self) -> DataFrame:
+        store = self._read_state(self.counts_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "label string, tok string, cnt long")
+        return store.groupBy("label", "tok").agg(
+            F.sum("cnt").cast("long").alias("cnt"))
+
+    def current_priors(self) -> DataFrame:
+        store = self._read_state(self.priors_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "label string, n_docs long")
+        return store.groupBy("label").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"))
+
+    def classify(self, docs: DataFrame) -> DataFrame:
+        """Classify ``docs`` against the CURRENT accumulated model —
+        what train_nb + nb_classify on the full ingested history
+        would produce (the batch-equivalence contract)."""
+        dense = dense_from_counts(self.current_counts(),
+                                  self.current_priors(),
+                                  self.vocab_size)
+        return nb_classify(docs, dense, self.current_priors(),
+                           id_col=self.id_col, text_col=self.text_col)
+
+    def predictions(self) -> DataFrame:
+        """As-of-ingestion predictions across all batches; a doc
+        re-sent in several batches keeps its latest batch's row."""
+        store = self._read_state(self.preds_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, pred string, score_micro long")
+        latest = store.groupBy(self.id_col).agg(
+            F.max("batch_id").alias("batch_id"))
+        return store.join(latest, [self.id_col, "batch_id"]) \
+            .drop("batch_id")
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold both statistic stores into one base contribution each —
+        bounded file count, identical sums."""
+        store = self._read_state(self.counts_path)
+        if store is not None:
+            folded = store.groupBy("label", "tok").agg(
+                F.sum("cnt").cast("long").alias("cnt"))
+            statestore.compact_into(folded, self.counts_path,
+                                    f"{self.out_dir}/_counts_compact",
+                                    into_batch_id)
+        store = self._read_state(self.priors_path)
+        if store is not None:
+            folded = store.groupBy("label").agg(
+                F.sum("n_docs").cast("long").alias("n_docs"))
+            statestore.compact_into(folded, self.priors_path,
+                                    f"{self.out_dir}/_priors_compact",
+                                    into_batch_id)
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

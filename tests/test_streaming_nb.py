@@ -1,0 +1,110 @@
+"""Incremental NB (streaming/nb_stream.py): additive statistic stores
+equal batch training on the concatenation; classify matches the batch
+operator; NULL labels score but never train; replay follows the
+batch_id-overwrite idempotency contract; compaction preserves sums."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import nb
+from dedupe_copy_spark.streaming.nb_stream import IncrementalNB
+
+AA = "alpha beta gamma delta epsilon "
+ZZ = "omega psi chi phi upsilon "
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_incremental_model_equals_batch_fit_and_classify_matches(
+        spark, tmp_path):
+    out = str(tmp_path / "nb_stream")
+    job = IncrementalNB(spark, out, vocab_size=50)
+    b0 = [(i, AA * 2, "aa") for i in range(4)] \
+        + [(i + 4, ZZ * 2, "zz") for i in range(4)]
+    b1 = [(8, AA + "beta beta", "aa"), (9, ZZ + "phi phi", "zz"),
+          (10, AA + ZZ, None)]          # unlabeled: classified, not trained
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    job.process_batch(_docs(spark, b1), batch_id=1)
+
+    labeled = _docs(spark, b0 + b1).filter(F.col("lang").isNotNull())
+    # statistic stores == batch statistics on the concatenation
+    got_counts = {(r.label, r.tok): r.cnt
+                  for r in job.current_counts().collect()}
+    want_counts = {(r.label, r.tok): r.cnt
+                   for r in nb.token_label_counts(labeled).collect()}
+    assert got_counts == want_counts
+    got_priors = {r.label: r.n_docs for r in job.current_priors().collect()}
+    assert got_priors == {"aa": 5, "zz": 5}
+
+    # classify == batch train_nb + nb_classify on the full history
+    probe = _docs(spark, [(90, "beta gamma", None), (91, "phi psi", None)])
+    got = {(r.doc_id, r.pred, r.score_micro)
+           for r in job.classify(probe).collect()}
+    dense, priors = nb.train_nb(labeled, vocab_size=50)
+    want = {(r.doc_id, r.pred, r.score_micro)
+            for r in nb.nb_classify(probe, dense, priors).collect()}
+    assert got == want
+    assert dict((d, p) for d, p, _ in got) == {90: "aa", 91: "zz"}
+
+    # as-of-ingestion predictions exist for every doc incl. unlabeled
+    preds = {r.doc_id: r.pred for r in job.predictions().collect()}
+    assert set(preds) == set(range(11))
+    assert preds[10] in ("aa", "zz")
+
+
+def test_replay_never_double_counts(spark, tmp_path):
+    out = str(tmp_path / "nb_replay")
+    job = IncrementalNB(spark, out, vocab_size=50)
+    b0 = [(1, AA, "aa"), (2, ZZ, "zz")]
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    job.process_batch(_docs(spark, [(3, AA, "aa")]), batch_id=1)
+    job.process_batch(_docs(spark, b0), batch_id=0)   # at-least-once
+
+    labeled = _docs(spark, b0 + [(3, AA, "aa")])
+    got = {(r.label, r.tok): r.cnt
+           for r in job.current_counts().collect()}
+    want = {(r.label, r.tok): r.cnt
+            for r in nb.token_label_counts(labeled).collect()}
+    assert got == want
+    assert {r.label: r.n_docs for r in job.current_priors().collect()} \
+        == {"aa": 2, "zz": 1}
+    assert sorted(r.doc_id for r in job.predictions().collect()) == [1, 2, 3]
+
+
+def test_compaction_preserves_model(spark, tmp_path):
+    out = str(tmp_path / "nb_compact")
+    job = IncrementalNB(spark, out, vocab_size=50)
+    job.process_batch(_docs(spark, [(1, AA, "aa")]), batch_id=0)
+    job.process_batch(_docs(spark, [(2, ZZ, "zz")]), batch_id=1)
+    before_c = {(r.label, r.tok): r.cnt
+                for r in job.current_counts().collect()}
+    before_p = {r.label: r.n_docs for r in job.current_priors().collect()}
+    job.compact()
+    assert {(r.label, r.tok): r.cnt
+            for r in job.current_counts().collect()} == before_c
+    assert {r.label: r.n_docs
+            for r in job.current_priors().collect()} == before_p
+    job.process_batch(_docs(spark, [(3, AA, "aa")]), batch_id=2)
+    assert {r.label: r.n_docs for r in job.current_priors().collect()} \
+        == {"aa": 2, "zz": 1}
+
+
+def test_stream_wiring_available_now(spark, tmp_path):
+    out = str(tmp_path / "nb_wire")
+    watch = str(tmp_path / "incoming")
+    _docs(spark, [(1, AA, "aa"), (2, ZZ, "zz")]) \
+        .withColumn("source", F.lit(None).cast("string")) \
+        .withColumn("n_chars", F.lit(None).cast("long")) \
+        .write.mode("overwrite").parquet(watch)
+    job = IncrementalNB(spark, out, vocab_size=50)
+    q = job.start(watch)
+    q.awaitTermination(60)
+    for _ in range(20):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    rows = {r.doc_id: r.pred for r in job.predictions().collect()}
+    assert rows == {1: "aa", 2: "zz"}
