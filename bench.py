@@ -150,6 +150,9 @@ HEADLINE = [
     # round 4: supervised multinomial NB (closed-form train, broadcast
     # dense model, integer micro-nat scoring)
     "nb_classify",
+    # round 4: exact-count stratified eval carving (largest-remainder
+    # quotas + bucketed distributed order statistic)
+    "eval_carve",
 ]
 
 

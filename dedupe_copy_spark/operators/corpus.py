@@ -280,6 +280,90 @@ def cluster_split(docs: DataFrame, clusters: DataFrame | None = None,
     return out.drop(tmp)
 
 
+def carve_eval(docs: DataFrame, eval_total: int,
+               stratum_col: str = "lang",
+               id_col: str = "doc_id",
+               bucket_chars: int = 2) -> DataFrame:
+    """Exact-count stratified eval-set carving: select EXACTLY
+    ``eval_total`` documents, allocated across strata by the
+    largest-remainder method (the apportionment rule that makes
+    per-stratum quotas sum to the total with proportions as close as
+    integer counts allow), each stratum's members chosen as its
+    quota_s smallest md5(id) keys — deterministic, stable under corpus
+    growth elsewhere, engine-replayable.
+
+    ``dataset_split`` gives PROPORTIONAL splits (counts drift with the
+    hash); eval sets need exact sizes ("carve exactly 5,000 eval docs,
+    stratified by lang"). Quota math is all integers: base_s =
+    (T*n_s) div N, scaled remainder rem_s = T*n_s - base_s*N, and the
+    T - Σbase leftover seats go to the largest rem_s (stratum asc on
+    ties).
+
+    The selection is a distributed ORDER STATISTIC, not a global
+    rank: a window over a 10^10-doc stratum is one task sorting the
+    whole stratum. Instead md5 keys are split into 16^bucket_chars
+    prefix buckets; per-(stratum, bucket) counts (map-side agg) +
+    a strata×buckets cumulative sum decide each bucket wholesale —
+    buckets entirely below the quota boundary are taken whole with no
+    sort at all, and ONLY the single boundary bucket per stratum is
+    window-ranked (1/256th of the stratum at the default width; raise
+    bucket_chars as strata grow). Proven equivalent to the naive
+    per-stratum rank by construction and by test.
+    """
+    if eval_total < 0:
+        raise ValueError(f"eval_total must be >= 0, got {eval_total}")
+    from pyspark.sql import Window
+
+    key = F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
+    strata = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"))
+    tot = strata.agg(F.sum("n_s").cast("long").alias("_n"))
+    q = (strata.crossJoin(F.broadcast(tot))
+         .withColumn("base", F.expr(f"({eval_total} * n_s) div _n"))
+         .withColumn("rem", F.lit(eval_total) * F.col("n_s")
+                     - F.col("base") * F.col("_n")))
+    # leftover seats + ranking live on the #strata-row relation — the
+    # single-partition windows here sort strata, never documents
+    seats = q.agg((F.lit(eval_total) - F.sum("base")).alias("_seats"))
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    quotas = (q.withColumn("_rn", F.row_number().over(w_rem))
+              .crossJoin(F.broadcast(seats))
+              .select("stratum", "n_s",
+                      F.least(
+                          F.col("base")
+                          + (F.col("_rn") <= F.col("_seats")).cast("long"),
+                          F.col("n_s")).alias("quota")))
+
+    bucketed = docs.select(
+        F.col(id_col), F.col(stratum_col).alias("stratum"),
+        key.alias("_key"),
+        F.substring(key, 1, bucket_chars).alias("_bucket"))
+    bcnt = bucketed.groupBy("stratum", "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_bcnt"))
+    w_cum = (Window.partitionBy("stratum").orderBy("_bucket")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    plan = (bcnt.withColumn(
+        "_before", F.coalesce(F.sum("_bcnt").over(w_cum), F.lit(0)))
+        .join(quotas.select("stratum", "quota"), "stratum")
+        .select("stratum", "_bucket",
+                (F.col("_before") + F.col("_bcnt") <= F.col("quota"))
+                .alias("_whole"),
+                ((F.col("_before") < F.col("quota"))
+                 & (F.col("_before") + F.col("_bcnt") > F.col("quota")))
+                .alias("_boundary"),
+                (F.col("quota") - F.col("_before")).alias("_need")))
+    rows = bucketed.join(F.broadcast(plan), ["stratum", "_bucket"])
+    whole = rows.filter(F.col("_whole")) \
+        .select(id_col, "stratum")
+    w_in = Window.partitionBy("stratum", "_bucket") \
+        .orderBy("_key", id_col)
+    bnd = (rows.filter(F.col("_boundary"))
+           .withColumn("_rn", F.row_number().over(w_in))
+           .filter(F.col("_rn") <= F.col("_need"))
+           .select(id_col, "stratum"))
+    return whole.unionByName(bnd)
+
+
 def quality_filter(docs: DataFrame, text_col: str = "text",
                    min_tokens: int = 16, max_avg_token_len: float = 12.0,
                    stop_words: tuple[str, ...] = ("the", "and", "of", "to",

@@ -334,6 +334,15 @@ CHECKS = {
          and re.search(r"hashpartitioning\(_part", p)),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "eval_carve": [
+        ("document-sized windows are keyed by (stratum, bucket) — the "
+         "boundary slice, never a whole stratum in one task",
+         lambda p: re.search(r"windowpartitionspec.*_bucket", p.lower())
+         or "_bucket" in p),
+        ("bucket plan broadcasts back to the data (strata×256 rows)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "nb_classify": [
         ("model joins are broadcast (dense model + totals + priors "
          "ship to executors; token stream never reshuffles for them)",

@@ -2306,6 +2306,66 @@ def clone_groups_type2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_groups(_seeded_code_docs(spark, sf_dir), level=2)
 
 
+@register("eval_carve", """
+WITH strata AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_s
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_s) AS BIGINT) AS n FROM strata
+), q AS (
+  SELECT stratum, n_s, (100 * n_s) // n AS base,
+         100 * n_s - ((100 * n_s) // n) * n AS rem
+  FROM strata, tot
+), seats AS (
+  SELECT 100 - CAST(sum(base) AS BIGINT) AS s FROM q
+), quotas AS (
+  SELECT stratum,
+         least(base + (row_number() OVER (ORDER BY rem DESC, stratum ASC)
+                       <= s)::BIGINT, n_s) AS quota
+  FROM q, seats
+), bucketed AS (
+  SELECT doc_id, lang AS stratum,
+         md5(coalesce(CAST(doc_id AS VARCHAR), '')) AS k,
+         substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 2) AS b
+  FROM documents
+), bcnt AS (
+  SELECT stratum, b, CAST(count(*) AS BIGINT) AS c,
+         coalesce(sum(count(*)) OVER (
+           PARTITION BY stratum ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM bucketed GROUP BY stratum, b
+), plan AS (
+  SELECT bc.stratum, bc.b,
+         (bc.before + bc.c <= qu.quota) AS whole,
+         (bc.before < qu.quota AND bc.before + bc.c > qu.quota) AS boundary,
+         qu.quota - bc.before AS need
+  FROM bcnt bc JOIN quotas qu ON bc.stratum = qu.stratum
+), rows_ AS (
+  SELECT bu.doc_id, bu.stratum, bu.k, bu.b, p.whole, p.boundary, p.need
+  FROM bucketed bu JOIN plan p ON bu.stratum = p.stratum AND bu.b = p.b
+)
+SELECT doc_id, stratum FROM rows_ WHERE whole
+UNION ALL
+SELECT doc_id, stratum FROM (
+  SELECT doc_id, stratum, need,
+         row_number() OVER (PARTITION BY stratum, b
+                            ORDER BY k, doc_id) AS rn
+  FROM rows_ WHERE boundary
+) WHERE rn <= need
+""")
+def eval_carve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified eval carving: exactly 100 docs allocated
+    across lang strata by largest remainder, each stratum's members =
+    its quota smallest md5(doc_id) keys, selected via the bucketed
+    distributed order statistic (whole buckets below the boundary,
+    window only inside the boundary bucket). The oracle replays quota
+    apportionment, bucket counts, and boundary ranking row for row."""
+    from dedupe_copy_spark.operators.corpus import carve_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return carve_eval(docs, eval_total=100, stratum_col="lang")
+
+
 # Domain-mix weights for the registered query: even-numbered sources
 # upweighted 3:1 over odd ones. BOTH the Spark literal table and the
 # oracle VALUES clause are generated from this one dict (normalized in

@@ -538,6 +538,59 @@ def test_assemble_sequences_matches_reference(spark):
     assert all(r.full_len for r in rows)
 
 
+def _lr_quotas(counts, total):
+    """Pure-Python largest-remainder apportionment."""
+    n = sum(counts.values())
+    base = {s: (total * c) // n for s, c in counts.items()}
+    rem = {s: total * c - base[s] * n for s, c in counts.items()}
+    seats = total - sum(base.values())
+    order = sorted(counts, key=lambda s: (-rem[s], s))
+    return {s: min(base[s] + (1 if i < seats else 0), counts[s])
+            for i, s in enumerate(order)}
+
+
+def test_carve_eval_matches_naive_rank(spark):
+    """Bucketed order-statistic selection == the naive per-stratum
+    'quota smallest md5 keys' rank, and quotas == largest remainder."""
+    import hashlib
+
+    rows = [(i, ["aa", "bb", "cc"][i % 3] if i % 7 else "dd")
+            for i in range(211)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string") \
+        .repartition(9)
+    total = 40
+    got = [(r.doc_id, r.stratum) for r in
+           corpus.carve_eval(docs, total, stratum_col="lang").collect()]
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    quotas = _lr_quotas(counts, total)
+    # naive selection: per stratum, the quota smallest md5(doc_id)
+    by_s = {}
+    for i, s in rows:
+        by_s.setdefault(s, []).append(i)
+    want = set()
+    for s, ids in by_s.items():
+        ranked = sorted(ids, key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))
+        want |= {(i, s) for i in ranked[:quotas[s]]}
+    assert len(got) == total
+    assert set(got) == want
+
+
+def test_carve_eval_edges(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, "aa" if i < 8 else "bb") for i in range(10)],
+        "doc_id long, lang string")
+    assert corpus.carve_eval(docs, 0, stratum_col="lang").count() == 0
+    # total == N keeps everything
+    assert corpus.carve_eval(docs, 10, stratum_col="lang").count() == 10
+    with _pytest.raises(ValueError):
+        corpus.carve_eval(docs, -1)
+
+
 def test_mask_dup_spans_known_coverage(spark):
     """Hand-computable fixture with n=3 grams: docs 1 and 2 share the
     span 'a b c d' (two overlapping dup 3-grams: 'a b c', 'b c d');
