@@ -68,6 +68,17 @@ class DedupeConfig:
     winnow_threshold: float = 0.5     # overlap coefficient floor
     winnow_max_bucket: int = 64       # fingerprint-hash bucket cap
 
+    # --- clone edges (optional 5th near-dup branch; code corpora) ---
+    # Type-2 clone classes (functions/code.py normalization: comments/
+    # whitespace/identifier-names abstracted away) as dup edges. An
+    # identifier-renamed copy shares few RAW shingles — MinHash,
+    # containment, and winnowing can all sit below their floors while
+    # the normalized forms are byte-identical. Detection is a
+    # hash-groupBy star (row → group-min), so unlike the pairwise
+    # branches this one adds no candidate-explosion risk at any scale.
+    clone_edges: bool = False
+    clone_level: int = 2              # 1 = whitespace/comments only
+
     # --- scale / skew ---
     # hot-bucket control is the width cap (+ AQE skew-join as backstop);
     # SURVEY §7.4's explicit salt columns were superseded by it — a salt

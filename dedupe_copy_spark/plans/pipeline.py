@@ -161,6 +161,21 @@ class DedupePipeline:
                               F.lit("winnow").alias("kind"),
                               F.col("score")))
                 out = out.unionByName(wn)
+            if cfg.clone_edges:
+                from dedupe_copy_spark.operators.clones import clone_assignments
+
+                lab = clone_assignments(reps, level=cfg.clone_level,
+                                        id_col="file_id",
+                                        text_col="content")
+                gm = lab.groupBy("clone_key").agg(
+                    F.min("file_id").alias("_dst"))
+                cl = (lab.join(gm, "clone_key")
+                      .filter(F.col("file_id") != F.col("_dst"))
+                      .select(F.col("file_id").alias("id_a"),
+                              F.col("_dst").alias("id_b"),
+                              F.lit("clone").alias("kind"),
+                              F.lit(1.0).alias("score")))
+                out = out.unionByName(cl)
             return out
 
         return self._stage("s3_near_pairs", compute)

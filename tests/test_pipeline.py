@@ -144,3 +144,49 @@ def test_winnow_edges_catch_scattered_clones(spark):
     assert s_off != b_off, "default pipeline should miss the scattered clone"
     s_on, b_on = cluster_of(DedupeConfig(winnow_edges=True))
     assert s_on == b_on, "winnow edges should merge the scattered clone"
+
+
+def test_clone_edges_catch_identifier_renamed_copies(spark):
+    """The Type-2 case: doc R renames EVERY identifier of doc O (and
+    rewrites comments), so raw shingle Jaccard is near zero — MinHash,
+    containment, and winnowing all miss the pair and the default
+    pipeline leaves them in separate clusters. With cfg.clone_edges the
+    normalized forms are byte-identical and the pair clusters
+    together."""
+    from dedupe_copy_spark import DedupeConfig
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    def prog(v, c):
+        lines = [f"// {c} header note"]
+        for i in range(12):
+            lines.append(f"int {v}{i} = compute_{v}({v}{i - 1}, {i});"
+                         if i else f"int {v}0 = seed_{v}();")
+        lines.append(f"return merge_{v}(" +
+                     ", ".join(f"{v}{i}" for i in range(12)) + ");")
+        return "\n".join(lines)
+
+    decoys = [(f"r{i}", f"d{i}.c", "c0", "c",
+               f"void d{i}() {{ puts(\"decoy {i} body text\"); }}" * 4)
+              for i in range(6)]
+    rows = [("ro", "orig.c", "c0", "c", prog("alpha", "original")),
+            ("rr", "renamed.c", "c0", "c", prog("zeta", "rewritten"))] \
+        + decoys
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+    def cluster_of(cfg):
+        res = DedupePipeline(spark, cfg).run(files)
+        assigned = {r.path: r.cluster_id
+                    for r in res.clusters.join(
+                        res.hashed.select("file_id", "path"), "file_id")
+                    .collect()}
+        return assigned["orig.c"], assigned["renamed.c"]
+
+    o_off, r_off = cluster_of(DedupeConfig())
+    assert o_off != r_off, "default pipeline should miss the Type-2 clone"
+    o_on, r_on = cluster_of(DedupeConfig(clone_edges=True))
+    assert o_on == r_on, "clone edges should merge the renamed copy"
+    # clone edges are star edges with kind tagging
+    res = DedupePipeline(spark, DedupeConfig(clone_edges=True)).run(files)
+    kinds = {r.kind for r in res.pairs.collect()}
+    assert "clone" in kinds
