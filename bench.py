@@ -153,6 +153,9 @@ HEADLINE = [
     # round 4: exact-count stratified eval carving (largest-remainder
     # quotas + bucketed distributed order statistic)
     "eval_carve",
+    # round 4: train-vs-eval leakage removal (exact + Type-2 clone keys
+    # + fuzzy-pair hook; broadcast semi-joins, no pairwise stage)
+    "eval_decontaminate",
 ]
 
 

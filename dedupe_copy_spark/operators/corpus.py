@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dedupe_copy_spark.functions.code import normalize_code
 from dedupe_copy_spark.operators.textstats import array_ngrams
 
 _TOKEN_RE = r"[a-z0-9_]+"
@@ -362,6 +363,63 @@ def carve_eval(docs: DataFrame, eval_total: int,
            .filter(F.col("_rn") <= F.col("_need"))
            .select(id_col, "stratum"))
     return whole.unionByName(bnd)
+
+
+def eval_decontaminate(docs: DataFrame, eval_set: DataFrame,
+                       extra_pairs: DataFrame | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Training-set decontamination against a held-out eval set: flag
+    every NON-eval doc whose content leaks into eval — (id, reason)
+    with reason ∈ {'exact', 'clone', 'pair'} by priority. The GPT-3 /
+    Pile lesson in operator form: carving an eval set is meaningless
+    if a byte-identical or trivially-reformatted copy of an eval doc
+    stays in train.
+
+    Matching tiers, each a broadcast-able semi-join against the (small)
+    eval relation — no pairwise stage:
+      - 'exact': sha256(text) appears in eval;
+      - 'clone': Type-2 normalized clone key appears in eval
+        (functions/code.py — comment / whitespace / identifier-rename
+        copies);
+      - 'pair':  (id_a, id_b) rows from ``extra_pairs`` — the hook for
+        fuzzy evidence (MinHash/containment/winnow edges from the
+        dedup pipeline); either orientation links a train doc to an
+        eval doc.
+
+    ``eval_set`` needs only ``id_col`` (e.g. ``carve_eval`` output).
+    Output lists the DROP set; train = docs anti-join drops."""
+    eval_ids = eval_set.select(F.col(id_col))
+    keyed = docs.select(
+        F.col(id_col),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_sha"),
+        F.sha2(normalize_code(F.col(text_col), abstract_identifiers=True),
+               256).alias("_ck"))
+    is_eval = keyed.join(eval_ids, id_col, "semi")
+    train = keyed.join(eval_ids, id_col, "anti")
+    exact_hit = train.join(
+        F.broadcast(is_eval.select("_sha").distinct()), "_sha", "semi") \
+        .select(id_col, F.lit("exact").alias("reason"))
+    clone_hit = train.join(
+        F.broadcast(is_eval.select("_ck").distinct()), "_ck", "semi") \
+        .select(id_col, F.lit("clone").alias("reason"))
+    hits = exact_hit.unionByName(clone_hit)
+    if extra_pairs is not None:
+        a = extra_pairs.select(F.col("id_a").alias(id_col),
+                               F.col("id_b").alias("_other"))
+        b = extra_pairs.select(F.col("id_b").alias(id_col),
+                               F.col("id_a").alias("_other"))
+        linked = (a.unionByName(b)
+                  .join(eval_ids.withColumnRenamed(id_col, "_other"),
+                        "_other", "semi")
+                  .join(eval_ids, id_col, "anti")
+                  .select(id_col, F.lit("pair").alias("reason")))
+        hits = hits.unionByName(linked)
+    pri = F.when(F.col("reason") == "exact", 0) \
+        .when(F.col("reason") == "clone", 1).otherwise(2)
+    return (hits.withColumn("_p", pri)
+            .groupBy(id_col)
+            .agg(F.min_by("reason", "_p").alias("reason")))
 
 
 def quality_filter(docs: DataFrame, text_col: str = "text",

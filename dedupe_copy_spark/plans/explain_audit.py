@@ -343,6 +343,12 @@ CHECKS = {
          lambda p: "BroadcastHashJoin" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "eval_decontaminate": [
+        ("leak detection is semi-joins against broadcast eval keys — "
+         "no pairwise stage",
+         lambda p: "BroadcastHashJoin" in p and "LeftSemi" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ],
     "nb_classify": [
         ("model joins are broadcast (dense model + totals + priors "
          "ship to executors; token stream never reshuffles for them)",

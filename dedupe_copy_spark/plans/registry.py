@@ -2306,7 +2306,7 @@ def clone_groups_type2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_groups(_seeded_code_docs(spark, sf_dir), level=2)
 
 
-@register("eval_carve", """
+_EVAL_CARVE_SQL = """
 WITH strata AS (
   SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_s
   FROM documents GROUP BY lang
@@ -2352,7 +2352,10 @@ SELECT doc_id, stratum FROM (
                             ORDER BY k, doc_id) AS rn
   FROM rows_ WHERE boundary
 ) WHERE rn <= need
-""")
+"""
+
+
+@register("eval_carve", _EVAL_CARVE_SQL)
 def eval_carve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-count stratified eval carving: exactly 100 docs allocated
     across lang strata by largest remainder, each stratum's members =
@@ -2364,6 +2367,48 @@ def eval_carve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return carve_eval(docs, eval_total=100, stratum_col="lang")
+
+
+def _decontaminate_oracle_sql() -> str:
+    from dedupe_copy_spark.functions.code import normalize_code_sql
+
+    ck = normalize_code_sql("text", abstract_identifiers=True)
+    return f"""
+WITH seeded AS ({_seeded_code_sql()}),
+ev AS (SELECT doc_id FROM ({_EVAL_CARVE_SQL})),
+keyed AS (
+  SELECT doc_id, sha256(coalesce(text, '')) AS sha, sha256({ck}) AS ck
+  FROM seeded
+), evk AS (
+  SELECT k.* FROM keyed k JOIN ev ON ev.doc_id = k.doc_id
+), train AS (
+  SELECT k.* FROM keyed k WHERE k.doc_id NOT IN (SELECT doc_id FROM ev)
+), hits AS (
+  SELECT doc_id, 'exact' AS reason, 0 AS p FROM train
+  WHERE sha IN (SELECT DISTINCT sha FROM evk)
+  UNION ALL
+  SELECT doc_id, 'clone' AS reason, 1 AS p FROM train
+  WHERE ck IN (SELECT DISTINCT ck FROM evk)
+)
+SELECT doc_id, arg_min(reason, p) AS reason FROM hits GROUP BY doc_id
+"""
+
+
+@register("eval_decontaminate", _decontaminate_oracle_sql())
+def eval_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval leakage removal over the snippet-seeded corpus:
+    carve the 100-doc eval set, then flag every train doc whose exact
+    sha256 OR Type-2 clone key appears in eval (reformatted and
+    identifier-renamed leaks included). The oracle replays the carve,
+    both key derivations, and the reason priority."""
+    from dedupe_copy_spark.operators.corpus import (
+        carve_eval, eval_decontaminate)
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = _seeded_code_docs(spark, sf_dir) \
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    ev = carve_eval(docs, eval_total=100, stratum_col="lang")
+    return eval_decontaminate(seeded, ev)
 
 
 # Domain-mix weights for the registered query: even-numbered sources

@@ -591,6 +591,42 @@ def test_carve_eval_edges(spark):
         corpus.carve_eval(docs, -1)
 
 
+def test_eval_decontaminate_tiers_and_priority(spark):
+    prog = "int total = 0; // sum\nreturn total;"
+    renamed = "int acc = 0; /* accumulate */\nreturn acc;"
+    docs = spark.createDataFrame(
+        [(1, prog),                    # eval member
+         (2, prog),                    # exact leak
+         (3, renamed),                 # Type-2 clone leak
+         (4, "completely different"),  # clean
+         (5, "fuzzy variant body"),    # linked only via extra_pairs
+         (6, "fuzzy but train-only")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(1,)], "doc_id long")
+    out = {r.doc_id: r.reason
+           for r in corpus.eval_decontaminate(docs, ev).collect()}
+    assert out == {2: "exact", 3: "clone"}  # eval row itself never flagged
+    pairs = spark.createDataFrame(
+        [(1, 5), (6, 4), (2, 1)],  # train-eval, train-train, dup evidence
+        "id_a long, id_b long")
+    out2 = {r.doc_id: r.reason
+            for r in corpus.eval_decontaminate(docs, ev, pairs).collect()}
+    # priority: doc 2 is exact even though also pair-linked; 5 is pair;
+    # 6-4 is train-train so neither is flagged by it
+    assert out2 == {2: "exact", 3: "clone", 5: "pair"}
+
+
+def test_eval_decontaminate_registered_nonvacuous(spark):
+    from dedupe_copy_spark.plans.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["eval_decontaminate"](
+        spark, "/root/testdata/sf0.001").collect()
+    reasons = {r.reason for r in rows}
+    # seeded snippets guarantee both tiers fire once any residue doc
+    # lands in the 100-doc eval set (18 docs per residue class of 300)
+    assert "exact" in reasons and "clone" in reasons
+
+
 def test_mask_dup_spans_known_coverage(spark):
     """Hand-computable fixture with n=3 grams: docs 1 and 2 share the
     span 'a b c d' (two overlapping dup 3-grams: 'a b c', 'b c d');
