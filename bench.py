@@ -156,6 +156,9 @@ HEADLINE = [
     # round 4: train-vs-eval leakage removal (exact + Type-2 clone keys
     # + fuzzy-pair hook; broadcast semi-joins, no pairwise stage)
     "eval_decontaminate",
+    # round 4: exact-k weighted sampling (Efraimidis-Spirakis,
+    # quantized keys, global top-k)
+    "weighted_sample",
 ]
 
 

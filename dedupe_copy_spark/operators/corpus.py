@@ -365,6 +365,39 @@ def carve_eval(docs: DataFrame, eval_total: int,
     return whole.unionByName(bnd)
 
 
+def weighted_sample(docs: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: exactly
+    ``k`` rows, each row's inclusion probability proportional to its
+    weight — Efraimidis & Spirakis (IPL 2006, public algorithm): draw
+    u ~ U(0,1) per row, keep the k largest u^(1/w), equivalently the k
+    SMALLEST -ln(u)/w. Completes the sampling family: ``hash_sample``
+    = fixed rate, ``carve_eval`` = exact count stratified, this =
+    exact count weighted (sample high-quality docs more often, or
+    inverse-cluster-size to deduplicate softly).
+
+    Determinism + engine parity: u comes from the row's md5 (first 12
+    hex digits over 16^12 — uniform, stable across runs and engines,
+    never exactly 0), and the sort key -ln(u)/w is quantized to one
+    integer micro-nat rounding, so both engines rank the identical
+    BIGINT key (float ulp drift cannot reorder the boundary); ties
+    break on id. Selection is a global top-k (TakeOrdered — no
+    single-partition sort); rows with weight <= 0 or NULL are
+    excluded, the standard ES convention."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    u = (F.conv(F.substring(
+        F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+        1, 12), 16, 10).cast("double") + 1.0) / float(16 ** 12)
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double") * 1_000_000,
+                  0).cast("long")
+    return (docs.filter(F.col(weight_col).isNotNull()
+                        & (F.col(weight_col) > 0))
+            .withColumn("es_key", key)
+            .orderBy("es_key", id_col)
+            .limit(k))
+
+
 def eval_decontaminate(docs: DataFrame, eval_set: DataFrame,
                        extra_pairs: DataFrame | None = None,
                        id_col: str = "doc_id",

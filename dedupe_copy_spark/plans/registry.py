@@ -2369,6 +2369,40 @@ def eval_carve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carve_eval(docs, eval_total=100, stratum_col="lang")
 
 
+@register("weighted_sample", """
+WITH w AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9_]+')) AS BIGINT) + 1 AS wt,
+         (('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')),
+                             1, 12))::BIGINT::DOUBLE + 1.0)
+           / 281474976710656.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(round(-ln(u) / CAST(wt AS DOUBLE) * 1000000, 0) AS BIGINT)
+         AS es_key
+FROM w WHERE wt > 0
+ORDER BY es_key, doc_id LIMIT 100
+""")
+def weighted_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling (Efraimidis-Spirakis, weight =
+    token count + 1): md5-derived uniform draw, -ln(u)/w quantized to
+    one integer micro-nat key, global top-100. The oracle replays the
+    draw, the quantization, and the ranked cutoff — the emitted es_key
+    column pins every selected row's exact key."""
+    from dedupe_copy_spark.operators.corpus import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", "text",
+        (F.size(F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit(r"[a-z0-9_]+"), 0)) + 1).cast("long").alias("wt"))
+    return weighted_sample(sized, k=100, weight_col="wt") \
+        .select("doc_id", "lang", "es_key")
+
+
 def _decontaminate_oracle_sql() -> str:
     from dedupe_copy_spark.functions.code import normalize_code_sql
 

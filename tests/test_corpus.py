@@ -591,6 +591,39 @@ def test_carve_eval_edges(spark):
         corpus.carve_eval(docs, -1)
 
 
+def test_weighted_sample_matches_reference_and_conventions(spark):
+    import hashlib
+    import math
+
+    rows = [(i, float((i * 13) % 50 + 1)) for i in range(300)] \
+        + [(900, 0.0), (901, None)]       # excluded by convention
+    docs = spark.createDataFrame(rows, "doc_id long, w double") \
+        .repartition(7)
+    k = 40
+    got = [(r.doc_id, r.es_key) for r in
+           corpus.weighted_sample(docs, k, weight_col="w").collect()]
+
+    def key(i, w):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        u = (v + 1.0) / 16 ** 12
+        return round(-math.log(u) / w * 1_000_000)
+
+    ranked = sorted(((key(i, w), i) for i, w in rows if w), )[:k]
+    assert got == [(i, kk) for kk, i in ranked]  # order + keys exact
+    assert 900 not in {i for i, _ in got} and 901 not in {i
+                                                          for i, _ in got}
+    # a dominant weight is (essentially) always selected
+    docs2 = spark.createDataFrame(
+        [(0, 1e9)] + [(i, 1.0) for i in range(1, 200)],
+        "doc_id long, w double")
+    assert 0 in {r.doc_id
+                 for r in corpus.weighted_sample(docs2, 5, "w").collect()}
+    # k >= positive-weight rows keeps them all
+    assert corpus.weighted_sample(docs, 10_000, "w").count() == 300
+    with pytest.raises(ValueError):
+        corpus.weighted_sample(docs, -1, "w")
+
+
 def test_eval_decontaminate_tiers_and_priority(spark):
     prog = "int total = 0; // sum\nreturn total;"
     renamed = "int acc = 0; /* accumulate */\nreturn acc;"
