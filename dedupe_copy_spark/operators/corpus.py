@@ -1573,3 +1573,111 @@ def domain_frequency_cap(docs: DataFrame, cap: int,
             .withColumn("domain", domain)
             .withColumn("domain_rank", F.row_number().over(w).cast("long"))
             .filter(F.col("domain_rank") <= cap))
+
+
+def unimax_allocation(docs: DataFrame, budget_tokens: int,
+                      epoch_cap: int = 4,
+                      lang_col: str = "lang",
+                      key_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total token budget across languages by
+    WATERFILLING — every language gets an equal share of the budget
+    except that no language may be repeated more than ``epoch_cap``
+    epochs, and budget freed by capped (small) languages is spread
+    evenly over the rest. Fixes both failure modes of proportional
+    sampling (head languages swamp the mix) and uniform sampling (tail
+    languages repeat thousands of epochs and memorize).
+
+    Closed form, fully in-plan: languages sorted ascending by supply
+    cap_i = epoch_cap * tokens_i; a language is capped iff granting the
+    full cap to it and every LARGER language would still fit the budget
+    (prefix-sum test — the capped set is always a prefix of the sort);
+    everyone else receives the uniform residue u = (B - Σ capped) /
+    n_uncapped. The window runs over the LANGUAGE relation (hundreds of
+    rows at worst), never over docs; doc-level work is one agg to build
+    the relation and one broadcast-joined count for the residual-epoch
+    draw (the domain_mix_sample md5-threshold idiom, so the partial
+    epoch is a deterministic, engine-replayable subset).
+
+    Epochs are integral + fractional: rate_i = alloc_i / tokens_i ≤
+    epoch_cap; each doc trains floor(rate) full epochs plus membership
+    in one md5-thresholded partial epoch. All emitted reals are
+    quantized to integer micro-units so both engines rank and compare
+    identical BIGINTs.
+
+    Output, one row per language:
+      (lang, n_docs, tokens, capped, alloc_micro, full_epochs,
+       resid_micro, n_resid_docs).
+    """
+    if budget_tokens <= 0 or epoch_cap <= 0:
+        raise ValueError("budget_tokens and epoch_cap must be positive")
+    toks = F.size(F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"[a-z0-9_]+"), 0)).cast("long")
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"), F.col(key_col).alias("_k"),
+        toks.alias("_t"))
+    stats = (per_doc.groupBy("lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("_t").cast("long").alias("tokens"))
+             .filter(F.col("tokens") > 0))
+    # waterfill over the tiny language relation (single-task window is
+    # the POINT here: #languages rows, not #docs)
+    w_ord = Window.orderBy(F.col("_cap").asc(), F.col("lang").asc())
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    n_langs = Window.partitionBy(F.lit(1))
+    planned = (
+        stats.withColumn("_cap", (F.lit(int(epoch_cap)) * F.col("tokens"))
+                         .cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(n_langs).cast("long"))
+        .withColumn("_rn", F.row_number().over(w_ord).cast("long"))
+        .withColumn("_pre", F.coalesce(F.sum("_cap").over(w_pre),
+                                       F.lit(0)).cast("long"))
+        .withColumn("capped",
+                    F.col("_pre") + F.col("_cap") * (F.col("_n") - F.col("_rn")
+                                                     + F.lit(1))
+                    <= F.lit(int(budget_tokens)))
+    )
+    caps = Window.partitionBy(F.lit(1))
+    alloc = (
+        planned
+        .withColumn("_capped_sum", F.coalesce(F.sum(
+            F.when(F.col("capped"), F.col("_cap"))).over(caps),
+            F.lit(0)).cast("long"))
+        .withColumn("_n_uncapped", F.sum(
+            F.when(F.col("capped"), F.lit(0)).otherwise(F.lit(1)))
+            .over(caps).cast("long"))
+        .withColumn("_alloc", F.when(
+            F.col("capped"), F.col("_cap").cast("double")).otherwise(
+            (F.lit(float(budget_tokens)) - F.col("_capped_sum"))
+            / F.col("_n_uncapped")))
+        .withColumn("_rate", F.col("_alloc") / F.col("tokens").cast("double"))
+        .withColumn("full_epochs", F.floor("_rate").cast("long"))
+        .withColumn("_resid", F.col("_rate") - F.col("full_epochs"))
+    )
+    # residual-epoch membership: md5(key) below the rate-derived hex
+    # threshold (domain_mix_sample idiom) — counted per language
+    thresh = F.lpad(F.lower(F.hex(
+        F.floor(F.col("_resid") * F.lit(4294967296.0)))), 8, "0")
+    rates = alloc.select("lang", thresh.alias("_thresh"))
+    resid_counts = (
+        per_doc.join(rates, "lang")
+        .filter(F.md5(F.col("_k").cast("string")) < F.col("_thresh"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_resid_docs"))
+    )
+    return (
+        alloc.join(resid_counts, "lang", "left")
+        .select(
+            "lang", "n_docs", "tokens", "capped",
+            F.round(F.col("_alloc") * 1_000_000, 0).cast("long")
+            .alias("alloc_micro"),
+            "full_epochs",
+            F.round(F.col("_resid") * 1_000_000, 0).cast("long")
+            .alias("resid_micro"),
+            F.coalesce(F.col("n_resid_docs"), F.lit(0)).cast("long")
+            .alias("n_resid_docs"),
+        )
+    )

@@ -1,0 +1,184 @@
+"""Directory-tree and commit-history operators.
+
+The reference dedupes FILES (identical content digests,
+/root/reference/dedupe_copy/threads.py:403-425). The natural follow-up
+on a source-code corpus is structural: whole duplicated DIRECTORIES
+(vendored libraries copied wholesale, forked repos, build-output trees)
+and commit-history rollups (the "working set" a crawler should train
+on is each path's latest revision, not every historical blob).
+
+Directory identity here is content-structural: two directories are
+duplicates iff their full descendant sets of (relative path, content
+digest) pairs are identical. That is equivalent to equality of
+bottom-up Merkle hashes but computes in ONE pass instead of
+depth-many: every file contributes one entry per ancestor directory
+(explode over path-prefix depth, a Generate — no shuffle), and each
+directory aggregates a COMMUTATIVE signature over its entries:
+
+    sig_s(dir) = sum over descendants of int60(md5(s || relpath || '=' || digest))
+
+for two independent salts s, plus the exact descendant count. A
+commutative sum needs no per-directory sorted entry list, so the
+aggregation is a plain partial+final hash agg — the repo root of a
+million-file repo combines map-side like any other key, no skewed
+collect_list, no giant sorted string. Collision odds for an
+accidental signature match are ~2^-120 per pair (two independent
+60-bit sums + exact count + exact byte total must all collide).
+
+Scale: the exploded relation is (avg path depth) × |files| rows of
+SHORT strings (dir, relpath-hash contributions) — content never rides
+the explode. One Generate + one hash agg + report-sized joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.exact import _number_keys
+
+
+def _int60(col: F.Column) -> F.Column:
+    """First 15 md5 hex digits as a BIGINT (< 2^60): the same
+    engine-portable construction DuckDB replays as
+    ('0x' || substring(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def dir_entries(files: DataFrame) -> DataFrame:
+    """Explode every file into one row per ancestor directory.
+
+    For path ``a/b/c.txt`` the ancestors are '' (repo root), 'a' and
+    'a/b', with relative paths 'a/b/c.txt', 'b/c.txt' and 'c.txt'.
+    Pure Generate + codegen projections: split once, then prefix/suffix
+    joins over the cached array — no Python, no shuffle.
+
+    Requires columns (repo, path, content_sha256, size); emits
+    (repo, dir, relpath, content_sha256, size).
+    """
+    parts = F.split(F.col("path"), "/")
+    return (
+        files.withColumn("_parts", parts)
+        .select(
+            "repo", "content_sha256", "size", "_parts",
+            F.explode(F.sequence(F.lit(0), F.size("_parts") - 1)).alias("_d"),
+        )
+        .select(
+            "repo",
+            F.array_join(F.slice("_parts", 1, F.col("_d")), "/").alias("dir"),
+            F.array_join(
+                F.slice("_parts", F.col("_d") + 1,
+                        F.size("_parts") - F.col("_d")), "/").alias("relpath"),
+            "content_sha256", "size",
+        )
+    )
+
+
+def dir_signatures(files: DataFrame) -> DataFrame:
+    """Per-(repo, dir) subtree signature: exact file count and byte
+    total plus two independent commutative 60-bit hash sums over the
+    (relpath, digest) entry set. Sums are carried as DECIMAL(38,0)
+    (n·2^60 overflows BIGINT long before it overflows 38 digits).
+
+    One shuffle (the dir agg), map-side combined.
+    """
+    ent = dir_entries(files)
+    entry = F.concat(F.col("relpath"), F.lit("="), F.col("content_sha256"))
+    dec = "decimal(38,0)"
+    return ent.groupBy("repo", "dir").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.col("size").cast(dec)).cast(dec).alias("total_bytes"),
+        F.sum(_int60(F.concat(F.lit("1"), entry)).cast(dec)).cast(dec).alias("_sig1"),
+        F.sum(_int60(F.concat(F.lit("2"), entry)).cast(dec)).cast(dec).alias("_sig2"),
+    )
+
+
+def dir_dup_groups(files: DataFrame) -> DataFrame:
+    """Duplicate-directory report: every (repo, dir) whose full subtree
+    (relative paths + content digests) appears under at least one other
+    directory, grouped and numbered like the file-level collision
+    report, with ``is_maximal`` marking subtrees NOT nested inside a
+    larger duplicated tree (if a directory's parent is itself a dup
+    dir, the whole parent — including this child — is duplicated
+    elsewhere, so the child is implied and non-maximal).
+
+    Stages, all report-sized after the first agg:
+      dir_signatures (1 shuffle) → dup keys HAVING >1 (agg on the
+      dir relation) → prefix-bucketed parallel group numbering
+      (exact._number_keys — no single-task global window) → parent
+      semi-join for maximality.
+
+    Output: (group_id, repo, dir, n_files, total_bytes, n_copies,
+    is_maximal), one row per duplicated directory.
+    """
+    sigs = dir_signatures(files)
+    key = F.md5(F.concat_ws(
+        "|", F.col("n_files").cast("string"),
+        F.col("_sig1").cast("string"), F.col("_sig2").cast("string"),
+        F.col("total_bytes").cast("string")))
+    keyed = sigs.withColumn("_key", key)
+    dup_keys = (keyed.groupBy("_key")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+                .filter(F.col("n_copies") > 1))
+    numbered = _number_keys(dup_keys, "_key")
+    dups = keyed.join(numbered, "_key")
+    # parent of '' (repo root) is NULL — roots are always maximal;
+    # parent of a top-level dir is the root ''.
+    parent = F.when(F.col("dir") == "", F.lit(None).cast("string")).otherwise(
+        F.when(~F.col("dir").contains("/"), F.lit("")).otherwise(
+            F.regexp_extract(F.col("dir"), r"^(.*)/[^/]+$", 1)))
+    dup_parents = dups.select(
+        F.col("repo").alias("_prepo"), F.col("dir").alias("_pdir"))
+    flagged = (
+        dups.withColumn("_parent", parent)
+        .join(dup_parents,
+              (F.col("repo") == F.col("_prepo"))
+              & (F.col("_parent") == F.col("_pdir")),
+              "left")
+        .withColumn("is_maximal", F.col("_pdir").isNull())
+    )
+    return flagged.select(
+        "group_id", "repo", "dir", "n_files",
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        "n_copies", "is_maximal")
+
+
+def head_snapshot(files: DataFrame) -> DataFrame:
+    """Latest-revision working set: one row per (repo, path) carrying
+    the lexicographically greatest commit id — the deterministic stand-in
+    for "newest" on an unordered commit column (on a real Iceberg
+    history table the same shape runs keyed on a commit timestamp).
+
+    max_by partial agg — one shuffle on (repo, path), no window, no
+    sort (same shape as exact.keep_first_winners).
+
+    Output: (repo, path, head_commit, content_sha256, size, n_commits).
+    """
+    return files.groupBy("repo", "path").agg(
+        F.max("commit").alias("head_commit"),
+        F.max_by("content_sha256", F.col("commit")).alias("content_sha256"),
+        F.max_by("size", F.col("commit")).cast("long").alias("size"),
+        F.count(F.lit(1)).cast("long").alias("n_commits"),
+    )
+
+
+def path_churn(files: DataFrame) -> DataFrame:
+    """Per-path revision churn: how many commits touched the path and
+    how many DISTINCT contents it held — the signal for "this path is
+    generated/volatile, weight it down" in a training-data crawl.
+    Emits only multi-commit paths (the interesting residue; single-
+    revision paths are the no-signal bulk).
+
+    One shuffle; count-distinct on the digest rides the same agg.
+
+    Output: (repo, path, n_commits, n_versions, is_volatile) where
+    is_volatile flags paths whose every commit changed the content.
+    """
+    return (
+        files.groupBy("repo", "path").agg(
+            F.count(F.lit(1)).cast("long").alias("n_commits"),
+            F.countDistinct("content_sha256").cast("long").alias("n_versions"),
+        )
+        .filter(F.col("n_commits") > 1)
+        .withColumn("is_volatile", F.col("n_versions") == F.col("n_commits"))
+    )

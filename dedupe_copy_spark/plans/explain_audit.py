@@ -701,6 +701,42 @@ CHECKS = {
     "verify_manifest": [
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "dir_dup_groups": [
+        ("no python eval (ancestor explode + signature sums are codegen)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("ancestor fan-out is a Generate (no join against a prefix table)",
+         lambda p: "Generate" in p),
+        ("map-side partial aggregation before the dir exchange "
+         "(commutative signature sums combine locally — giant repo "
+         "roots never ship raw entry rows)",
+         lambda p: "partial_" in p),
+    ],
+    "head_snapshot": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+        ("max_by partial agg, no per-path window/sort",
+         lambda p: "partial_" in p and "Window" not in p),
+    ],
+    "commit_churn": [
+        ("no python eval", lambda p: "EvalPython" not in p),
+        ("partial agg, no window", lambda p: "partial_" in p
+         and "Window" not in p),
+    ],
+    "unimax_allocation": [
+        ("no python eval (waterfill + threshold draw are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("waterfill window runs over the LANGUAGE relation (post-agg), "
+         "never over docs",
+         lambda p: "row_number" in p),
+        ("doc-side work is aggregated map-side (token counts, residual "
+         "draw counts)",
+         lambda p: "partial_" in p),
+    ],
+    "weighted_sample": [
+        ("no python eval (md5-derived u and ES key are codegen)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("global top-k never materializes a full sort (TakeOrdered)",
+         lambda p: "TakeOrderedAndProject" in p),
+    ],
     "winnow_fingerprints": [
         ("fingerprints via ArrowEvalPython (numpy windows), no row python",
          lambda p: "BatchEvalPython" not in p),

@@ -1,0 +1,183 @@
+"""Directory-tree / commit-history operators (operators/tree.py) and
+UniMax allocation (corpus.unimax_allocation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import tree
+from dedupe_copy_spark.operators.corpus import unimax_allocation
+from dedupe_copy_spark.operators.exact import with_digest
+
+FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _files(spark, rows):
+    return with_digest(spark.createDataFrame(rows, FILES_SCHEMA))
+
+
+def test_dir_entries_roots_and_relpaths(spark):
+    f = _files(spark, [("r", "a/b/c.txt", "c1", "en", "x"),
+                       ("r", "top.txt", "c2", "en", "y")])
+    ent = {(r["dir"], r["relpath"]) for r in tree.dir_entries(f).collect()}
+    assert ent == {("", "a/b/c.txt"), ("a", "b/c.txt"), ("a/b", "c.txt"),
+                   ("", "top.txt")}
+
+
+def test_dir_dup_groups_finds_identical_subtrees_and_maximality(spark):
+    # r1 and r2 share an identical vendored tree under different roots;
+    # each has one differing extra file, so the vendored ROOT dir is the
+    # maximal dup and its subdirs are implied (non-maximal).
+    rows = []
+    for repo, extra in (("r1", "one"), ("r2", "two")):
+        rows += [
+            (repo, "vnd/pkg/a.py", "c", "py", "AAA"),
+            (repo, "vnd/pkg/sub/b.py", "c", "py", "BBB"),
+            (repo, "notes.txt", "c", "en", extra),
+        ]
+    out = tree.dir_dup_groups(_files(spark, rows)).collect()
+    by_dir = {}
+    for r in out:
+        by_dir.setdefault(r["dir"], []).append(r)
+    # every shared dir level is a dup pair
+    assert set(by_dir) == {"vnd", "vnd/pkg", "vnd/pkg/sub"}
+    for d, rs in by_dir.items():
+        assert {r["repo"] for r in rs} == {"r1", "r2"}
+        assert all(r["n_copies"] == 2 for r in rs)
+        assert len({r["group_id"] for r in rs}) == 1
+    # maximality: only the top shared dir survives the parent filter
+    assert all(r["is_maximal"] for r in by_dir["vnd"])
+    assert not any(r["is_maximal"] for r in by_dir["vnd/pkg"])
+    assert not any(r["is_maximal"] for r in by_dir["vnd/pkg/sub"])
+    # counts/bytes: vnd holds both files
+    assert by_dir["vnd"][0]["n_files"] == 2
+    assert by_dir["vnd"][0]["total_bytes"] == 6
+
+
+def test_dir_dup_requires_identical_relpaths_not_just_contents(spark):
+    # same contents under DIFFERENT file names → not a duplicate dir
+    rows = [("r1", "d/x.py", "c", "py", "AAA"),
+            ("r2", "d/y.py", "c", "py", "AAA")]
+    assert tree.dir_dup_groups(_files(spark, rows)).count() == 0
+
+
+def test_dir_dup_identical_repo_roots(spark):
+    rows = [("r1", "a.py", "c", "py", "AAA"),
+            ("r2", "a.py", "c", "py", "AAA")]
+    out = tree.dir_dup_groups(_files(spark, rows)).collect()
+    assert {(r["repo"], r["dir"], r["is_maximal"]) for r in out} == {
+        ("r1", "", True), ("r2", "", True)}
+
+
+def test_head_snapshot_picks_max_commit(spark):
+    f = _files(spark, [("r", "a.py", "c1", "py", "old"),
+                       ("r", "a.py", "c9", "py", "new"),
+                       ("r", "b.py", "c1", "py", "only")])
+    head = {r["path"]: r for r in tree.head_snapshot(f).collect()}
+    import hashlib
+    assert head["a.py"]["head_commit"] == "c9"
+    assert head["a.py"]["content_sha256"] == hashlib.sha256(b"new").hexdigest()
+    assert head["a.py"]["n_commits"] == 2
+    assert head["b.py"]["n_commits"] == 1
+
+
+def test_path_churn_distinguishes_versions_from_commits(spark):
+    f = _files(spark, [
+        ("r", "volatile.py", "c1", "py", "v1"),
+        ("r", "volatile.py", "c2", "py", "v2"),
+        ("r", "recommit.py", "c1", "py", "same"),
+        ("r", "recommit.py", "c2", "py", "same"),
+        ("r", "single.py", "c1", "py", "x"),
+    ])
+    out = {r["path"]: r for r in tree.path_churn(f).collect()}
+    assert set(out) == {"volatile.py", "recommit.py"}  # single-commit excluded
+    assert out["volatile.py"]["n_versions"] == 2
+    assert out["volatile.py"]["is_volatile"]
+    assert out["recommit.py"]["n_versions"] == 1
+    assert not out["recommit.py"]["is_volatile"]
+
+
+# ---------------------------------------------------------------------------
+# UniMax
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sizes: dict[str, int]):
+    # one doc per (lang, i): `i` tokens each via repeated words
+    rows = []
+    k = 0
+    for lang, n_docs in sizes.items():
+        for i in range(n_docs):
+            rows.append((k, lang, "tok " * 10))  # 10 tokens per doc
+            k += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_unimax_waterfill_caps_small_langs_and_spreads_residue(spark):
+    # tokens: small=10, mid=100, big=1000; cap=2 epochs
+    docs = _docs(spark, {"small": 1, "mid": 10, "big": 100})
+    out = {r["lang"]: r for r in
+           unimax_allocation(docs, budget_tokens=600, epoch_cap=2).collect()}
+    # supply caps: small 20, mid 200, big 2000. Waterfill B=600:
+    # small capped (20 + 20*2 = 60 ≤ 600), mid capped (20 + 200*2 = 420 ≤ 600),
+    # big uncapped → alloc = 600 - 220 = 380.
+    assert out["small"]["capped"] and out["small"]["alloc_micro"] == 20_000_000
+    assert out["mid"]["capped"] and out["mid"]["alloc_micro"] == 200_000_000
+    assert not out["big"]["capped"]
+    assert out["big"]["alloc_micro"] == 380_000_000
+    # capped langs run exactly epoch_cap epochs, residue 0
+    assert out["small"]["full_epochs"] == 2 and out["small"]["resid_micro"] == 0
+    assert out["small"]["n_resid_docs"] == 0
+    # big: rate 0.38 → 0 full epochs, fractional epoch sampled
+    assert out["big"]["full_epochs"] == 0
+    assert out["big"]["resid_micro"] == 380_000
+    # allocations exhaust the budget when anyone is uncapped
+    total = sum(r["alloc_micro"] for r in out.values())
+    assert total == 600_000_000
+
+
+def test_unimax_all_capped_leaves_budget_unused(spark):
+    docs = _docs(spark, {"a": 2, "b": 3})
+    out = {r["lang"]: r for r in
+           unimax_allocation(docs, budget_tokens=10_000, epoch_cap=3).collect()}
+    assert all(r["capped"] for r in out.values())
+    assert out["a"]["alloc_micro"] == 60_000_000   # 3 epochs × 20 tokens
+    assert out["b"]["alloc_micro"] == 90_000_000
+    assert all(r["full_epochs"] == 3 and r["resid_micro"] == 0
+               for r in out.values())
+
+
+def test_unimax_uniform_when_nobody_caps(spark):
+    docs = _docs(spark, {"a": 10, "b": 20, "c": 30})
+    out = {r["lang"]: r for r in
+           unimax_allocation(docs, budget_tokens=300, epoch_cap=4).collect()}
+    assert not any(r["capped"] for r in out.values())
+    assert {r["alloc_micro"] for r in out.values()} == {100_000_000}
+
+
+def test_unimax_residual_draw_is_deterministic_and_bounded(spark):
+    docs = _docs(spark, {"a": 50, "b": 1})
+    out1 = unimax_allocation(docs, budget_tokens=300, epoch_cap=2).collect()
+    out2 = unimax_allocation(
+        docs.repartition(7), budget_tokens=300, epoch_cap=2).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    for r in out1:
+        assert 0 <= r["n_resid_docs"] <= r["n_docs"]
+        assert 0 <= r["resid_micro"] < 1_000_000
+
+
+def test_unimax_rejects_bad_budget(spark):
+    docs = _docs(spark, {"a": 1})
+    with pytest.raises(ValueError):
+        unimax_allocation(docs, budget_tokens=0)
+    with pytest.raises(ValueError):
+        unimax_allocation(docs, budget_tokens=10, epoch_cap=0)
+
+
+def test_tree_partitioning_independence(spark):
+    rows = [("r%d" % (i % 3), f"p{i % 5}/f{i % 7}.py", f"c{i}", "py",
+             "body%d" % (i % 11)) for i in range(200)]
+    f = _files(spark, rows)
+    a = sorted(map(tuple, tree.dir_dup_groups(f).collect()))
+    b = sorted(map(tuple, tree.dir_dup_groups(
+        with_digest(spark.createDataFrame(rows, FILES_SCHEMA).repartition(13))
+    ).collect()))
+    assert a == b
