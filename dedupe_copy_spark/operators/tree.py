@@ -111,7 +111,15 @@ def dir_dup_groups(files: DataFrame) -> DataFrame:
     Output: (group_id, repo, dir, n_files, total_bytes, n_copies,
     is_maximal), one row per duplicated directory.
     """
-    sigs = dir_signatures(files)
+    return dup_groups_from_signatures(dir_signatures(files))
+
+
+def dup_groups_from_signatures(sigs: DataFrame) -> DataFrame:
+    """dir_dup_groups over an already-aggregated signature relation
+    (repo, dir, n_files, total_bytes, _sig1, _sig2) — the shared tail
+    for the batch operator and the streaming accumulated-store view
+    (streaming/tree_stream.py), whose additive per-batch contributions
+    sum to exactly this relation."""
     key = F.md5(F.concat_ws(
         "|", F.col("n_files").cast("string"),
         F.col("_sig1").cast("string"), F.col("_sig2").cast("string"),

@@ -1,0 +1,146 @@
+"""Incremental directory-tree dedup over a file stream.
+
+The batch form (operators/tree.py) signatures every directory with
+COMMUTATIVE sums over its descendant (relpath, digest) entries. Sums
+are associative, so a continuously ingesting corpus maintains the
+directory index incrementally: each micro-batch appends its own
+per-(repo, dir) contribution — entry count, byte total, both 60-bit
+hash sums — to an additive store, and the global signature relation
+is the per-key sum of every contribution, identical to running
+dir_signatures on the concatenation of all batches (test-pinned, the
+same additive-store design as lm/dsir/corpus streams).
+
+This is the streaming analogue of the reference's resumable manifest
+accumulation (dedupe_copy core.py:893-961 rebuilds collision state
+from a loaded manifest before new walks extend it): state on disk,
+new arrivals fold in, reports readable at any point.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py):
+
+    sigs/batch_id=N/   (repo, dir, n_files, total_bytes, sig1, sig2)
+                       contribution of batch N's files
+
+At-least-once replay: a re-delivered batch overwrites its OWN
+subdirectory, so contributions never double-count. ``compact`` folds
+the history into one base contribution (crash-safe via
+statestore.compact_into). ``dup_dirs`` evaluates the batch operator's
+dup-group tail over the summed store — byte-identical output to
+dir_dup_groups on all files seen so far.
+
+Scale notes: per-batch contributions are dir-keyed aggregates (map-
+side combined before the write); the store holds |distinct dirs| rows
+per batch between compactions, never file contents. APPEND-ONLY
+corpora only — a file UPDATE would need entry-level retractions
+(negative contributions are expressible with the same sums, but no
+retraction source exists in this pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType)
+
+from dedupe_copy_spark.operators.exact import with_digest
+from dedupe_copy_spark.operators.tree import (
+    dir_signatures, dup_groups_from_signatures)
+from dedupe_copy_spark.streaming import statestore
+
+FILES_STREAM_SCHEMA = StructType([
+    StructField("repo", StringType()),
+    StructField("path", StringType()),
+    StructField("commit", StringType()),
+    StructField("lang", StringType()),
+    StructField("content", StringType()),
+])
+
+_DEC = "decimal(38,0)"
+
+
+class IncrementalDirIndex:
+    """Streaming duplicate-directory index: one additive signature
+    store; dup reports readable between batches."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.sigs_path = f"{out_dir}/sigs"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self) -> DataFrame | None:
+        statestore.recover(self.sigs_path)
+        try:
+            return self.spark.read.parquet(self.sigs_path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Append this batch's per-dir signature contribution.
+        ``batch_df`` carries raw file rows (FILES_STREAM_SCHEMA);
+        digesting happens here so the stream source stays a plain
+        file-row relation."""
+        contrib = dir_signatures(with_digest(batch_df)).select(
+            "repo", "dir", "n_files",
+            F.col("total_bytes").alias("total_bytes"),
+            F.col("_sig1").alias("sig1"), F.col("_sig2").alias("sig2"))
+        contrib.write.mode("overwrite").parquet(
+            f"{self.sigs_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def current_signatures(self) -> DataFrame:
+        """Global (repo, dir) signatures over every batch so far —
+        identical to dir_signatures on the concatenation (associative
+        sums)."""
+        store = self._read_state()
+        if store is None:
+            return self.spark.createDataFrame(
+                [], f"repo string, dir string, n_files long, "
+                    f"total_bytes {_DEC}, _sig1 {_DEC}, _sig2 {_DEC}")
+        return store.groupBy("repo", "dir").agg(
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.sum("total_bytes").cast(_DEC).alias("total_bytes"),
+            F.sum("sig1").cast(_DEC).alias("_sig1"),
+            F.sum("sig2").cast(_DEC).alias("_sig2"))
+
+    def dup_dirs(self) -> DataFrame:
+        """The batch operator's duplicate-directory report over the
+        accumulated corpus (group numbering, maximality flag — same
+        tail, same output)."""
+        return dup_groups_from_signatures(self.current_signatures())
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold the signature history into one base contribution —
+        bounded file count, identical sums."""
+        store = self._read_state()
+        if store is None:
+            return
+        folded = store.groupBy("repo", "dir").agg(
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.sum("total_bytes").cast(_DEC).alias("total_bytes"),
+            F.sum("sig1").cast(_DEC).alias("sig1"),
+            F.sum("sig2").cast(_DEC).alias("sig2"))
+        statestore.compact_into(folded, self.sigs_path,
+                                f"{self.out_dir}/_sigs_compact",
+                                into_batch_id)
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(FILES_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

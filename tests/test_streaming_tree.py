@@ -1,0 +1,90 @@
+"""Incremental directory-tree dedup (streaming/tree_stream.py):
+additive signature maintenance equals the batch operator on the
+concatenation; replay follows the batch_id-overwrite idempotency
+contract; compaction preserves the report; e2e readStream wiring."""
+
+import time
+
+from dedupe_copy_spark.operators.exact import with_digest
+from dedupe_copy_spark.operators.tree import dir_dup_groups
+from dedupe_copy_spark.streaming.tree_stream import IncrementalDirIndex
+
+FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, FILES_SCHEMA)
+
+
+def _tree_rows(repo, tag):
+    return [
+        (repo, "vnd/pkg/a.py", "c", "py", "AAA"),
+        (repo, "vnd/pkg/sub/b.py", "c", "py", "BBB"),
+        (repo, "notes.txt", "c", "en", tag),
+    ]
+
+
+def _report(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_accumulated_report_equals_batch_operator(spark, tmp_path):
+    job = IncrementalDirIndex(spark, str(tmp_path / "tree_stream"))
+    b0 = _tree_rows("r1", "one")          # r1's tree arrives first
+    b1 = _tree_rows("r2", "two")          # the duplicate lands later
+    job.process_batch(_files(spark, b0), batch_id=0)
+    assert job.dup_dirs().count() == 0    # nothing duplicated yet
+    job.process_batch(_files(spark, b1), batch_id=1)
+    want = _report(dir_dup_groups(with_digest(_files(spark, b0 + b1))))
+    assert _report(job.dup_dirs()) == want
+    assert want  # non-vacuous: the cross-batch dup IS detected
+
+
+def test_split_directory_across_batches_still_sums(spark, tmp_path):
+    # HALF of a directory per batch: contributions must sum to the
+    # whole-dir signature, not per-batch subtree signatures
+    job = IncrementalDirIndex(spark, str(tmp_path / "tree_split"))
+    r1 = _tree_rows("r1", "one")
+    r2 = _tree_rows("r2", "two")
+    job.process_batch(_files(spark, r1[:1] + r2[:1]), batch_id=0)
+    job.process_batch(_files(spark, r1[1:] + r2[1:]), batch_id=1)
+    want = _report(dir_dup_groups(with_digest(_files(spark, r1 + r2))))
+    assert _report(job.dup_dirs()) == want
+
+
+def test_replay_never_double_counts(spark, tmp_path):
+    job = IncrementalDirIndex(spark, str(tmp_path / "tree_replay"))
+    b0 = _tree_rows("r1", "one")
+    b1 = _tree_rows("r2", "two")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    job.process_batch(_files(spark, b1), batch_id=1)
+    before = _report(job.dup_dirs())
+    job.process_batch(_files(spark, b1), batch_id=1)   # redelivery
+    assert _report(job.dup_dirs()) == before
+
+
+def test_compaction_preserves_report(spark, tmp_path):
+    job = IncrementalDirIndex(spark, str(tmp_path / "tree_compact"))
+    job.process_batch(_files(spark, _tree_rows("r1", "one")), batch_id=0)
+    job.process_batch(_files(spark, _tree_rows("r2", "two")), batch_id=1)
+    before = _report(job.dup_dirs())
+    job.compact()
+    assert _report(job.dup_dirs()) == before
+    # and new batches keep folding in after compaction
+    job.process_batch(_files(spark, _tree_rows("r3", "three")), batch_id=2)
+    assert {r[5] for r in _report(job.dup_dirs())} == {3}  # n_copies
+
+
+def test_stream_wiring_available_now(spark, tmp_path):
+    out = str(tmp_path / "tree_wire")
+    watch = str(tmp_path / "incoming")
+    _files(spark, _tree_rows("r1", "one") + _tree_rows("r2", "two")) \
+        .write.mode("overwrite").parquet(watch)
+    job = IncrementalDirIndex(spark, out)
+    q = job.start(watch)
+    q.awaitTermination(60)
+    for _ in range(20):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    assert job.dup_dirs().count() > 0
