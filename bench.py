@@ -159,6 +159,13 @@ HEADLINE = [
     # round 4: exact-k weighted sampling (Efraimidis-Spirakis,
     # quantized keys, global top-k)
     "weighted_sample",
+    # round 4: duplicate-directory report (commutative subtree
+    # signatures — one Generate + one partial-agg shuffle), commit
+    # history rollups, UniMax waterfilling language budgets
+    "dir_dup_groups",
+    "head_snapshot",
+    "commit_churn",
+    "unimax_allocation",
 ]
 
 
