@@ -1681,3 +1681,96 @@ def unimax_allocation(docs: DataFrame, budget_tokens: int,
             .alias("n_resid_docs"),
         )
     )
+
+
+def temperature_mix(docs: DataFrame, budget_tokens: int,
+                    alpha: float = 0.3,
+                    lang_col: str = "lang",
+                    key_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Temperature-based language sampling (the mT5 / XLM-R mixing rule,
+    Conneau et al. 2020 §3.1; Xue et al. 2021 §3.2): sample language i
+    with probability p_i ∝ tokens_i^alpha, alpha ∈ (0, 1]. alpha = 1 is
+    proportional sampling (head languages swamp the mix); alpha → 0
+    approaches uniform (tail languages repeat for thousands of epochs);
+    the published sweet spots are 0.3 (XLM-R) / 0.3–0.7 (mT5). The
+    closed-form sibling of :func:`unimax_allocation` — UniMax caps
+    epochs explicitly, temperature sampling flattens the distribution
+    smoothly; pipelines pick one (Chung et al. 2023 compare them).
+
+    Engine-parity quantization: tokens_i^alpha is computed as
+    exp(alpha·ln(tokens_i)) — the same two libm calls on both engines —
+    and quantized to integer micro-units BEFORE the cross-language sum,
+    so the normalizer Σ_j tokens_j^alpha is an exact integer and never
+    depends on floating summation order. Weights/rates derived from the
+    integer normalizer are single IEEE divisions (bit-identical across
+    engines); emitted reals are micro-quantized BIGINTs.
+
+    Like UniMax, all windows run over the LANGUAGE relation (hundreds of
+    rows), never over docs: doc-level work is one agg for the relation
+    plus one broadcast-joined md5-threshold count realizing the
+    fractional epoch deterministically (domain_mix_sample idiom).
+
+    Output, one row per language:
+      (lang, n_docs, tokens, weight_micro, alloc_micro, full_epochs,
+       resid_micro, n_resid_docs); rate_i = alloc_i / tokens_i may
+    exceed 1 — tail languages are upsampled by design, the failure mode
+    unimax_allocation's epoch cap exists to bound.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    toks = F.size(F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"[a-z0-9_]+"), 0)).cast("long")
+    per_doc = docs.select(
+        F.col(lang_col).alias("lang"), F.col(key_col).alias("_k"),
+        toks.alias("_t"))
+    stats = (per_doc.groupBy("lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum("_t").cast("long").alias("tokens"))
+             .filter(F.col("tokens") > 0))
+    tot = Window.partitionBy(F.lit(1))
+    mixed = (
+        stats
+        # tokens^alpha in integer micro-units so the normalizer sum is
+        # exact and order-independent (floating Σ would be engine- and
+        # partitioning-ordered)
+        .withColumn("_t_micro", F.round(
+            F.exp(F.lit(float(alpha))
+                  * F.log(F.col("tokens").cast("double"))) * 1_000_000,
+            0).cast("long"))
+        .withColumn("_norm", F.sum("_t_micro").over(tot).cast("long"))
+        .withColumn("_w", F.col("_t_micro").cast("double")
+                    / F.col("_norm").cast("double"))
+        .withColumn("_alloc", F.lit(float(budget_tokens)) * F.col("_w"))
+        .withColumn("_rate", F.col("_alloc")
+                    / F.col("tokens").cast("double"))
+        .withColumn("full_epochs", F.floor("_rate").cast("long"))
+        .withColumn("_resid", F.col("_rate") - F.col("full_epochs"))
+    )
+    thresh = F.lpad(F.lower(F.hex(
+        F.floor(F.col("_resid") * F.lit(4294967296.0)))), 8, "0")
+    rates = mixed.select("lang", thresh.alias("_thresh"))
+    resid_counts = (
+        per_doc.join(rates, "lang")
+        .filter(F.md5(F.col("_k").cast("string")) < F.col("_thresh"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_resid_docs"))
+    )
+    return (
+        mixed.join(resid_counts, "lang", "left")
+        .select(
+            "lang", "n_docs", "tokens",
+            F.round(F.col("_w") * 1_000_000, 0).cast("long")
+            .alias("weight_micro"),
+            F.round(F.col("_alloc") * 1_000_000, 0).cast("long")
+            .alias("alloc_micro"),
+            "full_epochs",
+            F.round(F.col("_resid") * 1_000_000, 0).cast("long")
+            .alias("resid_micro"),
+            F.coalesce(F.col("n_resid_docs"), F.lit(0)).cast("long")
+            .alias("n_resid_docs"),
+        )
+    )

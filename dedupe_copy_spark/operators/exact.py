@@ -299,6 +299,43 @@ def manifest_export(hashed: DataFrame) -> DataFrame:
     )
 
 
+def vendored_digests(hashed: DataFrame, min_repos: int = 3,
+                     digest_col: str = "content_sha256",
+                     repo_col: str = "repo",
+                     path_col: str = "path") -> DataFrame:
+    """Cross-repo vendored/boilerplate content report: digests whose
+    content appears in ≥2 DISTINCT repos, flagged ``is_vendored`` when
+    the span reaches ``min_repos`` — license texts, generated
+    lockfiles, checked-in dependencies, jquery.min.js. The standing
+    recommendation for code corpora (The Stack, RedPajama-code) is to
+    drop or downweight such files BEFORE near-dup signatures: they are
+    duplication by distribution, not by authorship, and they dominate
+    naive dup statistics (:func:`fork_pairs` caps them out of its
+    numerator for the same reason — this report is where those capped
+    hashes become visible as first-class rows).
+
+    Scale shape: countDistinct(repo) expands to a two-level aggregate
+    (partial distinct on (digest, repo) map-side), so a megarepo's
+    million copies of one file collapse before the exchange; no
+    window, no join (the string min(path) example column makes the
+    physical form SortAggregate — a local, spillable, per-partition
+    sort, not a global one). The output relation is dup-digests only —
+    tiny next to the corpus — and feeds an anti-join or a weight
+    column on the file relation.
+    """
+    if min_repos < 2:
+        raise ValueError("min_repos must be >= 2")
+    return (
+        hashed.groupBy(digest_col)
+        .agg(F.countDistinct(repo_col).cast("long").alias("n_repos"),
+             F.count(F.lit(1)).cast("long").alias("n_files"),
+             F.min(path_col).alias("example_path"))
+        .filter(F.col("n_repos") >= 2)
+        .withColumn("is_vendored",
+                    F.col("n_repos") >= F.lit(int(min_repos)))
+    )
+
+
 def fork_pairs(hashed: DataFrame, threshold: float = 0.1,
                max_hash_repos: int = 64) -> DataFrame:
     """Repo-level fork/mirror detection from exact content hashes —

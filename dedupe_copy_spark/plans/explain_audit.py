@@ -731,6 +731,40 @@ CHECKS = {
          "draw counts)",
          lambda p: "partial_" in p),
     ],
+    "package_popularity": [
+        ("no python eval (pattern table, roots, rollup are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("one Generate (explode of the flattened hit arrays), not one "
+         "scan per pattern",
+         lambda p: len(re.findall(r"\(\d+\) Generate", p)) == 1),
+        ("distinct-doc rollup partial-aggregates map-side",
+         lambda p: "partial_count" in p),
+        ("column-pruned scan (doc_id + text only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "vendored_digest_report": [
+        ("no python eval (seeding, shaping, rollup are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("distinct-repo rollup partial-aggregates map-side (a "
+         "megarepo's copies collapse before the exchange; SortAggregate "
+         "because min(path)'s string buffer is immutable — the sort is "
+         "a local, spillable, per-partition one)",
+         lambda p: "partial_count(distinct repo" in p
+         and "partial_count(1)" in p),
+        ("column-pruned scan (doc_id, text, lang, source only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string,"
+                   "lang:string,source:string>" in p),
+    ],
+    "temperature_mix": [
+        ("no python eval (pow, normalizer, threshold draw are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("normalizer window runs over the LANGUAGE relation (post-agg), "
+         "never over docs",
+         lambda p: "Window" in p),
+        ("doc-side work is aggregated map-side (token counts, residual "
+         "draw counts)",
+         lambda p: "partial_" in p),
+    ],
     "weighted_sample": [
         ("no python eval (md5-derived u and ES key are codegen)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

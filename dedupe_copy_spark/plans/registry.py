@@ -4838,6 +4838,176 @@ def unimax_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation(docs, budget_tokens=900_000, epoch_cap=4)
 
 
+@register("temperature_mix", """
+WITH per_doc AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9_]+')) AS BIGINT) AS t
+  FROM documents
+), stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS tokens
+  FROM per_doc GROUP BY lang HAVING sum(t) > 0
+), powed AS (
+  SELECT *, CAST(round(exp(0.3 * ln(CAST(tokens AS DOUBLE))) * 1000000, 0)
+                 AS BIGINT) AS t_micro
+  FROM stats
+), normed AS (
+  SELECT *, CAST(sum(t_micro) OVER () AS BIGINT) AS norm FROM powed
+), weighted AS (
+  SELECT *, CAST(t_micro AS DOUBLE) / CAST(norm AS DOUBLE) AS w FROM normed
+), alloced AS (
+  SELECT *, 900000.0 * w AS a FROM weighted
+), rated AS (
+  SELECT *, a / CAST(tokens AS DOUBLE) AS rate FROM alloced
+), epochs AS (
+  SELECT *, CAST(floor(rate) AS BIGINT) AS full_epochs,
+         rate - floor(rate) AS resid
+  FROM rated
+), th AS (
+  SELECT *, lpad(lower(hex(CAST(floor(resid * 4294967296.0) AS BIGINT))),
+                 8, '0') AS thresh
+  FROM epochs
+), resid_counts AS (
+  SELECT th.lang, CAST(count(*) AS BIGINT) AS n_resid_docs
+  FROM per_doc JOIN th USING (lang)
+  WHERE md5(CAST(doc_id AS VARCHAR)) < thresh
+  GROUP BY th.lang
+)
+SELECT t.lang, t.n_docs, t.tokens,
+       CAST(round(t.w * 1000000, 0) AS BIGINT) AS weight_micro,
+       CAST(round(t.a * 1000000, 0) AS BIGINT) AS alloc_micro,
+       t.full_epochs,
+       CAST(round(t.resid * 1000000, 0) AS BIGINT) AS resid_micro,
+       CAST(COALESCE(r.n_resid_docs, 0) AS BIGINT) AS n_resid_docs
+FROM th t LEFT JOIN resid_counts r USING (lang)
+""")
+def temperature_mix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling (mT5/XLM-R p_i ∝ n_i^0.3,
+    budget 900k tokens — same budget as the UniMax query so the two
+    mixing rules are directly comparable row-for-row): tokens^alpha is
+    micro-quantized BEFORE the normalizer sum so Σ n_j^alpha is an
+    exact integer on both engines; weights, allocations, rates and the
+    md5-thresholded fractional epoch are all replayed by the oracle."""
+    from dedupe_copy_spark.operators.corpus import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, budget_tokens=900_000, alpha=0.3)
+
+
+# Vendored-content fixture: two fixed payloads (a license header, a
+# minified-bundle stub) seeded over doc_id residues so the SAME bytes
+# appear under many sources' repos — the cross-repo span the vendored
+# report exists to flag. Mirror-only dup digests (span 2) populate the
+# is_vendored=false branch.
+_VENDORED_MIT = ("Permission is hereby granted, free of charge, to any "
+                 "person obtaining a copy of this software and associated "
+                 "documentation files")
+_VENDORED_MIN = ('!function(e,t){"use strict";module.exports=t()}'
+                 "(this,function(){return 42});")
+
+_VENDORED_SEED_SQL = (
+    "WITH seeded AS (SELECT doc_id, CASE"
+    f" WHEN doc_id % 11 = 0 THEN '{_VENDORED_MIT}'"
+    f" WHEN doc_id % 11 = 1 THEN '{_VENDORED_MIN}'"
+    " ELSE text END AS text, lang, source FROM documents)"
+    + FILES_CTE_SQL.replace("WITH files AS", ", files AS")
+                   .replace("FROM documents", "FROM seeded")
+)
+
+
+@register("vendored_digest_report", _VENDORED_SEED_SQL + """
+SELECT content_sha256, n_repos, n_files, example_path,
+       n_repos >= 3 AS is_vendored
+FROM (
+  SELECT sha256(content) AS content_sha256,
+         CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+         CAST(count(*) AS BIGINT) AS n_files,
+         min(path) AS example_path
+  FROM files GROUP BY sha256(content)
+)
+WHERE n_repos >= 2
+""")
+def vendored_digest_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo vendored/boilerplate detection over the seeded files
+    relation: the license-header and minified-bundle payloads span many
+    repos (is_vendored=true), the mirror-construction dup digests span
+    exactly 2 (reported, not flagged). The oracle replays the seeding,
+    the full files shaping, and the distinct-repo rollup."""
+    from dedupe_copy_spark.operators import exact as exact_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = (F.when(F.col("doc_id") % 11 == 0, F.lit(_VENDORED_MIT))
+            .when(F.col("doc_id") % 11 == 1, F.lit(_VENDORED_MIN))
+            .otherwise(F.col("text")))
+    seeded = docs.select("doc_id", text.alias("text"), "lang", "source")
+    files = exact_ops.with_digest(
+        files_from_documents(spark, sf_dir, docs=seeded))
+    return exact_ops.vendored_digests(files, min_repos=3)
+
+
+# Import-extraction fixture: four snippets (two Python, one JS, one Go)
+# seeded over doc_id residues; the rest of the corpus stays word-salad
+# (exercising the zero-hit path). Both engines replay the CASE and the
+# exact pattern table from operators/imports.py.
+_IMP_SNIPPETS = (
+    (0, "import numpy\nimport os.path\nfrom collections import "
+        "OrderedDict\nx = numpy.zeros(3)"),
+    (1, "from requests.sessions import Session\nimport numpy\n"
+        "print(Session)"),
+    (2, "const _ = require('lodash');\nimport {useState} from 'react';\n"
+        "export default useState;"),
+    (3, 'package main\nimport "fmt"\nimport "net/http"\n'
+        "func main() { fmt.Println(1) }"),
+)
+
+
+def _imports_seed_sql() -> str:
+    arms = " ".join(f"WHEN {k} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+                    for k, s in _IMP_SNIPPETS)
+    return (f"SELECT doc_id, CASE doc_id % 13 {arms} ELSE text END AS text "
+            f"FROM documents")
+
+
+def _package_popularity_sql() -> str:
+    from dedupe_copy_spark.operators.imports import IMPORT_PATTERNS
+
+    selects = [
+        "SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), "
+        f"'{pat.replace(chr(39), chr(39) * 2)}', 1)) AS module FROM seeded"
+        for _, pat in IMPORT_PATTERNS
+    ]
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH seeded AS ({_imports_seed_sql()}),
+hits AS ({union}),
+rooted AS (SELECT doc_id, regexp_extract(module, '^[^./]+', 0) AS package
+           FROM hits)
+SELECT package, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_imports
+FROM rooted GROUP BY package
+"""
+
+
+@register("package_popularity", _package_popularity_sql())
+def package_popularity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dependency mix over the snippet-seeded corpus: per root
+    package, distinct importing docs + occurrence count. The oracle
+    replays the seeding CASE and the ENTIRE pattern table verbatim
+    (Java ∩ RE2 dialect), so one divergent regex rule fails the value
+    hash; word-salad docs exercise the zero-hit path on both sides."""
+    from dedupe_copy_spark.operators.imports import package_popularity
+
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, s in _IMP_SNIPPETS:
+        cond = F.col("doc_id") % 13 == k
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    seeded = docs.select(
+        "doc_id", expr.otherwise(F.col("text")).alias("text"))
+    return package_popularity(seeded)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

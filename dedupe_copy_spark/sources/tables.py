@@ -39,14 +39,20 @@ def _doc_ext() -> F.Column:
     return ext
 
 
-def files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def files_from_documents(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
     """Canonical files(repo, path, commit, lang, content) over documents.
 
     Deterministic: repo from source, path from (lang, doc_id), commit =
     md5 of a fixed string. Every doc_id % 5 == 0 row appears twice
     (primary + mirror repo) to create exact duplicates by construction.
+
+    ``docs`` overrides the documents relation (seeded-fixture queries
+    pass a deterministically rewritten table; the same rewrite rides the
+    oracle's seeded CTE so the two shapings never drift).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     doc_id_s = F.col("doc_id").cast("string")
 
     def shape(src: DataFrame, repo_suffix: str, path_prefix: str, salt: str) -> DataFrame:

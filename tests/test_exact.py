@@ -266,3 +266,56 @@ def test_dedupe_weights_empties_stay_full_weight(spark):
     got = exact.dedupe_weights(_hashed(spark, rows)).collect()
     assert all(r.weight == 1.0 and r.n_copies == 1 and r.is_canonical
                for r in got)
+
+
+def test_vendored_digests_flags_cross_repo_spans(spark):
+    """License content in 5 repos is vendored; a 2-repo dup is
+    reported but not flagged; unique content never appears."""
+    from dedupe_copy_spark.operators.exact import vendored_digests, with_digest
+
+    rows = [(f"r{i}", f"r{i}/LICENSE", "c0", "en", "mit license text")
+            for i in range(5)]
+    rows += [("r0", "a/x.py", "c0", "py", "dup body"),
+             ("r1", "b/x.py", "c0", "py", "dup body"),
+             ("r0", "a/u.py", "c0", "py", "only here")]
+    files = with_digest(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string"))
+    out = {r["example_path"]: r for r in
+           vendored_digests(files, min_repos=3).collect()}
+    assert set(out) == {"r0/LICENSE", "a/x.py"}
+    lic = out["r0/LICENSE"]
+    assert lic["n_repos"] == 5 and lic["n_files"] == 5 and lic["is_vendored"]
+    dup = out["a/x.py"]
+    assert dup["n_repos"] == 2 and not dup["is_vendored"]
+
+
+def test_vendored_digests_repo_span_not_file_count(spark):
+    """Many copies inside ONE repo never make content vendored — the
+    flag measures distribution across repos, not raw duplication."""
+    from dedupe_copy_spark.operators.exact import vendored_digests, with_digest
+
+    rows = [("mono", f"v{i}/dep.js", "c0", "js", "bundled dep")
+            for i in range(10)]
+    rows += [("mono", "x.js", "c0", "js", "app"),
+             ("other", "y.js", "c0", "js", "bundled dep")]
+    files = with_digest(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string"))
+    out = vendored_digests(files, min_repos=3).collect()
+    assert len(out) == 1
+    assert out[0]["n_repos"] == 2 and out[0]["n_files"] == 11
+    assert not out[0]["is_vendored"]
+
+
+def test_vendored_digests_rejects_bad_threshold(spark):
+    import pytest
+
+    from dedupe_copy_spark.operators.exact import vendored_digests, with_digest
+
+    files = with_digest(spark.createDataFrame(
+        [("r", "p", "c", "en", "x")],
+        "repo string, path string, commit string, lang string, "
+        "content string"))
+    with pytest.raises(ValueError):
+        vendored_digests(files, min_repos=1)

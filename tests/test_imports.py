@@ -1,0 +1,66 @@
+"""Import/dependency extraction (operators/imports.py): per-ecosystem
+pattern battery, root-package derivation, doc-vs-occurrence counting,
+repo-edge dedup. Engine parity of the registered query is covered by
+tests/test_oracle_parity.py."""
+
+
+from dedupe_copy_spark.operators.imports import (
+    extract_imports,
+    import_edges,
+    package_popularity,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_python_imports_extracted(spark):
+    d = _docs(spark, ["import numpy\nfrom os.path import join\n"
+                      "  import json  # indented"])
+    got = {(r.kind, r.module, r.package)
+           for r in extract_imports(d).collect()}
+    assert ("py_import", "numpy", "numpy") in got
+    assert ("py_from", "os.path", "os") in got
+    assert ("py_import", "json", "json") in got
+
+
+def test_js_imports_extracted(spark):
+    d = _docs(spark, ["const x = require('lodash');\n"
+                      'import y from "react";\n'
+                      "require( '@scope/pkg' )"])
+    got = {(r.kind, r.module, r.package)
+           for r in extract_imports(d).collect()}
+    assert ("js_require", "lodash", "lodash") in got
+    assert ("js_from", "react", "react") in got
+    assert ("js_require", "@scope/pkg", "@scope") in got
+
+
+def test_go_single_form_extracted_block_form_documented_miss(spark):
+    d = _docs(spark, ['import "net/http"\nimport (\n\t"fmt"\n)'])
+    got = {(r.kind, r.module) for r in extract_imports(d).collect()}
+    assert ("go_import", "net/http") in got
+    # the parenthesised block is a documented precision-over-recall miss
+    assert all(m != "fmt" for _, m in got)
+
+
+def test_prose_and_nulls_yield_nothing(spark):
+    d = _docs(spark, ["the quick brown fox imports nothing", None, ""])
+    assert extract_imports(d).count() == 0
+
+
+def test_package_popularity_counts_docs_vs_occurrences(spark):
+    d = _docs(spark, ["import numpy\nimport numpy.linalg",
+                      "import numpy"])
+    out = {r.package: r for r in package_popularity(d).collect()}
+    assert out["numpy"].n_docs == 2 and out["numpy"].n_imports == 3
+
+
+def test_import_edges_distinct_per_repo(spark):
+    rows = [("r0", "import numpy"),
+            ("r0", "import numpy\nimport numpy"),
+            ("r1", "import numpy")]
+    f = spark.createDataFrame(rows, "repo string, content string")
+    got = sorted((r.repo, r.package) for r in import_edges(f).collect())
+    assert got == [("r0", "numpy"), ("r1", "numpy")]

@@ -1,11 +1,12 @@
 """Directory-tree / commit-history operators (operators/tree.py) and
-UniMax allocation (corpus.unimax_allocation)."""
+language-budget allocation (corpus.unimax_allocation /
+corpus.temperature_mix)."""
 
 import pytest
 from pyspark.sql import functions as F
 
 from dedupe_copy_spark.operators import tree
-from dedupe_copy_spark.operators.corpus import unimax_allocation
+from dedupe_copy_spark.operators.corpus import temperature_mix, unimax_allocation
 from dedupe_copy_spark.operators.exact import with_digest
 
 FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
@@ -170,6 +171,70 @@ def test_unimax_rejects_bad_budget(spark):
         unimax_allocation(docs, budget_tokens=0)
     with pytest.raises(ValueError):
         unimax_allocation(docs, budget_tokens=10, epoch_cap=0)
+
+
+def test_temperature_alpha1_is_proportional(spark):
+    docs = _docs(spark, {"a": 10, "b": 30})  # tokens 100 / 300
+    out = {r["lang"]: r for r in
+           temperature_mix(docs, budget_tokens=400, alpha=1.0).collect()}
+    assert out["a"]["weight_micro"] == 250_000
+    assert out["b"]["weight_micro"] == 750_000
+    assert out["a"]["alloc_micro"] == 100_000_000
+    assert out["b"]["alloc_micro"] == 300_000_000
+    # a proportional budget of exactly one corpus = one epoch everywhere
+    assert all(r["full_epochs"] == 1 and r["resid_micro"] == 0
+               for r in out.values())
+
+
+def test_temperature_flattens_toward_tail_monotonically_in_alpha(spark):
+    docs = _docs(spark, {"head": 90, "tail": 10})
+    low = {r["lang"]: r for r in
+           temperature_mix(docs, budget_tokens=1000, alpha=0.3).collect()}
+    mid = {r["lang"]: r for r in
+           temperature_mix(docs, budget_tokens=1000, alpha=0.7).collect()}
+    # proportional shares are 0.9 / 0.1; alpha < 1 moves mass to the tail,
+    # and smaller alpha moves strictly more
+    assert low["head"]["weight_micro"] < mid["head"]["weight_micro"] < 900_000
+    assert low["tail"]["weight_micro"] > mid["tail"]["weight_micro"] > 100_000
+
+
+def test_temperature_budget_conserved_and_weights_normalize(spark):
+    docs = _docs(spark, {"a": 3, "b": 17, "c": 41})
+    rows = temperature_mix(docs, budget_tokens=12_345, alpha=0.5).collect()
+    assert abs(sum(r["weight_micro"] for r in rows) - 1_000_000) <= len(rows)
+    assert abs(sum(r["alloc_micro"] for r in rows)
+               - 12_345_000_000) <= len(rows)
+
+
+def test_temperature_tail_upsamples_past_one_epoch(spark):
+    # the failure mode UniMax's cap exists to bound: a tiny language is
+    # upsampled far above one epoch under temperature sampling
+    docs = _docs(spark, {"head": 99, "tail": 1})
+    out = {r["lang"]: r for r in
+           temperature_mix(docs, budget_tokens=1000, alpha=0.3).collect()}
+    assert out["tail"]["full_epochs"] >= 2
+    assert out["head"]["full_epochs"] == 0
+
+
+def test_temperature_deterministic_and_resid_bounded(spark):
+    docs = _docs(spark, {"a": 50, "b": 7})
+    a = sorted(map(tuple, temperature_mix(docs, 300, alpha=0.3).collect()))
+    b = sorted(map(tuple, temperature_mix(
+        docs.repartition(13), 300, alpha=0.3).collect()))
+    assert a == b
+    for r in a:
+        resid = r[-2]
+        assert 0 <= resid < 1_000_000
+
+
+def test_temperature_rejects_bad_args(spark):
+    docs = _docs(spark, {"a": 1})
+    with pytest.raises(ValueError):
+        temperature_mix(docs, budget_tokens=0)
+    with pytest.raises(ValueError):
+        temperature_mix(docs, budget_tokens=10, alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_mix(docs, budget_tokens=10, alpha=1.5)
 
 
 def test_tree_partitioning_independence(spark):
