@@ -58,3 +58,59 @@ def clone_assignments(docs: DataFrame, level: int = 1,
         raise ValueError(f"level must be 1 or 2, got {level}")
     norm = normalize_code(F.col(text_col), abstract_identifiers=(level == 2))
     return docs.select(F.col(id_col), F.sha2(norm, 256).alias("clone_key"))
+
+
+# Top-level Python-style function unit: a `def` line plus its indented
+# (or blank) continuation lines. Java ∩ RE2 dialect (no lookaround), so
+# the DuckDB oracle replays extraction verbatim. `^def` is anchored at
+# line start on purpose: indented defs (methods, nested functions) ride
+# along INSIDE their enclosing unit rather than being split out — a
+# precision choice, same discipline as operators/imports.py.
+FUNC_UNIT_PATTERN = ("(?m)^def [A-Za-z_][A-Za-z0-9_]*\\([^\n]*\\):\n"
+                     "(?:[ \t]+[^\n]*\n?|\n)*")
+
+
+def extract_function_units(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """One row per top-level function unit: (id_col, unit_pos, unit).
+    Extraction runs on the RAW text — newline structure is what
+    delimits a unit, and ``normalize_code`` erases it — so unit
+    splitting must precede normalization. Docs with no functions
+    contribute no rows."""
+    units = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(FUNC_UNIT_PATTERN), 0)
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(units).alias("unit_pos", "unit"))
+
+
+def function_clone_groups(docs: DataFrame, level: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Clone grouping at FUNCTION granularity: extract top-level units,
+    normalize each (Type-1 or Type-2 form), sha256, hash-groupBy. Finds
+    the shared helper copied between two otherwise-different files —
+    invisible to file-level :func:`clone_groups` (different file
+    hashes) and usually below MinHash's Jaccard threshold when the
+    surrounding files diverge. Same no-pairwise-stage scale shape as
+    the file-level path: one Generate, partial aggregation, one shuffle
+    on the unit digest.
+
+    Output per cross-doc group: (unit_key, n_units, n_docs, min_doc,
+    max_doc) where n_units counts copies (a doc may repeat a unit) and
+    the HAVING is on DISTINCT docs — within-file repetition alone is
+    not cloning."""
+    if level not in (1, 2):
+        raise ValueError(f"level must be 1 or 2, got {level}")
+    units = extract_function_units(docs, id_col=id_col, text_col=text_col)
+    norm = normalize_code(F.col("unit"),
+                          abstract_identifiers=(level == 2))
+    keyed = units.select(F.col(id_col),
+                         F.sha2(norm, 256).alias("unit_key"))
+    return (keyed.groupBy("unit_key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_units"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs"),
+                 F.min(id_col).alias("min_doc"),
+                 F.max(id_col).alias("max_doc"))
+            .filter(F.col("n_docs") > 1))

@@ -731,6 +731,16 @@ CHECKS = {
          "draw counts)",
          lambda p: "partial_" in p),
     ],
+    "function_clone_groups": [
+        ("no python eval (unit extraction + normalizer are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("one Generate (posexplode of extracted units)",
+         lambda p: len(re.findall(r"\(\d+\) Generate", p)) == 1),
+        ("unit-digest rollup partial-aggregates map-side",
+         lambda p: "partial_count" in p),
+        ("column-pruned scan (doc_id + text only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
     "package_popularity": [
         ("no python eval (pattern table, roots, rollup are Catalyst)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

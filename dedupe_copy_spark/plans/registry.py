@@ -5008,6 +5008,67 @@ def package_popularity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return package_popularity(seeded)
 
 
+# Function-clone fixture: three multi-function files seeded over doc_id
+# residues. A and B share a reformatted helper (Type-1 at unit level),
+# C renames the helper's identifiers (merged only under Type-2); each
+# file also carries a unique second function, so FILE-level clone
+# grouping sees three distinct files while FUNCTION-level grouping
+# recovers the shared unit.
+_FUNC_DOC_A = ("def helper(a, b):\n    return a + b\n\n"
+               "def alpha():\n    return 1\n")
+_FUNC_DOC_B = ("def helper( a,b ):\n    # sum\n    return a + b\n\n"
+               "def beta():\n    return 2\n")
+_FUNC_DOC_C = "import numpy\n\ndef helper(x, y):\n    return x + y\n"
+_FUNC_SNIPPETS = ((0, _FUNC_DOC_A), (1, _FUNC_DOC_B), (2, _FUNC_DOC_C))
+
+
+def _function_clones_sql() -> str:
+    from dedupe_copy_spark.functions.code import normalize_code_sql
+    from dedupe_copy_spark.operators.clones import FUNC_UNIT_PATTERN
+
+    arms = " ".join(f"WHEN {k} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+                    for k, s in _FUNC_SNIPPETS)
+    pat = FUNC_UNIT_PATTERN.replace("'", "''")
+    norm = normalize_code_sql("unit", abstract_identifiers=True)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, CASE doc_id % 19 {arms} ELSE text END AS text
+  FROM documents
+), units AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '{pat}', 0))
+         AS unit
+  FROM seeded
+), keyed AS (
+  SELECT doc_id, sha256({norm}) AS unit_key FROM units
+)
+SELECT unit_key, CAST(count(*) AS BIGINT) AS n_units,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM keyed GROUP BY unit_key HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+@register("function_clone_groups", _function_clones_sql())
+def function_clone_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-granularity Type-2 clone groups over the seeded corpus:
+    the helper shared (reformatted in B, identifier-renamed in C) by
+    three otherwise-distinct files groups across all three residue
+    classes, while the unique alpha/beta units merge only through
+    Type-2 literal abstraction. The oracle replays unit extraction
+    (same Java ∩ RE2 pattern) AND the full normalizer chain."""
+    from dedupe_copy_spark.operators.clones import function_clone_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, s in _FUNC_SNIPPETS:
+        cond = F.col("doc_id") % 19 == k
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    seeded = docs.select(
+        "doc_id", expr.otherwise(F.col("text")).alias("text"))
+    return function_clone_groups(seeded, level=2)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -106,3 +106,92 @@ def test_clone_groups_bad_level(spark):
         clones.clone_groups(docs, level=3)
     with pytest.raises(ValueError):
         clones.clone_assignments(docs, level=0)
+
+
+# ---------------------------------------------------------------------------
+# Function-granularity clones (clones.extract_function_units /
+# clones.function_clone_groups)
+# ---------------------------------------------------------------------------
+
+_DOC_AB = ("def helper(a, b):\n    return a + b\n\n"
+           "def alpha():\n    return 1\n")
+_DOC_RE = ("def helper( a,b ):\n    # sum\n    return a + b\n\n"
+           "def beta():\n    return 2\n")
+_DOC_RN = "import numpy\n\ndef helper(x, y):\n    return x + y\n"
+
+
+def _func_docs(spark):
+    return spark.createDataFrame(
+        [(0, _DOC_AB), (1, _DOC_RE), (2, _DOC_RN)],
+        "doc_id long, text string")
+
+
+def test_extract_function_units_splits_and_orders(spark):
+    got = sorted((r.doc_id, r.unit_pos, r.unit) for r in
+                 clones.extract_function_units(_func_docs(spark)).collect())
+    by_doc = {}
+    for d, p, u in got:
+        by_doc.setdefault(d, []).append((p, u))
+    assert [p for p, _ in by_doc[0]] == [0, 1]
+    assert by_doc[0][0][1].startswith("def helper(a, b):")
+    assert by_doc[0][1][1].startswith("def alpha():")
+    # non-function prefix text (the import) is not part of any unit
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0][1].startswith("def helper(x, y):")
+
+
+def test_function_clones_level1_groups_reformat_not_rename(spark):
+    out = clones.function_clone_groups(_func_docs(spark), level=1).collect()
+    assert len(out) == 1  # helper(a,b): docs 0+1; the rename stays out
+    g = out[0]
+    assert g.n_docs == 2 and g.n_units == 2
+    assert (g.min_doc, g.max_doc) == (0, 1)
+
+
+def test_function_clones_level2_merges_rename_and_structure(spark):
+    out = {(r.n_docs, r.min_doc, r.max_doc)
+           for r in clones.function_clone_groups(
+               _func_docs(spark), level=2).collect()}
+    # helper across all three docs; alpha/beta merge through literal
+    # abstraction (structurally identical zero-arg returns)
+    assert out == {(3, 0, 2), (2, 0, 1)}
+
+
+def test_function_granularity_sees_what_file_granularity_cannot(spark):
+    # at Type-1 the three FILES are all distinct (unique second
+    # functions), yet the shared helper is a unit-level clone — the
+    # granularity gap this operator exists to close. (At Type-2 the
+    # whole files of docs 0/1 abstract to the same token stream, so
+    # file-level grouping legitimately catches them there.)
+    docs = _func_docs(spark)
+    assert clones.clone_groups(docs, level=1).count() == 0
+    assert clones.function_clone_groups(docs, level=1).count() == 1
+
+
+def test_function_units_within_file_repeat_is_not_cloning(spark):
+    d = spark.createDataFrame(
+        [(0, "def f():\n    return 1\n\ndef f():\n    return 1\n")],
+        "doc_id long, text string")
+    assert clones.function_clone_groups(d, level=1).count() == 0
+
+
+def test_function_units_indented_defs_stay_inside_parent(spark):
+    d = spark.createDataFrame(
+        [(0, "def outer():\n    def inner():\n        return 1\n"
+             "    return inner\n")],
+        "doc_id long, text string")
+    units = clones.extract_function_units(d).collect()
+    assert len(units) == 1
+    assert "def inner():" in units[0].unit
+
+
+def test_function_clones_rejects_bad_level(spark):
+    with pytest.raises(ValueError):
+        clones.function_clone_groups(_func_docs(spark), level=3)
+
+
+def test_function_units_prose_and_null_yield_nothing(spark):
+    d = spark.createDataFrame(
+        [(0, "no functions here"), (1, None)],
+        "doc_id long, text string")
+    assert clones.extract_function_units(d).count() == 0
