@@ -166,6 +166,15 @@ HEADLINE = [
     "head_snapshot",
     "commit_churn",
     "unimax_allocation",
+    # round 4: temperature language sampling, vendored-content report,
+    # import/dependency extraction, function-granularity clone mining
+    "temperature_mix",
+    "vendored_digest_report",
+    "package_popularity",
+    "function_clone_groups",
+    # round 4: Type-3 near-miss function clones (SourcererCC prefix
+    # filtering — exact candidate generation, integer Jaccard verify)
+    "function_clone_pairs",
 ]
 
 

@@ -114,3 +114,114 @@ def function_clone_groups(docs: DataFrame, level: int = 2,
                  F.min(id_col).alias("min_doc"),
                  F.max(id_col).alias("max_doc"))
             .filter(F.col("n_docs") > 1))
+
+
+def token_set_clone_pairs(keyed: DataFrame, threshold_num: int = 3,
+                          threshold_den: int = 4,
+                          max_bucket: int = 4096) -> DataFrame:
+    """Type-3 (near-miss) clone pairs over token SETS — SourcererCC's
+    candidate strategy (Sajnani et al., ICSE 2016) re-expressed as
+    DataFrame ops: order each set by ascending global document
+    frequency (ties by token), index only the PREFIX of length
+    n - ceil(t*n) + 1, equi-join on prefix tokens, then verify exact
+    Jaccard on the survivors. The prefix-filter lemma (Chaudhuri et al.
+    2006 / Bayardo et al. 2007) makes candidate generation EXACT for
+    J >= t — unlike MinHash there is no probabilistic recall loss, so
+    the output equals the all-pairs join's output at any scale (modulo
+    the width cap, accounted below).
+
+    Input: ``keyed(unit_key string, toks array<string>)`` — one row per
+    DISTINCT unit (callers collapse identical units first; that is the
+    reps-before-signatures discipline, and it bounds the join by the
+    number of distinct shapes, not instances). Output:
+    (unit_a, unit_b, inter, uni) with unit_a < unit_b and
+    den*inter >= num*uni — the threshold test is integer
+    cross-multiplication, never an IEEE division, so the DuckDB oracle
+    replays it exactly.
+
+    Scale shape: df count = one partial-agg shuffle over distinct
+    (unit, token); frequency ordering puts globally-COMMON tokens last,
+    so they rarely land in any prefix — the prefix index is naturally
+    skew-resistant. Buckets wider than ``max_bucket`` are dropped with
+    the same drop-accounting contract as the LSH path (a bucket that
+    wide means >max_bucket near-identical shapes sharing a rare token;
+    the exact Type-1/2 grouping already caught the identical ones)."""
+    if threshold_num <= 0 or threshold_den <= 0 or \
+            threshold_num > threshold_den:
+        raise ValueError(
+            f"threshold must be a fraction in (0, 1]: "
+            f"{threshold_num}/{threshold_den}")
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
+    exploded = keyed.select("unit_key",
+                            F.explode("toks").alias("token"))
+    df_counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))  # toks are distinct per unit
+    ordered = (
+        exploded.join(df_counts, "token")
+        .groupBy("unit_key")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("df"), F.col("token")))).alias("by_df"))
+        .select(
+            "unit_key",
+            F.transform("by_df", lambda s: s["token"]).alias("toks"),
+            F.size("by_df").alias("n"))
+    )
+    # prefix length p = n - ceil(t*n) + 1, all-integer:
+    # ceil(num*n/den) = (num*n + den - 1) div den
+    p = (F.col("n")
+         - F.floor((F.lit(threshold_num) * F.col("n")
+                    + F.lit(threshold_den - 1)) / F.lit(threshold_den))
+         + F.lit(1)).cast("int")
+    prefix = ordered.select(
+        "unit_key", F.explode(F.slice("toks", 1, p)).alias("token"))
+    cands = bucket_pairs(prefix, ["token"], "unit_key", max_bucket)
+    sets = ordered.select(F.col("unit_key"), F.col("toks"))
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("long")
+    uni = F.size(F.array_union("t_a", "t_b")).cast("long")
+    return (
+        cands
+        .join(sets.select(F.col("unit_key").alias("id_a"),
+                          F.col("toks").alias("t_a")), "id_a")
+        .join(sets.select(F.col("unit_key").alias("id_b"),
+                          F.col("toks").alias("t_b")), "id_b")
+        .select(F.col("id_a").alias("unit_a"),
+                F.col("id_b").alias("unit_b"),
+                inter.alias("inter"), uni.alias("uni"))
+        .filter(F.lit(threshold_den) * F.col("inter")
+                >= F.lit(threshold_num) * F.col("uni"))
+    )
+
+
+def function_clone_pairs(docs: DataFrame, threshold_num: int = 3,
+                         threshold_den: int = 4, min_tokens: int = 3,
+                         max_bucket: int = 4096,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Type-3 function-clone pairs: extract top-level units, Type-1
+    normalize (identifiers and structure KEPT — near-miss similarity is
+    over the actual token vocabulary, which is what separates Type-3
+    from the Type-2 rename-abstraction), collapse identical units to
+    one class row, then :func:`token_set_clone_pairs` over the distinct
+    classes. Complementary to :func:`function_clone_groups`: an edited
+    copy (a line added, int->float) breaks the exact normalized hash
+    but keeps token-set Jaccard high, while a pure rename keeps the
+    Type-2 hash but drops shared vocabulary below the Type-3 threshold.
+
+    Output rows are CLASS pairs (unit_key sha256 of the Type-1 form),
+    so the relation's size tracks distinct shapes, not copies — 10^6
+    instances of the same two functions still yield one row; doc-level
+    expansion is a join away on the unit digest. Units with fewer than
+    ``min_tokens`` tokens are excluded (a 2-token stub matching another
+    2-token stub is vocabulary coincidence, not cloning)."""
+    units = extract_function_units(docs, id_col=id_col, text_col=text_col)
+    norm = normalize_code(F.col("unit"), abstract_identifiers=False)
+    toks = F.array_distinct(F.regexp_extract_all(
+        F.lower(norm), F.lit("[a-z0-9_]+"), 0))
+    classes = (units.select(F.sha2(norm, 256).alias("unit_key"),
+                            toks.alias("toks"))
+               .filter(F.size("toks") >= min_tokens)
+               .dropDuplicates(["unit_key"]))
+    return token_set_clone_pairs(classes, threshold_num=threshold_num,
+                                 threshold_den=threshold_den,
+                                 max_bucket=max_bucket)

