@@ -79,6 +79,23 @@ class DedupeConfig:
     clone_edges: bool = False
     clone_level: int = 2              # 1 = whitespace/comments only
 
+    # --- type-3 edges (optional 6th near-dup branch; code corpora) ---
+    # Near-miss clone pairs over Type-1-normalized token SETS
+    # (operators/clones.py token_set_clone_pairs — SourcererCC prefix
+    # filtering, exact integer-Jaccard verify). Order-insensitive where
+    # every shingle branch is order-sensitive: a file whose functions
+    # were REORDERED and lightly edited loses most token 3-grams (so
+    # MinHash/containment sit below their floors) but keeps its token
+    # vocabulary. Pairs are mined between distinct normalized classes,
+    # then grafted onto class-min representatives — within-class
+    # duplicates are clone_edges'/exact's job, so this branch's cost
+    # tracks distinct shapes.
+    type3_edges: bool = False
+    type3_threshold_num: int = 3      # Jaccard threshold num/den —
+    type3_threshold_den: int = 4      # integer test, no IEEE division
+    type3_min_tokens: int = 8         # skip vocabulary-coincidence stubs
+    type3_max_bucket: int = 4096      # prefix-token bucket cap
+
     # --- scale / skew ---
     # hot-bucket control is the width cap (+ AQE skew-join as backstop);
     # SURVEY §7.4's explicit salt columns were superseded by it — a salt

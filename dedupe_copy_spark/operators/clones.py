@@ -225,3 +225,47 @@ def function_clone_pairs(docs: DataFrame, threshold_num: int = 3,
     return token_set_clone_pairs(classes, threshold_num=threshold_num,
                                  threshold_den=threshold_den,
                                  max_bucket=max_bucket)
+
+
+def type3_doc_pairs(docs: DataFrame, threshold_num: int = 3,
+                    threshold_den: int = 4, min_tokens: int = 8,
+                    max_bucket: int = 4096, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Type-3 near-miss pairs between WHOLE documents — the pipeline's
+    edge form. Token sets come from the full Type-1-normalized text, so
+    the measure is order-insensitive: a file whose functions were
+    reordered (most token 3-gram shingles broken — MinHash and
+    containment both degraded) keeps its vocabulary intact. Mining runs
+    between distinct normalized classes (reps-before-pairing); each
+    class is then represented by its min id, so the output is
+    (id_a, id_b, score) between class representatives — within-class
+    members reach the rep through the exact/clone star edges, keeping
+    this branch's cost proportional to distinct shapes.
+
+    score = inter/uni as a double (an edge weight, not an
+    oracle-checked value; the oracle-checked integer form lives in
+    :func:`function_clone_pairs`)."""
+    norm = normalize_code(F.col(text_col), abstract_identifiers=False)
+    toks = F.array_distinct(F.regexp_extract_all(
+        F.lower(norm), F.lit("[a-z0-9_]+"), 0))
+    keyed = (docs.select(F.col(id_col).alias("_id"),
+                         F.sha2(norm, 256).alias("unit_key"),
+                         toks.alias("toks"))
+             .filter(F.size("toks") >= min_tokens))
+    reps = keyed.groupBy("unit_key").agg(F.min("_id").alias("rep"))
+    classes = (keyed.select("unit_key", "toks")
+               .dropDuplicates(["unit_key"]))
+    pairs = token_set_clone_pairs(classes, threshold_num=threshold_num,
+                                  threshold_den=threshold_den,
+                                  max_bucket=max_bucket)
+    return (
+        pairs
+        .join(reps.select(F.col("unit_key").alias("unit_a"),
+                          F.col("rep").alias("rep_a")), "unit_a")
+        .join(reps.select(F.col("unit_key").alias("unit_b"),
+                          F.col("rep").alias("rep_b")), "unit_b")
+        .select(F.least("rep_a", "rep_b").alias("id_a"),
+                F.greatest("rep_a", "rep_b").alias("id_b"),
+                (F.col("inter").cast("double")
+                 / F.col("uni").cast("double")).alias("score"))
+    )

@@ -176,6 +176,19 @@ class DedupePipeline:
                               F.lit("clone").alias("kind"),
                               F.lit(1.0).alias("score")))
                 out = out.unionByName(cl)
+            if cfg.type3_edges:
+                from dedupe_copy_spark.operators.clones import type3_doc_pairs
+
+                t3 = (type3_doc_pairs(
+                        reps,
+                        threshold_num=cfg.type3_threshold_num,
+                        threshold_den=cfg.type3_threshold_den,
+                        min_tokens=cfg.type3_min_tokens,
+                        max_bucket=cfg.type3_max_bucket,
+                        id_col="file_id", text_col="content")
+                      .select("id_a", "id_b",
+                              F.lit("type3").alias("kind"), F.col("score")))
+                out = out.unionByName(t3)
             return out
 
         return self._stage("s3_near_pairs", compute)

@@ -352,3 +352,16 @@ def test_token_set_pairs_rejects_bad_threshold(spark):
         clones.token_set_clone_pairs(df, 5, 4)
     with pytest.raises(ValueError):
         clones.token_set_clone_pairs(df, 0, 4)
+
+
+def test_type3_doc_pairs_pair_class_reps_not_instances(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota\n"
+    edited = base.replace("iota", "kappa")
+    d = spark.createDataFrame(
+        [(0, base), (1, base), (2, edited), (3, "unrelated " * 9)],
+        "doc_id long, text string")
+    got = [(r.id_a, r.id_b, round(r.score, 3)) for r in
+           clones.type3_doc_pairs(d, min_tokens=3).collect()]
+    # docs 0+1 are one class (rep 0); exactly one cross-class pair,
+    # between the REPS — never an instance-level explosion
+    assert got == [(0, 2, round(8 / 10, 3))]

@@ -190,3 +190,57 @@ def test_clone_edges_catch_identifier_renamed_copies(spark):
     res = DedupePipeline(spark, DedupeConfig(clone_edges=True)).run(files)
     kinds = {r.kind for r in res.pairs.collect()}
     assert "clone" in kinds
+
+
+def test_type3_edges_catch_reordered_edited_copies(spark):
+    """The Type-3 case: doc S is doc P with its statement lines
+    REORDERED plus one edited line. Reordering many short lines breaks
+    most cross-line token shingles (MinHash and containment estimates
+    fall below their floors) and the edit breaks the normalized hash
+    (clone edges miss too) — but the token SET survives reordering, so
+    the type3 branch's set-Jaccard clears 3/4 and the pair clusters
+    together."""
+    from dedupe_copy_spark import DedupeConfig
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    # every token is line-specific, so each cross-line shingle encodes
+    # the ADJACENCY — a reorder breaks them all, leaving only the
+    # intra-line shingles (raw Jaccard ~0.2, far below every shingle
+    # branch's floor) while the token SET is untouched. Line STRUCTURE
+    # varies with i%3 and the perfect shuffle reorders the template
+    # cycle, so the Type-2 abstracted stream changes too — clone edges
+    # miss it. (A mere rotation keeps all but two adjacencies; the
+    # even-then-odd shuffle breaks every one.)
+    tmpl = ["{a} = {b} + {c};", "{a}({b}, {c})", "{a}[{b}] {c}"]
+    lines = [tmpl[i % 3].format(a=f"opt_{i}", b=f"value_{i}",
+                                c=f"flag_{i}") for i in range(24)]
+    base = "\n".join(lines) + "\n"
+    # reorder (even lines then odd lines) + one token edited
+    reordered = lines[::2] + lines[1::2]
+    reordered[5] = reordered[5].replace("flag_", "extra_")
+    shuffled = "\n".join(reordered) + "\n"
+    decoys = [(f"r{i}", f"d{i}.txt", "c0", "txt",
+               f"completely unrelated decoy body {i} " * 20)
+              for i in range(6)]
+    rows = [("rp", "plain.txt", "c0", "txt", base),
+            ("rs", "shuffled.txt", "c0", "txt", shuffled)] + decoys
+    files = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string")
+
+    def cluster_of(cfg):
+        res = DedupePipeline(spark, cfg).run(files)
+        assigned = {r.path: r.cluster_id
+                    for r in res.clusters.join(
+                        res.hashed.select("file_id", "path"), "file_id")
+                    .collect()}
+        return assigned["plain.txt"], assigned["shuffled.txt"]
+
+    p_off, s_off = cluster_of(DedupeConfig(clone_edges=True))
+    assert p_off != s_off, \
+        "default branches should miss the reordered near-miss copy"
+    p_on, s_on = cluster_of(DedupeConfig(type3_edges=True))
+    assert p_on == s_on, "type3 edges should merge the reordered copy"
+    res = DedupePipeline(spark, DedupeConfig(type3_edges=True)).run(files)
+    kinds = {r.kind for r in res.pairs.collect()}
+    assert "type3" in kinds
