@@ -227,6 +227,24 @@ def function_clone_pairs(docs: DataFrame, threshold_num: int = 3,
                                  max_bucket=max_bucket)
 
 
+def doc_token_classes(docs: DataFrame, min_tokens: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, unit_key, toks) per doc: unit_key = sha256 of the
+    Type-1-normalized text (the clone-class identity), toks = its
+    distinct lowercase token set. The shared front end of
+    :func:`type3_doc_pairs` and the streaming Type-3 store — docs below
+    ``min_tokens`` are excluded on both paths so batch and stream agree
+    about which docs participate."""
+    norm = normalize_code(F.col(text_col), abstract_identifiers=False)
+    toks = F.array_distinct(F.regexp_extract_all(
+        F.lower(norm), F.lit("[a-z0-9_]+"), 0))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.sha2(norm, 256).alias("unit_key"),
+                        toks.alias("toks"))
+            .filter(F.size("toks") >= min_tokens))
+
+
 def type3_doc_pairs(docs: DataFrame, threshold_num: int = 3,
                     threshold_den: int = 4, min_tokens: int = 8,
                     max_bucket: int = 4096, id_col: str = "doc_id",
@@ -245,13 +263,9 @@ def type3_doc_pairs(docs: DataFrame, threshold_num: int = 3,
     score = inter/uni as a double (an edge weight, not an
     oracle-checked value; the oracle-checked integer form lives in
     :func:`function_clone_pairs`)."""
-    norm = normalize_code(F.col(text_col), abstract_identifiers=False)
-    toks = F.array_distinct(F.regexp_extract_all(
-        F.lower(norm), F.lit("[a-z0-9_]+"), 0))
-    keyed = (docs.select(F.col(id_col).alias("_id"),
-                         F.sha2(norm, 256).alias("unit_key"),
-                         toks.alias("toks"))
-             .filter(F.size("toks") >= min_tokens))
+    keyed = doc_token_classes(docs, min_tokens=min_tokens,
+                              id_col=id_col, text_col=text_col) \
+        .withColumnRenamed("doc_id", "_id")
     reps = keyed.groupBy("unit_key").agg(F.min("_id").alias("rep"))
     classes = (keyed.select("unit_key", "toks")
                .dropDuplicates(["unit_key"]))

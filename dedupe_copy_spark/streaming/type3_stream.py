@@ -1,0 +1,207 @@
+"""Incremental Type-3 near-miss clone pairs over a document stream.
+
+The batch form (operators/clones.token_set_clone_pairs) orders tokens
+by ascending global document frequency before prefix filtering — the
+classic cost heuristic. Streaming, that order would DRIFT as the
+corpus grows, and a prefix index built under yesterday's order could
+not be probed under today's. The fix is the exactness property itself:
+the prefix-filter completeness lemma holds under ANY fixed global
+token order, and the verify step computes exact Jaccard regardless —
+so the ORDER only affects cost, never output. This module therefore
+orders tokens by ``xxhash64(token)`` (stable forever), which makes the
+per-class prefix a pure function of the class: computed once on
+arrival, stored, never rebuilt. Each batch probes only
+new-vs-(history + new); history-vs-history pairs were emitted by
+earlier batches, so no batch ever rescans old pairs — the same
+no-rescan contract as the other streaming stores, and the per-batch
+pair union equals the batch operator's output on the concatenation
+(test-pinned; df-ordered and hash-ordered runs agree because both are
+exact).
+
+State layout under ``out_dir`` (parquet, batch_id-keyed subdirectories
+with overwrite semantics — the idempotent-replay contract of
+incremental.py; foreachBatch is at-least-once):
+
+    classes/batch_id=N/  (unit_key, toks) Type-1 classes FIRST seen by
+                         batch N (duplicate instances of a known class
+                         are dropped by an anti-join — the class store
+                         IS the exact-dup gate at this granularity)
+    prefix/batch_id=N/   (token, unit_key) hash-order prefix entries of
+                         batch N's new classes
+    pairs/batch_id=N/    (unit_a, unit_b, inter, uni) pairs found BY
+                         batch N: within-batch plus vs all history
+
+Scale notes: the probe equi-joins the batch's prefix entries against
+the accumulated prefix store on the token — the store grows with
+distinct classes, the join touches only colliding tokens, and hot
+prefix tokens are width-capped over the COMBINED (history + batch)
+bucket with the batch operator's drop-accounting semantics. At 10^12
+docs the class/prefix stores become bucketed tables clustered by
+token; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.clones import doc_token_classes
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalType3:
+    """Streaming Type-3 clone-pair mining with a stable-order prefix
+    store."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 threshold_num: int = 3, threshold_den: int = 4,
+                 min_tokens: int = 8, max_bucket: int = 4096,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        if threshold_num <= 0 or threshold_den <= 0 or \
+                threshold_num > threshold_den:
+            raise ValueError(
+                f"threshold must be a fraction in (0, 1]: "
+                f"{threshold_num}/{threshold_den}")
+        self.spark = spark
+        self.out_dir = out_dir
+        self.num = threshold_num
+        self.den = threshold_den
+        self.min_tokens = min_tokens
+        self.max_bucket = max_bucket
+        self.id_col = id_col
+        self.text_col = text_col
+        self.classes_path = f"{out_dir}/classes"
+        self.prefix_path = f"{out_dir}/prefix"
+        self.pairs_path = f"{out_dir}/pairs"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _excluding_batch(self, df: DataFrame | None, batch_id: int):
+        """Replay safety: a crashed attempt of THIS batch may have
+        partially written state — never treat it as history."""
+        if df is None:
+            return None
+        if "batch_id" in df.columns:
+            return df.filter(F.col("batch_id") != batch_id)
+        return df
+
+    def _with_prefix(self, classes: DataFrame) -> DataFrame:
+        """(unit_key, toks, prefix): tokens hash-ordered, prefix length
+        n - ceil(t*n) + 1 (all-integer). A pure function of the class —
+        order never drifts, so stored prefixes stay probe-compatible
+        forever."""
+        ordered = F.transform(
+            F.array_sort(F.transform(
+                "toks",
+                lambda t: F.struct(F.xxhash64(t).alias("h"),
+                                   t.alias("token")))),
+            lambda s: s["token"])
+        n = F.size("toks")
+        p = (n - F.floor((F.lit(self.num) * n + F.lit(self.den - 1))
+                         / F.lit(self.den)) + F.lit(1)).cast("int")
+        return classes.select("unit_key", "toks",
+                              F.slice(ordered, 1, p).alias("prefix"))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        keyed = doc_token_classes(batch_df, min_tokens=self.min_tokens,
+                                  id_col=self.id_col,
+                                  text_col=self.text_col)
+        fresh = (keyed.select("unit_key", "toks")
+                 .dropDuplicates(["unit_key"]))
+        hist_classes = self._excluding_batch(
+            self._read_state(self.classes_path), batch_id)
+        if hist_classes is not None:
+            fresh = fresh.join(hist_classes.select("unit_key"),
+                               "unit_key", "left_anti")
+        fresh = self._with_prefix(fresh).localCheckpoint()
+        prefix_new = fresh.select(
+            "unit_key", F.explode("prefix").alias("token"))
+
+        hist_prefix = self._excluding_batch(
+            self._read_state(self.prefix_path), batch_id)
+        probe_side = prefix_new if hist_prefix is None else \
+            prefix_new.unionByName(hist_prefix.select("unit_key", "token"))
+        # hot prefix tokens capped over the COMBINED width — same drop
+        # accounting stance as the batch operator's bucket core
+        widths = probe_side.groupBy("token").agg(
+            F.count(F.lit(1)).alias("_w"))
+        probe_ok = probe_side.join(
+            widths.filter(F.col("_w") <= self.max_bucket), "token") \
+            .drop("_w")
+        cands = (
+            prefix_new.withColumnRenamed("unit_key", "key_new")
+            .join(probe_ok.withColumnRenamed("unit_key", "key_other"),
+                  "token")
+            .filter(F.col("key_new") != F.col("key_other"))
+            .select(F.least("key_new", "key_other").alias("unit_a"),
+                    F.greatest("key_new", "key_other").alias("unit_b"))
+            .dropDuplicates(["unit_a", "unit_b"])
+        )
+        all_sets = fresh.select("unit_key", "toks") if hist_classes is None \
+            else fresh.select("unit_key", "toks").unionByName(
+                hist_classes.select("unit_key", "toks"))
+        inter = F.size(F.array_intersect("t_a", "t_b")).cast("long")
+        uni = F.size(F.array_union("t_a", "t_b")).cast("long")
+        verified = (
+            cands
+            .join(all_sets.select(F.col("unit_key").alias("unit_a"),
+                                  F.col("toks").alias("t_a")), "unit_a")
+            .join(all_sets.select(F.col("unit_key").alias("unit_b"),
+                                  F.col("toks").alias("t_b")), "unit_b")
+            .select("unit_a", "unit_b",
+                    inter.alias("inter"), uni.alias("uni"))
+            .filter(F.lit(self.den) * F.col("inter")
+                    >= F.lit(self.num) * F.col("uni"))
+            .localCheckpoint()
+        )
+
+        # idempotent batch_id-keyed sinks (overwrite own subdir only)
+        fresh.select("unit_key", "toks").write.mode("overwrite").parquet(
+            f"{self.classes_path}/batch_id={batch_id}")
+        prefix_new.write.mode("overwrite").parquet(
+            f"{self.prefix_path}/batch_id={batch_id}")
+        verified.write.mode("overwrite").parquet(
+            f"{self.pairs_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def all_pairs(self) -> DataFrame:
+        """Every pair found so far — equals the batch operator's output
+        on the concatenation of all batches (new-vs-all per batch
+        covers each pair exactly once: by the batch that completed
+        it)."""
+        store = self._read_state(self.pairs_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "unit_a string, unit_b string, inter long, uni long")
+        return (store.select("unit_a", "unit_b", "inter", "uni")
+                .dropDuplicates(["unit_a", "unit_b"]))
+
+    def all_classes(self) -> DataFrame:
+        """Every distinct Type-1 class ingested so far."""
+        store = self._read_state(self.classes_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "unit_key string, toks array<string>")
+        return (store.select("unit_key", "toks")
+                .dropDuplicates(["unit_key"]))
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

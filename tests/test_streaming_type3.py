@@ -1,0 +1,99 @@
+"""Streaming Type-3 clone pairs: stable-hash-order prefix store,
+new-vs-history probes, batch equivalence with the df-ordered batch
+operator (both exact, so the internal order difference is invisible),
+idempotent under batch replay."""
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import clones
+from dedupe_copy_spark.streaming.type3_stream import IncrementalType3
+
+_BASE = "alpha beta gamma delta epsilon zeta eta theta iota\n"
+_EDIT = _BASE.replace("iota", "kappa")          # J = 8/10 vs base
+_FAR = "one two three four five six seven eight nine\n"  # J = 0 vs base
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def _pairs(spark, out):
+    return spark.read.parquet(f"{out}/pairs") \
+        .select("unit_a", "unit_b", "inter", "uni").collect()
+
+
+def test_cross_batch_near_miss_and_replay(spark, tmp_path):
+    out = str(tmp_path / "t3_out")
+    job = IncrementalType3(spark, out, min_tokens=3)
+    job.process_batch(_df(spark, [(0, _BASE), (1, _FAR)]), 0)
+    assert _pairs(spark, out) == []  # nothing alike yet
+
+    batch1 = [(2, _EDIT)]
+    job.process_batch(_df(spark, batch1), 1)
+    found = _pairs(spark, out)
+    assert [(r.inter, r.uni) for r in found] == [(8, 10)]
+
+    # at-least-once replay of batch 1: no duplicate classes or pairs
+    job.process_batch(_df(spark, batch1), 1)
+    assert len(_pairs(spark, out)) == 1
+    assert spark.read.parquet(f"{out}/classes").count() == 3
+
+
+def test_known_class_rearrival_adds_nothing(spark, tmp_path):
+    out = str(tmp_path / "t3_out2")
+    job = IncrementalType3(spark, out, min_tokens=3)
+    job.process_batch(_df(spark, [(0, _BASE)]), 0)
+    # a LATER batch resends the same text under a new doc_id: same
+    # Type-1 class, so no new class row and no self-pair
+    job.process_batch(_df(spark, [(9, _BASE)]), 1)
+    assert spark.read.parquet(f"{out}/classes").count() == 1
+    assert _pairs(spark, out) == []
+
+
+def test_batch_equivalence_with_df_ordered_operator(spark, tmp_path):
+    """Union of per-batch pairs == token_set_clone_pairs (df order) on
+    the distinct classes of the concatenation: exactness makes the
+    token order an invisible implementation detail."""
+    texts = [
+        "red orange yellow green blue indigo violet pink",
+        "red orange yellow green blue indigo violet black",   # near base
+        "red orange yellow green blue indigo cyan black",     # near both
+        "cat dog fox wolf bear lynx otter seal",
+        "cat dog fox wolf bear lynx otter hare",              # near prev
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "red orange yellow green blue indigo violet pink",    # dup class
+    ]
+    rows = list(enumerate(texts))
+    out = str(tmp_path / "t3_out3")
+    job = IncrementalType3(spark, out, min_tokens=3)
+    for b, chunk in enumerate([rows[:3], rows[3:5], rows[5:]]):
+        job.process_batch(_df(spark, chunk), b)
+    got = {(r.unit_a, r.unit_b, r.inter, r.uni)
+           for r in job.all_pairs().collect()}
+
+    classes = (clones.doc_token_classes(_df(spark, rows), min_tokens=3)
+               .select("unit_key", "toks").dropDuplicates(["unit_key"]))
+    want = {(r.unit_a, r.unit_b, r.inter, r.uni)
+            for r in clones.token_set_clone_pairs(classes, 3, 4).collect()}
+    assert got == want and want  # non-vacuous
+
+
+def test_short_docs_excluded_consistently(spark, tmp_path):
+    out = str(tmp_path / "t3_out4")
+    job = IncrementalType3(spark, out, min_tokens=8)
+    job.process_batch(_df(spark, [(0, "too short"), (1, _BASE)]), 0)
+    assert spark.read.parquet(f"{out}/classes").count() == 1
+
+
+def test_e2e_readstream(spark, tmp_path):
+    """The whole surface through an actual readStream→foreachBatch run."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "t3_out5")
+    _df(spark, [(0, _BASE), (1, _EDIT), (2, _FAR)]).write.parquet(src)
+    job = IncrementalType3(spark, out, min_tokens=3)
+    q = job.start(src)
+    q.awaitTermination(120)
+    found = job.all_pairs().collect()
+    assert [(r.inter, r.uni) for r in found] == [(8, 10)]
