@@ -742,8 +742,7 @@ CHECKS = {
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
     "function_clone_pairs": [
-        ("no python eval (extraction, normalize, tokenize, prefix "
-         "filter, verify are all Catalyst)",
+        ("no python eval (prefix filter + verify are Catalyst)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),
         ("no all-pairs stage (prefix-filter equi-join, never a "
          "cartesian/nested-loop product)",
@@ -751,6 +750,19 @@ CHECKS = {
          and "BroadcastNestedLoopJoin" not in p),
         ("df counts + pair rollups partial-aggregate map-side",
          lambda p: "partial_count" in p),
+        ("mines over the materialized class store (checkpoint "
+         "boundary — the class lineage runs once, audited separately "
+         "as function_clone_classes)",
+         lambda p: "Scan ExistingRDD" in p),
+    ],
+    "function_clone_classes": [
+        ("no python eval (extraction, normalizer, tokenizer are "
+         "Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("one Generate (posexplode of extracted units)",
+         lambda p: len(re.findall(r"\(\d+\) Generate", p)) == 1),
+        ("class dedupe partial-aggregates map-side",
+         lambda p: "partial_" in p),
         ("column-pruned scan (doc_id + text only)",
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],

@@ -5159,19 +5159,35 @@ def function_clone_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an equality check because prefix filtering is exact."""
     from dedupe_copy_spark.operators.clones import function_clone_pairs
 
+    return function_clone_pairs(_t3_seeded(spark, sf_dir),
+                                threshold_num=3, threshold_den=4)
+
+
+def _t3_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     expr = None
     for k, s in _T3_SNIPPETS:
         cond = F.col("doc_id") % 23 == k
         expr = F.when(cond, s) if expr is None else expr.when(cond, s)
-    seeded = docs.select(
+    return docs.select(
         "doc_id", expr.otherwise(F.col("text")).alias("text"))
-    return function_clone_pairs(seeded, threshold_num=3, threshold_den=4)
+
+
+def function_clone_classes_stage(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Audit/bench stage: the distinct Type-1 unit-class relation BEFORE
+    the pair miner's checkpoint — the stage whose scan pruning and
+    single-Generate shape the plan audit pins (the checkpoint hides
+    this lineage from the registered query's own plan)."""
+    from dedupe_copy_spark.operators.clones import function_token_classes
+
+    return function_token_classes(_t3_seeded(spark, sf_dir), min_tokens=3)
 
 
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
+    "function_clone_classes": function_clone_classes_stage,
     "media_stream_keys": media_stream_keys_stage,
     "minhash_near_pairs": minhash_near_pairs_raw,
     "simhash_short_pairs": simhash_short_pairs_raw,
