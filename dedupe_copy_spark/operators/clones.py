@@ -118,7 +118,8 @@ def function_clone_groups(docs: DataFrame, level: int = 2,
 
 def token_set_clone_pairs(keyed: DataFrame, threshold_num: int = 3,
                           threshold_den: int = 4,
-                          max_bucket: int = 4096) -> DataFrame:
+                          max_bucket: int = 4096,
+                          materialize: bool = True) -> DataFrame:
     """Type-3 (near-miss) clone pairs over token SETS — SourcererCC's
     candidate strategy (Sajnani et al., ICSE 2016) re-expressed as
     DataFrame ops: order each set by ascending global document
@@ -157,8 +158,10 @@ def token_set_clone_pairs(keyed: DataFrame, threshold_num: int = 3,
     # count, ordering join, prefix explode, verify sets) — cut the
     # caller's lineage once (normalize/extract/dedupe is the expensive
     # part) instead of recomputing it per consumer, the same
-    # materialize-once stance as minhash signatures
-    keyed = keyed.localCheckpoint()
+    # materialize-once stance as minhash signatures. Callers that
+    # already checkpointed upstream pass materialize=False.
+    if materialize:
+        keyed = keyed.localCheckpoint()
     exploded = keyed.select("unit_key",
                             F.explode("toks").alias("token"))
     df_counts = exploded.groupBy("token").agg(
@@ -291,15 +294,18 @@ def type3_doc_pairs(docs: DataFrame, threshold_num: int = 3,
     score = inter/uni as a double (an edge weight, not an
     oracle-checked value; the oracle-checked integer form lives in
     :func:`function_clone_pairs`)."""
+    # one checkpoint serves the rep rollup, both rep joins, AND the
+    # miner's four consumers (materialize=False below avoids a second)
     keyed = doc_token_classes(docs, min_tokens=min_tokens,
                               id_col=id_col, text_col=text_col) \
-        .withColumnRenamed("doc_id", "_id")
+        .withColumnRenamed("doc_id", "_id").localCheckpoint()
     reps = keyed.groupBy("unit_key").agg(F.min("_id").alias("rep"))
     classes = (keyed.select("unit_key", "toks")
                .dropDuplicates(["unit_key"]))
     pairs = token_set_clone_pairs(classes, threshold_num=threshold_num,
                                   threshold_den=threshold_den,
-                                  max_bucket=max_bucket)
+                                  max_bucket=max_bucket,
+                                  materialize=False)
     return (
         pairs
         .join(reps.select(F.col("unit_key").alias("unit_a"),

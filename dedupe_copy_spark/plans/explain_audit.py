@@ -755,6 +755,19 @@ CHECKS = {
          "as function_clone_classes)",
          lambda p: "Scan ExistingRDD" in p),
     ],
+    "type3_doc_pairs": [
+        ("no python eval (class build, prefix filter, verify, rep "
+         "joins are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no all-pairs stage (prefix-filter equi-join only)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("mines over the materialized class store (one checkpoint "
+         "serves reps + miner)",
+         lambda p: "Scan ExistingRDD" in p),
+        ("rollups partial-aggregate map-side",
+         lambda p: "partial_" in p),
+    ],
     "function_clone_classes": [
         ("no python eval (extraction, normalizer, tokenizer are "
          "Catalyst)",

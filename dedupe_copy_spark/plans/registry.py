@@ -5184,6 +5184,71 @@ def function_clone_classes_stage(spark: SparkSession,
     return function_token_classes(_t3_seeded(spark, sf_dir), min_tokens=3)
 
 
+def _type3_doc_pairs_sql() -> str:
+    """Whole-doc Type-3 brute force with the class->min-doc rep mapping
+    replayed. Unlike the unit-level oracle this one runs over the FULL
+    document population (prose docs form classes too and the fixture
+    corpus carries genuine near-dups), so it also pins the operator
+    against organically-similar inputs it was not seeded with.
+    score_micro = floor((inter/uni)*1e6): the single IEEE division and
+    multiply are bit-identical cross-engine, and floor removes any
+    rounding-mode question."""
+    from dedupe_copy_spark.functions.code import normalize_code_sql
+
+    arms = " ".join(f"WHEN {k} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+                    for k, s in _T3_SNIPPETS)
+    norm = normalize_code_sql("text", abstract_identifiers=False)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, CASE doc_id % 23 {arms} ELSE text END AS text
+  FROM documents
+), classed AS (
+  SELECT doc_id, unit_key, toks FROM (
+    SELECT doc_id, sha256(norm) AS unit_key,
+           list_distinct(regexp_extract_all(lower(norm), '[a-z0-9_]+', 0))
+           AS toks
+    FROM (SELECT doc_id, {norm} AS norm FROM seeded)
+  ) WHERE len(toks) >= 8
+), reps AS (
+  SELECT unit_key, min(doc_id) AS rep FROM classed GROUP BY unit_key
+), classes AS (
+  SELECT DISTINCT unit_key, toks FROM classed
+), hits AS (
+  SELECT a.unit_key AS ka, b.unit_key AS kb,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(list_distinct(list_concat(a.toks, b.toks))) AS u
+  FROM classes a JOIN classes b ON a.unit_key < b.unit_key
+  WHERE 4 * len(list_intersect(a.toks, b.toks))
+        >= 3 * len(list_distinct(list_concat(a.toks, b.toks)))
+)
+SELECT CAST(least(ra.rep, rb.rep) AS BIGINT) AS id_a,
+       CAST(greatest(ra.rep, rb.rep) AS BIGINT) AS id_b,
+       CAST(floor((i::DOUBLE / u::DOUBLE) * 1000000) AS BIGINT)
+       AS score_micro
+FROM hits JOIN reps ra ON hits.ka = ra.unit_key
+          JOIN reps rb ON hits.kb = rb.unit_key
+"""
+
+
+@register("type3_doc_pairs", _type3_doc_pairs_sql())
+def type3_doc_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document Type-3 near-miss pairs (the pipeline's
+    cfg.type3_edges branch) over the seeded corpus PLUS the organic
+    document population — prose classes participate, so the fixture's
+    built-in near-dups must surface here exactly as the brute-force
+    oracle finds them. Pairs are between class-min representatives;
+    the exactness of prefix filtering makes this a full equality
+    check."""
+    from dedupe_copy_spark.operators.clones import type3_doc_pairs
+
+    pairs = type3_doc_pairs(_t3_seeded(spark, sf_dir), threshold_num=3,
+                            threshold_den=4, min_tokens=8)
+    return pairs.select(
+        "id_a", "id_b",
+        F.floor(F.col("score") * F.lit(1000000.0)).cast("long")
+        .alias("score_micro"))
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
