@@ -5366,6 +5366,11 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     "collision_report",
     "minhash_near_pairs",
     "dedupe_clusters",
+    # ROUND-5 WINDOW TODO: everything from "hash_sample" down plus the
+    # session's post-window registrations (temperature_mix,
+    # vendored_digest_report, package_popularity, function_clone_groups,
+    # function_clone_pairs, type3_doc_pairs) has no driver-green row —
+    # round 5 must move those ~22 names to the head of this list.
 ]
 
 
