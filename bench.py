@@ -175,6 +175,9 @@ HEADLINE = [
     # round 4: Type-3 near-miss function clones (SourcererCC prefix
     # filtering — exact candidate generation, integer Jaccard verify)
     "function_clone_pairs",
+    # round 4: whole-doc Type-3 pairs over seeded code + organic prose
+    # slice (the pipeline's type3_edges branch, oracle-checked form)
+    "type3_doc_pairs",
 ]
 
 

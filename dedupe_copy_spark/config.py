@@ -94,7 +94,11 @@ class DedupeConfig:
     type3_threshold_num: int = 3      # Jaccard threshold num/den —
     type3_threshold_den: int = 4      # integer test, no IEEE division
     type3_min_tokens: int = 8         # skip vocabulary-coincidence stubs
-    type3_max_bucket: int = 4096      # prefix-token bucket cap
+    type3_max_bucket: int = 1024      # prefix-token bucket cap (the pair
+                                      # expansion materializes width² structs
+                                      # per bucket — 1024² ≈ 150 MB is the
+                                      # safe ceiling; wider buckets drop with
+                                      # accounting)
 
     # --- scale / skew ---
     # hot-bucket control is the width cap (+ AQE skew-join as backstop);

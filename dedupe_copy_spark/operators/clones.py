@@ -118,7 +118,7 @@ def function_clone_groups(docs: DataFrame, level: int = 2,
 
 def token_set_clone_pairs(keyed: DataFrame, threshold_num: int = 3,
                           threshold_den: int = 4,
-                          max_bucket: int = 4096,
+                          max_bucket: int = 1024,
                           materialize: bool = True) -> DataFrame:
     """Type-3 (near-miss) clone pairs over token SETS — SourcererCC's
     candidate strategy (Sajnani et al., ICSE 2016) re-expressed as
@@ -204,7 +204,7 @@ def token_set_clone_pairs(keyed: DataFrame, threshold_num: int = 3,
 
 def function_clone_pairs(docs: DataFrame, threshold_num: int = 3,
                          threshold_den: int = 4, min_tokens: int = 3,
-                         max_bucket: int = 4096,
+                         max_bucket: int = 1024,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
     """Type-3 function-clone pairs: extract top-level units, Type-1
@@ -278,7 +278,7 @@ def doc_token_classes(docs: DataFrame, min_tokens: int = 8,
 
 def type3_doc_pairs(docs: DataFrame, threshold_num: int = 3,
                     threshold_den: int = 4, min_tokens: int = 8,
-                    max_bucket: int = 4096, id_col: str = "doc_id",
+                    max_bucket: int = 1024, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Type-3 near-miss pairs between WHOLE documents — the pipeline's
     edge form. Token sets come from the full Type-1-normalized text, so
@@ -293,7 +293,17 @@ def type3_doc_pairs(docs: DataFrame, threshold_num: int = 3,
 
     score = inter/uni as a double (an edge weight, not an
     oracle-checked value; the oracle-checked integer form lives in
-    :func:`function_clone_pairs`)."""
+    :func:`function_clone_pairs`).
+
+    PRECONDITION — identifier-diverse vocabulary (source code, its
+    native domain per SourcererCC): prefix filtering's selectivity
+    comes from rare tokens, and over a tiny-vocabulary corpus (e.g.
+    templated natural text) whole-doc token sets densify toward
+    all-pairs — prefix buckets then approach the class count and the
+    width cap drops them with accounting. That is the inherent
+    degenerate regime of every set-similarity join, not a tuning
+    problem; route such corpora through the shingle branches
+    instead."""
     # one checkpoint serves the rep rollup, both rep joins, AND the
     # miner's four consumers (materialize=False below avoids a second)
     keyed = doc_token_classes(docs, min_tokens=min_tokens,

@@ -5186,13 +5186,19 @@ def function_clone_classes_stage(spark: SparkSession,
 
 def _type3_doc_pairs_sql() -> str:
     """Whole-doc Type-3 brute force with the class->min-doc rep mapping
-    replayed. Unlike the unit-level oracle this one runs over the FULL
-    document population (prose docs form classes too and the fixture
-    corpus carries genuine near-dups), so it also pins the operator
-    against organically-similar inputs it was not seeded with.
-    score_micro = floor((inter/uni)*1e6): the single IEEE division and
-    multiply are bit-identical cross-engine, and floor removes any
-    rounding-mode question."""
+    replayed, over the seeded snippets PLUS a deterministic 1-in-19
+    prose slice — organic near-dups participate, so the operator is
+    pinned against similar inputs it was not seeded with. The slice is
+    deliberate: the synthetic prose has a TINY vocabulary, so whole-doc
+    token sets are pathologically self-similar (31% of ALL doc pairs
+    clear J>=3/4 at sf0.01) and prefix buckets densify toward
+    all-pairs — the degenerate regime for every set-similarity join.
+    The operator's real domain is identifier-diverse code, where
+    prefixes stay sparse; the slice keeps the fixture inside the
+    operator's stated precondition while still exercising organic
+    pairs. score_micro = floor((inter/uni)*1e6): the single IEEE
+    division and multiply are bit-identical cross-engine, and floor
+    removes any rounding-mode question."""
     from dedupe_copy_spark.functions.code import normalize_code_sql
 
     arms = " ".join(f"WHEN {k} THEN '{s.replace(chr(39), chr(39) * 2)}'"
@@ -5201,7 +5207,7 @@ def _type3_doc_pairs_sql() -> str:
     return f"""
 WITH seeded AS (
   SELECT doc_id, CASE doc_id % 23 {arms} ELSE text END AS text
-  FROM documents
+  FROM documents WHERE doc_id % 23 < 5 OR doc_id % 19 = 7
 ), classed AS (
   SELECT doc_id, unit_key, toks FROM (
     SELECT doc_id, sha256(norm) AS unit_key,
@@ -5233,15 +5239,17 @@ FROM hits JOIN reps ra ON hits.ka = ra.unit_key
 @register("type3_doc_pairs", _type3_doc_pairs_sql())
 def type3_doc_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document Type-3 near-miss pairs (the pipeline's
-    cfg.type3_edges branch) over the seeded corpus PLUS the organic
-    document population — prose classes participate, so the fixture's
-    built-in near-dups must surface here exactly as the brute-force
-    oracle finds them. Pairs are between class-min representatives;
-    the exactness of prefix filtering makes this a full equality
-    check."""
+    cfg.type3_edges branch) over the seeded snippets plus a 1-in-19
+    organic prose slice — the fixture's built-in near-dups inside the
+    slice must surface exactly as the brute-force oracle finds them.
+    Pairs are between class-min representatives; the exactness of
+    prefix filtering makes this a full equality check. (Population
+    scoping rationale in ``_type3_doc_pairs_sql``.)"""
     from dedupe_copy_spark.operators.clones import type3_doc_pairs
 
-    pairs = type3_doc_pairs(_t3_seeded(spark, sf_dir), threshold_num=3,
+    scoped = _t3_seeded(spark, sf_dir).filter(
+        (F.col("doc_id") % 23 < 5) | (F.col("doc_id") % 19 == 7))
+    pairs = type3_doc_pairs(scoped, threshold_num=3,
                             threshold_den=4, min_tokens=8)
     return pairs.select(
         "id_a", "id_b",

@@ -55,7 +55,7 @@ class IncrementalType3:
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  threshold_num: int = 3, threshold_den: int = 4,
-                 min_tokens: int = 8, max_bucket: int = 4096,
+                 min_tokens: int = 8, max_bucket: int = 1024,
                  id_col: str = "doc_id", text_col: str = "text"):
         if threshold_num <= 0 or threshold_den <= 0 or \
                 threshold_num > threshold_den:
