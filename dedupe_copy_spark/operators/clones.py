@@ -162,6 +162,31 @@ def token_set_clone_pairs(keyed: DataFrame, threshold_num: int = 3,
     # already checkpointed upstream pass materialize=False.
     if materialize:
         keyed = keyed.localCheckpoint()
+    ordered, prefix = _ordered_prefix(keyed, threshold_num, threshold_den)
+    cands = bucket_pairs(prefix, ["token"], "unit_key", max_bucket)
+    sets = ordered.select(F.col("unit_key"), F.col("toks"))
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("long")
+    uni = F.size(F.array_union("t_a", "t_b")).cast("long")
+    return (
+        cands
+        .join(sets.select(F.col("unit_key").alias("id_a"),
+                          F.col("toks").alias("t_a")), "id_a")
+        .join(sets.select(F.col("unit_key").alias("id_b"),
+                          F.col("toks").alias("t_b")), "id_b")
+        .select(F.col("id_a").alias("unit_a"),
+                F.col("id_b").alias("unit_b"),
+                inter.alias("inter"), uni.alias("uni"))
+        .filter(F.lit(threshold_den) * F.col("inter")
+                >= F.lit(threshold_num) * F.col("uni"))
+    )
+
+
+def _ordered_prefix(keyed: DataFrame, threshold_num: int,
+                    threshold_den: int) -> tuple[DataFrame, DataFrame]:
+    """(ordered, prefix): token sets sorted by ascending global df
+    (ties by token) and the exploded prefix relation of length
+    n - ceil(t*n) + 1 per set — the shared front end of the pair miner
+    and its drop-accounting companion."""
     exploded = keyed.select("unit_key",
                             F.explode("toks").alias("token"))
     df_counts = exploded.groupBy("token").agg(
@@ -184,22 +209,22 @@ def token_set_clone_pairs(keyed: DataFrame, threshold_num: int = 3,
          + F.lit(1)).cast("int")
     prefix = ordered.select(
         "unit_key", F.explode(F.slice("toks", 1, p)).alias("token"))
-    cands = bucket_pairs(prefix, ["token"], "unit_key", max_bucket)
-    sets = ordered.select(F.col("unit_key"), F.col("toks"))
-    inter = F.size(F.array_intersect("t_a", "t_b")).cast("long")
-    uni = F.size(F.array_union("t_a", "t_b")).cast("long")
-    return (
-        cands
-        .join(sets.select(F.col("unit_key").alias("id_a"),
-                          F.col("toks").alias("t_a")), "id_a")
-        .join(sets.select(F.col("unit_key").alias("id_b"),
-                          F.col("toks").alias("t_b")), "id_b")
-        .select(F.col("id_a").alias("unit_a"),
-                F.col("id_b").alias("unit_b"),
-                inter.alias("inter"), uni.alias("uni"))
-        .filter(F.lit(threshold_den) * F.col("inter")
-                >= F.lit(threshold_num) * F.col("uni"))
-    )
+    return ordered, prefix
+
+
+def token_set_clone_stats(keyed: DataFrame, threshold_num: int = 3,
+                          threshold_den: int = 4,
+                          max_bucket: int = 1024) -> DataFrame:
+    """Prefix-token buckets the width cap would drop — the
+    no-silent-caps companion of :func:`token_set_clone_pairs`, same
+    contract as minhash's ``dropped_buckets``: (token, width) per
+    dropped bucket, empty when the cap never binds. A non-empty result
+    means the corpus is in (or approaching) the tiny-vocabulary
+    degenerate regime documented on :func:`type3_doc_pairs`."""
+    from dedupe_copy_spark.operators.pairs import bucket_stats
+
+    _, prefix = _ordered_prefix(keyed, threshold_num, threshold_den)
+    return bucket_stats(prefix, ["token"], "unit_key", max_bucket)
 
 
 def function_clone_pairs(docs: DataFrame, threshold_num: int = 3,

@@ -365,3 +365,14 @@ def test_type3_doc_pairs_pair_class_reps_not_instances(spark):
     # docs 0+1 are one class (rep 0); exactly one cross-class pair,
     # between the REPS — never an instance-level explosion
     assert got == [(0, 2, round(8 / 10, 3))]
+
+
+def test_token_set_clone_stats_surfaces_dropped_buckets(spark):
+    rows = [(f"u{i}", [f"x{i}", "shared"]) for i in range(6)]
+    df = spark.createDataFrame(rows, "unit_key string, toks array<string>")
+    # at threshold 1/2 every 2-token set has prefix length 2, so the
+    # "shared" bucket is width 6: dropped (and reported) at cap 5,
+    # silent-empty at cap 6
+    dropped = clones.token_set_clone_stats(df, 1, 2, max_bucket=5).collect()
+    assert [(r.token, r.width) for r in dropped] == [("shared", 6)]
+    assert clones.token_set_clone_stats(df, 1, 2, max_bucket=6).count() == 0
