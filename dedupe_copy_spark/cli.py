@@ -82,6 +82,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore", default="", help="comma-separated ignore globs")
     p.add_argument("--min-size", type=int, default=0)
     p.add_argument("--dedupe-empty", action="store_true")
+    p.add_argument("--winnow-edges", action="store_true",
+                   help="add the MOSS-winnowing near-dup branch "
+                        "(scattered clone blocks; code corpora)")
+    p.add_argument("--clone-edges", action="store_true",
+                   help="add Type-2 clone classes (comment/whitespace/"
+                        "identifier-abstracted exact groups) as dup "
+                        "edges — catches renamed copies below every "
+                        "shingle branch's floor")
+    p.add_argument("--type3-edges", action="store_true",
+                   help="add Type-3 near-miss clone pairs (token-set "
+                        "Jaccard via exact prefix filtering) as dup "
+                        "edges — catches reordered+edited copies; "
+                        "intended for identifier-diverse code corpora")
     p.add_argument("--no-near-dup", action="store_true",
                    help="exact-only mode (the reference's capability)")
     p.add_argument("--hash-algo", default="sha256",
@@ -190,6 +203,9 @@ def main(argv: list[str] | None = None) -> int:
         dedupe_empty=args.dedupe_empty,
         hash_algo=args.hash_algo,
         checkpoint_dir=args.checkpoint,
+        winnow_edges=args.winnow_edges,
+        clone_edges=args.clone_edges,
+        type3_edges=args.type3_edges,
     )
     spark = get_spark(app_name="dedupe-copy-spark-job", cores=args.cores)
 

@@ -270,3 +270,16 @@ def test_cli_ignore_old_collisions(tmp_path):
         env={**os.environ, "PYTHONPATH": REPO})
     assert out.returncode != 0
     assert "requires --manifest" in out.stderr
+
+
+def test_cli_edge_branch_flags(input_parquet, tmp_path):
+    """--winnow-edges/--clone-edges/--type3-edges reach the config: the
+    run succeeds and the extra branches can only ADD pairs."""
+    path, _ = input_parquet
+    base = _run_cli(["--input", path, "--output", str(tmp_path / "b"),
+                     "--cores", "4"])
+    extra = _run_cli(["--input", path, "--output", str(tmp_path / "e"),
+                      "--cores", "4", "--winnow-edges", "--clone-edges",
+                      "--type3-edges"])
+    assert extra["pairs"] >= base["pairs"]
+    assert extra["corpus_rows"] <= base["corpus_rows"]
