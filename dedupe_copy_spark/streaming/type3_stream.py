@@ -16,7 +16,10 @@ earlier batches, so no batch ever rescans old pairs — the same
 no-rescan contract as the other streaming stores, and the per-batch
 pair union equals the batch operator's output on the concatenation
 (test-pinned; df-ordered and hash-ordered runs agree because both are
-exact).
+exact). One caveat inherited from exactness-modulo-caps: when the
+width cap BINDS, the two orders cap different buckets, so equivalence
+is exact only below the cap — the same contract every capped path in
+this repo carries, observable via ``token_set_clone_stats``.
 
 State layout under ``out_dir`` (parquet, batch_id-keyed subdirectories
 with overwrite semantics — the idempotent-replay contract of
