@@ -178,6 +178,8 @@ HEADLINE = [
     # round 4: whole-doc Type-3 pairs over seeded code + organic prose
     # slice (the pipeline's type3_edges branch, oracle-checked form)
     "type3_doc_pairs",
+    # round 4: sampled exact-Jaccard precision audit of emitted pairs
+    "pair_precision_audit",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Sampled precision audit of emitted near-dup pairs.
+
+At production scale the near-dup pipeline emits billions of pairs; an
+exact re-verification of every pair costs as much as the dedup itself
+(it is exactly the all-pairs work LSH exists to avoid), so nobody runs
+it — and estimate-based verification (MinHash signature agreement)
+drifts silently when a config change or a skewed corpus pushes false
+positives through. The operational answer, and what this module
+implements, is the same one the reference applies to file copies
+(verify a manifest after the fact, dedupe_copy/utils.py:193-210 —
+audit the OUTPUT, don't trust the pipeline): draw a DETERMINISTIC
+sample of emitted pairs and recompute the exact set-Jaccard for just
+those.
+
+Scale shape:
+
+- the sample predicate is a pure-codegen md5-prefix threshold on the
+  pair key (the ``hash_sample`` idiom — engine-portable, reproducible
+  run-over-run, and independent of every other row), applied BEFORE
+  any text is touched, so a billion-pair relation shrinks to the audit
+  budget first;
+- the two gram lookups join the (tiny) sampled side against the
+  corpus-sized gram relation; AQE sees the post-filter size and
+  broadcasts the sampled side, so the corpus relation never shuffles;
+- exact Jaccard is computed from the SAME distinct-shingle arrays the
+  truth oracles use (array_intersect / array_union — JVM codegen, no
+  Python), quantized to integer micro-units by a single IEEE division
+  so the number is bit-identical in any engine that replays it.
+
+The audit row (doc_a, doc_b, j_micro, meets_floor) is the artifact a
+100 TB run ships with its output manifest: `meets_floor = false`
+anywhere in the sample is a precision regression caught at sample
+cost, not at re-run cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def sampled_pair_precision(pairs: DataFrame, grams: DataFrame,
+                           id_col: str = "doc_id", gram_col: str = "g",
+                           hex_lt: str = "8",
+                           floor_micro: int = 800_000) -> DataFrame:
+    """Exact-Jaccard re-verification of a deterministic sample of
+    ``pairs``.
+
+    ``pairs``: (doc_a, doc_b) emitted candidate/dup pairs (doc_a < doc_b).
+    ``grams``: (id_col, gram_col) with the distinct shingle array per doc
+    — the same relation the pair producer shingled from, so the audit
+    measures the producer's own similarity definition.
+    ``hex_lt``: md5-hex-prefix sampling threshold ('8' keeps ~1/2,
+    '4' ~1/4, '08' ~1/32 ... — at 100 TB pick a prefix that yields a
+    few thousand audited pairs).
+    ``floor_micro``: the pipeline's similarity threshold in micro-units;
+    every audited pair must clear it or it is a false positive.
+
+    Returns (doc_a, doc_b, j_micro, meets_floor) for the sampled pairs.
+    """
+    if not hex_lt or any(c not in "0123456789abcdef" for c in hex_lt):
+        raise ValueError(f"hex_lt must be non-empty lowercase hex, got "
+                         f"{hex_lt!r}")
+    key = F.md5(F.concat_ws(
+        ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")))
+    sampled = pairs.filter(key < F.lit(hex_lt))
+    ga = grams.select(F.col(id_col).alias("doc_a"),
+                      F.col(gram_col).alias("_ga"))
+    gb = grams.select(F.col(id_col).alias("doc_b"),
+                      F.col(gram_col).alias("_gb"))
+    joined = sampled.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    uni = F.greatest(F.size(F.array_union("_ga", "_gb")),
+                     F.lit(1)).cast("double")
+    # single IEEE division then one multiply + floor: bit-identical in
+    # every IEEE-754 engine (see BENCH/BASELINE.md determinism notes)
+    j_micro = F.floor(inter / uni * F.lit(float(MICRO))).cast("long")
+    return joined.select(
+        "doc_a", "doc_b", j_micro.alias("j_micro"),
+        (j_micro >= F.lit(int(floor_micro))).alias("meets_floor"))

@@ -827,6 +827,20 @@ CHECKS = {
         ("no python eval (salted key is codegen)",
          lambda p: "EvalPython" not in p),
     ],
+    "pair_precision_audit": [
+        # the signature stage is localCheckpointed upstream (audited
+        # separately as minhash_signatures); the audit plan itself must
+        # stay pure Catalyst
+        ("no python eval in the audit plan (md5 sample + array "
+         "Jaccard are codegen)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("deterministic md5-prefix sample applied before the gram "
+         "joins",
+         lambda p: "md5(cast(concat_ws(:" in p),
+        ("gram lookup scans pruned to doc_id+text only",
+         lambda p: p.count(
+             "ReadSchema: struct<doc_id:bigint,text:string>") >= 2),
+    ],
 }
 
 # Applied to EVERY registered query in addition to its specific checks,

@@ -744,6 +744,43 @@ def minhash_near_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.minhash_pairs(_reps(spark, sf_dir), _near_cfg()).orderBy("id_a", "id_b")
 
 
+@register("pair_precision_audit", _TRUTH_CTE + """
+, truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.g, b.g))::BIGINT AS inter,
+         greatest(len(list_distinct(list_concat(a.g, b.g))), 1)::BIGINT AS uni
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g))::DOUBLE
+        / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.8
+)
+SELECT doc_a, doc_b,
+       CAST(floor(inter::DOUBLE / uni::DOUBLE * 1000000.0) AS BIGINT)
+         AS j_micro,
+       true AS meets_floor
+FROM truth
+WHERE md5(doc_a::VARCHAR || ':' || doc_b::VARCHAR) < '8'
+""")
+def pair_precision_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled PRECISION audit of the emitted near-dup pairs
+    (operators/audit.py): a deterministic md5-prefix sample of the
+    MinHash pipeline's output pairs, re-verified with the exact
+    distinct-shingle Jaccard in integer micro-units — the
+    manifest-verify discipline (reference utils.py:193-210) applied to
+    pair emission. The oracle replays the same sample over the exact
+    truth set with meets_floor hardcoded true, so the value hash fails
+    if (a) a sampled emitted pair is a false positive (extra row /
+    meets_floor=false), (b) a sampled truth pair was missed (missing
+    row), or (c) the audited J drifts by even one micro-unit."""
+    from dedupe_copy_spark.operators import audit
+    from dedupe_copy_spark.operators import minhash as mh
+
+    reps = _reps(spark, sf_dir)
+    emitted = _pairs_to_docs(mh.minhash_pairs(reps, _near_cfg()), reps) \
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    return audit.sampled_pair_precision(
+        emitted, _doc_grams(spark, sf_dir), hex_lt="8", floor_micro=800_000)
+
+
 @register("simhash_short_pairs", _TRUTH_CTE + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS found
 FROM grams a JOIN grams b ON a.doc_id < b.doc_id

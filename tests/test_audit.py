@@ -1,0 +1,82 @@
+"""sampled_pair_precision: the exact-Jaccard audit over a deterministic
+md5-prefix sample of emitted pairs (operators/audit.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import audit
+
+
+def _grams(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, g array<string>")
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_exact_jaccard_micro_units(spark):
+    # J(1,2) = |{a,b}| / |{a,b,c}| = 2/3 -> floor(666666.66) = 666666
+    grams = _grams(spark, [(1, ["a", "b"]), (2, ["a", "b", "c"])])
+    pairs = _pairs(spark, [(1, 2)])
+    out = audit.sampled_pair_precision(pairs, grams, hex_lt="f",
+                                       floor_micro=800_000).collect()
+    # hex_lt='f' keeps ~15/16 of pairs; this one's md5('1:2') prefix
+    # must land under it for the row to be visible (it does)
+    assert len(out) == 1
+    row = out[0]
+    assert row.j_micro == 666_666
+    assert row.meets_floor is False
+
+
+def test_floor_pass_and_fail(spark):
+    grams = _grams(spark, [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "b", "c", "d", "e"]),   # J(1,2) = 1.0
+        (3, ["a", "z", "y", "x", "w"]),   # J(1,3) = 1/9
+    ])
+    pairs = _pairs(spark, [(1, 2), (1, 3)])
+    out = {(r.doc_a, r.doc_b): r for r in audit.sampled_pair_precision(
+        pairs, grams, hex_lt="f", floor_micro=800_000).collect()}
+    if (1, 2) in out:
+        assert out[(1, 2)].j_micro == 1_000_000
+        assert out[(1, 2)].meets_floor is True
+    if (1, 3) in out:
+        assert out[(1, 3)].j_micro == 111_111
+        assert out[(1, 3)].meets_floor is False
+    assert out, "sample must keep at least one of the two pairs at 'f'"
+
+
+def test_sample_is_deterministic_and_thresholded(spark):
+    grams = _grams(spark, [(i, ["t", str(i)]) for i in range(60)])
+    pairs = _pairs(spark, [(i, i + 1) for i in range(59)])
+    sampled = lambda h: sorted(
+        (r.doc_a, r.doc_b) for r in audit.sampled_pair_precision(
+            pairs, grams, hex_lt=h).collect())
+    half = sampled("8")
+    assert sampled("8") == half                   # rerun identical
+    quarter = sampled("4")
+    assert set(quarter) <= set(half)              # nested thresholds
+    assert 0 < len(quarter) < len(half) < 59      # both really sample
+    assert sampled("f") != half                   # wider keeps more
+
+
+def test_bad_hex_threshold_raises(spark):
+    grams = _grams(spark, [(1, ["a"])])
+    pairs = _pairs(spark, [(1, 1)])
+    for bad in ("", "G", "8X", "A"):  # uppercase is not md5-hex output
+        with pytest.raises(ValueError):
+            audit.sampled_pair_precision(pairs, grams, hex_lt=bad)
+
+
+def test_registered_audit_non_vacuous_at_sf001(spark, sf_med):
+    """The driver-checked query must audit a real sample: at sf0.01 the
+    emitted minhash pairs sampled at '8' are a non-empty slice, every
+    one clearing the 0.8 floor."""
+    from dedupe_copy_spark.plans import registry
+
+    out = registry.SPARK_QUERIES["pair_precision_audit"](
+        spark, sf_med).collect()
+    assert len(out) >= 5
+    assert all(r.meets_floor for r in out)
+    assert all(r.j_micro >= 800_000 for r in out)
