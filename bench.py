@@ -180,6 +180,8 @@ HEADLINE = [
     "type3_doc_pairs",
     # round 4: sampled exact-Jaccard precision audit of emitted pairs
     "pair_precision_audit",
+    # round 4: audio clip containment (constellation offset voting)
+    "media_clip_pairs",
 ]
 
 

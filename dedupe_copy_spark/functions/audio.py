@@ -106,3 +106,82 @@ def hk_fingerprint(samples: np.ndarray, rate: int,
     bits = (band_diff[1:] - band_diff[:-1]) > 0
     weights = (1 << np.arange(bits.shape[1], dtype=np.uint64))
     return (bits.astype(np.uint64) @ weights).astype(np.uint32)
+
+
+#: constellation landmark config (measured on the clip fixture, see
+#: tests/test_audioclip.py margin pins):
+#:   - LM_BANDS log bands over FMIN-FMAX ≈ 1/3 semitone pitch grid —
+#:     finer than the 16/32-band energy profiles because the landmark
+#:     only keeps the argmax band, so resolution is free robustness
+#:   - the MELODY LINE only (top-1 peak per frame): the 2nd "peak" of
+#:     a near-tonal frame is window leakage, which is consistent
+#:     enough between tracks sharing a note to inflate false matches
+#:     (measured: top-2 drops the true/false vote margin 3.5x -> 1.4x)
+#:   - TRIPLE points (anchor + two forward targets): a false match
+#:     needs a 3-note coincidence with both gaps equal, quadratically
+#:     rarer than the classic 2-point hash
+LM_BANDS = 48
+LM_D1 = (2, 6)     # first target: 64-192 ms ahead at the 32 ms hop
+LM_D2 = (8, 14)    # second target: 256-448 ms ahead
+
+
+def spectral_peaks(samples: np.ndarray, rate: int,
+                   n_bands: int = LM_BANDS, top: int = 1) -> np.ndarray:
+    """(n_frames, top) band index of each frame's strongest
+    local-maximum bands, -1 where a frame has fewer peaks. A peak is a
+    band strictly above its lower neighbor and at least its upper one
+    (plateau-tolerant), with positive energy — argrelmax over the band
+    axis, volume-invariant because only energy ORDER matters."""
+    e = band_energies(samples, rate, n_bands=n_bands)
+    if e.shape[0] == 0:
+        return np.full((0, top), -1, dtype=np.int64)
+    pad = np.full((e.shape[0], 1), -np.inf)
+    left = np.concatenate([pad, e[:, :-1]], axis=1)
+    right = np.concatenate([e[:, 1:], pad], axis=1)
+    is_peak = (e > left) & (e >= right) & (e > 0)
+    masked = np.where(is_peak, e, -np.inf)
+    order = np.argsort(-masked, axis=1)[:, :top]
+    best = np.take_along_axis(masked, order, axis=1)
+    return np.where(np.isfinite(best), order, -1).astype(np.int64)
+
+
+def landmarks(samples: np.ndarray, rate: int,
+              n_bands: int = LM_BANDS) -> tuple[np.ndarray, np.ndarray]:
+    """Constellation landmarks (Wang, ISMIR 2003, with 3-point hashes):
+    every (anchor, target₁, target₂) melody-line peak triple with the
+    targets LM_D1 / LM_D2 frames ahead becomes the packed hash
+    (f1, f2, f3, d1, d2) stamped with the anchor frame.
+
+    Returns (hashes int64, anchor_frames int64), one entry per
+    landmark. The hash carries NO absolute time, so a clip of the
+    track emits the same hashes shifted by a constant anchor-frame
+    offset — pair mining votes on that offset (operators/audioclip.py).
+    Quantization jitter (a clip cut mid-hop shifts every frame
+    boundary) costs some landmarks near note boundaries and splits
+    votes across two adjacent offsets; the miner's neighbor-offset sum
+    absorbs the split. All-equal triples (one sustained note) are
+    dropped: they carry no temporal structure, only vote noise."""
+    pk = spectral_peaks(samples, rate, n_bands=n_bands, top=1)[:, 0]
+    n = pk.shape[0]
+    d1_lo, d1_hi = LM_D1
+    d2_lo, d2_hi = LM_D2
+    n_d1, n_d2 = d1_hi - d1_lo + 1, d2_hi - d2_lo + 1
+    hashes, anchors = [], []
+    for d1 in range(d1_lo, d1_hi + 1):
+        for d2 in range(d2_lo, d2_hi + 1):
+            if n <= d2:
+                continue
+            m = n - d2
+            f1, f2, f3 = pk[:m], pk[d1:d1 + m], pk[d2:d2 + m]
+            ok = ((f1 >= 0) & (f2 >= 0) & (f3 >= 0)
+                  & ((f1 != f2) | (f2 != f3)))
+            if not ok.any():
+                continue
+            h = ((((f1[ok] * n_bands + f2[ok]) * n_bands + f3[ok])
+                  * n_d1 + (d1 - d1_lo)) * n_d2 + (d2 - d2_lo))
+            hashes.append(h)
+            anchors.append(np.arange(m, dtype=np.int64)[ok])
+    if not hashes:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    return (np.concatenate(hashes).astype(np.int64),
+            np.concatenate(anchors))

@@ -1,0 +1,154 @@
+"""Audio clip containment: find tracks that CONTAIN an excerpt of
+another track — the audio analogue of the text containment operator
+(operators/containment.py), and the case the whole-track spectral
+cosine path (media_dedupe_audio) is structurally blind to: a 1 s
+excerpt spliced between two other jingles averages into a different
+band profile, so no global-feature threshold recovers it.
+
+Method — Shazam-style constellation matching (A. Wang, "An
+Industrial-Strength Audio Search Algorithm", ISMIR 2003), re-expressed
+as three relational stages instead of a server-side hash table:
+
+1. ``extract_audio_landmarks``: one Arrow ``mapInPandas`` pass decodes
+   each WAV payload and emits (media_id, lm, t) — packed
+   translation-invariant peak-triple hashes stamped with their anchor
+   frame (functions/audio.landmarks). Linear in corpus bytes, the only
+   Python stage.
+2. Bucket expansion on ``lm``: one groupBy collects each landmark
+   hash's postings (bounded by ``max_bucket`` — hot hashes are
+   DROPPED, the standard constellation practice, with the drop count
+   observable via ``landmark_bucket_stats``), pairs expand JVM-side
+   with array combinatorics (the pairs.bucket_pairs pattern — no
+   self-join of the corpus-sized landmark relation, no shuffle of it
+   twice).
+3. Offset voting: a true containment puts MANY matched landmarks at
+   ONE anchor-frame offset (t_a - t_b); chance hash collisions scatter
+   across offsets. Votes are counted over DISTINCT (hash, offset)
+   evidence per pair — repeated matches of one sustained-note hash
+   must not stack — then adjacent offsets are summed (a clip cut
+   mid-hop splits its votes across two neighboring offsets) and pairs
+   clearing ``min_votes`` are emitted.
+
+Scale shape: two exchanges over the landmark relation (bucket groupBy,
+pair-offset aggregation) plus one pair-keyed window over the already
+tiny candidate relation; everything after stage 1 is pure Catalyst.
+Landmark density is ~a few per frame (bounded by the fan window
+product), so the relation is linear in audio duration.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LANDMARK_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("lm", T.LongType(), False),
+    T.StructField("t", T.IntegerType(), False),
+])
+
+#: measured on the seeded clip fixture (tests/test_audioclip.py pins
+#: the margin): true containments score >= 267, the strongest chance
+#: pairing 131 — 180 sits near the geometric middle (~187)
+DEFAULT_MIN_VOTES = 180
+
+
+def extract_audio_landmarks(media: DataFrame,
+                            payload_col: str = "payload",
+                            id_col: str = "media_id") -> DataFrame:
+    """(media_id, lm, t) constellation landmarks per audio row, one
+    Arrow batch at a time. Non-audio rows pass through silently empty
+    (callers filter kind upstream; this keeps the operator total)."""
+    from dedupe_copy_spark.functions.audio import landmarks
+    from dedupe_copy_spark.operators.multimodal import decode_wav_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lms, ts = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = decode_wav_meta(payload)
+                except ValueError:
+                    continue
+                h, t = landmarks(samples, rate)
+                ids.append(np.full(h.size, mid, dtype=np.int64))
+                lms.append(h)
+                ts.append(t.astype(np.int32))
+            if not ids:
+                yield pd.DataFrame(
+                    {"media_id": [], "lm": [], "t": []}).astype(
+                    {"media_id": "int64", "lm": "int64", "t": "int32"})
+                continue
+            yield pd.DataFrame({"media_id": np.concatenate(ids),
+                                "lm": np.concatenate(lms),
+                                "t": np.concatenate(ts)})
+
+    return media.mapInPandas(run, schema=LANDMARK_SCHEMA)
+
+
+def landmark_bucket_stats(lms: DataFrame, max_bucket: int = 256) -> DataFrame:
+    """One row: total landmark buckets, buckets dropped for exceeding
+    ``max_bucket`` postings, and postings lost to those drops — the
+    no-silent-caps accounting for clip_scores' hot-hash drop."""
+    widths = lms.groupBy("lm").agg(F.count(F.lit(1)).alias("w"))
+    return widths.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("w") > max_bucket, 1).otherwise(0))
+        .cast("long").alias("dropped_buckets"),
+        F.sum(F.when(F.col("w") > max_bucket, F.col("w")).otherwise(0))
+        .cast("long").alias("dropped_postings"))
+
+
+def clip_scores(lms: DataFrame, max_bucket: int = 256) -> DataFrame:
+    """(id_a, id_b, votes) for every cross-track candidate pair:
+    votes = the best adjacent-offset sum of distinct matched landmark
+    hashes. Unthresholded — callers gate with ``min_votes`` (and tests
+    pin the true/false margin on exactly this output)."""
+    grouped = (
+        lms.groupBy("lm")
+        .agg(F.collect_list(F.struct("media_id", "t")).alias("ps"))
+        .filter((F.size("ps") > 1) & (F.size("ps") <= max_bucket))
+        .select("lm", F.array_sort("ps").alias("ps"))
+    )
+    pair_array = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+            lambda y: F.struct(
+                x["media_id"].alias("id_a"), y["media_id"].alias("id_b"),
+                (x["t"] - y["t"]).alias("off")),
+        ),
+    ))
+    matches = (
+        grouped.select("lm", F.explode(pair_array).alias("p"))
+        .select("lm", "p.id_a", "p.id_b", "p.off")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # distinct evidence: one vote per (pair, offset, hash)
+        .dropDuplicates(["id_a", "id_b", "off", "lm"])
+    )
+    by_off = matches.groupBy("id_a", "id_b", "off").agg(
+        F.count(F.lit(1)).cast("long").alias("v"))
+    w = Window.partitionBy("id_a", "id_b").orderBy("off")
+    smoothed = by_off.select(
+        "id_a", "id_b",
+        (F.col("v") + F.when(F.lead("off").over(w) == F.col("off") + 1,
+                             F.lead("v").over(w)).otherwise(F.lit(0)))
+        .alias("score"))
+    return smoothed.groupBy("id_a", "id_b").agg(
+        F.max("score").cast("long").alias("votes"))
+
+
+def clip_pairs(lms: DataFrame, min_votes: int = DEFAULT_MIN_VOTES,
+               max_bucket: int = 256) -> DataFrame:
+    """Containment pairs: (id_a, id_b, votes) where one track contains
+    an excerpt of the other (direction not resolved here — votes count
+    shared time-coherent structure, which is symmetric)."""
+    if min_votes <= 0:
+        raise ValueError(f"min_votes must be positive, got {min_votes}")
+    return clip_scores(lms, max_bucket=max_bucket) \
+        .filter(F.col("votes") >= min_votes)

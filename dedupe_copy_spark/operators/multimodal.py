@@ -297,6 +297,61 @@ def synth_wav_media(spark: SparkSession, n_tracks: int = 30,
     return _media_df(spark, rows)
 
 
+def _melody(rng: np.random.RandomState, secs: float,
+            rate: int = 8000) -> np.ndarray:
+    """Seeded tone sequence with RANDOM segment lengths (0.12-0.38 s).
+    The irregular note grid matters: with a fixed grid, two unrelated
+    tracks sharing a few quantized pitches match at a COHERENT frame
+    offset (all segment boundaries align), which inflates constellation
+    false votes ~2x (measured while building the clip fixture)."""
+    n = int(secs * rate)
+    t = np.arange(n) / rate
+    s = np.zeros(n)
+    pos = 0
+    while pos < n:
+        seg = int(rng.uniform(0.12, 0.38) * rate)
+        f = rng.uniform(320, 1900)
+        a = rng.uniform(0.4, 0.9)
+        sl = slice(pos, min(pos + seg, n))
+        s[sl] = a * np.sin(2 * np.pi * f * t[sl])
+        pos += seg
+    s *= 0.7 + 0.3 * np.sin(2 * np.pi * rng.uniform(1, 3) * t)
+    return s / np.abs(s).max() * 0.9
+
+
+def synth_wav_clip_media(spark: SparkSession, n_tracks: int = 24,
+                         seed: int = 23) -> DataFrame:
+    """Deterministic WAV table for the clip-CONTAINMENT path
+    (operators/audioclip.py). Each base track i is a seeded 2 s melody;
+    every third track also appears as media_id i+2000 holding a 1 s
+    excerpt of it (cut at a NON-hop-aligned sample offset, volume
+    halved) spliced between two 0.4 s melodies from different seeds —
+    the re-upload-with-intro/outro shape. Different bytes, digests,
+    durations, AND whole-track spectral profiles (the padding dominates
+    the average), so neither exact dedup nor the global-cosine
+    perceptual path pairs them (pinned in tests/test_audioclip.py);
+    only time-coherent landmark voting does. Truth pairs (i, i+2000)
+    for i % 3 == 0 are reconstructible in pure SQL."""
+    rate = 8000
+    rows = []
+    for i in range(n_tracks):
+        base = _melody(np.random.RandomState(seed * 100_003 + i), 2.0, rate)
+        rows.append({"media_id": i, "kind": "audio", "mime": "audio/wav",
+                     "width": None, "height": None, "duration_ms": 2000,
+                     "payload": encode_wav(base, rate, 16)})
+        if i % 3 == 0:
+            clip = base[int(0.5 * rate) + 37: int(1.5 * rate) + 37] * 0.5
+            padded = np.concatenate([
+                _melody(np.random.RandomState(7_777_001 + i), 0.4, rate),
+                clip,
+                _melody(np.random.RandomState(7_777_500 + i), 0.4, rate)])
+            rows.append({"media_id": i + 2000, "kind": "audio",
+                         "mime": "audio/wav", "width": None, "height": None,
+                         "duration_ms": 1800,
+                         "payload": encode_wav(padded, rate, 16)})
+    return _media_df(spark, rows)
+
+
 def _media_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Fixture rows → DataFrame through the pandas/Arrow path when the
     session has Arrow on (session.py does): the plain

@@ -827,6 +827,19 @@ CHECKS = {
         ("no python eval (salted key is codegen)",
          lambda p: "EvalPython" not in p),
     ],
+    "media_clip_pairs": [
+        ("exactly one Arrow landmark-extraction pass (decode runs "
+         "once, not per consumer)",
+         lambda p: len(set(re.findall(r"\((\d+)\) MapInPandas", p))) == 1),
+        ("no join anywhere: pair mining is capped bucket array "
+         "expansion + offset-vote aggregation, never a self-join of "
+         "the corpus-sized landmark relation",
+         lambda p: "Join" not in p),
+        ("bucket-width cap filtered BEFORE pair expansion (Generate)",
+         lambda p: "Generate" in p and "size(ps" in p),
+        ("offset smoothing is a pair-keyed window",
+         lambda p: "Window" in p),
+    ],
     "pair_precision_audit": [
         # the signature stage is localCheckpointed upstream (audited
         # separately as minhash_signatures); the audit plan itself must

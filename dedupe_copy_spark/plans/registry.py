@@ -1440,6 +1440,36 @@ def media_dedupe_audio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("kind", "id_a", "id_b").orderBy("id_a")
 
 
+@register("media_clip_pairs", """
+SELECT 'audio' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 2000 AS BIGINT) AS id_b
+FROM range(0, 24) t(i) WHERE i % 3 = 0
+""")
+def media_clip_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clip CONTAINMENT on real WAV payloads: every third track
+    re-appears as a 1 s excerpt (non-hop-aligned cut, volume halved)
+    spliced between two other melodies — different bytes, digests,
+    durations AND whole-track spectral profiles, so exact dedup and
+    the global-cosine path (media_dedupe_audio) both structurally miss
+    it. Constellation landmark voting (operators/audioclip.py —
+    peak-triple hashes, distinct-evidence offset histogram) recovers
+    exactly the truth pairs (i, i+2000) for i % 3 == 0, which the SQL
+    reconstructs. Measured margins at this fixture scale: true
+    containments score >= 267 votes, the strongest chance pairing 131;
+    min_votes=180 sits near the geometric middle (pinned in
+    tests/test_audioclip.py)."""
+    from dedupe_copy_spark.operators import audioclip as ac
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_wav_clip_media(spark, n_tracks=24)
+    lms = ac.extract_audio_landmarks(media)
+    pairs = ac.clip_pairs(lms, min_votes=180)
+    return pairs.select(
+        F.lit("audio").alias("kind"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b")).orderBy("id_a")
+
+
 @register("media_dedupe_perceptual", """
 SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b

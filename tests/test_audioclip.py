@@ -1,0 +1,116 @@
+"""Audio clip containment: constellation landmarks + offset voting
+(functions/audio.landmarks, operators/audioclip.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.functions.audio import HOP_S, landmarks
+from dedupe_copy_spark.operators import audioclip as ac
+from dedupe_copy_spark.operators import multimodal as mm
+
+RATE = 8000
+TRUTH = {(i, i + 2000) for i in range(0, 24, 3)}
+
+
+def _tones(seed: int, secs: float = 2.0) -> np.ndarray:
+    return mm._melody(np.random.RandomState(seed), secs, RATE)
+
+
+def test_landmarks_deterministic_and_dense():
+    s = _tones(7)
+    h1, t1 = landmarks(s, RATE)
+    h2, t2 = landmarks(s, RATE)
+    assert np.array_equal(h1, h2) and np.array_equal(t1, t2)
+    assert h1.size > 200          # a 2 s melody yields real density
+    assert (t1 >= 0).all()
+
+
+def test_landmarks_shift_invariance_at_hop_multiple():
+    """A clip cut exactly on the hop grid emits the original's hashes
+    shifted by a constant frame offset — the property offset voting
+    rides on."""
+    s = _tones(11)
+    hop = int(round(HOP_S * RATE))
+    k = 10
+    clip = s[k * hop:]
+    h0, t0 = landmarks(s, RATE)
+    hc, tc = landmarks(clip, RATE)
+    orig = set(zip(h0.tolist(), t0.tolist()))
+    shifted = sum((h, t + k) in orig for h, t in zip(hc.tolist(), tc.tolist()))
+    assert shifted / hc.size > 0.9
+
+
+def test_volume_invariance():
+    s = _tones(13)
+    h0, t0 = landmarks(s, RATE)
+    h1, t1 = landmarks(s * 0.3, RATE)
+    assert np.array_equal(h0, h1) and np.array_equal(t0, t1)
+
+
+def test_empty_and_short_inputs():
+    assert landmarks(np.zeros(0), RATE)[0].size == 0
+    assert landmarks(np.zeros(100), RATE)[0].size == 0  # silence: no peaks
+    h, _ = landmarks(_tones(3, secs=0.05), RATE)        # < fan window
+    assert h.size == 0
+
+
+def test_clip_pairs_margin_pinned(spark):
+    """The fixture's true containments and strongest chance pairing
+    must stay separated — the claim min_votes=180 rests on. Measured:
+    truth min 267, background max 131."""
+    media = mm.synth_wav_clip_media(spark, n_tracks=24)
+    lms = ac.extract_audio_landmarks(media)
+    scores = {(r.id_a, r.id_b): r.votes
+              for r in ac.clip_scores(lms).collect()}
+    tp = [v for p, v in scores.items() if p in TRUTH]
+    bg = [v for p, v in scores.items() if p not in TRUTH]
+    assert len(tp) == len(TRUTH)
+    assert min(tp) >= 240, f"truth margin eroded: {sorted(tp)}"
+    assert max(bg) <= 160, f"background crept up: {max(bg)}"
+
+    found = {(r.id_a, r.id_b) for r in ac.clip_pairs(lms).collect()}
+    assert found == TRUTH
+
+
+def test_global_cosine_misses_the_clips(spark):
+    """Motivation pin: the whole-track perceptual path must NOT pair
+    the spliced clips (padding dominates the average profile) — the
+    gap this operator exists to close."""
+    media = mm.synth_wav_clip_media(spark, n_tracks=24)
+    feats = mm.extract_features(media).localCheckpoint()
+    pairs = {(r.id_a, r.id_b) for r in
+             mm.media_near_dups(feats, threshold=0.99, route="exact")
+             .select("id_a", "id_b").collect()}
+    assert not (pairs & TRUTH)
+
+
+def test_hot_hash_cap_drops_with_accounting(spark):
+    """A landmark hash wider than max_bucket is dropped from pair
+    expansion, and landmark_bucket_stats reports it."""
+    rows = [(m, h, t) for m in range(12) for h, t in [(777, m), (888, 2 * m)]]
+    lms = spark.createDataFrame(rows, "media_id long, lm long, t int")
+    assert ac.clip_scores(lms, max_bucket=8).count() == 0
+    stats = ac.landmark_bucket_stats(lms, max_bucket=8).collect()[0]
+    assert stats.n_buckets == 2
+    assert stats.dropped_buckets == 2
+    assert stats.dropped_postings == 24
+
+
+def test_distinct_evidence_voting(spark):
+    """A single hash matching at one offset many times contributes ONE
+    vote — sustained notes cannot stack the histogram."""
+    rows = []
+    for _rep in range(30):                # same hash, same offset, 30x
+        rows.append((1, 555, 0))
+        rows.append((2, 555, 4))
+    lms = spark.createDataFrame(rows, "media_id long, lm long, t int")
+    out = ac.clip_scores(lms).collect()
+    assert len(out) == 1
+    assert out[0].votes == 1
+
+
+def test_min_votes_validation(spark):
+    lms = spark.createDataFrame([(1, 1, 1)], "media_id long, lm long, t int")
+    with pytest.raises(ValueError):
+        ac.clip_pairs(lms, min_votes=0)
