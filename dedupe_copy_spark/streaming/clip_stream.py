@@ -1,0 +1,155 @@
+"""Incremental audio clip containment over a media stream — the
+constellation twin of winnow_stream.py's fingerprint store.
+
+Each micro-batch decodes its NEW audio payloads into constellation
+landmarks (operators/audioclip.py), probes the accumulated landmark
+store for time-coherent matches against ALL history, and appends its
+own landmarks to the store. A clipped re-upload is caught by the batch
+in which its LATER member arrives: both tracks' complete landmark sets
+exist at that moment, so the emitted (id_a, id_b, votes) row is
+IDENTICAL to what the batch operator computes on the concatenated
+corpus — batch equivalence holds exactly, with the same single caveat
+as the Type-3 stream: the hot-hash cap is evaluated against the store
+as of the emitting batch, so a landmark that only later grows past
+``max_bucket`` was still counted by earlier batches (the batch
+operator, seeing the final width, drops it). Votes can therefore only
+be >= the batch operator's under late-growing hot hashes, never
+fabricated.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed subdirectories
+with overwrite semantics — the idempotent-replay contract shared by
+every streaming module here; foreachBatch is at-least-once):
+
+    manifest/batch_id=N/  payload digests ingested by batch N (exact
+                          re-uploads skip landmark extraction entirely)
+    lms/batch_id=N/       (media_id, lm, t) landmarks added by batch N
+    pairs/batch_id=N/     containment pairs found BY batch N
+                          (within-batch plus vs all history)
+
+Scale notes: the probe equi-joins the batch's landmarks against the
+store on the hash value — only colliding hashes are touched, hot
+hashes are width-capped over the COMBINED relation with
+``landmark_bucket_stats`` accounting available on the same relation.
+At 10^12 landmarks the store becomes a bucketed/Iceberg table
+clustered by ``lm``; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import audioclip
+from dedupe_copy_spark.operators.multimodal import MEDIA_SCHEMA
+
+
+class IncrementalClipFind:
+    """Streaming clip containment with an accumulated landmark store."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 min_votes: int = audioclip.DEFAULT_MIN_VOTES,
+                 max_bucket: int = 256):
+        if min_votes <= 0:
+            raise ValueError(f"min_votes must be positive, got {min_votes}")
+        self.spark = spark
+        self.out_dir = out_dir
+        self.min_votes = min_votes
+        self.max_bucket = max_bucket
+        self.manifest_path = f"{out_dir}/manifest"
+        self.lms_path = f"{out_dir}/lms"
+        self.pairs_path = f"{out_dir}/pairs"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _excluding_batch(self, df: DataFrame | None, batch_id: int):
+        """Replay safety: a crashed attempt of THIS batch may have
+        partially written state — never treat it as history."""
+        if df is None:
+            return None
+        if "batch_id" in df.columns:
+            return df.filter(F.col("batch_id") != batch_id)
+        return df
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        digested = batch_df.withColumn(
+            "payload_sha256", F.sha2(F.col("payload"), 256))
+        # exact re-uploads (same bytes) need no constellation work:
+        # keep-first within the batch, anti-join against history
+        w = Window.partitionBy("payload_sha256").orderBy("media_id")
+        fresh = (digested
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        known = self._excluding_batch(
+            self._read_state(self.manifest_path), batch_id)
+        if known is not None:
+            fresh = fresh.join(known.select("payload_sha256"),
+                               "payload_sha256", "left_anti")
+
+        lms_new = audioclip.extract_audio_landmarks(fresh).localCheckpoint()
+
+        hist = self._excluding_batch(self._read_state(self.lms_path),
+                                     batch_id)
+        combined = lms_new if hist is None else \
+            lms_new.unionByName(hist.select("media_id", "lm", "t"))
+        # hot-hash cap over the combined width (see module caveat)
+        widths = combined.groupBy("lm").agg(F.count(F.lit(1)).alias("_w"))
+        probe_ok = combined.join(
+            widths.filter(F.col("_w") <= self.max_bucket), "lm").drop("_w")
+
+        raw = (
+            lms_new.select(F.col("media_id").alias("id_new"), "lm",
+                           F.col("t").alias("t_new"))
+            .join(probe_ok.select(F.col("media_id").alias("id_hist"), "lm",
+                                  F.col("t").alias("t_hist")), "lm")
+            .filter(F.col("id_new") != F.col("id_hist"))
+        )
+        matches = (
+            raw.select(
+                F.least("id_new", "id_hist").alias("id_a"),
+                F.greatest("id_new", "id_hist").alias("id_b"),
+                F.when(F.col("id_new") < F.col("id_hist"),
+                       F.col("t_new") - F.col("t_hist"))
+                .otherwise(F.col("t_hist") - F.col("t_new")).alias("off"),
+                "lm")
+            .dropDuplicates(["id_a", "id_b", "off", "lm"])
+        )
+        by_off = matches.groupBy("id_a", "id_b", "off").agg(
+            F.count(F.lit(1)).cast("long").alias("v"))
+        pw = Window.partitionBy("id_a", "id_b").orderBy("off")
+        smoothed = by_off.select(
+            "id_a", "id_b",
+            (F.col("v") + F.when(F.lead("off").over(pw) == F.col("off") + 1,
+                                 F.lead("v").over(pw)).otherwise(F.lit(0)))
+            .alias("score"))
+        pairs = (smoothed.groupBy("id_a", "id_b")
+                 .agg(F.max("score").cast("long").alias("votes"))
+                 .filter(F.col("votes") >= self.min_votes)
+                 .localCheckpoint())
+
+        # idempotent batch_id-keyed sinks (overwrite own subdir only)
+        fresh.select("media_id", "payload_sha256").write.mode(
+            "overwrite").parquet(f"{self.manifest_path}/batch_id={batch_id}")
+        lms_new.write.mode("overwrite").parquet(
+            f"{self.lms_path}/batch_id={batch_id}")
+        pairs.write.mode("overwrite").parquet(
+            f"{self.pairs_path}/batch_id={batch_id}")
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
