@@ -182,6 +182,8 @@ HEADLINE = [
     "pair_precision_audit",
     # round 4: audio clip containment (constellation offset voting)
     "media_clip_pairs",
+    # round 4: video clip containment (frame sign words, same core)
+    "video_clip_pairs",
 ]
 
 

@@ -297,6 +297,116 @@ def synth_wav_media(spark: SparkSession, n_tracks: int = 30,
     return _media_df(spark, rows)
 
 
+def synth_mjpeg_clip_media(spark: SparkSession, n_videos: int = 24,
+                           n_frames: int = 16, seed: int = 19) -> DataFrame:
+    """Deterministic MJPEG table for video clip CONTAINMENT
+    (video_clip_pairs): every third base video re-appears as media_id
+    i+3000 holding its frames 4..11 RE-ENCODED at quality 35 / 4:2:0,
+    spliced between 3 fresh frames of other seeded content on each
+    side, and re-muxed. Different bytes, frame digests, frame counts
+    AND whole-video averaged features (the foreign frames shift the
+    mean), so the digest pairing path (media_frame_pairs) and the
+    global-cosine path both miss it; only per-frame perceptual marks
+    with offset voting recover the truth pairs (i, i+3000) for
+    i % 3 == 0 — reconstructible in pure SQL."""
+    from dedupe_copy_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from dedupe_copy_spark.functions.mp4 import build_mp4
+
+    def _frame(rng: np.random.RandomState) -> bytes:
+        blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        return encode_jpeg(img, quality=90, subsampling=(1, 1))
+
+    rows = []
+    for i in range(n_videos):
+        rng = np.random.RandomState(seed * 100_003 + i)
+        frames = [_frame(rng) for _ in range(n_frames)]
+        track = [{"kind": "vide", "codec": "mjpa", "width": 64,
+                  "height": 32, "samples": frames}]
+        dur = n_frames / 10.0
+        rows.append({"media_id": i, "kind": "video", "mime": "video/mp4",
+                     "width": 64, "height": 32,
+                     "duration_ms": int(dur * 1000),
+                     "payload": build_mp4(dur, track,
+                                          creation_time=3_000_000 + i,
+                                          chunk_size=7)})
+        if i % 3 == 0:
+            pad_rng = np.random.RandomState(8_888_001 + i)
+            clip = [encode_jpeg(decode_jpeg(f), quality=35,
+                                subsampling=(2, 2)) for f in frames[4:12]]
+            spliced = ([_frame(pad_rng) for _ in range(3)] + clip
+                       + [_frame(pad_rng) for _ in range(3)])
+            sp_track = [{"kind": "vide", "codec": "mjpa", "width": 64,
+                         "height": 32, "samples": spliced}]
+            sp_dur = len(spliced) / 10.0
+            rows.append({"media_id": i + 3000, "kind": "video",
+                         "mime": "video/mp4", "width": 64, "height": 32,
+                         "duration_ms": int(sp_dur * 1000),
+                         "payload": build_mp4(sp_dur, sp_track,
+                                              creation_time=4_000_000 + i,
+                                              chunk_size=13)})
+    return _media_df(spark, rows)
+
+
+def frame_sign_word(feat: np.ndarray) -> int:
+    """Perceptual frame hash: the sign pattern of adjacent
+    grid-luminance differences — a 31-bit word robust to lossy
+    re-encoding (only a near-zero cell difference can flip a bit;
+    measured on the clip fixture: quality 90 → 35 + 4:2:0 keeps ≥5 of
+    every video's 8 clip-frame words intact) yet effectively unique
+    across distinct content (zero cross-content collisions there)."""
+    bits = (feat[:-1] > feat[1:]).astype(np.uint64)
+    return int(bits @ (1 << np.arange(bits.size, dtype=np.uint64)))
+
+
+def extract_video_frame_marks(media: DataFrame,
+                              stride: int = 1) -> DataFrame:
+    """(media_id, lm, t) per decodable video frame: lm is the frame's
+    perceptual sign word, t its sample index. One Arrow pass parses
+    the container, slices every ``stride``-th sample out of mdat, and
+    decodes it (MJPEG; other codecs are the documented boundary and
+    emit nothing). Feeds audioclip.clip_scores — the offset-voting
+    core is modality-agnostic, a video clip is just landmarks whose
+    hash is a whole frame. ``stride`` is the density knob at scale:
+    marks per video = frames/stride."""
+    from dedupe_copy_spark.functions.jpeg import decode_jpeg
+    from dedupe_copy_spark.functions.mp4 import extract_samples, parse_mp4
+    from dedupe_copy_spark.operators.audioclip import LANDMARK_SCHEMA
+
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lms, ts = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta = parse_mp4(payload)
+                except ValueError:
+                    continue
+                for track in meta["tracks"]:
+                    if track["kind"] != "vide" or \
+                            track["codec"] not in MJPEG_CODECS:
+                        continue
+                    idxs = list(range(0, len(track["sample_sizes"]),
+                                      stride))
+                    for t, frame in zip(idxs, extract_samples(
+                            payload, track, idxs)):
+                        try:
+                            feat = image_features(decode_jpeg(frame))
+                        except ValueError:
+                            continue
+                        ids.append(mid)
+                        lms.append(frame_sign_word(feat))
+                        ts.append(t)
+                    break
+            yield pd.DataFrame({"media_id": pd.array(ids, dtype="int64"),
+                                "lm": pd.array(lms, dtype="int64"),
+                                "t": pd.array(ts, dtype="int32")})
+
+    return media.mapInPandas(run, schema=LANDMARK_SCHEMA)
+
+
 def _melody(rng: np.random.RandomState, secs: float,
             rate: int = 8000) -> np.ndarray:
     """Seeded tone sequence with RANDOM segment lengths (0.12-0.38 s).

@@ -840,6 +840,15 @@ CHECKS = {
         ("offset smoothing is a pair-keyed window",
          lambda p: "Window" in p),
     ],
+    "video_clip_pairs": [
+        ("exactly one Arrow frame-decode pass",
+         lambda p: len(set(re.findall(r"\((\d+)\) MapInPandas", p))) == 1),
+        ("no join anywhere: shared offset-voting core, bucket "
+         "expansion not self-join",
+         lambda p: "Join" not in p),
+        ("offset smoothing is a pair-keyed window",
+         lambda p: "Window" in p),
+    ],
     "pair_precision_audit": [
         # the signature stage is localCheckpointed upstream (audited
         # separately as minhash_signatures); the audit plan itself must

