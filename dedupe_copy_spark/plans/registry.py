@@ -5474,8 +5474,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # ROUND-5 WINDOW TODO: everything from "hash_sample" down plus the
     # session's post-window registrations (temperature_mix,
     # vendored_digest_report, package_popularity, function_clone_groups,
-    # function_clone_pairs, type3_doc_pairs) has no driver-green row —
-    # round 5 must move those ~22 names to the head of this list.
+    # function_clone_pairs, type3_doc_pairs, pair_precision_audit,
+    # media_clip_pairs, video_clip_pairs) has no driver-green row —
+    # round 5 must move those ~25 names to the head of this list.
 ]
 
 
