@@ -204,3 +204,90 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id",
         .alias("n_distinct_chars"),
         entropy.alias("entropy"),
         (entropy >= min_entropy).alias("is_diverse"))
+
+
+# Autogenerated-file markers (checked case-insensitively in the doc
+# head) — the protoc/thrift/yacc/lockfile headers The Stack and
+# StarCoder's preprocessing drop (Kocetkov et al. 2022 §4.2; Li et
+# al. 2023 §3.1). Plain literal alternation: Java regex ∩ RE2, no
+# lookaround, so the DuckDB oracle replays the identical pattern.
+AUTOGEN_PATTERN = ("(generated by|auto-generated|autogenerated|"
+                   "do not edit|@generated|generated file)")
+
+# A "data blob" run: 64+ consecutive chars drawn from the base64
+# alphabet — catches inlined base64 payloads AND long hex dumps
+# (hex ⊂ base64 charset), the "data files disguised as code" class.
+BLOB_PATTERN = "[A-Za-z0-9+/=]{64,}"
+
+
+def code_quality(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_alpha_pct: int = 25,
+                 max_avg_line_len: int = 100, max_line_len: int = 1000,
+                 max_blob_pct: int = 10, head_chars: int = 1000
+                 ) -> DataFrame:
+    """StarCoder/SantaCoder-style source-file quality gate (Li et al.
+    2023 §3.1, Allal et al. 2023 §3): per file, the five structural
+    signals their pipelines filter on —
+
+      - alphabetic-character fraction ≥ min_alpha_pct% (drops hex
+        dumps, number tables, binary-ish text);
+      - mean line length ≤ max_avg_line_len and longest line ≤
+        max_line_len (drops minified JS / bundled assets);
+      - base64/hex blob chars ≤ max_blob_pct% of the file (drops
+        inlined data payloads);
+      - no autogenerated-file header in the first ``head_chars``
+        chars (protoc / thrift / lockfile output).
+
+    Emits every row with integer counters, per-rule booleans, and a
+    composite ``keep`` — rejected rows stay inspectable, the caller
+    filters (the :func:`corpus.quality_filter` contract). All
+    thresholds are integer cross-multiplications over exact counts, so
+    the DuckDB oracle matches bit-for-bit: no floating division
+    anywhere. Pure codegen scan — no shuffle, no Python, O(bytes) per
+    row. At 100 TB this is a map-only pass that pipelines into the
+    digest projection; nothing here changes shape with corpus size.
+
+    Alphabetic means ASCII [A-Za-z]: source code is overwhelmingly
+    ASCII, and the reference corpus (code files) makes the Unicode
+    letter-class refinement not worth the cross-engine regex-dialect
+    risk."""
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_newlines = n_chars - F.length(F.regexp_replace(text, "\n", ""))
+    n_lines = F.when(n_chars == 0, F.lit(0)).otherwise(n_newlines + 1)
+    longest = F.coalesce(
+        F.array_max(F.transform(F.split(text, "\n", -1), F.length)),
+        F.lit(0))
+    blob_chars = F.aggregate(
+        F.transform(F.regexp_extract_all(text, F.lit(BLOB_PATTERN), 0),
+                    F.length),
+        F.lit(0), lambda acc, x: acc + x)
+    autogen = (F.lower(F.substring(text, 1, head_chars))
+               .rlike(AUTOGEN_PATTERN))
+
+    # staged once: every rule below reads these computed counters, and
+    # an expression referenced by 2+ downstream exprs in one select is
+    # computed per reference without a projection boundary.
+    staged = docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_lines.cast("long").alias("n_lines"),
+        longest.cast("long").alias("max_line_len"),
+        blob_chars.cast("long").alias("n_blob_chars"),
+        autogen.alias("is_autogenerated"))
+
+    ok_alpha = F.col("n_alpha") * 100 >= F.col("n_chars") * min_alpha_pct
+    ok_avg = F.col("n_chars") <= F.col("n_lines") * max_avg_line_len
+    ok_max = F.col("max_line_len") <= max_line_len
+    ok_blob = F.col("n_blob_chars") * 100 <= F.col("n_chars") * max_blob_pct
+    nonempty = F.col("n_chars") > 0
+    return staged.select(
+        "*",
+        ok_alpha.alias("ok_alpha"),
+        ok_avg.alias("ok_avg_line"),
+        ok_max.alias("ok_max_line"),
+        ok_blob.alias("ok_blob"),
+        (nonempty & ok_alpha & ok_avg & ok_max & ok_blob
+         & ~F.col("is_autogenerated")).alias("keep"))

@@ -256,6 +256,17 @@ CHECKS = {
          lambda p: re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", p)
          or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
     ],
+    "code_quality_gate": [
+        ("pure codegen scan — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+        ("counters staged once behind a projection boundary (one "
+         "Project computes them, rules reference columns)",
+         lambda p: "n_blob_chars" in p),
+        ("column-pruned scan (only doc_id, text read)",
+         lambda p: re.search(
+             r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+         or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
+    ],
     "tfidf_top_terms": [
         ("map-side partial count on the token relation",
          lambda p: "partial_count" in p),
@@ -778,6 +789,31 @@ CHECKS = {
          lambda p: "partial_" in p),
         ("column-pruned scan (doc_id + text only)",
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "import_edges": [
+        ("no python eval (explode, stems, equi-join are Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("one Generate (explode of the flattened hit arrays)",
+         lambda p: len(re.findall(r"\(\d+\) Generate", p)) == 1),
+        ("edge dedup is a two-level hash aggregate (map-side dedup "
+         "before the exchange; no Functions, so no 'partial_' label)",
+         lambda p: len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2),
+        ("scans pruned to doc_id alone (paths AND content are "
+         "synthesized from doc_id in the fixture)",
+         lambda p: "ReadSchema: struct<doc_id:bigint>" in p
+         and "text:string" not in p),
+        ("stem join shuffles on (repo, pkg)/(repo, stem)",
+         lambda p: "hashpartitioning(repo" in p),
+    ],
+    "import_depth_order": [
+        ("no python eval anywhere in the final join + rank plan",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("per-repo rank is one Window over the joined relation",
+         lambda p: "Window" in p),
+        ("base relation scan pruned to doc_id (content unused after "
+         "the edge stage; the loop lineage is checkpointed and "
+         "audited via import_edges)",
+         lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
     ],
     "package_popularity": [
         ("no python eval (pattern table, roots, rollup are Catalyst)",

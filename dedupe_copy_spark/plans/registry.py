@@ -5354,10 +5354,197 @@ def type3_doc_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score_micro"))
 
 
+# Import-depth fixture: every run of 13 consecutive doc_ids (residues
+# 0-5) becomes ONE six-file repo — a diamond (app -> {models, util},
+# models -> util), a 2-cycle (c1 <-> c2, saturating at the cap), an
+# external-only importer (util -> os), and an import-free prose file.
+# Hundreds of identical repos at sf0.01 exercise the repo-keyed joins.
+_DEP_SNIPPETS = (
+    (0, "app.py", "import util\nimport models\nimport os\n"),
+    (1, "models.py", "import util\n"),
+    (2, "util.py", "import os\n"),
+    (3, "c1.py", "import c2\n"),
+    (4, "c2.py", "import c1\n"),
+    (5, "notes.md", "plain prose notes\n"),
+)
+_DEP_ROUNDS = 6
+
+
+def _import_depth_sql() -> str:
+    from dedupe_copy_spark.operators.imports import (IMPORT_PATTERNS,
+                                                     STEM_PATTERN)
+
+    q = lambda s: s.replace(chr(39), chr(39) * 2)  # noqa: E731
+    path_arms = " ".join(f"WHEN {k} THEN '{q(p)}'"
+                         for k, p, _ in _DEP_SNIPPETS)
+    text_arms = " ".join(f"WHEN {k} THEN '{q(s)}'"
+                         for k, _, s in _DEP_SNIPPETS)
+    hit_selects = " UNION ALL ".join(
+        "SELECT repo, path AS src, unnest(regexp_extract_all("
+        f"coalesce(content, ''), '{q(pat)}', 1)) AS module FROM files"
+        for _, pat in IMPORT_PATTERNS)
+    return f"""
+WITH RECURSIVE seeded AS (
+  SELECT doc_id, doc_id % 13 AS r FROM documents WHERE doc_id % 13 < 6
+), files AS (
+  SELECT 'repo_' || CAST(doc_id // 13 AS VARCHAR) AS repo,
+         CASE r {path_arms} END AS path,
+         CASE r {text_arms} END AS content
+  FROM seeded
+), hits AS ({hit_selects}
+), roots AS (
+  SELECT repo, src, regexp_extract(module, '^[^./]+', 0) AS pkg FROM hits
+), stems AS (
+  SELECT repo, path AS dst, regexp_extract(path, '{STEM_PATTERN}', 1)
+         AS stem FROM files
+), edges AS (
+  SELECT DISTINCT r.repo, r.src, s.dst FROM roots r
+  JOIN stems s ON r.repo = s.repo AND r.pkg = s.stem
+  WHERE r.src <> s.dst
+), walks AS (
+  SELECT repo, src, dst, 1 AS len FROM edges
+  UNION ALL
+  SELECT w.repo, w.src, e.dst, w.len + 1 FROM walks w
+  JOIN edges e ON w.repo = e.repo AND w.dst = e.src
+  WHERE w.len < {_DEP_ROUNDS}
+), depths AS (
+  SELECT repo, src, max(len) AS d FROM walks GROUP BY repo, src
+)
+SELECT f.repo, f.path, CAST(coalesce(d.d, 0) AS BIGINT) AS depth,
+       CAST(row_number() OVER (PARTITION BY f.repo
+            ORDER BY coalesce(d.d, 0), f.path) AS BIGINT) AS ord_rank
+FROM files f LEFT JOIN depths d ON f.repo = d.repo AND f.path = d.src
+"""
+
+
+def _dep_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded (repo, path, content) relation for the import-depth
+    family (shape documented at ``_DEP_SNIPPETS``)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 < 6)
+    r = F.col("doc_id") % 13
+    path = content = None
+    for k, p, s in _DEP_SNIPPETS:
+        path = F.when(r == k, p) if path is None else path.when(r == k, p)
+        content = (F.when(r == k, s) if content is None
+                   else content.when(r == k, s))
+    return docs.select(
+        F.concat(F.lit("repo_"),
+                 F.expr("CAST(doc_id DIV 13 AS STRING)")).alias("repo"),
+        path.alias("path"), content.alias("content"))
+
+
+@register("import_depth_order", _import_depth_sql())
+def import_depth_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-first repo-context ordering over the seeded repos:
+    longest local-import chain per file (Bellman-Ford, cap 6 — the
+    c1<->c2 cycle must saturate at exactly the cap) and the per-repo
+    (depth, path) rank. The oracle replays the full pattern table, the
+    stem resolution, and the walk closure as a bounded recursive CTE —
+    the iterative Spark loop and the SQL recursion must agree on every
+    depth, including the cycle saturation."""
+    from dedupe_copy_spark.operators.imports import import_depth_order
+
+    return import_depth_order(_dep_files(spark, sf_dir),
+                              max_rounds=_DEP_ROUNDS)
+
+
+def import_edges_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit/bench stage: the local-import edge relation BEFORE
+    import_depth's checkpoint — the stage whose single-Generate explode
+    and (repo, stem) equi-join the plan audit pins (the per-round
+    checkpoints hide this lineage from the registered query's plan)."""
+    from dedupe_copy_spark.operators.imports import local_import_edges
+
+    return local_import_edges(_dep_files(spark, sf_dir))
+
+
+# Code-quality fixture: five pathological files seeded over doc_id
+# residues — an autogenerated protoc header, an inlined 192-char base64
+# payload, a 1080-char minified one-liner, an all-digits number table,
+# and a clean two-function module (the only seeded row that passes).
+# The ELSE arm leaves organic prose in, exercising the gate on text it
+# was not seeded with (prose mostly fails ok_avg_line: one long line).
+_CQ_B64_RUN = "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVowMTIzNDU2Nzg5" * 4
+_CQ_SNIPPETS = (
+    (0, "// Code generated by protoc-gen-go. DO NOT EDIT.\n"
+        "package pb\n\nvar Name = 1\n"),
+    (1, 'PAYLOAD = "' + _CQ_B64_RUN + '"\nprint(PAYLOAD)\n'),
+    (2, "var a=0;function f(x){return x+1;};" * 30),
+    (3, "12034 58273 90411 22378\n" * 6),
+    (4, "def add(a, b):\n    return a + b\n\n\ndef scale(v, k):\n"
+        "    return v * k\n"),
+)
+
+
+def _code_quality_sql() -> str:
+    from dedupe_copy_spark.operators.textstats import (AUTOGEN_PATTERN,
+                                                       BLOB_PATTERN)
+
+    arms = " ".join(f"WHEN {k} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+                    for k, s in _CQ_SNIPPETS)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, CASE doc_id % 17 {arms} ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM seeded
+), counted AS (
+  SELECT doc_id,
+         CAST(length(t) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           AS n_alpha,
+         CAST(CASE WHEN length(t) = 0 THEN 0
+              ELSE length(t) - length(replace(t, chr(10), '')) + 1 END
+           AS BIGINT) AS n_lines,
+         CAST(coalesce(list_max(list_transform(
+              string_split(t, chr(10)), x -> length(x))), 0) AS BIGINT)
+           AS max_line_len,
+         CAST(coalesce(list_sum(list_transform(
+              regexp_extract_all(t, '{BLOB_PATTERN}'),
+              x -> length(x))), 0) AS BIGINT) AS n_blob_chars,
+         regexp_matches(lower(substring(t, 1, 1000)),
+                        '{AUTOGEN_PATTERN}') AS is_autogenerated
+  FROM base
+)
+SELECT *,
+       n_alpha * 100 >= n_chars * 25 AS ok_alpha,
+       n_chars <= n_lines * 100 AS ok_avg_line,
+       max_line_len <= 1000 AS ok_max_line,
+       n_blob_chars * 100 <= n_chars * 10 AS ok_blob,
+       (n_chars > 0 AND n_alpha * 100 >= n_chars * 25
+        AND n_chars <= n_lines * 100 AND max_line_len <= 1000
+        AND n_blob_chars * 100 <= n_chars * 10
+        AND NOT is_autogenerated) AS keep
+FROM counted
+"""
+
+
+@register("code_quality_gate", _code_quality_sql())
+def code_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style structural quality gate over the snippet-seeded
+    corpus: integer counters (chars / alpha / lines / longest line /
+    blob chars), the autogenerated-header flag, and the five rule
+    booleans + composite keep. Every threshold is an integer
+    cross-multiplication, so the oracle is a bit-exact replay; the
+    organic ELSE rows pin the gate on text it was not seeded with."""
+    from dedupe_copy_spark.operators.textstats import code_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, s in _CQ_SNIPPETS:
+        cond = F.col("doc_id") % 17 == k
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    seeded = docs.select(
+        "doc_id", expr.otherwise(F.col("text")).alias("text"))
+    return code_quality(seeded)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
     "function_clone_classes": function_clone_classes_stage,
+    "import_edges": import_edges_stage,
     "media_stream_keys": media_stream_keys_stage,
     "minhash_near_pairs": minhash_near_pairs_raw,
     "simhash_short_pairs": simhash_short_pairs_raw,
@@ -5475,8 +5662,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # session's post-window registrations (temperature_mix,
     # vendored_digest_report, package_popularity, function_clone_groups,
     # function_clone_pairs, type3_doc_pairs, pair_precision_audit,
-    # media_clip_pairs, video_clip_pairs) has no driver-green row —
-    # round 5 must move those ~25 names to the head of this list.
+    # media_clip_pairs, video_clip_pairs, code_quality_gate,
+    # import_depth_order) has no driver-green row —
+    # round 5 must move those ~27 names to the head of this list.
 ]
 
 

@@ -6,7 +6,10 @@ tests/test_oracle_parity.py."""
 
 from dedupe_copy_spark.operators.imports import (
     extract_imports,
+    import_depth,
+    import_depth_order,
     import_edges,
+    local_import_edges,
     package_popularity,
 )
 
@@ -64,3 +67,55 @@ def test_import_edges_distinct_per_repo(spark):
     f = spark.createDataFrame(rows, "repo string, content string")
     got = sorted((r.repo, r.package) for r in import_edges(f).collect())
     assert got == [("r0", "numpy"), ("r1", "numpy")]
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string")
+
+
+_REPO = [
+    ("r1", "app.py", "import util\nimport models\nimport os\n"),
+    ("r1", "models.py", "import util\n"),
+    ("r1", "src/util.py", "import os\n"),
+    ("r1", "c1.py", "import c2\n"),
+    ("r1", "c2.py", "import c1\n"),
+    ("r1", "notes.md", "plain prose, no imports\n"),
+    # r2 has a same-named models.py but NO util -> no local edge
+    ("r2", "models.py", "import util\n"),
+]
+
+
+def test_local_import_edges_stem_and_repo_scoping(spark):
+    got = {(r.repo, r.src, r.dst)
+           for r in local_import_edges(_files(spark, _REPO)).collect()}
+    assert got == {
+        ("r1", "app.py", "src/util.py"),   # stem 'util' despite dir
+        ("r1", "app.py", "models.py"),
+        ("r1", "models.py", "src/util.py"),
+        ("r1", "c1.py", "c2.py"),
+        ("r1", "c2.py", "c1.py"),
+    }  # 'import os' never resolves; r2's util import crosses no repo
+
+
+def test_import_depth_diamond_and_cycle_saturation(spark):
+    got = {(r.repo, r.path): r.depth
+           for r in import_depth(_files(spark, _REPO),
+                                 max_rounds=6).collect()}
+    assert got[("r1", "src/util.py")] == 0   # only external imports
+    assert got[("r1", "models.py")] == 1
+    assert got[("r1", "app.py")] == 2        # via models -> util
+    assert got[("r1", "c1.py")] == 6         # cycle saturates at cap
+    assert got[("r1", "c2.py")] == 6
+    assert got[("r1", "notes.md")] == 0
+    assert got[("r2", "models.py")] == 0
+
+
+def test_import_depth_order_puts_dependencies_first(spark):
+    rows = [r for r in import_depth_order(
+        _files(spark, _REPO), max_rounds=6).collect() if r.repo == "r1"]
+    rank = {r.path: r.ord_rank for r in rows}
+    # every acyclic file's local imports precede it
+    assert rank["src/util.py"] < rank["models.py"] < rank["app.py"]
+    # ranks are a 1..n permutation per repo
+    assert sorted(r.ord_rank for r in rows) == list(range(1, 7))

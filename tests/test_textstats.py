@@ -139,3 +139,52 @@ def test_char_entropy_is_narrow_codegen(spark):
     plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+class TestCodeQuality:
+    def _gate(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r.asDict()
+                for r in textstats.code_quality(df).collect()}
+
+    def test_rule_hits(self, spark):
+        blob = "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVowMTIzNDU2Nzg5" * 4
+        rows = [
+            (0, "// Code generated by protoc. DO NOT EDIT.\nvar x = 1\n"),
+            (1, 'P = "' + blob + '"\nprint(P)\n'),
+            (2, "var a=0;function f(x){return x+1;};" * 30),
+            (3, "12034 58273 90411 22378\n" * 6),
+            (4, "def add(a, b):\n    return a + b\n"),
+            (5, ""),
+            (6, None),
+        ]
+        got = self._gate(spark, rows)
+        assert got[0]["is_autogenerated"] and not got[0]["keep"]
+        assert not got[1]["ok_blob"] and got[1]["n_blob_chars"] == len(blob)
+        assert not got[2]["ok_max_line"] and not got[2]["ok_avg_line"]
+        assert got[2]["max_line_len"] == 35 * 30 and got[2]["n_lines"] == 1
+        assert got[3]["n_alpha"] == 0 and not got[3]["ok_alpha"]
+        assert got[4]["keep"] and got[4]["n_lines"] == 3  # trailing \n
+        # empty and NULL text: zero counters, keep=False via nonempty
+        for k in (5, 6):
+            assert got[k]["n_chars"] == 0 and got[k]["n_lines"] == 0
+            assert got[k]["max_line_len"] == 0 and not got[k]["keep"]
+
+    def test_thresholds_are_exact_boundaries(self, spark):
+        # exactly 25% alpha passes; one char under fails
+        rows = [(1, "abcd" + "0" * 12),      # 4 alpha / 16 = 25%
+                (2, "abc" + "0" * 13)]       # 3 / 16 < 25%
+        got = self._gate(spark, rows)
+        assert got[1]["ok_alpha"] and not got[2]["ok_alpha"]
+        # exactly max_line_len passes, +1 fails; boundary via kwargs
+        df = spark.createDataFrame(
+            [(1, "a" * 10), (2, "a" * 11)], "doc_id long, text string")
+        got2 = {r.doc_id: r.asDict() for r in textstats.code_quality(
+            df, max_line_len=10, max_avg_line_len=1000).collect()}
+        assert got2[1]["ok_max_line"] and not got2[2]["ok_max_line"]
+
+    def test_hex_dump_counts_as_blob(self, spark):
+        # 128 hex chars are inside the base64 charset -> blob run
+        rows = [(1, "x = " + "0f" * 64 + "\n# tail comment here\n")]
+        got = self._gate(spark, rows)
+        assert got[1]["n_blob_chars"] == 128
