@@ -184,6 +184,10 @@ HEADLINE = [
     "media_clip_pairs",
     # round 4: video clip containment (frame sign words, same core)
     "video_clip_pairs",
+    # round 4: Count-Min heavy hitters (bounded-memory grid, broadcast
+    # probe) + Heaps-law vocabulary growth curve (md5-keyspace order)
+    "cms_heavy_grams",
+    "vocab_growth",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Bounded-memory frequency sketches: Count-Min heavy-hitter grams
+and the Heaps-law vocabulary-growth curve.
+
+These are the two corpus-health sketches the rest of the hygiene
+family leans on but didn't yet expose as operators:
+
+- ``cms_heavy_grams``: a Count-Min Sketch (Cormode & Muthukrishnan,
+  J. Algorithms 2005) over token n-gram DOCUMENT frequency.  The exact
+  heavy-hitter query (``corpus.common_ngrams``) shuffles every
+  distinct gram; at 100 TB the gram dictionary itself is terabytes.
+  The sketch path replaces that with a ``depth × width`` counter grid
+  — the only wide shuffle keys on at most ``depth*width`` cells (map-
+  side partial agg collapses everything earlier), and the estimation
+  join broadcasts the finished grid (a few MB at width 2^20), so no
+  stage's state grows with the gram dictionary.  Overcounts are
+  one-sided (est ≥ exact, whp ≤ exact + e/width · N), which the
+  operator makes VISIBLE by emitting the exact document frequency next
+  to the estimate for the reported top-k — at production scale the
+  exact column is dropped and the grid alone survives.
+
+- ``vocab_growth``: distinct-token count as a function of corpus
+  fraction (Heaps' law), on a DETERMINISTIC md5-keyspace growth order
+  — the same leakage-safe ordering trick as ``hash_sample``: a doc's
+  position in the growth curve depends only on md5(doc_id), so the
+  curve is comparable across corpus versions.  No global sort and no
+  row_number: the "first k docs" prefixes are the 16 md5-first-hex
+  buckets, a token's first appearance is ``min(bucket)`` (one map-side
+  combinable shuffle keyed by token), and the cumulative roll-up runs
+  over 16 rows.
+
+Pure Catalyst built-ins throughout (md5/conv/explode/agg) — both
+operators replay bit-for-bit in ANSI SQL, which is how the registry
+oracles pin them (plans/registry.py).
+
+Reference parity note: the reference has no sketch layer (its
+collision store is an exact dict, /root/reference/dedupe_copy/
+threads.py:403-425); these extend its exact-count surface to the
+bounded-memory regime a 10^12-file corpus forces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.corpus import _tokens, doc_grams
+
+# md5-prefix width used for bucket derivation: 12 hex chars = 48 bits,
+# exactly representable in BIGINT/DOUBLE on both engines
+_HEX_CHARS = 12
+
+
+def _bucket(col, d: int, width: int):
+    """Row d's CMS bucket for a gram: md5("<d>:<gram>") first 48 bits
+    mod width. Independent rows come from salting the digest input
+    with the row index — the engine-portable stand-in for a pairwise-
+    independent hash family (both engines agree on md5 of UTF-8)."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"{d}:"), col)), 1, _HEX_CHARS)
+    return (F.conv(hx, 16, 10).cast("long") % width).cast("long")
+
+
+def cms_build(grams: DataFrame, depth: int = 4, width: int = 1024,
+              gram_col: str = "gram") -> DataFrame:
+    """Build the Count-Min grid over a gram relation: one row per
+    non-empty (d, bucket) cell with its count.
+
+    One explode (×depth, projection-only) and ONE shuffle whose key
+    space is capped at depth*width regardless of input size — partial
+    aggregation collapses each map task to at most depth*width rows
+    before the exchange. The finished grid is broadcastable.
+    """
+    cells = grams.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(d).cast("int").alias("d"),
+                     _bucket(F.col(gram_col), d, width).alias("bucket"))
+            for d in range(depth)
+        ])).alias("cell"))
+    return cells.groupBy("cell.d", "cell.bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cms_estimate(cand: DataFrame, grid: DataFrame, depth: int = 4,
+                 width: int = 1024, gram_col: str = "gram",
+                 est_col: str = "est") -> DataFrame:
+    """Annotate candidate grams with their CMS estimate: min over the
+    depth rows of the hashed cell's count.
+
+    One explode (×depth, projection-only), ONE broadcast join against
+    the finished grid (≤ depth*width rows, computed once — a
+    per-depth filtered-join formulation would re-trigger the grid
+    build and its upstream scan depth times), then a min-agg back to
+    one row per candidate. The regroup keys on ``cand``'s columns, so
+    when ``cand`` arrives hash-partitioned by ``gram_col`` (it does in
+    ``cms_heavy_grams`` — the exact-count agg just produced it) the
+    subset rule lets the aggregate reuse that exchange: zero new
+    shuffles. Cells never probed by any gram are absent from the
+    grid; a candidate's own insertion guarantees its cells exist, so
+    the coalesce(…, 0) is a safety net for externally-supplied
+    candidates only.
+    """
+    cells = cand.select(
+        *cand.columns,
+        F.explode(F.array(*[
+            F.struct(F.lit(d).cast("int").alias("d"),
+                     _bucket(F.col(gram_col), d, width).alias("bucket"))
+            for d in range(depth)
+        ])).alias("_cell"))
+    joined = cells.join(
+        F.broadcast(grid),
+        (F.col("_cell.d") == grid["d"]) & (F.col("_cell.bucket") == grid["bucket"]),
+        "left")
+    return joined.groupBy(*cand.columns).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(est_col))
+
+
+def cms_heavy_grams(docs: DataFrame, n: int = 3, depth: int = 4,
+                    width: int = 1024, top_k: int = 20,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Heavy-hitter token n-grams by Count-Min-estimated document
+    frequency, with the exact document frequency alongside so the
+    sketch's one-sided error is measurable row by row.
+
+    Output: (gram, est_doc_freq, doc_freq) — top_k by estimate with
+    deterministic (est desc, gram asc) tie-break. est_doc_freq ≥
+    doc_freq always; equality whenever the gram's depth cells suffered
+    no collision.
+
+    At corpus scale the candidate set is the part that must shrink:
+    here (and in the oracle) candidates are all distinct grams so the
+    contract is exact; production callers pass a sampled/pre-filtered
+    candidate relation into ``cms_estimate`` and drop the exact
+    column. The grid build is already at-scale-shaped (see cms_build).
+    """
+    grams = doc_grams(docs, n, id_col, text_col)
+    grid = cms_build(grams, depth, width)
+    cand = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    est = cms_estimate(cand, grid, depth, width, est_col="est_doc_freq")
+    return (est.select("gram", "est_doc_freq", "doc_freq")
+            .orderBy(F.col("est_doc_freq").desc(), F.col("gram").asc())
+            .limit(top_k))
+
+
+def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Heaps-law curve: corpus size vs distinct-token vocabulary at 16
+    deterministic growth checkpoints (md5(doc_id) first-hex-digit
+    buckets 0..15; checkpoint h covers buckets ≤ h ≈ (h+1)/16 of the
+    keyspace).
+
+    Output: (checkpoint, n_docs, total_tokens, distinct_tokens), 16
+    rows, all cumulative. distinct_tokens at checkpoint 15 is the full
+    corpus vocabulary; the curve's flattening rate is the freshness /
+    diversity health signal (a boilerplate-dominated corpus plateaus
+    early).
+
+    Two map-side-combinable shuffles that scale (token→min-bucket,
+    bucket→doc totals); everything after operates on ≤16-row
+    relations. No global sort, no window over data-sized input.
+    """
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1),
+                     16, 10).cast("long")).alias("b")
+    toks = docs.select(bucket, _tokens(F.col(text_col)).alias("_toks"))
+
+    per_bucket = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("long").alias("n_toks"))
+    first_seen = (toks.select("b", F.explode("_toks").alias("tok"))
+                  .groupBy("tok").agg(F.min("b").alias("fb")))
+    new_per_bucket = first_seen.groupBy("fb").agg(
+        F.count(F.lit(1)).cast("long").alias("new_toks"))
+
+    spark = docs.sparkSession
+    grid = spark.range(16).select(F.col("id").cast("long").alias("checkpoint"))
+    cum_docs = (grid.join(per_bucket, per_bucket.b <= F.col("checkpoint"),
+                          "left")
+                .groupBy("checkpoint")
+                .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+                     .alias("n_docs"),
+                     F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long")
+                     .alias("total_tokens")))
+    cum_vocab = (grid.join(new_per_bucket,
+                           new_per_bucket.fb <= F.col("checkpoint"), "left")
+                 .groupBy("checkpoint")
+                 .agg(F.coalesce(F.sum("new_toks"), F.lit(0)).cast("long")
+                      .alias("distinct_tokens")))
+    return (cum_docs.join(cum_vocab, "checkpoint")
+            .orderBy("checkpoint"))

@@ -899,6 +899,34 @@ CHECKS = {
          lambda p: p.count(
              "ReadSchema: struct<doc_id:bigint,text:string>") >= 2),
     ],
+    "cms_heavy_grams": [
+        ("no python eval (md5 rows, grid, estimates all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("grid probe is a broadcast join (the depth×width grid never "
+         "shuffles the candidate relation)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("top-k never materializes a full sort (TakeOrdered)",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("grid build collapses map-side (partial_count before the "
+         "cell exchange)",
+         lambda p: "partial_count" in p),
+        ("scans pruned to text only (doc_id is dropped after the "
+         "per-doc distinct, so neither pass reads it)",
+         lambda p: "ReadSchema: struct<text:string>" in p
+         and "ReadSchema: struct<doc_id" not in p),
+    ],
+    "vocab_growth": [
+        ("no python eval (buckets, min-bucket, roll-ups all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("token first-appearance agg is map-side combinable "
+         "(partial_min before the token exchange)",
+         lambda p: "partial_min" in p),
+        ("no window / global sort over data-sized input (cumulative "
+         "roll-up joins a 16-row grid instead)",
+         lambda p: "Window" not in p),
+        ("scan pruned to doc_id+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
 }
 
 # Applied to EVERY registered query in addition to its specific checks,

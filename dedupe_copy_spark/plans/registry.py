@@ -5540,6 +5540,89 @@ def code_quality_gate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_quality(seeded)
 
 
+# ---------------------------------------------------------------------------
+# Frequency sketches (operators/sketches.py): bounded-memory heavy
+# hitters + corpus-diversity growth curve
+# ---------------------------------------------------------------------------
+
+@register("cms_heavy_grams", _GRAMS3_CTE + """
+, ds AS (SELECT unnest([0, 1, 2, 3]) AS d
+), cells AS (
+  SELECT ds.d,
+         ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || g.gram),
+                         1, 12))::BIGINT % 1024 AS bucket,
+         count(*) AS cnt
+  FROM grams g CROSS JOIN ds GROUP BY 1, 2
+), cand AS (
+  SELECT gram, count(*) AS doc_freq FROM grams GROUP BY 1
+), est AS (
+  SELECT c.gram, c.doc_freq, min(coalesce(s.cnt, 0)) AS est
+  FROM cand c CROSS JOIN ds
+  LEFT JOIN cells s ON s.d = ds.d
+   AND s.bucket = ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':'
+                                      || c.gram), 1, 12))::BIGINT % 1024
+  GROUP BY 1, 2
+)
+SELECT gram, CAST(est AS BIGINT) AS est_doc_freq,
+       CAST(doc_freq AS BIGINT) AS doc_freq
+FROM est ORDER BY est_doc_freq DESC, gram ASC LIMIT 20
+""")
+def cms_heavy_grams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy-hitter token 3-grams (depth 4 × width
+    1024 grid; md5-salted rows replayed bit-for-bit by the oracle,
+    which also replays the min-over-rows estimates and the one-sided
+    overcounts). The exact doc_freq column rides along so the sketch
+    error is pinned row by row; the grid build shuffles at most
+    depth×width cells no matter the gram dictionary size — the
+    bounded-memory form of `common_ngrams` for dictionaries that
+    outgrow a shuffle."""
+    from dedupe_copy_spark.operators.sketches import cms_heavy_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_grams(docs, n=3, depth=4, width=1024, top_k=20)
+
+
+@register("vocab_growth", """
+WITH toks AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS b,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+  FROM documents
+), per_bucket AS (
+  SELECT b, count(*) AS n_docs, sum(len(t)) AS n_toks FROM toks GROUP BY 1
+), first_seen AS (
+  SELECT tok, min(b) AS fb
+  FROM (SELECT b, unnest(t) AS tok FROM toks) GROUP BY 1
+), new_per_bucket AS (
+  SELECT fb, count(*) AS new_toks FROM first_seen GROUP BY 1
+), grid AS (SELECT unnest(generate_series(0, 15)) AS checkpoint
+), cum_docs AS (
+  SELECT g.checkpoint, coalesce(sum(p.n_docs), 0) AS n_docs,
+         coalesce(sum(p.n_toks), 0) AS total_tokens
+  FROM grid g LEFT JOIN per_bucket p ON p.b <= g.checkpoint GROUP BY 1
+), cum_vocab AS (
+  SELECT g.checkpoint, coalesce(sum(n.new_toks), 0) AS distinct_tokens
+  FROM grid g LEFT JOIN new_per_bucket n ON n.fb <= g.checkpoint GROUP BY 1
+)
+SELECT CAST(d.checkpoint AS BIGINT) AS checkpoint,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(d.total_tokens AS BIGINT) AS total_tokens,
+       CAST(v.distinct_tokens AS BIGINT) AS distinct_tokens
+FROM cum_docs d JOIN cum_vocab v USING (checkpoint)
+""")
+def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve at 16 deterministic
+    md5-keyspace checkpoints — the corpus-diversity health signal
+    (early plateau = boilerplate-dominated corpus). The oracle replays
+    the bucket assignment, each token's min-bucket first appearance,
+    and all three cumulative counters exactly; no global sort or
+    row_number anywhere (the growth order is the md5 keyspace, so the
+    plan scales as two combinable aggregations)."""
+    from dedupe_copy_spark.operators.sketches import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
@@ -5663,8 +5746,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # vendored_digest_report, package_popularity, function_clone_groups,
     # function_clone_pairs, type3_doc_pairs, pair_precision_audit,
     # media_clip_pairs, video_clip_pairs, code_quality_gate,
-    # import_depth_order) has no driver-green row —
-    # round 5 must move those ~27 names to the head of this list.
+    # import_depth_order, cms_heavy_grams, vocab_growth) has no
+    # driver-green row — round 5 must move those ~29 names to the head
+    # of this list.
 ]
 
 

@@ -1,0 +1,121 @@
+"""Unit tests for the frequency sketches (operators/sketches.py):
+Count-Min one-sided-error contract and heavy-hitter ranking, and the
+Heaps-law growth curve's cumulative invariants. Cross-engine parity at
+sf0.01 is covered by test_oracle_parity."""
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators import sketches
+from dedupe_copy_spark.operators.corpus import doc_grams, ngram_doc_freq
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _boilerplate_corpus(spark):
+    # 30 docs sharing a license-header gram, plus unique tails
+    rows = [(i, f"copyright acme corp unique{i} tail{i} w{i} x{i}")
+            for i in range(30)]
+    rows += [(100 + i, f"only one doc has this{i} gram{i} z{i}")
+             for i in range(5)]
+    return _docs(spark, rows)
+
+
+def test_cms_estimate_is_one_sided(spark):
+    docs = _boilerplate_corpus(spark)
+    grams = doc_grams(docs, n=3)
+    grid = sketches.cms_build(grams, depth=4, width=64)
+    exact = ngram_doc_freq(docs, n=3)
+    est = sketches.cms_estimate(exact, grid, depth=4, width=64,
+                                est_col="est")
+    rows = est.collect()
+    assert rows, "no grams estimated"
+    # CMS overcounts, never undercounts
+    assert all(r.est >= r.doc_freq for r in rows)
+    # with width 64 << #grams, at least the sums must balance: every
+    # estimate is bounded by total insertions
+    total = sum(r.doc_freq for r in exact.collect())
+    assert all(r.est <= total for r in rows)
+
+
+def test_cms_heavy_grams_finds_the_boilerplate(spark):
+    docs = _boilerplate_corpus(spark)
+    out = sketches.cms_heavy_grams(docs, n=3, depth=4, width=1024,
+                                   top_k=3).collect()
+    assert out[0].gram == "copyright acme corp"
+    assert out[0].doc_freq == 30
+    assert out[0].est_doc_freq >= 30
+    # at width 1024 on this tiny corpus the estimate should be exact
+    assert out[0].est_doc_freq == 30
+
+
+def test_cms_estimate_collisions_overcount_deterministically(spark):
+    docs = _boilerplate_corpus(spark)
+    grams = doc_grams(docs, n=3)
+    # width 2: every gram collides — estimates become bucket sums
+    grid = sketches.cms_build(grams, depth=2, width=2)
+    exact = ngram_doc_freq(docs, n=3)
+    a = sketches.cms_estimate(exact, grid, depth=2, width=2,
+                              est_col="est").collect()
+    b = sketches.cms_estimate(exact, grid, depth=2, width=2,
+                              est_col="est").collect()
+    assert sorted((r.gram, r.est) for r in a) == \
+        sorted((r.gram, r.est) for r in b)
+    assert all(r.est >= r.doc_freq for r in a)
+    assert any(r.est > r.doc_freq for r in a), \
+        "width 2 must produce at least one collision overcount"
+
+
+def test_cms_estimate_unknown_candidate_gets_zero_or_collision(spark):
+    docs = _docs(spark, [(1, "a b c d")])
+    grams = doc_grams(docs, n=3)
+    grid = sketches.cms_build(grams, depth=4, width=1024)
+    cand = docs.sparkSession.createDataFrame(
+        [("never inserted gram",)], "gram string")
+    out = sketches.cms_estimate(cand, grid, depth=4, width=1024,
+                                est_col="est").collect()
+    # min over 4 rows of a 1024-wide grid holding 2 grams: whp 0, and
+    # NEVER negative / null
+    assert len(out) == 1 and out[0].est is not None and out[0].est >= 0
+
+
+def test_vocab_growth_cumulative_invariants(spark):
+    docs = _docs(spark, [(i, f"common shared tok{i % 7} word{i}")
+                         for i in range(64)])
+    rows = sketches.vocab_growth(docs).collect()
+    assert [r.checkpoint for r in rows] == list(range(16))
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs >= a.n_docs
+        assert b.total_tokens >= a.total_tokens
+        assert b.distinct_tokens >= a.distinct_tokens
+        # vocabulary never grows faster than token count
+        assert (b.distinct_tokens - a.distinct_tokens
+                <= b.total_tokens - a.total_tokens)
+    last = rows[-1]
+    assert last.n_docs == 64
+    assert last.total_tokens == 64 * 4
+    # distinct: "common", "shared", 7 tokN, 64 wordN
+    assert last.distinct_tokens == 2 + 7 + 64
+
+
+def test_vocab_growth_empty_and_null_text(spark):
+    docs = _docs(spark, [(1, None), (2, ""), (3, "a b")])
+    rows = sketches.vocab_growth(docs).collect()
+    last = rows[-1]
+    assert last.n_docs == 3
+    assert last.total_tokens == 2
+    assert last.distinct_tokens == 2
+
+
+def test_vocab_growth_order_is_md5_stable_under_growth(spark):
+    # adding docs must not change which bucket an existing doc lands
+    # in: prefixes of the old curve that saw no new docs are unchanged
+    base = _docs(spark, [(i, f"w{i}") for i in range(32)])
+    grown = _docs(spark, [(i, f"w{i}") for i in range(48)])
+    b = {r.checkpoint: r for r in sketches.vocab_growth(base).collect()}
+    g = {r.checkpoint: r for r in sketches.vocab_growth(grown).collect()}
+    # every checkpoint's doc count can only grow
+    assert all(g[h].n_docs >= b[h].n_docs for h in range(16))
+    assert all(g[h].distinct_tokens >= b[h].distinct_tokens
+               for h in range(16))
