@@ -188,6 +188,8 @@ HEADLINE = [
     # probe) + Heaps-law vocabulary growth curve (md5-keyspace order)
     "cms_heavy_grams",
     "vocab_growth",
+    # round 4: intra-repo dependency centrality (integer PageRank)
+    "file_pagerank",
 ]
 
 

@@ -201,3 +201,72 @@ def import_depth_order(files: DataFrame, max_rounds: int = 6,
     w = Window.partitionBy("repo").orderBy("depth", "path")
     return d.select("repo", "path", "depth",
                     F.row_number().over(w).cast("long").alias("ord_rank"))
+
+
+def file_pagerank(files: DataFrame, iterations: int = 3,
+                  repo_col: str = "repo", path_col: str = "path",
+                  text_col: str = "content") -> DataFrame:
+    """Intra-repo dependency centrality: simplified PageRank over the
+    local-import graph, in EXACT integer micro-units so the iteration
+    replays bit-for-bit in SQL.
+
+    Semantics are the canonical Spark-example PageRank (rank starts at
+    1.0 per file, update = 0.15 + 0.85 * Σ incoming rank/outdeg; no
+    dangling-mass redistribution, ranks are centrality scores rather
+    than a probability simplex), quantized so both engines agree on
+    every value regardless of float summation order:
+
+        rank_0       = 1_000_000
+        contrib(u→v) = rank(u) // outdeg(u)        (floor)
+        rank'(v)     = 150_000 + (17 * Σ contrib) // 20
+
+    All quantities stay positive integers < 2^53, so floor division is
+    identical in Spark (FLOOR of an exactly-rounded double quotient)
+    and DuckDB (`//`). The most-depended-on files surface first — the
+    complement of :func:`import_depth_order`: depth says WHERE a file
+    goes in the concat order, rank says WHICH files anchor the repo
+    (curation weight, snippet-dedup tie-break, doc-selection signal).
+
+    Shape per iteration: one edge-sized join + one partial-aggregated
+    sum keyed on (repo, dst) — the CC/Bellman-Ford cost class, never
+    corpus-sized. The edge+outdeg relation is materialized ONCE
+    (localCheckpoint) so iteration k doesn't re-run the import
+    extraction k times; per-round localCheckpoint truncates lineage
+    exactly like :func:`import_depth`.
+
+    Returns (repo, path, rank_micro) for EVERY file — import-free and
+    never-imported files settle at the floor value.
+    """
+    edges = local_import_edges(files, repo_col=repo_col,
+                               path_col=path_col, text_col=text_col)
+    deg = edges.groupBy("repo", "src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg"))
+    ed = edges.join(deg, ["repo", "src"]).localCheckpoint(eager=True)
+
+    nodes = files.select(F.col(repo_col).alias("repo"),
+                         F.col(path_col).alias("path"))
+    ranks = nodes.withColumn("r", F.lit(1_000_000).cast("long"))
+    for it in range(iterations):
+        contribs = (
+            ed.join(ranks.select(F.col("repo").alias("r2"),
+                                 F.col("path").alias("src_p"), "r"),
+                    (ed["repo"] == F.col("r2")) & (ed["src"] == F.col("src_p")))
+            .select(ed["repo"], F.col("dst"),
+                    F.floor(F.col("r") / F.col("outdeg")).cast("long")
+                    .alias("c"))
+            .groupBy("repo", "dst")
+            .agg(F.sum("c").cast("long").alias("c")))
+        ranks = (nodes.join(contribs,
+                            (nodes["repo"] == contribs["repo"])
+                            & (nodes["path"] == contribs["dst"]), "left")
+                 .select(nodes["repo"], nodes["path"],
+                         (F.lit(150_000)
+                          + F.floor(F.lit(17) * F.coalesce(F.col("c"), F.lit(0))
+                                    / F.lit(20))).cast("long").alias("r")))
+        # truncate lineage BETWEEN rounds only — the final round stays
+        # a lazy plan (a trailing checkpoint would materialize a
+        # relation the caller immediately re-scans, and would hide the
+        # iteration's join+agg shape from plan audits)
+        if it < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("repo", "path", F.col("r").alias("rank_micro"))

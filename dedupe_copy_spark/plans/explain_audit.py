@@ -915,6 +915,17 @@ CHECKS = {
          lambda p: "ReadSchema: struct<text:string>" in p
          and "ReadSchema: struct<doc_id" not in p),
     ],
+    "file_pagerank": [
+        ("no python eval (extraction, joins, integer updates all "
+         "Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("per-iteration contribution agg is map-side combinable "
+         "(partial_sum before the (repo,dst) exchange)",
+         lambda p: "partial_sum" in p),
+        ("iteration inputs are checkpointed scans, not re-derived "
+         "lineage (the edge relation parses imports ONCE)",
+         lambda p: "Scan ExistingRDD" in p),
+    ],
     "vocab_growth": [
         ("no python eval (buckets, min-bucket, roll-ups all Catalyst)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

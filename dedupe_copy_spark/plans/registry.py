@@ -5370,7 +5370,10 @@ _DEP_SNIPPETS = (
 _DEP_ROUNDS = 6
 
 
-def _import_depth_sql() -> str:
+def _dep_edges_cte() -> str:
+    """Shared oracle prefix for the import-graph family: the seeded
+    repos, the full pattern-table hit union, stem resolution, and the
+    DISTINCT (repo, src, dst) edge relation."""
     from dedupe_copy_spark.operators.imports import (IMPORT_PATTERNS,
                                                      STEM_PATTERN)
 
@@ -5383,8 +5386,7 @@ def _import_depth_sql() -> str:
         "SELECT repo, path AS src, unnest(regexp_extract_all("
         f"coalesce(content, ''), '{q(pat)}', 1)) AS module FROM files"
         for _, pat in IMPORT_PATTERNS)
-    return f"""
-WITH RECURSIVE seeded AS (
+    return f"""seeded AS (
   SELECT doc_id, doc_id % 13 AS r FROM documents WHERE doc_id % 13 < 6
 ), files AS (
   SELECT 'repo_' || CAST(doc_id // 13 AS VARCHAR) AS repo,
@@ -5401,7 +5403,12 @@ WITH RECURSIVE seeded AS (
   SELECT DISTINCT r.repo, r.src, s.dst FROM roots r
   JOIN stems s ON r.repo = s.repo AND r.pkg = s.stem
   WHERE r.src <> s.dst
-), walks AS (
+)"""
+
+
+def _import_depth_sql() -> str:
+    return f"""
+WITH RECURSIVE {_dep_edges_cte()}, walks AS (
   SELECT repo, src, dst, 1 AS len FROM edges
   UNION ALL
   SELECT w.repo, w.src, e.dst, w.len + 1 FROM walks w
@@ -5447,6 +5454,53 @@ def import_depth_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return import_depth_order(_dep_files(spark, sf_dir),
                               max_rounds=_DEP_ROUNDS)
+
+
+_PR_ITERATIONS = 3
+
+
+def _file_pagerank_sql() -> str:
+    """Unrolled exact-integer PageRank oracle: each iteration is one
+    contribution CTE (floor-divided by outdeg) plus one rank CTE
+    (150000 + 17·Σ // 20) — both pure integer, so the Spark loop and
+    the SQL replay agree on every micro-unit."""
+    iters = []
+    prev = "r0"
+    for i in range(1, _PR_ITERATIONS + 1):
+        iters.append(f"""c{i} AS (
+  SELECT ed.repo, ed.dst, sum(r.r // ed.outdeg) AS c FROM ed
+  JOIN {prev} r ON ed.repo = r.repo AND ed.src = r.path GROUP BY 1, 2
+), r{i} AS (
+  SELECT f.repo, f.path, 150000 + (17 * coalesce(c.c, 0)) // 20 AS r
+  FROM files f LEFT JOIN c{i} c ON f.repo = c.repo AND f.path = c.dst
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_dep_edges_cte()}, deg AS (
+  SELECT repo, src, count(*) AS outdeg FROM edges GROUP BY 1, 2
+), ed AS (
+  SELECT e.repo, e.src, e.dst, d.outdeg FROM edges e
+  JOIN deg d ON e.repo = d.repo AND e.src = d.src
+), r0 AS (
+  SELECT repo, path, CAST(1000000 AS BIGINT) AS r FROM files
+), {", ".join(iters)}
+SELECT repo, path, CAST(r AS BIGINT) AS rank_micro FROM {prev}
+"""
+
+
+@register("file_pagerank", _file_pagerank_sql())
+def file_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-repo dependency centrality over the seeded repos:
+    3-iteration integer-micro PageRank (Spark-example semantics,
+    quantized — see operators/imports.file_pagerank). The oracle
+    unrolls the identical iteration, so every file's exact rank is
+    pinned: the diamond's `util.py` decays toward the floor as its
+    importers' ranks shrink, the c1<->c2 cycle holds the 1,000,000
+    fixed point, import-free files sit at exactly 150,000."""
+    from dedupe_copy_spark.operators.imports import file_pagerank
+
+    return file_pagerank(_dep_files(spark, sf_dir),
+                         iterations=_PR_ITERATIONS)
 
 
 def import_edges_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5746,9 +5800,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # vendored_digest_report, package_popularity, function_clone_groups,
     # function_clone_pairs, type3_doc_pairs, pair_precision_audit,
     # media_clip_pairs, video_clip_pairs, code_quality_gate,
-    # import_depth_order, cms_heavy_grams, vocab_growth) has no
-    # driver-green row — round 5 must move those ~29 names to the head
-    # of this list.
+    # import_depth_order, cms_heavy_grams, vocab_growth, file_pagerank)
+    # has no driver-green row — round 5 must move those ~30 names to
+    # the head of this list.
 ]
 
 

@@ -1,0 +1,79 @@
+"""Unit tests for file_pagerank (operators/imports.py): hand-computed
+exact integer ranks on the diamond + cycle fixture, floor-value
+settling, and determinism. Cross-engine parity at sf0.01 is covered by
+test_oracle_parity."""
+
+from dedupe_copy_spark.operators.imports import file_pagerank
+
+
+def _repo(spark):
+    rows = [
+        ("r1", "app.py", "import util\nimport models\nimport os\n"),
+        ("r1", "models.py", "import util\n"),
+        ("r1", "util.py", "import os\n"),
+        ("r1", "c1.py", "import c2\n"),
+        ("r1", "c2.py", "import c1\n"),
+        ("r1", "notes.md", "plain prose notes\n"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string")
+
+
+def test_file_pagerank_exact_integer_ranks(spark):
+    # hand-unrolled: r0=1e6 everywhere; update = 150000 + 17*sum//20
+    # where sum = incoming rank//outdeg (app outdeg 2; models, c1, c2
+    # outdeg 1; 'os' is external so util has NO local out-edges)
+    # it1: util 1,425,000  models 575,000  c1=c2 1,000,000  app/notes 150,000
+    # it2: util   702,500  models 213,750  c1=c2 1,000,000  app/notes 150,000
+    # it3: util   395,437  models 213,750  c1=c2 1,000,000  app/notes 150,000
+    out = {r.path: r.rank_micro
+           for r in file_pagerank(_repo(spark), iterations=3).collect()}
+    assert out == {
+        "app.py": 150_000,
+        "notes.md": 150_000,
+        "models.py": 213_750,
+        "util.py": 395_437,
+        "c1.py": 1_000_000,
+        "c2.py": 1_000_000,
+    }
+
+
+def test_file_pagerank_cycle_is_fixed_point(spark):
+    # a pure 2-cycle at rank r maps to 150000 + 17*r//20; r=1e6 is the
+    # fixed point, so MORE iterations must not move it
+    out = {r.path: r.rank_micro
+           for r in file_pagerank(_repo(spark), iterations=5).collect()}
+    assert out["c1.py"] == 1_000_000
+    assert out["c2.py"] == 1_000_000
+    # the diamond converges by iteration 3 (its importers' ranks hit
+    # their own fixed points at iteration 2), so extra iterations are
+    # no-ops there too
+    assert out["app.py"] == 150_000
+    assert out["util.py"] == 395_437
+    assert out["models.py"] == 213_750
+
+
+def test_file_pagerank_no_edges_all_floor_after_one_iter(spark):
+    docs = _repo(spark).sparkSession.createDataFrame(
+        [("r9", "a.md", "prose"), ("r9", "b.md", "words")],
+        "repo string, path string, content string")
+    out = {r.path: r.rank_micro
+           for r in file_pagerank(docs, iterations=1).collect()}
+    assert out == {"a.md": 150_000, "b.md": 150_000}
+
+
+def test_file_pagerank_repos_are_independent(spark):
+    one = _repo(spark)
+    two = one.union(one.sparkSession.createDataFrame(
+        [("r2", "x.py", "import y\n"), ("r2", "y.py", "pass\n")],
+        "repo string, path string, content string"))
+    base = {(r.repo, r.path): r.rank_micro
+            for r in file_pagerank(one, iterations=3).collect()}
+    both = {(r.repo, r.path): r.rank_micro
+            for r in file_pagerank(two, iterations=3).collect()}
+    # adding a second repo never changes the first repo's ranks
+    for k, v in base.items():
+        assert both[k] == v
+    # y is imported once by x (rank 1e6 -> it1 y=1,000,000? no:
+    # x outdeg 1, so y it1 = 150000+850000 = 1,000,000; x floor)
+    assert both[("r2", "x.py")] == 150_000
