@@ -190,6 +190,9 @@ HEADLINE = [
     "vocab_growth",
     # round 4: intra-repo dependency centrality (integer PageRank)
     "file_pagerank",
+    # round 4: .ipynb structural parse + nbconvert-style flatten
+    "notebook_cells",
+    "notebook_scripts",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Jupyter-notebook structural parsing: .ipynb JSON → per-cell rows
+and nbconvert-style flattened scripts.
+
+Code corpora carry notebooks as opaque JSON blobs; training pipelines
+(The Stack's Jupyter-scripts / Jupyter-structured subsets) split them
+into typed cells and flatten code cells into runnable scripts so the
+dedup/quality operators see code, not JSON escape noise. Both
+operators here are pure Catalyst: ``from_json`` with a pinned nbformat
+schema + ``posexplode`` — the parse stays inside codegen, scales with
+input splits, and replays in ANSI SQL (DuckDB's JSON functions), which
+is how the registry oracles pin it.
+
+Malformed JSON degrades to zero rows for that doc (from_json →
+PERMISSIVE null → posexplode drops), never to a job failure — the same
+skip-and-account stance the reference takes on unreadable files
+(/root/reference/dedupe_copy/threads.py:120-135, read errors become
+logged skips, not aborts). Use an anti-join against the cell output to
+enumerate the skipped docs when accounting matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# nbformat v4 essentials: cells[].cell_type + cells[].source (array of
+# line strings). Extra keys (metadata, outputs, execution_count) are
+# schema-pruned by from_json — never parsed, never shuffled.
+_NB_SCHEMA = ("struct<cells: array<struct<cell_type: string, "
+              "source: array<string>>>>")
+
+
+def notebook_cells(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """One row per notebook cell: (id_col, cell_idx, cell_type, text,
+    n_lines). ``text`` is the source lines concatenated verbatim
+    (nbformat keeps newlines inside the line strings); empty or
+    missing ``source`` yields text='' / n_lines=0 rather than NULL.
+
+    Docs that don't parse as a cells-bearing JSON object contribute no
+    rows. One projection + one generate — no shuffle at all: the
+    parse, the explode, and the per-cell stats are map-only."""
+    parsed = docs.select(
+        F.col(id_col),
+        F.from_json(F.coalesce(F.col(text_col), F.lit("")),
+                    _NB_SCHEMA).alias("_nb"))
+    cells = parsed.select(
+        id_col,
+        F.posexplode(F.coalesce(F.col("_nb.cells"),
+                                F.array().cast(
+                                    "array<struct<cell_type: string, "
+                                    "source: array<string>>>")))
+        .alias("cell_idx", "_cell"))
+    src = F.coalesce(F.col("_cell.source"),
+                     F.array().cast("array<string>"))
+    return cells.select(
+        id_col,
+        F.col("cell_idx").cast("long").alias("cell_idx"),
+        F.col("_cell.cell_type").alias("cell_type"),
+        F.concat_ws("", src).alias("text"),
+        F.size(src).cast("long").alias("n_lines"))
+
+
+def notebook_to_script(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       separator: str = "\n# %%\n") -> DataFrame:
+    """nbconvert-style flatten: concatenate each notebook's CODE cells
+    in order into one script string, cells joined by ``separator``
+    (the jupytext percent format, so cell boundaries survive into the
+    script corpus and remain greppable).
+
+    Output: (id_col, script, n_code_cells) — one row per doc that
+    parsed to at least one code cell. The per-doc reassembly is a
+    collect_list + array_sort on (cell_idx, text) structs, so the
+    order is deterministic under any partitioning (the
+    sequence-assembly pattern, operators/corpus.py); one exchange
+    keyed on the doc id, partial-aggregated map-side."""
+    code = notebook_cells(docs, id_col, text_col).where(
+        F.col("cell_type") == "code")
+    packed = code.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("cell_idx", "text")))
+        .alias("_cells"))
+    return packed.select(
+        id_col,
+        F.array_join(F.transform(F.col("_cells"), lambda c: c["text"]),
+                     separator).alias("script"),
+        F.size(F.col("_cells")).cast("long").alias("n_code_cells"))

@@ -915,6 +915,26 @@ CHECKS = {
          lambda p: "ReadSchema: struct<text:string>" in p
          and "ReadSchema: struct<doc_id" not in p),
     ],
+    "notebook_cells": [
+        ("no python eval (from_json + posexplode are codegen)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("map-only: the parse/explode plan has NO exchange at all",
+         lambda p: "Exchange" not in p),
+        ("nbformat schema pruned at the parse (outputs/metadata keys "
+         "never materialize)",
+         lambda p: "from_json" in p and "cell_type" in p
+         and "execution_count" not in p),
+    ],
+    "notebook_scripts": [
+        ("no python eval",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("single doc-keyed exchange with map-side partial "
+         "collect_list",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) == 1
+         and "partial_collect_list" in p),
+        ("deterministic reassembly (array_sort on (idx, text))",
+         lambda p: "array_sort" in p),
+    ],
     "file_pagerank": [
         ("no python eval (extraction, joins, integer updates all "
          "Catalyst)",

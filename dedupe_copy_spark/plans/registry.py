@@ -5503,6 +5503,88 @@ def file_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                          iterations=_PR_ITERATIONS)
 
 
+# Notebook fixture: two nbformat-shaped JSON docs (one with an empty
+# source array + markdown, one with a source-less raw cell), one
+# cells-empty object, the rest organic word salad exercising the
+# malformed-JSON zero-row path on both engines.
+_NB_A = ('{"cells":[{"cell_type":"code","source":["x=1\\n","y=2"]},'
+         '{"cell_type":"markdown","source":["# title"]},'
+         '{"cell_type":"code","source":["print(x+y)"]},'
+         '{"cell_type":"code","source":[]}],"nbformat":4}')
+_NB_B = ('{"cells":[{"cell_type":"raw"},'
+         '{"cell_type":"code","source":["a=1\\n","b=a"]}],"nbformat":4}')
+_NB_SNIPPETS = ((0, _NB_A), (1, _NB_B), (2, '{"cells": []}'))
+
+
+def _nb_seed_sql() -> str:
+    q = lambda s: s.replace(chr(39), chr(39) * 2)  # noqa: E731
+    arms = " ".join(f"WHEN {k} THEN '{q(s)}'" for k, s in _NB_SNIPPETS)
+    return (f"seeded AS (SELECT doc_id, CASE doc_id % 11 {arms} "
+            f"ELSE text END AS txt FROM documents), "
+            "cells AS (\n"
+            "  SELECT doc_id, txt,\n"
+            "         unnest(generate_series(0, CAST(coalesce(\n"
+            "           json_array_length(txt, '$.cells'), 0) AS BIGINT)\n"
+            "           - 1)) AS cell_idx\n"
+            "  FROM seeded WHERE json_valid(txt)\n"
+            "), cell_rows AS (\n"
+            "  SELECT doc_id, CAST(cell_idx AS BIGINT) AS cell_idx,\n"
+            "         json_extract_string(txt, '$.cells['\n"
+            "           || CAST(cell_idx AS VARCHAR) || '].cell_type')\n"
+            "           AS cell_type,\n"
+            "         coalesce(list_aggregate(CAST(json_transform(\n"
+            "           json_extract(txt, '$.cells['\n"
+            "             || CAST(cell_idx AS VARCHAR) || '].source'),\n"
+            "           '[\"VARCHAR\"]') AS VARCHAR[]),\n"
+            "           'string_agg', ''), '') AS text,\n"
+            "         CAST(coalesce(json_array_length(txt, '$.cells['\n"
+            "           || CAST(cell_idx AS VARCHAR) || '].source'), 0)\n"
+            "           AS BIGINT) AS n_lines\n"
+            "  FROM cells\n"
+            ")")
+
+
+def _nb_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    expr = None
+    for k, s in _NB_SNIPPETS:
+        cond = F.col("doc_id") % 11 == k
+        expr = F.when(cond, s) if expr is None else expr.when(cond, s)
+    return docs.select("doc_id", expr.otherwise(F.col("text")).alias("text"))
+
+
+@register("notebook_cells", "WITH " + _nb_seed_sql() + """
+SELECT doc_id, cell_idx, cell_type, text, n_lines FROM cell_rows
+""")
+def notebook_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook structural parse over the seeded corpus: one
+    row per cell with verbatim-joined source text. The oracle replays
+    the nbformat walk with DuckDB's JSON functions — cell order, the
+    empty-source and source-less cells (text=''/n_lines=0), and the
+    malformed-JSON zero-row path must all agree."""
+    from dedupe_copy_spark.operators.notebooks import notebook_cells
+
+    return notebook_cells(_nb_seeded(spark, sf_dir))
+
+
+@register("notebook_scripts", "WITH " + _nb_seed_sql() + """
+SELECT doc_id,
+       string_agg(text, chr(10) || '# %%' || chr(10)
+                  ORDER BY cell_idx) AS script,
+       CAST(count(*) AS BIGINT) AS n_code_cells
+FROM cell_rows WHERE cell_type = 'code' GROUP BY doc_id
+""")
+def notebook_scripts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nbconvert-style flatten: each seeded notebook's code cells
+    joined into one jupytext-percent script. The oracle replays the
+    order-sensitive join (string_agg ORDER BY cell_idx vs the Spark
+    side's array_sort reassembly) so a nondeterministic collect_list
+    order would fail the value hash."""
+    from dedupe_copy_spark.operators.notebooks import notebook_to_script
+
+    return notebook_to_script(_nb_seeded(spark, sf_dir))
+
+
 def import_edges_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit/bench stage: the local-import edge relation BEFORE
     import_depth's checkpoint — the stage whose single-Generate explode
@@ -5800,9 +5882,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # vendored_digest_report, package_popularity, function_clone_groups,
     # function_clone_pairs, type3_doc_pairs, pair_precision_audit,
     # media_clip_pairs, video_clip_pairs, code_quality_gate,
-    # import_depth_order, cms_heavy_grams, vocab_growth, file_pagerank)
-    # has no driver-green row — round 5 must move those ~30 names to
-    # the head of this list.
+    # import_depth_order, cms_heavy_grams, vocab_growth, file_pagerank,
+    # notebook_cells, notebook_scripts) has no driver-green row —
+    # round 5 must move those ~32 names to the head of this list.
 ]
 
 

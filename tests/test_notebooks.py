@@ -1,0 +1,54 @@
+"""Unit tests for notebook parsing (operators/notebooks.py):
+constructed nbformat fixtures incl. malformed JSON, empty notebooks,
+and empty cells. Cross-engine parity at sf0.01 via test_oracle_parity."""
+
+from dedupe_copy_spark.operators import notebooks
+
+NB = ('{"cells":[{"cell_type":"code","source":["x=1\\n","y=2"]},'
+      '{"cell_type":"markdown","source":["# title"]},'
+      '{"cell_type":"code","source":["print(x+y)"]},'
+      '{"cell_type":"code","source":[]}],"nbformat":4}')
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_notebook_cells_rows_and_text(spark):
+    docs = _docs(spark, [
+        (1, NB),
+        (2, "not json at all"),
+        (3, '{"cells": []}'),
+        (4, None),
+    ])
+    out = sorted(notebooks.notebook_cells(docs).collect(),
+                 key=lambda r: (r.doc_id, r.cell_idx))
+    assert [(r.doc_id, r.cell_idx, r.cell_type, r.text, r.n_lines)
+            for r in out] == [
+        (1, 0, "code", "x=1\ny=2", 2),
+        (1, 1, "markdown", "# title", 1),
+        (1, 2, "code", "print(x+y)", 1),
+        (1, 3, "code", "", 0),
+    ]
+
+
+def test_notebook_to_script_joins_code_cells_in_order(spark):
+    docs = _docs(spark, [(1, NB), (2, "junk")])
+    out = notebooks.notebook_to_script(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 1
+    assert r.n_code_cells == 3
+    assert r.script == "x=1\ny=2\n# %%\nprint(x+y)\n# %%\n"
+
+
+def test_notebook_to_script_custom_separator(spark):
+    docs = _docs(spark, [(1, NB)])
+    r = notebooks.notebook_to_script(docs, separator="|").collect()[0]
+    assert r.script == "x=1\ny=2|print(x+y)|"
+
+
+def test_notebook_cells_missing_source_key(spark):
+    docs = _docs(spark, [(1, '{"cells":[{"cell_type":"raw"}]}')])
+    r = notebooks.notebook_cells(docs).collect()[0]
+    assert (r.cell_type, r.text, r.n_lines) == ("raw", "", 0)
