@@ -1,0 +1,160 @@
+"""Incremental Count-Min heavy-hitter maintenance over a document
+stream.
+
+The batch form (operators/sketches.py) builds the depth×width grid in
+one pass and estimates all distinct grams. A continuously ingesting
+pipeline keeps both halves incremental:
+
+  - **grid maintenance**: CMS cells are associative counters, so each
+    micro-batch appends its (d, bucket, cnt) contribution and the
+    global grid is the per-cell sum over contributions — identical to
+    ``cms_build`` on the concatenation of all batches (test-pinned),
+    the same additive-store design as lm_stream's model.
+  - **candidate tracking**: the heavy-hitter QUERY needs candidate
+    grams, and "all distinct grams ever seen" is exactly the unbounded
+    state the sketch exists to avoid. Each batch contributes its local
+    top-M grams by document frequency (the classic CMS+heap pattern,
+    Cormode & Muthukrishnan 2005 §4.1, adapted to micro-batches); the
+    candidate pool is their union, bounded by M × batches and by
+    compaction. A gram that is never in ANY batch's local top-M can be
+    missed — the documented sketch trade-off; its grid counts are
+    still exact-additive, so it is found the moment it surfaces in one
+    batch (and ``heavy`` then reports its FULL accumulated estimate,
+    not just recent counts).
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py / corpus_stream.py):
+
+    grid/batch_id=N/   (d, bucket, cnt) contribution of batch N
+    cand/batch_id=N/   (gram,) local top-M of batch N
+
+At-least-once replay: a re-delivered batch overwrites both of its own
+subdirectories, so cells never double-count. ``compact`` folds history
+into one base contribution between triggers (write-then-swap, the
+crash-safe statestore.compact_into order).
+
+Scale notes: the grid store is depth×width-bounded PER BATCH, so reads
+and roll-ups over it are corpus-size-independent; the per-batch work
+is the batch-linear explode of cms_build plus a TakeOrdered top-M.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.corpus import doc_grams, ngram_doc_freq
+from dedupe_copy_spark.operators.sketches import cms_build, cms_estimate
+from dedupe_copy_spark.streaming import statestore
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalHeavyGrams:
+    """Streaming Count-Min sketch: additive grid store + bounded
+    candidate pool + on-demand heavy-hitter queries."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, n: int = 3,
+                 depth: int = 4, width: int = 1024, top_m: int = 64,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n = n
+        self.depth = depth
+        self.width = width
+        self.top_m = top_m
+        self.id_col = id_col
+        self.text_col = text_col
+        self.grid_path = f"{out_dir}/grid"
+        self.cand_path = f"{out_dir}/cand"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        grams = doc_grams(batch_df, self.n, self.id_col, self.text_col)
+        cms_build(grams, self.depth, self.width).write.mode(
+            "overwrite").parquet(f"{self.grid_path}/batch_id={batch_id}")
+        local_top = (ngram_doc_freq(batch_df, self.n, self.id_col,
+                                    self.text_col)
+                     .orderBy(F.col("doc_freq").desc(),
+                              F.col("gram").asc())
+                     .limit(self.top_m)
+                     .select("gram"))
+        local_top.write.mode("overwrite").parquet(
+            f"{self.cand_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def current_grid(self) -> DataFrame:
+        """Global (d, bucket, cnt) over every batch ingested so far —
+        identical to ``cms_build`` on the concatenation of all batches
+        (cells sum associatively)."""
+        store = self._read_state(self.grid_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "d int, bucket long, cnt long")
+        return store.groupBy("d", "bucket").agg(
+            F.sum("cnt").cast("long").alias("cnt"))
+
+    def candidates(self) -> DataFrame:
+        """The accumulated candidate pool: DISTINCT union of every
+        batch's local top-M (bounded by M × batches; compaction
+        re-bounds it)."""
+        store = self._read_state(self.cand_path)
+        if store is None:
+            return self.spark.createDataFrame([], "gram string")
+        return store.select("gram").distinct()
+
+    def heavy(self, top_k: int = 20) -> DataFrame:
+        """(gram, est_doc_freq): top_k candidates by accumulated grid
+        estimate, deterministic (est desc, gram asc) tie-break. The
+        estimate reflects EVERY ingested batch (grid additivity is
+        exact), even batches where the gram missed the local top-M."""
+        est = cms_estimate(self.candidates(), self.current_grid(),
+                           self.depth, self.width,
+                           est_col="est_doc_freq")
+        return (est.orderBy(F.col("est_doc_freq").desc(),
+                            F.col("gram").asc())
+                .limit(top_k))
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold both stores into one base subdirectory — bounded file
+        count and a re-bounded candidate pool, identical roll-ups
+        (run between triggers; write-then-swap crash order)."""
+        grid = self._read_state(self.grid_path)
+        if grid is not None:
+            folded = grid.groupBy("d", "bucket").agg(
+                F.sum("cnt").cast("long").alias("cnt"))
+            statestore.compact_into(folded, self.grid_path,
+                                    f"{self.out_dir}/_grid_compact",
+                                    into_batch_id)
+        cand = self._read_state(self.cand_path)
+        if cand is not None:
+            statestore.compact_into(cand.select("gram").distinct(),
+                                    self.cand_path,
+                                    f"{self.out_dir}/_cand_compact",
+                                    into_batch_id)
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,133 @@
+"""Incremental Count-Min heavy hitters (streaming/cms_stream.py):
+grid additivity equals batch cms_build on the concatenation; replay
+idempotence; candidate-pool semantics; compaction; stream wiring."""
+
+import time
+
+from dedupe_copy_spark.operators.corpus import doc_grams, ngram_doc_freq
+from dedupe_copy_spark.operators.sketches import cms_build, cms_heavy_grams
+from dedupe_copy_spark.streaming.cms_stream import IncrementalHeavyGrams
+
+BOILER = "copyright acme corp all rights reserved "
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _b0(spark):
+    return _docs(spark, [(i, BOILER + f"unique{i} tail{i} one two")
+                         for i in range(12)])
+
+
+def _b1(spark):
+    return _docs(spark, [(100 + i, BOILER + f"other{i} words{i} go here")
+                         for i in range(8)])
+
+
+def _grid_dict(df):
+    return {(r.d, r.bucket): r.cnt for r in df.collect()}
+
+
+def test_grid_additivity_equals_batch_build(spark, tmp_path):
+    out = str(tmp_path / "cms_stream")
+    job = IncrementalHeavyGrams(spark, out, width=256)
+    job.process_batch(_b0(spark), batch_id=0)
+    job.process_batch(_b1(spark), batch_id=1)
+
+    both = _b0(spark).union(_b1(spark))
+    want = _grid_dict(cms_build(doc_grams(both, 3), 4, 256))
+    got = _grid_dict(job.current_grid())
+    assert got == want
+
+
+def test_replay_never_double_counts(spark, tmp_path):
+    out = str(tmp_path / "cms_replay")
+    job = IncrementalHeavyGrams(spark, out, width=256)
+    job.process_batch(_b0(spark), batch_id=0)
+    job.process_batch(_b1(spark), batch_id=1)
+    job.process_batch(_b0(spark), batch_id=0)   # at-least-once redelivery
+
+    both = _b0(spark).union(_b1(spark))
+    assert _grid_dict(job.current_grid()) == \
+        _grid_dict(cms_build(doc_grams(both, 3), 4, 256))
+
+
+def test_heavy_matches_batch_operator_when_candidates_cover(spark,
+                                                            tmp_path):
+    # the boilerplate gram is in every batch's local top-M, so the
+    # streaming heavy-hitter answer must match the batch operator's
+    # (gram, est) on the concatenation exactly
+    out = str(tmp_path / "cms_heavy")
+    job = IncrementalHeavyGrams(spark, out, width=1024, top_m=64)
+    job.process_batch(_b0(spark), batch_id=0)
+    job.process_batch(_b1(spark), batch_id=1)
+
+    both = _b0(spark).union(_b1(spark))
+    want = [(r.gram, r.est_doc_freq)
+            for r in cms_heavy_grams(both, width=1024, top_k=5).collect()]
+    got = [(r.gram, r.est_doc_freq) for r in job.heavy(top_k=5).collect()]
+    assert got == want
+    # the 4 boilerplate grams tie at 20 docs; tie-break is gram asc
+    assert dict(got)["copyright acme corp"] == 20
+    assert [est for _, est in got[:4]] == [20, 20, 20, 20]
+
+
+def test_estimates_cover_batches_that_missed_the_topm(spark, tmp_path):
+    # top_m=1 keeps only the single strongest gram per batch, but the
+    # grid still accumulates EVERY gram's counts: once a gram enters
+    # the pool, its estimate covers all prior batches too
+    out = str(tmp_path / "cms_pool")
+    job = IncrementalHeavyGrams(spark, out, width=1024, top_m=1)
+    job.process_batch(_b0(spark), batch_id=0)
+    job.process_batch(_b1(spark), batch_id=1)
+    got = {r.gram: r.est_doc_freq for r in job.heavy(top_k=3).collect()}
+    # pool holds only the per-batch winner — the doc_freq tie among
+    # boilerplate grams resolves to 'acme corp all' (gram asc) in both
+    # batches — and its estimate is the full 20-doc accumulation
+    assert got == {"acme corp all": 20}
+
+
+def test_compaction_preserves_views(spark, tmp_path):
+    out = str(tmp_path / "cms_compact")
+    job = IncrementalHeavyGrams(spark, out, width=256)
+    job.process_batch(_b0(spark), batch_id=0)
+    job.process_batch(_b1(spark), batch_id=1)
+    grid_before = _grid_dict(job.current_grid())
+    heavy_before = [(r.gram, r.est_doc_freq)
+                    for r in job.heavy(top_k=5).collect()]
+    job.compact()
+    assert _grid_dict(job.current_grid()) == grid_before
+    assert [(r.gram, r.est_doc_freq)
+            for r in job.heavy(top_k=5).collect()] == heavy_before
+    # further batches accumulate on the folded base
+    job.process_batch(_docs(spark, [(500, BOILER + "late arrival")]),
+                      batch_id=2)
+    assert job.heavy(top_k=1).collect()[0].est_doc_freq >= 21
+
+
+def test_empty_state_views(spark, tmp_path):
+    job = IncrementalHeavyGrams(spark, str(tmp_path / "cms_empty"))
+    assert job.current_grid().count() == 0
+    assert job.candidates().count() == 0
+    assert job.heavy().count() == 0
+
+
+def test_stream_wiring_available_now(spark, tmp_path):
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "cms_wire")
+    watch = str(tmp_path / "incoming")
+    nul = F.lit(None).cast("string")
+    _b0(spark).withColumn("lang", nul).withColumn("source", nul) \
+        .withColumn("n_chars", nul.cast("long")) \
+        .write.mode("overwrite").parquet(watch)
+    job = IncrementalHeavyGrams(spark, out, width=256)
+    q = job.start(watch)
+    q.awaitTermination(60)
+    for _ in range(20):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    top = job.heavy(top_k=1).collect()
+    assert top and top[0].gram == "acme corp all"
+    assert top[0].est_doc_freq == 12
