@@ -193,6 +193,12 @@ HEADLINE = [
     # round 4: .ipynb structural parse + nbconvert-style flatten
     "notebook_cells",
     "notebook_scripts",
+    # round 4: per-repo license rollup (the repo-granular policy gate),
+    # ingestion-funnel ablation report, LSH S-curve calibration vs the
+    # corpus's empirical Jaccard histogram
+    "repo_license_rollup",
+    "pipeline_funnel",
+    "lsh_calibration",
 ]
 
 

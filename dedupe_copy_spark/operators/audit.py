@@ -80,3 +80,64 @@ def sampled_pair_precision(pairs: DataFrame, grams: DataFrame,
     return joined.select(
         "doc_a", "doc_b", j_micro.alias("j_micro"),
         (j_micro >= F.lit(int(floor_micro))).alias("meets_floor"))
+
+
+FUNNEL_STAGES = ("ingest", "ignore_filter", "exact_winner",
+                 "quality_gate", "lang_gate")
+
+
+def pipeline_funnel(hashed: DataFrame,
+                    ignore_prefix: str = "mirror/",
+                    min_size: int = 200,
+                    max_size: int = 1_000_000,
+                    keep_langs: tuple[str, ...] = ("en", "de", "fr"),
+                    ) -> DataFrame:
+    """Stage-by-stage ablation report of the standard ingestion funnel
+    (the first question any pipeline owner asks: WHERE did my corpus
+    go?): ingest → ignore-glob filter → exact-dup keep-first winner →
+    size/quality gate → language gate. One row per stage with rows
+    in/out, rows dropped, and the drop rate in integer micro-units.
+
+    Funnel semantics are monotone: a row's survival DEPTH is the last
+    stage it clears, and each stage only sees the previous stage's
+    survivors (in particular, keep-first winners are elected among
+    non-ignored rows, matching what a real sequential pipeline does).
+
+    Scale shape: one narrow scan computes every per-row flag except
+    the winner bit; winner election is a min-aggregation keyed on
+    content_sha256 (map-side combinable, shuffle sized by distinct
+    digests) joined back on the same key; then a single combinable
+    global aggregation reduces everything to ONE row of stage
+    counters, unpivoted driver-free via ``stack``. No window, no
+    Python, no collect — at 100 TB the only wide ops are the two
+    digest-keyed exchanges the exact-dedup pass needs anyway.
+    """
+    key = F.concat_ws("|", "repo", "path", "commit")
+    f1 = ~F.col("path").startswith(ignore_prefix)
+    mins = (hashed.filter(f1)
+            .groupBy("content_sha256")
+            .agg(F.min(key).alias("_win_key")))
+    flagged = hashed.withColumn("_k", key).join(mins, "content_sha256", "left")
+    f2 = F.coalesce(f1 & (F.col("_k") == F.col("_win_key")), F.lit(False))
+    f3 = f2 & F.col("size").between(min_size, max_size)
+    f4 = f3 & F.col("lang").isin(*keep_langs)
+    depth = (F.when(~f1, 0).when(~f2, 1).when(~f3, 2).when(~f4, 3)
+             .otherwise(4))
+    agg = flagged.select(depth.alias("_d")).agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        *[F.coalesce(  # sum is NULL on an empty relation
+            F.sum(F.when(F.col("_d") >= i, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0)).cast("long").alias(f"s{i}") for i in range(1, 5)])
+    rows = ", ".join(
+        f"CAST({i} AS BIGINT), '{FUNNEL_STAGES[i]}', "
+        f"s{max(i - 1, 0)}, s{i}"
+        for i in range(5))
+    return (
+        agg.selectExpr(f"stack(5, {rows}) AS "
+                       "(stage_idx, stage, rows_in, rows_out)")
+        .selectExpr(
+            "stage_idx", "stage", "rows_in", "rows_out",
+            "rows_in - rows_out AS dropped",
+            "CAST(floor((rows_in - rows_out) * 1000000.0 / "
+            "greatest(rows_in, 1)) AS BIGINT) AS drop_micro")
+    )

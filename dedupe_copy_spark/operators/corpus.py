@@ -792,6 +792,47 @@ def license_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def license_rollup(scanned: DataFrame, repo_col: str = "repo") -> DataFrame:
+    """Per-repository license composition over :func:`license_scan`
+    output — the policy unit for code corpora is the REPO, not the
+    file: one GPL file makes the whole checkout copyleft-encumbered,
+    so ingestion gates decide repo-by-repo. Emits, per repo: file
+    count, SPDX-tagged count, permissive / copyleft / unknown counts,
+    the permissive fraction (micro-units, integer-exact), and the
+    ``copyleft_free`` gate (no GPL-family file anywhere in the repo).
+
+    Scale shape: one hash-partial aggregation keyed on the repo column
+    — conditional sums combine map-side, so the shuffle carries one
+    row per (partition, repo) regardless of corpus size, and the
+    output relation is |repos|, the natural broadcast side for any
+    later per-file policy join. Pure codegen, no Python, no window."""
+    lic = F.col("license_id")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    return (
+        scanned.groupBy(repo_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(F.col("spdx_id") != "", one).otherwise(zero))
+            .cast("long").alias("n_spdx"),
+            F.sum(F.when(F.col("permissive"), one).otherwise(zero))
+            .cast("long").alias("n_permissive"),
+            F.sum(F.when(lic.startswith("GPL"), one).otherwise(zero))
+            .cast("long").alias("n_copyleft"),
+            F.sum(F.when(lic == "unknown", one).otherwise(zero))
+            .cast("long").alias("n_unknown"),
+        )
+        .select(
+            repo_col, "n_files", "n_spdx", "n_permissive", "n_copyleft",
+            "n_unknown",
+            F.floor(F.col("n_permissive") * F.lit(1_000_000)
+                    / F.col("n_files")).cast("long")
+            .alias("permissive_micro"),
+            (F.col("n_copyleft") == 0).alias("copyleft_free"),
+        )
+    )
+
+
 def secret_scan(docs: DataFrame, text_col: str = "text",
                 patterns: tuple[tuple[str, str, str], ...] = SECRET_PATTERNS,
                 ) -> DataFrame:

@@ -304,6 +304,99 @@ def minhash_pairs(files_with_id: DataFrame, cfg: DedupeConfig,
     return verify_pairs(cands, sigs, cfg, id_col)
 
 
+def calibration_table(cfg: DedupeConfig, n_bins: int = 20,
+                      ) -> list[tuple[int, int, int, int]]:
+    """The LSH S-curve as integer micro-unit constants: for each
+    Jaccard bin [i/n, (i+1)/n) the band-collision probability
+    p = 1 - (1 - s^r)^b at the bin center, under the configured
+    banding (b = cfg.lsh_bands, r = num_perm // lsh_bands).
+
+    Returns (bin_idx, j_lo_micro, j_hi_micro, p_collide_micro) rows.
+    Computed once in driver Python and inlined as literals on BOTH
+    engine sides (Spark plan and the SQL oracle), so the curve is
+    bit-identical by construction — no cross-engine pow() trust
+    required."""
+    b = cfg.lsh_bands
+    r = cfg.num_perm // cfg.lsh_bands
+    rows = []
+    for i in range(n_bins):
+        s = (i + 0.5) / n_bins
+        p = 1.0 - (1.0 - s ** r) ** b
+        rows.append((i, i * 1_000_000 // n_bins,
+                     (i + 1) * 1_000_000 // n_bins,
+                     int(round(p * 1_000_000))))
+    return rows
+
+
+def lsh_calibration(grams: DataFrame, cfg: DedupeConfig,
+                    id_col: str = "doc_id", gram_col: str = "g",
+                    df_cap: int = 50, n_bins: int = 20) -> DataFrame:
+    """LSH calibration curve: the empirical Jaccard histogram of the
+    corpus's co-shingling pairs joined against the theoretical
+    band-collision S-curve for the configured (bands, rows) — the
+    report that answers "is 16×8 banding right for THIS corpus?"
+    (expected_found ≈ 0 in a bin says those pairs are invisible to
+    LSH; a fat bin just under the threshold says the curve's knee is
+    misplaced).
+
+    Pair generation is the scalable inverted-index form, not all-pairs:
+    explode shingles → document-frequency filter (2 ≤ df ≤ df_cap, the
+    standard stop-shingle cut that bounds the self-join by Σ df² of
+    RARE grams only) → gram-keyed equi-join → distinct pairs → exact
+    Jaccard from the two distinct-shingle arrays. Per bin: pair count,
+    the S-curve probability (driver-computed integer literals, see
+    :func:`calibration_table`), and the expected number of detected
+    pairs (integer multiply — exact). All codegen; the only Python is
+    the 20-row constant table inlined into the plan."""
+    posts = grams.select(F.col(id_col).alias("_id"),
+                         F.explode(gram_col).alias("gram"))
+    rare = (posts.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
+            .select("gram"))
+    rare_posts = posts.join(rare, "gram")
+    cand = (
+        rare_posts.select("gram", F.col("_id").alias("doc_a"))
+        .join(rare_posts.select("gram", F.col("_id").alias("doc_b")), "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ga = grams.select(F.col(id_col).alias("doc_a"),
+                      F.col(gram_col).alias("_ga"))
+    gb = grams.select(F.col(id_col).alias("doc_b"),
+                      F.col(gram_col).alias("_gb"))
+    j = (F.size(F.array_intersect("_ga", "_gb")).cast("double")
+         / F.greatest(F.size(F.array_union("_ga", "_gb")),
+                      F.lit(1)).cast("double"))
+    binned = (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select(F.least(F.floor(j * F.lit(float(n_bins))).cast("long"),
+                        F.lit(n_bins - 1)).alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    lo = dict(); hi = dict(); pm = dict()
+    for i, jl, jh, p in calibration_table(cfg, n_bins):
+        lo[i], hi[i], pm[i] = jl, jh, p
+    def _lookup(mapping):
+        expr = None
+        for i in range(n_bins):
+            c = F.lit(mapping[i])
+            expr = (F.when(F.col("bin_idx") == i, c) if expr is None
+                    else expr.when(F.col("bin_idx") == i, c))
+        return expr.otherwise(F.lit(-1)).cast("long")
+    return binned.select(
+        "bin_idx",
+        _lookup(lo).alias("j_lo_micro"),
+        _lookup(hi).alias("j_hi_micro"),
+        "n_pairs",
+        _lookup(pm).alias("p_collide_micro"),
+        (F.col("n_pairs") * _lookup(pm)).cast("long")
+        .alias("expected_found_micro"),
+    )
+
+
 def add_file_id(files: DataFrame) -> DataFrame:
     """Stable 64-bit row id from the composite key — deterministic
     across runs/retries (unlike monotonically_increasing_id)."""

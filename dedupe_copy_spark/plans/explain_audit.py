@@ -958,6 +958,36 @@ CHECKS = {
         ("scan pruned to doc_id+text",
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "repo_license_rollup": [
+        ("no python eval (seeding, scan, rollup all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("conditional sums combine map-side (one row per (partition, "
+         "repo) crosses the repo exchange)",
+         lambda p: "partial_count" in p or "partial_sum" in p),
+        ("no window, no global sort (pure hash aggregation)",
+         lambda p: "Window" not in p),
+    ],
+    "pipeline_funnel": [
+        ("no python eval (flags, winner election, stack all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("winner election is a digest-keyed min-agg + join, not a "
+         "window over the corpus",
+         lambda p: "Window" not in p and "partial_min" in p),
+        ("funnel counters reduce map-side to one row before the "
+         "single-partition exchange",
+         lambda p: "partial_sum" in p),
+    ],
+    "lsh_calibration": [
+        ("no python eval (inverted index, Jaccard, S-curve literals "
+         "all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("stop-shingle df filter is a HAVING over a combinable count "
+         "(partial_count before the gram exchange)",
+         lambda p: "partial_count" in p),
+        ("no window, no cartesian (pair generation is a gram-keyed "
+         "equi-join)",
+         lambda p: "Window" not in p and "CartesianProduct" not in p),
+    ],
 }
 
 # Applied to EVERY registered query in addition to its specific checks,

@@ -5759,6 +5759,213 @@ def vocab_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(docs)
 
 
+_LIC_PERMISSIVE_SQL = ("'MIT', 'Apache-2.0', 'BSD', 'BSD-2-Clause', "
+                       "'BSD-3-Clause', 'ISC', 'Unlicense'")
+
+
+@register("repo_license_rollup", rf"""
+WITH seeded AS (
+  SELECT doc_id, source AS repo,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+              || '// SPDX-License-Identifier: '
+              || CASE WHEN doc_id % 2 = 0 THEN 'MIT' ELSE 'Apache-2.0' END
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+              || '/* Permission is hereby granted, free of charge */'
+            ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+              || '/* GNU General Public License */'
+            ELSE '' END AS text
+  FROM documents
+), scanned AS (
+  SELECT repo,
+         regexp_extract(text,
+             'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) AS spdx_id,
+         CASE
+           WHEN contains(text, 'Permission is hereby granted, free of charge')
+             THEN 'MIT'
+           WHEN contains(text,
+               'Licensed under the Apache License, Version 2.0')
+             THEN 'Apache-2.0'
+           WHEN contains(text, 'GNU General Public License') THEN 'GPL'
+           WHEN contains(text,
+               'Redistribution and use in source and binary forms')
+             THEN 'BSD'
+           ELSE '' END AS header_guess
+  FROM seeded
+), resolved AS (
+  SELECT repo,
+         CASE WHEN spdx_id <> '' THEN spdx_id
+              WHEN header_guess <> '' THEN header_guess
+              ELSE 'unknown' END AS license_id,
+         spdx_id
+  FROM scanned
+)
+SELECT repo,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(*) FILTER (WHERE spdx_id <> '') AS BIGINT) AS n_spdx,
+       CAST(count(*) FILTER (WHERE license_id IN ({_LIC_PERMISSIVE_SQL}))
+            AS BIGINT) AS n_permissive,
+       CAST(count(*) FILTER (WHERE license_id LIKE 'GPL%') AS BIGINT)
+         AS n_copyleft,
+       CAST(count(*) FILTER (WHERE license_id = 'unknown') AS BIGINT)
+         AS n_unknown,
+       CAST(floor(count(*) FILTER (WHERE license_id IN ({_LIC_PERMISSIVE_SQL}))
+                  * 1000000 / count(*)) AS BIGINT) AS permissive_micro,
+       count(*) FILTER (WHERE license_id LIKE 'GPL%') = 0 AS copyleft_free
+FROM resolved
+GROUP BY repo
+""")
+def repo_license_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REPO license composition and copyleft gate over the same
+    deterministically seeded license fixture as `license_scan`
+    (doc_id%3 SPDX tag, %5 MIT phrase, %7 GPL phrase), grouped by
+    source repo — the policy unit for code-corpus ingestion (one GPL
+    file encumbers the checkout; reference has no analogue, this is
+    the repo-granular gate a training pipeline needs). One combinable
+    conditional-sum aggregation; output is |repos| rows, the broadcast
+    side of any later per-file policy join."""
+    from dedupe_copy_spark.operators.corpus import license_rollup, license_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(did % 3 == 0, F.concat(
+                F.lit("\n// SPDX-License-Identifier: "),
+                F.when(did % 2 == 0, F.lit("MIT"))
+                .otherwise(F.lit("Apache-2.0")))).otherwise(""),
+            F.when(did % 5 == 0,
+                   F.lit("\n/* Permission is hereby granted, "
+                         "free of charge */")).otherwise(""),
+            F.when(did % 7 == 0,
+                   F.lit("\n/* GNU General Public License */"))
+            .otherwise(""),
+        ).alias("text"))
+    return license_rollup(license_scan(seeded), repo_col="repo")
+
+
+@register("pipeline_funnel", FILES_CTE_SQL + """
+, base AS (
+  SELECT lang,
+         length(coalesce(content, '')) AS fsize,
+         sha256(coalesce(content, '')) AS dg,
+         repo || '|' || path || '|' || commit_id AS k,
+         NOT (path LIKE 'mirror/%') AS f1
+  FROM files
+), mins AS (
+  SELECT dg, min(k) AS wk FROM base WHERE f1 GROUP BY dg
+), depth AS (
+  SELECT CASE WHEN NOT f1 THEN 0
+              WHEN NOT f2 THEN 1
+              WHEN NOT (f2 AND size_ok) THEN 2
+              WHEN NOT (f2 AND size_ok AND lang_ok) THEN 3
+              ELSE 4 END AS dpt
+  FROM (
+    SELECT b.f1,
+           coalesce(b.f1 AND b.k = m.wk, false) AS f2,
+           b.fsize BETWEEN 200 AND 1000000 AS size_ok,
+           b.lang IN ('en', 'de', 'fr') AS lang_ok
+    FROM base b LEFT JOIN mins m ON b.dg = m.dg
+  )
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(count(*) FILTER (WHERE dpt >= 1) AS BIGINT) AS s1,
+         CAST(count(*) FILTER (WHERE dpt >= 2) AS BIGINT) AS s2,
+         CAST(count(*) FILTER (WHERE dpt >= 3) AS BIGINT) AS s3,
+         CAST(count(*) FILTER (WHERE dpt >= 4) AS BIGINT) AS s4
+  FROM depth
+)
+SELECT stage_idx, stage, rows_in, rows_out,
+       rows_in - rows_out AS dropped,
+       CAST(floor((rows_in - rows_out) * 1000000.0 / greatest(rows_in, 1))
+            AS BIGINT) AS drop_micro
+FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+         s0 AS rows_in, s0 AS rows_out FROM agg
+  UNION ALL SELECT CAST(1 AS BIGINT), 'ignore_filter', s0, s1 FROM agg
+  UNION ALL SELECT CAST(2 AS BIGINT), 'exact_winner', s1, s2 FROM agg
+  UNION ALL SELECT CAST(3 AS BIGINT), 'quality_gate', s2, s3 FROM agg
+  UNION ALL SELECT CAST(4 AS BIGINT), 'lang_gate', s3, s4 FROM agg
+)
+""")
+def pipeline_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage ingestion-funnel ablation (ingest → ignore glob →
+    exact keep-first winner → size gate → language gate): one row per
+    stage with rows in/out, dropped, and drop rate in micro-units —
+    the where-did-my-corpus-go report every pipeline owner reads
+    first. Monotone survival depth computed in one scan + one
+    digest-keyed winner election + one single-row combinable agg,
+    unpivoted via stack (no window, no Python, no collect). The
+    oracle replays every stage counter exactly."""
+    from dedupe_copy_spark.operators.audit import pipeline_funnel
+
+    return pipeline_funnel(_files(spark, sf_dir))
+
+
+def _lsh_case_sql(col: str, mapping: dict[int, int]) -> str:
+    whens = " ".join(f"WHEN {col} = {i} THEN {v}"
+                     for i, v in sorted(mapping.items()))
+    return f"CASE {whens} ELSE -1 END"
+
+
+def _lsh_calibration_sql() -> str:
+    from dedupe_copy_spark.operators.minhash import calibration_table
+
+    rows = calibration_table(_near_cfg(), n_bins=20)
+    lo = {i: jl for i, jl, _, _ in rows}
+    hi = {i: jh for i, _, jh, _ in rows}
+    pm = {i: p for i, _, _, p in rows}
+    case_p = _lsh_case_sql("bin_idx", pm)
+    return _TRUTH_CTE + f"""
+, posts AS (SELECT doc_id, unnest(g) AS gram FROM grams
+), rare AS (
+  SELECT gram FROM posts GROUP BY gram HAVING count(*) BETWEEN 2 AND 50
+), rp AS (SELECT p.doc_id, p.gram FROM posts p JOIN rare USING (gram)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rp a JOIN rp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), jac AS (
+  SELECT least(CAST(floor(
+           len(list_intersect(ga.g, gb.g))::DOUBLE
+           / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1)::DOUBLE
+           * 20.0) AS BIGINT), 19) AS bin_idx
+  FROM cand JOIN grams ga ON ga.doc_id = cand.doc_a
+            JOIN grams gb ON gb.doc_id = cand.doc_b
+), binned AS (
+  SELECT bin_idx, CAST(count(*) AS BIGINT) AS n_pairs FROM jac GROUP BY bin_idx
+)
+SELECT bin_idx,
+       CAST({_lsh_case_sql("bin_idx", lo)} AS BIGINT) AS j_lo_micro,
+       CAST({_lsh_case_sql("bin_idx", hi)} AS BIGINT) AS j_hi_micro,
+       n_pairs,
+       CAST({case_p} AS BIGINT) AS p_collide_micro,
+       CAST(n_pairs * ({case_p}) AS BIGINT) AS expected_found_micro
+FROM binned
+"""
+
+
+@register("lsh_calibration", _lsh_calibration_sql())
+def lsh_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration curve for the configured 16x8 banding: the
+    empirical Jaccard histogram of the corpus's co-shingling pairs
+    (inverted-index candidates, 2 <= gram df <= 50 — the stop-shingle
+    cut that bounds the join by sum(df^2) of RARE grams only) joined
+    against the theoretical band-collision S-curve. The S-curve is
+    driver-computed integer micro-unit literals inlined on BOTH
+    engine sides (minhash.calibration_table), so no cross-engine
+    pow() trust is needed; expected-found is an exact integer
+    multiply. Answers "is this banding right for THIS corpus" before
+    a 100 TB run commits to it."""
+    from dedupe_copy_spark.operators.minhash import lsh_calibration
+
+    grams = _doc_grams(spark, sf_dir).select("doc_id", "g")
+    return lsh_calibration(grams, _near_cfg(), df_cap=50, n_bins=20)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
@@ -5883,8 +6090,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # function_clone_pairs, type3_doc_pairs, pair_precision_audit,
     # media_clip_pairs, video_clip_pairs, code_quality_gate,
     # import_depth_order, cms_heavy_grams, vocab_growth, file_pagerank,
-    # notebook_cells, notebook_scripts) has no driver-green row —
-    # round 5 must move those ~32 names to the head of this list.
+    # notebook_cells, notebook_scripts, repo_license_rollup,
+    # pipeline_funnel, lsh_calibration) has no driver-green row —
+    # round 5 must move those ~35 names to the head of this list.
 ]
 
 

@@ -80,3 +80,52 @@ def test_registered_audit_non_vacuous_at_sf001(spark, sf_med):
     assert len(out) >= 5
     assert all(r.meets_floor for r in out)
     assert all(r.j_micro >= 800_000 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_funnel
+# ---------------------------------------------------------------------------
+
+def _hashed(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "size long, content_sha256 string")
+
+
+def test_funnel_stage_counts(spark):
+    rows = [
+        ("r", "mirror/x.py", "c1", "en", 300, "h1"),  # ignored at stage 1
+        ("r", "a.py", "c1", "en", 300, "h2"),          # winner, survives all
+        ("r", "b.py", "c2", "en", 300, "h2"),          # exact-dup loser
+        ("r", "c.py", "c3", "en", 50, "h3"),           # fails size gate
+        ("r", "d.py", "c4", "zh", 300, "h4"),          # fails lang gate
+    ]
+    out = {r.stage: r for r in audit.pipeline_funnel(
+        _hashed(spark, rows)).collect()}
+    assert [out[s].rows_out for s in audit.FUNNEL_STAGES] == [5, 4, 3, 2, 1]
+    # rows_in chains: each stage's input is the previous stage's output
+    assert [out[s].rows_in for s in audit.FUNNEL_STAGES] == [5, 5, 4, 3, 2]
+    assert out["ignore_filter"].dropped == 1
+    assert out["ignore_filter"].drop_micro == 200_000
+    assert out["ingest"].drop_micro == 0
+
+
+def test_funnel_winner_elected_among_survivors(spark):
+    """A mirror copy with the lexicographically smallest key must NOT
+    steal the win from the non-ignored copy: winners are elected among
+    stage-1 survivors, as a sequential pipeline would."""
+    rows = [
+        ("r", "mirror/a.py", "c0", "en", 300, "h1"),  # smaller key, ignored
+        ("r", "z.py", "c1", "en", 300, "h1"),          # must still win
+    ]
+    out = {r.stage: r for r in audit.pipeline_funnel(
+        _hashed(spark, rows)).collect()}
+    assert out["exact_winner"].rows_out == 1
+    assert out["lang_gate"].rows_out == 1
+
+
+def test_funnel_empty_input(spark):
+    out = audit.pipeline_funnel(_hashed(spark, [])).collect()
+    assert len(out) == 5
+    assert all(r.rows_in == 0 and r.rows_out == 0 and r.drop_micro == 0
+               for r in out)

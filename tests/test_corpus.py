@@ -1082,3 +1082,32 @@ def test_ngram_novelty_first_appearance(spark):
     assert out[2].novelty == 0.0 and out[2].n_grams == 2
     assert out[3].novelty == 0.5
     assert out[4].n_grams == 0 and out[4].novelty == 0.0
+
+
+def test_license_rollup_repo_gate(spark):
+    docs = spark.createDataFrame(
+        [("A", "// SPDX-License-Identifier: MIT\ncode"),
+         ("A", "plain file, no license"),
+         ("B", "/* GNU General Public License */"),
+         ("B", "// SPDX-License-Identifier: Apache-2.0")],
+        "repo string, text string")
+    out = {r.repo: r for r in corpus.license_rollup(
+        corpus.license_scan(docs), repo_col="repo").collect()}
+    a, b = out["A"], out["B"]
+    assert (a.n_files, a.n_spdx, a.n_permissive, a.n_copyleft,
+            a.n_unknown) == (2, 1, 1, 0, 1)
+    assert a.permissive_micro == 500_000
+    assert a.copyleft_free is True
+    assert (b.n_files, b.n_copyleft, b.n_permissive) == (2, 1, 1)
+    assert b.copyleft_free is False
+
+
+def test_license_rollup_counts_spdx_copyleft(spark):
+    """An SPDX GPL tag counts as copyleft through the startswith
+    family match, not just the phrase heuristic."""
+    docs = spark.createDataFrame(
+        [("C", "// SPDX-License-Identifier: GPL-3.0-only")],
+        "repo string, text string")
+    out = corpus.license_rollup(corpus.license_scan(docs)).collect()[0]
+    assert out.n_copyleft == 1 and out.copyleft_free is False
+    assert out.n_spdx == 1 and out.n_permissive == 0

@@ -149,3 +149,61 @@ def test_minhash_pairs_from_shingle_column_identical(spark):
            for r in minhash.minhash_pairs(shingled, cfg,
                                           shingle_col="shingles").collect()}
     assert base == via and len(base) > 0
+
+
+# ---------------------------------------------------------------------------
+# LSH calibration curve
+# ---------------------------------------------------------------------------
+
+def test_calibration_table_is_an_s_curve():
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators.minhash import calibration_table
+
+    rows = calibration_table(DedupeConfig(), n_bins=20)
+    assert [r[0] for r in rows] == list(range(20))
+    ps = [r[3] for r in rows]
+    assert ps == sorted(ps)                   # monotone non-decreasing
+    assert ps[0] == 0                         # invisible at J ~ 0.025
+    assert ps[-1] == 1_000_000                # certain at J ~ 0.975
+    # the knee (p = 0.5 at s^8 = 1 - 0.5^(1/16), s ~ 0.674) sits in
+    # bin 13, near the (1/b)^(1/r) = 16^(-1/8) ~ 0.707 threshold
+    assert ps[12] < 500_000 < ps[13]
+    # bin bounds tile [0, 1] in micro-units
+    assert rows[0][1] == 0 and rows[-1][2] == 1_000_000
+    assert all(rows[i][2] == rows[i + 1][1] for i in range(19))
+
+
+def test_lsh_calibration_bins_and_expectations(spark):
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators.minhash import (calibration_table,
+                                                     lsh_calibration)
+
+    cfg = DedupeConfig()
+    grams = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b", "c", "d"]),   # J = 3/4
+         (3, ["x", "y", "z"]), (4, ["x", "y", "z"]),        # J = 1
+         (5, ["lonely"])],                                   # no co-shingle
+        "doc_id long, g array<string>")
+    out = {r.bin_idx: r for r in
+           lsh_calibration(grams, cfg, df_cap=50, n_bins=20).collect()}
+    assert set(out) == {15, 19}   # floor(0.75*20)=15; J=1 clamps to 19
+    assert out[15].n_pairs == 1 and out[19].n_pairs == 1
+    pm = {r[0]: r[3] for r in calibration_table(cfg, 20)}
+    for b in (15, 19):
+        assert out[b].p_collide_micro == pm[b]
+        assert out[b].expected_found_micro == out[b].n_pairs * pm[b]
+        assert out[b].j_lo_micro == b * 50_000
+        assert out[b].j_hi_micro == (b + 1) * 50_000
+
+
+def test_lsh_calibration_df_cap_drops_stop_shingles(spark):
+    """A gram above the df cap must not generate candidates on its own:
+    two docs sharing ONLY a stop shingle produce no pair."""
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators.minhash import lsh_calibration
+
+    rows = [(i, ["stop", f"u{i}"]) for i in range(10)]
+    grams = spark.createDataFrame(rows, "doc_id long, g array<string>")
+    out = lsh_calibration(grams, DedupeConfig(), df_cap=5,
+                          n_bins=20).collect()
+    assert out == []
