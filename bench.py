@@ -199,6 +199,10 @@ HEADLINE = [
     "repo_license_rollup",
     "pipeline_funnel",
     "lsh_calibration",
+    # round 4: shebang/modeline/extension language inference + the
+    # log2 dup-group skew histogram (shuffle-sizing diagnostic)
+    "lang_infer",
+    "dup_group_skew",
 ]
 
 

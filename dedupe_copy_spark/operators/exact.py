@@ -425,3 +425,38 @@ def fork_pairs_near(hashed: DataFrame, pairs: DataFrame,
         .select("repo_a", "repo_b",
                 F.col("n_links").cast("long").alias("n_links"), "score")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Log2-bucketed group-size histogram of a prospective shuffle key
+    — the diagnostic that sizes a 100 TB job's partitioning BEFORE it
+    runs: a fat top bucket (one digest with 10^7 copies, one vendored
+    lib in every repo) is the key you salt or AQE-split; a flat
+    histogram means plain hash partitioning holds. Bucket b holds
+    groups of size [2^b, 2^(b+1)).
+
+    Per bucket: group count, row count, the largest group, and the
+    bucket's share of all rows in integer micro-units. Two combinable
+    aggregations (key → size, size-bucket → counters; the second input
+    is |distinct keys| rows) plus a 1-row broadcast total — no window,
+    no sort, no Python. floor(log2 n) is computed as
+    length(bin(n)) - 1: integer-exact on both engines, no float log."""
+    sizes = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    buckets = sizes.groupBy(
+        (F.length(F.bin(F.col("_n"))) - 1).cast("long").alias("bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.max("_n").cast("long").alias("max_group"),
+    )
+    totals = sizes.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_total"))
+    # explicit broadcast: the total is ONE row; without the hint the
+    # planner emits CartesianProduct instead of a broadcast loop join
+    return buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket_log2", "n_groups", "n_rows", "max_group",
+        F.floor(F.col("n_rows") * F.lit(1_000_000)
+                / F.greatest(F.col("_total"), F.lit(1))).cast("long")
+        .alias("share_micro"),
+    )

@@ -291,3 +291,73 @@ def code_quality(docs: DataFrame, id_col: str = "doc_id",
         ok_blob.alias("ok_blob"),
         (nonempty & ok_alpha & ok_avg & ok_max & ok_blob
          & ~F.col("is_autogenerated")).alias("keep"))
+
+
+# extension → source language (the code-corpus slice of the reference's
+# extension normalization, utils.py:89-99, promoted to a language label)
+EXT_LANG: tuple[tuple[str, str], ...] = (
+    ("py", "python"), ("pyw", "python"),
+    ("js", "javascript"), ("mjs", "javascript"), ("ts", "typescript"),
+    ("rb", "ruby"), ("sh", "shell"), ("bash", "shell"),
+    ("c", "c"), ("h", "c"), ("cpp", "cpp"), ("cc", "cpp"), ("hpp", "cpp"),
+    ("java", "java"), ("go", "go"), ("rs", "rust"), ("pl", "perl"),
+    ("md", "markdown"), ("txt", "text"), ("rst", "rst"),
+    ("adoc", "asciidoc"), ("org", "org"),
+)
+# interpreter basename (version digits stripped) → language
+SHEBANG_LANG: tuple[tuple[str, str], ...] = (
+    ("python", "python"), ("node", "javascript"), ("ruby", "ruby"),
+    ("bash", "shell"), ("sh", "shell"), ("zsh", "shell"),
+    ("perl", "perl"),
+)
+# `#!/usr/bin/env python3` or `#!/bin/bash`: optional dir prefix,
+# optional `env `, capture the interpreter token
+SHEBANG_PATTERN = r"^#!(?:/[^ \n]*/)?(?:env )?([A-Za-z0-9_.-]+)"
+VIM_MODELINE_PATTERN = r"vim:\s*(?:set\s+)?(?:ft|filetype)=([a-z0-9_-]+)"
+EMACS_MODELINE_PATTERN = r"-\*-\s*(?:mode:\s*)?([a-zA-Z0-9+-]+)\s*-\*-"
+
+
+def _map_chain(col, mapping: tuple[tuple[str, str], ...]):
+    expr = None
+    for key, lang in mapping:
+        cond = col == key
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("")
+
+
+def infer_source_lang(files: DataFrame, path_col: str = "path",
+                      content_col: str = "content") -> DataFrame:
+    """Source-language inference for code corpora where the extension
+    lies or is missing (the `lang` column of the north-rule input table,
+    recovered from evidence): shebang interpreter > editor modeline
+    (vim `ft=` / emacs `-*- mode: -*-`) > path extension, 'unknown'
+    when nothing matches. Version suffixes normalize (`python3` →
+    `python`); modeline labels pass through lowercase as-is (they
+    already name the editor's language id).
+
+    Pure codegen — three regexp_extracts against the first 256 bytes
+    plus one extension regexp, a literal CASE chain each, no shuffle,
+    no Python: the per-row classifier shape that rides the ingest scan
+    for free at any corpus size."""
+    from dedupe_copy_spark.functions import lower_extension
+
+    head = F.substring(F.coalesce(F.col(content_col), F.lit("")), 1, 256)
+    interp = F.regexp_replace(
+        F.regexp_extract(head, SHEBANG_PATTERN, 1), "[0-9.]+$", "")
+    shebang = _map_chain(interp, SHEBANG_LANG)
+    modeline = F.lower(F.coalesce(
+        F.when(F.regexp_extract(head, VIM_MODELINE_PATTERN, 1) != "",
+               F.regexp_extract(head, VIM_MODELINE_PATTERN, 1)),
+        F.regexp_extract(head, EMACS_MODELINE_PATTERN, 1)))
+    ext_lang = _map_chain(lower_extension(F.col(path_col)), EXT_LANG)
+    inferred = (F.when(shebang != "", shebang)
+                .when(modeline != "", modeline)
+                .when(ext_lang != "", ext_lang)
+                .otherwise("unknown"))
+    return files.select(
+        *files.columns,
+        shebang.alias("shebang_lang"),
+        modeline.alias("modeline_lang"),
+        ext_lang.alias("ext_lang"),
+        inferred.alias("inferred_lang"),
+    )

@@ -988,6 +988,23 @@ CHECKS = {
          "equi-join)",
          lambda p: "Window" not in p and "CartesianProduct" not in p),
     ],
+    "lang_infer": [
+        ("no python eval (three regexps + CASE chains, all codegen)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no shuffle at all (per-row classifier rides the scan)",
+         lambda p: "Exchange" not in p),
+        ("scan pruned to doc_id+text+lang",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string,"
+                   "lang:string>" in p),
+    ],
+    "dup_group_skew": [
+        ("no python eval (digest, sizes, buckets all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("both aggregations combine map-side",
+         lambda p: "partial_count" in p and "partial_sum" in p),
+        ("no window, no global sort",
+         lambda p: "Window" not in p and "Sort [" not in p),
+    ],
 }
 
 # Applied to EVERY registered query in addition to its specific checks,

@@ -5966,6 +5966,123 @@ def lsh_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_calibration(grams, _near_cfg(), df_cap=50, n_bins=20)
 
 
+def _lang_case_sql(col: str, mapping: tuple[tuple[str, str], ...]) -> str:
+    whens = " ".join(f"WHEN {col} = '{k}' THEN '{v}'" for k, v in mapping)
+    return f"CASE {whens} ELSE '' END"
+
+
+def _lang_infer_sql() -> str:
+    from dedupe_copy_spark.operators.textstats import EXT_LANG, SHEBANG_LANG
+
+    ext_expr = ("lower(regexp_extract(path, "
+                "'[^./\\\\][^/\\\\]*\\.([^./\\\\]+)$', 1))")
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         'docs/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.' ||
+           (CASE lang WHEN 'en' THEN 'txt' WHEN 'de' THEN 'md'
+                      WHEN 'fr' THEN 'rst' WHEN 'es' THEN 'adoc'
+                      WHEN 'zh' THEN 'org' ELSE 'dat' END) AS path,
+         CASE WHEN doc_id % 4 = 0
+              THEN '#!/usr/bin/env python3' || chr(10) ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+              THEN '# vim: set ft=ruby' || chr(10) ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+              THEN '// -*- mode: go -*-' || chr(10) ELSE '' END
+         || coalesce(text, '') AS content
+  FROM documents
+), ex AS (
+  SELECT doc_id, path,
+         regexp_replace(regexp_extract(substr(content, 1, 256),
+             '^#!(?:/[^ \\n]*/)?(?:env )?([A-Za-z0-9_.-]+)', 1),
+             '[0-9.]+$', '') AS interp,
+         regexp_extract(substr(content, 1, 256),
+             'vim:\\s*(?:set\\s+)?(?:ft|filetype)=([a-z0-9_-]+)', 1)
+           AS vimml,
+         regexp_extract(substr(content, 1, 256),
+             '-\\*-\\s*(?:mode:\\s*)?([a-zA-Z0-9+-]+)\\s*-\\*-', 1) AS emml
+  FROM seeded
+), named AS (
+  SELECT doc_id,
+         {_lang_case_sql("interp", SHEBANG_LANG)} AS shebang_lang,
+         lower(coalesce(CASE WHEN vimml <> '' THEN vimml END, emml))
+           AS modeline_lang,
+         {_lang_case_sql(ext_expr, EXT_LANG)} AS ext_lang
+  FROM ex
+)
+SELECT doc_id, shebang_lang, modeline_lang, ext_lang,
+       CASE WHEN shebang_lang <> '' THEN shebang_lang
+            WHEN modeline_lang <> '' THEN modeline_lang
+            WHEN ext_lang <> '' THEN ext_lang
+            ELSE 'unknown' END AS inferred_lang
+FROM named
+"""
+
+
+@register("lang_infer", _lang_infer_sql())
+def lang_infer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based source-language inference (shebang > editor
+    modeline > extension) over deterministically seeded docs: doc_id%4
+    gets a python3 shebang, %6 a vim ft=ruby modeline, %9 an emacs
+    mode: go line — so the fixture exercises every priority override
+    (%12 shebang-beats-vim, %18 vim-beats-emacs, %36 all three) plus
+    version-suffix stripping and the pure-extension fallback on
+    untouched rows. Pure codegen, rides the ingest scan."""
+    from dedupe_copy_spark.operators.textstats import infer_source_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ext = (F.when(F.col("lang") == "en", "txt")
+           .when(F.col("lang") == "de", "md")
+           .when(F.col("lang") == "fr", "rst")
+           .when(F.col("lang") == "es", "adoc")
+           .when(F.col("lang") == "zh", "org").otherwise("dat"))
+    seeded = docs.select(
+        "doc_id",
+        F.concat(F.lit("docs/"), F.col("lang"), F.lit("/doc_"),
+                 did.cast("string"), F.lit("."), ext).alias("path"),
+        F.concat(
+            F.when(did % 4 == 0, F.lit("#!/usr/bin/env python3\n"))
+            .otherwise(""),
+            F.when(did % 6 == 0, F.lit("# vim: set ft=ruby\n"))
+            .otherwise(""),
+            F.when(did % 9 == 0, F.lit("// -*- mode: go -*-\n"))
+            .otherwise(""),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("content"))
+    return infer_source_lang(seeded).select(
+        "doc_id", "shebang_lang", "modeline_lang", "ext_lang",
+        "inferred_lang")
+
+
+@register("dup_group_skew", FILES_CTE_SQL + """
+, sizes AS (
+  SELECT sha256(coalesce(content, '')) AS dg, CAST(count(*) AS BIGINT) AS n
+  FROM files GROUP BY 1
+), buckets AS (
+  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket_log2,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_group
+  FROM sizes GROUP BY 1
+), tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM sizes)
+SELECT bucket_log2, n_groups, n_rows, max_group,
+       CAST(floor(n_rows * 1000000 / greatest(t, 1)) AS BIGINT)
+         AS share_micro
+FROM buckets, tot
+""")
+def dup_group_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed dup-group-size histogram of the content digest —
+    the skew diagnostic that decides salting / AQE-split BEFORE a
+    100 TB shuffle commits to plain hash partitioning (a fat top
+    bucket = the vendored-lib hot key). Two combinable aggregations
+    plus a 1-row broadcast total; floor(log2 n) via length(bin(n))-1,
+    integer-exact on both engines."""
+    from dedupe_copy_spark.operators.exact import key_skew_report
+
+    return key_skew_report(_files(spark, sf_dir), "content_sha256")
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
@@ -6091,8 +6208,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # media_clip_pairs, video_clip_pairs, code_quality_gate,
     # import_depth_order, cms_heavy_grams, vocab_growth, file_pagerank,
     # notebook_cells, notebook_scripts, repo_license_rollup,
-    # pipeline_funnel, lsh_calibration) has no driver-green row —
-    # round 5 must move those ~35 names to the head of this list.
+    # pipeline_funnel, lsh_calibration, lang_infer, dup_group_skew)
+    # has no driver-green row — round 5 must move those ~37 names to
+    # the head of this list.
 ]
 
 

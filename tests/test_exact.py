@@ -319,3 +319,29 @@ def test_vendored_digests_rejects_bad_threshold(spark):
         "content string"))
     with pytest.raises(ValueError):
         vendored_digests(files, min_repos=1)
+
+
+def test_key_skew_report_buckets(spark):
+    from dedupe_copy_spark.operators.exact import key_skew_report
+
+    # group sizes: k1 -> 1, k2 -> 1, k3 -> 2, k4 -> 4  (8 rows total)
+    rows = ([("k1",)] + [("k2",)] + [("k3",)] * 2 + [("k4",)] * 4)
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.bucket_log2: r for r in key_skew_report(df, "k").collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_groups, out[0].n_rows, out[0].max_group) == (2, 2, 1)
+    assert (out[1].n_groups, out[1].n_rows, out[1].max_group) == (1, 2, 2)
+    assert (out[2].n_groups, out[2].n_rows, out[2].max_group) == (1, 4, 4)
+    assert out[2].share_micro == 500_000          # 4 of 8 rows
+    assert out[0].share_micro == 250_000
+
+
+def test_key_skew_report_single_hot_key(spark):
+    from dedupe_copy_spark.operators.exact import key_skew_report
+
+    df = spark.createDataFrame([("hot",)] * 100, "k string")
+    out = key_skew_report(df, "k").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bucket_log2 == 6 and r.max_group == 100
+    assert r.share_micro == 1_000_000

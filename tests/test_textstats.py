@@ -188,3 +188,42 @@ class TestCodeQuality:
         rows = [(1, "x = " + "0f" * 64 + "\n# tail comment here\n")]
         got = self._gate(spark, rows)
         assert got[1]["n_blob_chars"] == 128
+
+
+def test_infer_source_lang_priorities(spark):
+    from dedupe_copy_spark.operators.textstats import infer_source_lang
+
+    files = spark.createDataFrame([
+        ("a.txt", "#!/usr/bin/env python3\nprint(1)"),     # shebang wins
+        ("b.md", "#!/bin/bash\n# vim: ft=ruby\nx"),         # shebang > vim
+        ("c.md", "# vim: set ft=ruby\nx"),                  # vim > ext
+        ("d.py", "// -*- mode: Go -*-\nx"),                 # emacs, lowered
+        ("e.rs", "plain body"),                             # ext fallback
+        ("f.xyz", "no evidence at all"),                    # unknown
+        ("g.txt", "#!/usr/local/bin/node\nx"),              # versionless map
+    ], "path string, content string")
+    out = {r.path: r for r in infer_source_lang(files).collect()}
+    assert out["a.txt"].inferred_lang == "python"
+    assert out["a.txt"].shebang_lang == "python"
+    assert out["a.txt"].ext_lang == "text"
+    assert out["b.md"].inferred_lang == "shell"
+    assert out["c.md"].inferred_lang == "ruby"
+    assert out["c.md"].modeline_lang == "ruby"
+    assert out["d.py"].inferred_lang == "go"       # modeline beats ext
+    assert out["e.rs"].inferred_lang == "rust"
+    assert out["f.xyz"].inferred_lang == "unknown"
+    assert out["g.txt"].inferred_lang == "javascript"
+
+
+def test_infer_source_lang_version_suffix_and_env(spark):
+    from dedupe_copy_spark.operators.textstats import infer_source_lang
+
+    files = spark.createDataFrame([
+        ("a", "#!/usr/bin/python2.7\nx"),
+        ("b", "#!/usr/bin/env bash\nx"),
+        ("c", "text mentioning #!/bin/sh not at start"),
+    ], "path string, content string")
+    out = {r.path: r for r in infer_source_lang(files).collect()}
+    assert out["a"].shebang_lang == "python"
+    assert out["b"].shebang_lang == "shell"
+    assert out["c"].shebang_lang == ""              # anchored at byte 0
