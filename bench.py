@@ -203,6 +203,7 @@ HEADLINE = [
     # log2 dup-group skew histogram (shuffle-sizing diagnostic)
     "lang_infer",
     "dup_group_skew",
+    "fork_pairs_sketch",
 ]
 
 

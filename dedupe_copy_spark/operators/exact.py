@@ -427,6 +427,111 @@ def fork_pairs_near(hashed: DataFrame, pairs: DataFrame,
     )
 
 
+def bottom_k_sketch(rs: DataFrame, k: int) -> DataFrame:
+    """(repo, content_sha256) → the k smallest md5(digest) per repo —
+    the KMV sketch cut. row_number + filter is the pattern Catalyst
+    rewrites to WindowGroupLimit: each input partition forwards at
+    most k rows per repo into the single repo exchange, so a 10^9-file
+    megarepo costs its partitions k rows each, not a skewed full-repo
+    sort (the domain_frequency_cap trick; plan pinned by
+    tests/test_fork_sketch.py)."""
+    w = Window.partitionBy("repo").orderBy("h")
+    return (rs.select("repo", F.md5("content_sha256").alias("h"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k).drop("rk"))
+
+
+def fork_pairs_sketch(hashed: DataFrame, k: int = 128,
+                      threshold: float = 0.1,
+                      max_hash_repos: int = 64) -> DataFrame:
+    """Repo-level fork detection from BOTTOM-K digest sketches — the
+    10^12-file scale path for :func:`fork_pairs`.
+
+    `fork_pairs` ships every distinct (repo, digest) row into its
+    candidate join: the shuffle is corpus-sized. Here each repo is
+    first collapsed to the k smallest md5(digest) values (a KMV /
+    bottom-k sketch, Cohen & Kaplan PODS'07 estimator family), so
+    every stage after ingest is bounded by k rows per repo — at any
+    corpus size, the candidate join and the estimate joins move
+    O(k · n_repos) rows, not O(n_files).
+
+      sketch(R)   = k smallest md5(content_sha256) over R's distinct
+                    non-empty digests  (md5-hex order is the same
+                    total order in Spark and DuckDB)
+      candidates  = repos sharing a sketch minimum (capped bucket
+                    join; a minimum landing in > max_hash_repos repos
+                    is vendored boilerplate — dropped from candidate
+                    GENERATION with bucket_stats accounting, but it
+                    still rides every sketch ARRAY, so estimates are
+                    unaffected; contrast fork_pairs, where the cap
+                    removes numerator mass)
+      merged      = k smallest of sketch(A) ∪ sketch(B)   (= bottom-k
+                    of A ∪ B, the KMV merge property)
+      y, u        = |merged ∩ A ∩ B|, |merged|
+      J  ≈ y/u    exact when |A ∪ B| ≤ k (sketches are complete)
+      |A∩B|_est   = floor(y·(n_a+n_b) / (u+y))      from J=I/(A+B-I)
+      overlap_est = |A∩B|_est / min(n_a, n_b)
+
+    All estimator arithmetic is BIGINT (y ≤ k keeps y·(n_a+n_b) < 2^53
+    even at 10^12 files), so the DuckDB oracle replays every value
+    bit-for-bit; `ov_micro` is the integer the threshold gates on.
+
+    Candidate recall: a true fork pair shares an expected ≥ k·J/2
+    sketch minima (each merged minimum is in both sets w.p. J), so at
+    k=128 a pair at the 0.1 Jaccard floor is missed with probability
+    < 1e-3; raise k with corpus size the same way SemDeDup raises
+    n_cells (similarity.py:346 docstring).
+
+    Shape: one distinct projection, one map-side-limited window
+    (Catalyst's WindowGroupLimit ships ≤ k rows per repo per input
+    partition into the single repo exchange — the
+    domain_frequency_cap trick), one capped bucket join over sketch
+    rows, two k-bounded-array joins. No stage is corpus-sized after
+    the first distinct.
+    """
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
+    rs = (hashed.filter(~F.col("is_empty"))
+          .select("repo", "content_sha256").distinct()
+          .localCheckpoint())  # feeds sketch + exact per-repo counts
+    counts = rs.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"))
+    # ≤ k rows/repo; materialized once — it feeds buckets + both arrays
+    sk = bottom_k_sketch(rs, k).localCheckpoint()
+    cand = bucket_pairs(sk, ["h"], "repo", max_hash_repos)
+    arrs = sk.groupBy("repo").agg(
+        F.array_sort(F.collect_list("h")).alias("sa"))
+    merged = F.slice(F.array_sort(F.array_distinct(
+        F.concat(F.col("sa"), F.col("sb")))), 1, k)
+    est = (
+        cand
+        .join(arrs.select(F.col("repo").alias("id_a"), "sa"), "id_a")
+        .join(arrs.select(F.col("repo").alias("id_b"),
+                          F.col("sa").alias("sb")), "id_b")
+        .join(counts.select(F.col("repo").alias("id_a"),
+                            F.col("n_hashes").alias("n_a")), "id_a")
+        .join(counts.select(F.col("repo").alias("id_b"),
+                            F.col("n_hashes").alias("n_b")), "id_b")
+        .withColumn("y", F.size(F.array_intersect(
+            F.array_intersect(merged, F.col("sa")), F.col("sb")))
+            .cast("long"))
+        .withColumn("u", F.size(merged).cast("long"))
+        .withColumn("inter_est", F.floor(
+            F.col("y") * (F.col("n_a") + F.col("n_b"))
+            / (F.col("u") + F.col("y"))).cast("long"))
+        .withColumn("ov_micro", F.floor(
+            F.col("inter_est") * F.lit(1_000_000)
+            / F.least("n_a", "n_b")).cast("long"))
+        .filter(F.col("ov_micro") >= int(threshold * 1_000_000))
+    )
+    return est.select(
+        F.col("id_a").alias("repo_a"), F.col("id_b").alias("repo_b"),
+        "y", "u", F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"), "inter_est", "ov_micro",
+        F.round(F.col("ov_micro") / F.lit(1_000_000.0), 6)
+        .alias("overlap_est"))
+
+
 def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     """Log2-bucketed group-size histogram of a prospective shuffle key
     — the diagnostic that sizes a 100 TB job's partitioning BEFORE it

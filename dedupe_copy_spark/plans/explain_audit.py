@@ -1005,6 +1005,21 @@ CHECKS = {
         ("no window, no global sort",
          lambda p: "Window" not in p and "Sort [" not in p),
     ],
+    "fork_pairs_sketch": [
+        # NOTE: the sketch cut (WindowGroupLimit) and the pruned scan
+        # run BEFORE the two localCheckpoint boundaries, so the final
+        # plan starts from bounded RDD scans; the WindowGroupLimit
+        # rewrite is plan-pinned by tests/test_fork_sketch.py instead.
+        ("no python eval (md5 sketch + array estimator all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("vendored-minimum bucket cap visible in candidate filter",
+         lambda p: "size(ids" in p and "<= 64" in p),
+        ("estimator is Catalyst array algebra over k-bounded sketches",
+         lambda p: "array_intersect" in p and "array_distinct" in p),
+        ("every join keys on repo ids (no all-pairs expansion)",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
 }
 
 # Applied to EVERY registered query in addition to its specific checks,

@@ -6083,6 +6083,68 @@ def dup_group_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_files(spark, sf_dir), "content_sha256")
 
 
+@register("fork_pairs_sketch", FILES_CTE_SQL + """
+, rs AS (
+  SELECT DISTINCT repo, sha256(content) AS d FROM files
+  WHERE length(content) > 0
+), hs AS (SELECT repo, md5(d) AS h FROM rs),
+sk AS (
+  SELECT repo, h FROM (
+    SELECT repo, h,
+           row_number() OVER (PARTITION BY repo ORDER BY h) AS rk
+    FROM hs) WHERE rk <= 128
+), ok AS (SELECT h FROM sk GROUP BY h HAVING count(*) BETWEEN 2 AND 64),
+cand AS (
+  SELECT DISTINCT a.repo AS repo_a, b.repo AS repo_b
+  FROM sk a JOIN sk b ON a.h = b.h AND a.repo < b.repo
+  JOIN ok ON ok.h = a.h
+), arrs AS (SELECT repo, list_sort(list(h)) AS sa FROM sk GROUP BY repo),
+cnts AS (SELECT repo, CAST(count(*) AS BIGINT) AS n FROM rs GROUP BY repo),
+est AS (
+  SELECT repo_a, repo_b,
+         (list_sort(list_distinct(list_concat(a.sa, b.sa))))[1:128] AS m,
+         a.sa AS sa, b.sa AS sb, ca.n AS n_a, cb.n AS n_b
+  FROM cand
+  JOIN arrs a ON a.repo = cand.repo_a
+  JOIN arrs b ON b.repo = cand.repo_b
+  JOIN cnts ca ON ca.repo = cand.repo_a
+  JOIN cnts cb ON cb.repo = cand.repo_b
+), scored AS (
+  SELECT repo_a, repo_b,
+         CAST(len(list_intersect(list_intersect(m, sa), sb)) AS BIGINT)
+           AS y,
+         CAST(len(m) AS BIGINT) AS u, n_a, n_b
+  FROM est
+), fin AS (
+  SELECT repo_a, repo_b, y, u, n_a, n_b,
+         CAST(floor(y * (n_a + n_b) / (u + y)) AS BIGINT) AS inter_est
+  FROM scored
+)
+SELECT repo_a, repo_b, y, u, n_a, n_b, inter_est,
+       CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
+         AS ov_micro,
+       round(CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
+             / 1000000.0, 6) AS overlap_est
+FROM fin
+WHERE CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
+      >= 100000
+""")
+def fork_pairs_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sketch fork detection — fork_pairs' 10^12-file scale
+    path: each repo collapses to its 128 smallest md5(digest) values
+    before any join, so candidate generation and the overlap estimate
+    move O(k·n_repos) rows instead of the corpus-sized distinct
+    (repo, digest) relation. The oracle replays the entire estimator
+    (sketch cut, KMV merge, integer |A∩B| back-solve, ov_micro gate)
+    value-for-value; on the synthetic corpus every (repo, mirror)
+    fork pair must surface at overlap_est 1.0 because the mirror's
+    digest set is a subset."""
+    from dedupe_copy_spark.operators.exact import fork_pairs_sketch
+
+    return fork_pairs_sketch(_files(spark, sf_dir), k=128,
+                             threshold=0.1, max_hash_repos=64)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,

@@ -1,0 +1,155 @@
+"""fork_pairs_sketch — bottom-k KMV fork detection (operators/exact.py).
+
+Covers the regime the registry oracle can't reach on the synthetic
+corpus (repos there hold only ~25 distinct digests, so sketches are
+complete and the estimator is exact): constructed repos LARGER than the
+sketch, where candidate generation and the |A∩B| back-solve actually
+estimate. Everything is md5-deterministic, so the "tolerance" asserts
+pin a fixed outcome — they cannot flake, only regress.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dedupe_copy_spark.operators.exact import fork_pairs, fork_pairs_sketch
+
+
+def _hashed(spark, repos: dict[str, list[str]]):
+    """repos: name -> list of synthetic content tokens (digest stand-ins)."""
+    rows = [(r, f"sha-{c}", False) for r, cs in repos.items() for c in cs]
+    return spark.createDataFrame(
+        rows, "repo string, content_sha256 string, is_empty boolean")
+
+
+def _contents(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}-{i}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def estimated(spark):
+    """Repos well past the k=64 sketch: A=400, B=A[:200] (true overlap
+    1.0, J=0.5), C=240 of A + 160 unique (true overlap 0.6), D disjoint."""
+    a = _contents("a", 400)
+    repos = {
+        "org/a": a,
+        "org/b": a[:200],
+        "org/c": a[:240] + _contents("c", 160),
+        "org/d": _contents("d", 300),
+    }
+    df = fork_pairs_sketch(_hashed(spark, repos), k=64, threshold=0.1)
+    return {(r.repo_a, r.repo_b): r for r in df.collect()}
+
+
+def test_full_fork_estimated_near_one(estimated):
+    key = ("org/a", "org/b") if ("org/a", "org/b") in estimated \
+        else ("org/b", "org/a")
+    r = estimated[key]
+    assert r.n_a + r.n_b == 600
+    assert 800_000 <= r.ov_micro <= 1_200_000
+    assert r.u == 64  # merged sketch saturates at k
+
+
+def test_partial_fork_estimated(estimated):
+    key = [k for k in estimated if "org/c" in k and "org/a" in k]
+    assert key, "partial fork pair missed by candidate generation"
+    r = estimated[key[0]]
+    # true overlap 240/400 = 0.6
+    assert 400_000 <= r.ov_micro <= 800_000
+
+
+def test_disjoint_repo_never_pairs(estimated):
+    assert not any("org/d" in k for k in estimated)
+
+
+def test_complete_sketch_is_exact(spark):
+    """Repos under k: sketches are the full digest sets, so ov_micro is
+    the exact overlap coefficient — bit-equal to fork_pairs' score."""
+    repos = {
+        "s/a": _contents("a", 40),
+        "s/b": _contents("a", 40)[:10] + _contents("b", 10),  # overlap 0.5
+    }
+    hashed = _hashed(spark, repos)
+    sk = fork_pairs_sketch(hashed, k=128, threshold=0.1).collect()
+    ex = fork_pairs(hashed, threshold=0.1).collect()
+    assert len(sk) == len(ex) == 1
+    assert sk[0].ov_micro == 500_000
+    assert sk[0].overlap_est == ex[0].overlap == 0.5
+    assert sk[0].inter_est == ex[0].n_shared == 10
+
+
+def test_partitioning_independence(spark, estimated):
+    a = _contents("a", 400)
+    repos = {
+        "org/a": a,
+        "org/b": a[:200],
+        "org/c": a[:240] + _contents("c", 160),
+        "org/d": _contents("d", 300),
+    }
+    df = fork_pairs_sketch(_hashed(spark, repos).repartition(7),
+                           k=64, threshold=0.1)
+    got = {(r.repo_a, r.repo_b): (r.y, r.u, r.ov_micro)
+           for r in df.collect()}
+    want = {k: (r.y, r.u, r.ov_micro) for k, r in estimated.items()}
+    assert got == want
+
+
+def test_vendored_minimum_is_capped_but_not_erased(spark):
+    """A digest shared by MANY repos (a vendored LICENSE) may not
+    GENERATE candidates (its bucket exceeds max_hash_repos), but it
+    still rides the sketch arrays of genuinely paired repos."""
+    vendored = ["LICENSE"]
+    repos = {f"v/r{i}": vendored + _contents(f"r{i}", 5) for i in range(12)}
+    # only the vendored digest is shared anywhere; cap kills its bucket
+    out = fork_pairs_sketch(_hashed(spark, repos), k=16, threshold=0.01,
+                            max_hash_repos=4).collect()
+    assert out == []
+    # a real fork that ALSO carries the vendored file: pair still found
+    # through its other shared minima, and the vendored digest counts
+    # toward the (correct) estimate
+    a = _contents("a", 30)
+    repos2 = {f"v/r{i}": vendored + _contents(f"r{i}", 5) for i in range(12)}
+    repos2["v/a"] = vendored + a
+    repos2["v/b"] = vendored + a[:15]
+    got = {(r.repo_a, r.repo_b): r
+           for r in fork_pairs_sketch(_hashed(spark, repos2), k=64,
+                                      threshold=0.5,
+                                      max_hash_repos=4).collect()}
+    key = [k for k in got if "v/a" in k and "v/b" in k]
+    assert key, "fork sharing a capped vendored file was missed"
+    r = got[key[0]]
+    # sketches are complete (31, 16 < k): exact overlap = 16/16 = 1.0
+    assert r.ov_micro == 1_000_000 and r.inter_est == 16
+
+
+def test_threshold_gates_on_ov_micro(spark):
+    repos = {
+        "t/a": _contents("a", 40),
+        "t/b": _contents("a", 40)[:10] + _contents("b", 10),  # overlap 0.5
+    }
+    hashed = _hashed(spark, repos)
+    assert fork_pairs_sketch(hashed, k=128, threshold=0.51).collect() == []
+    assert len(fork_pairs_sketch(hashed, k=128, threshold=0.5).collect()) == 1
+
+
+def test_sketch_cut_is_window_group_limited(spark):
+    """The row_number+filter sketch cut must compile to Catalyst's
+    WindowGroupLimit rewrite: each input partition forwards ≤ k rows
+    per repo into the repo exchange, so megarepo skew never reaches
+    the window sort. This is the plan property that makes the sketch
+    the 10^12-file path; it runs pre-checkpoint, hence pinned here
+    rather than in plans/explain_audit.py."""
+    from dedupe_copy_spark.operators.exact import bottom_k_sketch
+
+    from dedupe_copy_spark.plans.explain_audit import formatted_plan
+
+    rs = _hashed(spark, {"w/a": _contents("a", 50)}).select(
+        "repo", "content_sha256")
+    plan = formatted_plan(spark, bottom_k_sketch(rs, 16))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_empty_rows_excluded(spark):
+    rows = [("e/a", "sha-x", True), ("e/b", "sha-x", True)]
+    df = spark.createDataFrame(
+        rows, "repo string, content_sha256 string, is_empty boolean")
+    assert fork_pairs_sketch(df, k=16, threshold=0.01).collect() == []
