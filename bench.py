@@ -204,6 +204,7 @@ HEADLINE = [
     "lang_infer",
     "dup_group_skew",
     "fork_pairs_sketch",
+    "unreferenced_files",
 ]
 
 

@@ -203,6 +203,55 @@ def import_depth_order(files: DataFrame, max_rounds: int = 6,
                     F.row_number().over(w).cast("long").alias("ord_rank"))
 
 
+# Stems a repo legitimately never imports: program entrypoints and
+# test/packaging scaffolding. Fixed and deliberately short — precision
+# over recall, like IMPORT_PATTERNS itself.
+ENTRYPOINT_STEMS = ("main", "__main__", "app", "setup", "cli", "conftest")
+
+
+def unreferenced_files(files: DataFrame, repo_col: str = "repo",
+                       path_col: str = "path",
+                       text_col: str = "content") -> DataFrame:
+    """Dead-file candidates: files no other file in the repo imports
+    and that aren't entrypoint/scaffolding stems — the curation signal
+    for scratch files, stale vendored examples, and copy-paste residue
+    that repo-level quality gates (code_quality_gate) can't see
+    because each file looks fine in isolation.
+
+    Per file: is_imported (some local file imports it),
+    has_local_imports (it imports something local), is_entrypoint
+    (stem in ENTRYPOINT_STEMS or a test file), and the verdict
+    is_unreferenced = NOT imported AND NOT entrypoint.
+
+    Recall caveat inherited from :func:`local_import_edges`: dynamic
+    imports and deep-package resolution are invisible, so
+    is_unreferenced is a REVIEW queue, not a delete list.
+
+    Shape: the edge relation is bounded by import-statement count; the
+    verdict is two distinct edge projections left-joined back on
+    (repo, path) — corpus-sized rows ride only the initial scan."""
+    edges = local_import_edges(files, repo_col=repo_col,
+                               path_col=path_col, text_col=text_col)
+    base = files.select(
+        F.col(repo_col).alias("repo"), F.col(path_col).alias("path"),
+        F.regexp_extract(path_col, STEM_PATTERN, 1).alias("stem"))
+    imported = (edges.select("repo", F.col("dst").alias("path"))
+                .distinct().withColumn("_imp", F.lit(True)))
+    importers = (edges.select("repo", F.col("src").alias("path"))
+                 .distinct().withColumn("_src", F.lit(True)))
+    out = (base.join(imported, ["repo", "path"], "left")
+           .join(importers, ["repo", "path"], "left"))
+    is_entry = (F.col("stem").isin(*ENTRYPOINT_STEMS)
+                | F.col("stem").startswith("test"))
+    return out.select(
+        "repo", "path",
+        F.coalesce(F.col("_imp"), F.lit(False)).alias("is_imported"),
+        F.coalesce(F.col("_src"), F.lit(False)).alias("has_local_imports"),
+        is_entry.alias("is_entrypoint"),
+        (~F.coalesce(F.col("_imp"), F.lit(False)) & ~is_entry)
+        .alias("is_unreferenced"))
+
+
 def file_pagerank(files: DataFrame, iterations: int = 3,
                   repo_col: str = "repo", path_col: str = "path",
                   text_col: str = "content") -> DataFrame:

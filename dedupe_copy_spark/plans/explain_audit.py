@@ -1020,6 +1020,19 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "unreferenced_files": [
+        ("no python eval (pattern table + flags all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("edge extraction is Generate-based (one explode per edge "
+         "branch, no per-pattern scan fan-out)",
+         lambda p: p.count("\n(") > 0 and 1 <= len(
+             [l for l in p.splitlines()
+              if l.startswith("(") and "Generate" in l]) <= 2),
+        ("verdict joins are left joins on (repo, path)",
+         lambda p: "LeftOuter" in p),
+        ("scan pruned to doc_id+source+lang+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint" in p),
+    ],
 }
 
 # Applied to EVERY registered query in addition to its specific checks,

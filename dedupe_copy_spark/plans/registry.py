@@ -5456,6 +5456,46 @@ def import_depth_order_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_rounds=_DEP_ROUNDS)
 
 
+def _unreferenced_sql() -> str:
+    from dedupe_copy_spark.operators.imports import (ENTRYPOINT_STEMS,
+                                                     STEM_PATTERN)
+
+    stems_in = ", ".join(f"'{s}'" for s in ENTRYPOINT_STEMS)
+    return f"""
+WITH {_dep_edges_cte()}, imported AS (
+  SELECT DISTINCT repo, dst AS path FROM edges
+), importers AS (
+  SELECT DISTINCT repo, src AS path FROM edges
+), flagged AS (
+  SELECT f.repo, f.path,
+         i.path IS NOT NULL AS is_imported,
+         s.path IS NOT NULL AS has_local_imports,
+         (regexp_extract(f.path, '{STEM_PATTERN}', 1) IN ({stems_in})
+          OR regexp_extract(f.path, '{STEM_PATTERN}', 1) LIKE 'test%')
+           AS is_entrypoint
+  FROM files f
+  LEFT JOIN imported i ON i.repo = f.repo AND i.path = f.path
+  LEFT JOIN importers s ON s.repo = f.repo AND s.path = f.path
+)
+SELECT repo, path, is_imported, has_local_imports, is_entrypoint,
+       (NOT is_imported AND NOT is_entrypoint) AS is_unreferenced
+FROM flagged
+"""
+
+
+@register("unreferenced_files", _unreferenced_sql())
+def unreferenced_files_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-file candidates over the seeded import-graph repos: never
+    locally imported AND not an entrypoint/test stem. On the fixture,
+    notes.md must come out is_unreferenced (no one imports prose),
+    app.py must be saved by the entrypoint rule, and util/models/c1/c2
+    must all be is_imported — the oracle replays the pattern table,
+    stem resolution, both distinct edge projections, and the verdict."""
+    from dedupe_copy_spark.operators.imports import unreferenced_files
+
+    return unreferenced_files(_dep_files(spark, sf_dir))
+
+
 _PR_ITERATIONS = 3
 
 

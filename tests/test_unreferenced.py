@@ -1,0 +1,57 @@
+"""unreferenced_files — dead-file candidates (operators/imports.py)."""
+
+from dedupe_copy_spark.operators.imports import unreferenced_files
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(
+        rows, "repo string, path string, content string")
+
+
+def _verdicts(spark, rows):
+    out = unreferenced_files(_files(spark, rows)).collect()
+    return {(r.repo, r.path): r for r in out}
+
+
+def test_basic_verdicts(spark):
+    v = _verdicts(spark, [
+        ("r", "a.py", "import b\n"),
+        ("r", "b.py", "x = 1\n"),
+        ("r", "test_b.py", "import b\n"),
+        ("r", "zz.py", "import os\n"),
+    ])
+    assert v[("r", "b.py")].is_imported
+    assert not v[("r", "b.py")].is_unreferenced
+    # a.py imports locally but nothing imports IT, and 'a' is no
+    # entrypoint stem -> review queue
+    assert v[("r", "a.py")].is_unreferenced
+    assert v[("r", "a.py")].has_local_imports
+    # test files are scaffolding, never "dead"
+    assert v[("r", "test_b.py")].is_entrypoint
+    assert not v[("r", "test_b.py")].is_unreferenced
+    # zz.py imports only stdlib: no local edges either way
+    assert not v[("r", "zz.py")].has_local_imports
+    assert v[("r", "zz.py")].is_unreferenced
+
+
+def test_entrypoint_stems_saved(spark):
+    v = _verdicts(spark, [
+        ("r", "main.py", "import os\n"),
+        ("r", "src/cli.py", "import os\n"),
+        ("r", "setup.py", "import os\n"),
+    ])
+    assert all(r.is_entrypoint and not r.is_unreferenced
+               for r in v.values())
+
+
+def test_repo_isolation(spark):
+    """repo2's b.py is NOT referenced just because repo1 imports its
+    own b — edges never cross repos."""
+    v = _verdicts(spark, [
+        ("r1", "a.py", "import b\n"),
+        ("r1", "b.py", "x = 1\n"),
+        ("r2", "b.py", "x = 1\n"),
+    ])
+    assert v[("r1", "b.py")].is_imported
+    assert not v[("r2", "b.py")].is_imported
+    assert v[("r2", "b.py")].is_unreferenced
