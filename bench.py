@@ -205,6 +205,7 @@ HEADLINE = [
     "dup_group_skew",
     "fork_pairs_sketch",
     "unreferenced_files",
+    "license_header_strip",
 ]
 
 

@@ -792,6 +792,58 @@ def license_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# A leading run of comment lines: #, //, --, * continuation, or a
+# single-line /* ... */. Multi-line block comments whose interior lines
+# carry no leading marker are a documented miss (license headers almost
+# universally use ' * ' continuations). Java-regex ∩ RE2 dialect: no
+# lookaround, no backrefs, anchored at input start only.
+LICENSE_HEADER_RUN = r"^((?:[ \t]*(?:#|//|--|/?\*)[^\n]*\n)+)"
+LICENSE_HEADER_MARKERS = ("copyright", "license", "all rights reserved")
+
+
+def strip_license_headers(docs: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Remove the leading license/copyright comment block — the
+    normalization that collapses the largest class of spurious
+    near-dup MISSES in code corpora: two byte-identical files whose
+    only difference is the year or holder in the header are different
+    to every digest and most shingles, but the same training document.
+    Run BEFORE hashing/shingling (the normalized_dup_groups stance);
+    license POLICY stays with :func:`license_scan`, which sees the
+    original text.
+
+    A header is stripped only when BOTH hold: the file opens with an
+    unbroken run of comment lines (LICENSE_HEADER_RUN), and that run
+    contains a marker phrase (case-insensitive 'copyright', 'license',
+    or 'all rights reserved') — so module docstrings and ordinary
+    leading comments survive untouched.
+
+    Adds ``had_license_header``, ``header_lines``, ``removed_chars``,
+    and ``stripped`` (the text with the header cut; unchanged text
+    otherwise). Pure codegen — one regexp_extract + contains chain +
+    substring, no shuffle, no Python."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    header = F.regexp_extract(text, LICENSE_HEADER_RUN, 1)
+    low = F.lower(header)
+    marked = None
+    for m in LICENSE_HEADER_MARKERS:
+        cond = F.contains(low, F.lit(m))
+        marked = cond if marked is None else (marked | cond)
+    had = (header != "") & marked
+    n_lines = (F.length(header)
+               - F.length(F.replace(header, F.lit("\n"), F.lit(""))))
+    return docs.select(
+        *docs.columns,
+        had.alias("had_license_header"),
+        F.when(had, n_lines).otherwise(F.lit(0)).cast("long")
+        .alias("header_lines"),
+        F.when(had, F.length(header)).otherwise(F.lit(0)).cast("long")
+        .alias("removed_chars"),
+        F.when(had, F.substring(text, F.length(header) + 1,
+                                F.length(text)))
+        .otherwise(text).alias("stripped"))
+
+
 def license_rollup(scanned: DataFrame, repo_col: str = "repo") -> DataFrame:
     """Per-repository license composition over :func:`license_scan`
     output — the policy unit for code corpora is the REPO, not the

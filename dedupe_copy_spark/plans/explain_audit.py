@@ -1020,6 +1020,14 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "license_header_strip": [
+        ("no python eval (regex cut + marker chain all codegen)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no shuffle at all (per-row rewrite rides the scan)",
+         lambda p: "Exchange" not in p),
+        ("scan pruned to doc_id+text",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
     "unreferenced_files": [
         ("no python eval (pattern table + flags all Catalyst)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

@@ -2982,6 +2982,88 @@ def license_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "spdx_id", "header_guess", "license_id", "permissive")
 
 
+def _strip_header_sql() -> str:
+    from dedupe_copy_spark.operators.corpus import (LICENSE_HEADER_MARKERS,
+                                                    LICENSE_HEADER_RUN)
+
+    marks = " OR ".join(f"contains(lower(hdr), '{m}')"
+                        for m in LICENSE_HEADER_MARKERS)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+                CASE WHEN doc_id % 2 = 0
+                  THEN '# Copyright (c) 2019 Example Corp' || chr(10)
+                    || '# Licensed under the MIT License' || chr(10)
+                  ELSE '// Copyright (c) 2021 Other Org' || chr(10)
+                    || '// All Rights Reserved' || chr(10) END
+              WHEN doc_id % 5 = 0
+                THEN '/* Copyright 2020 Example Corp */' || chr(10)
+              WHEN doc_id % 7 = 0
+                THEN '// utility helpers' || chr(10)
+                  || '// grouped by topic' || chr(10)
+              ELSE '' END || coalesce(text, '') AS text
+  FROM documents
+), cut AS (
+  SELECT doc_id, text,
+         regexp_extract(text, '{LICENSE_HEADER_RUN}', 1) AS hdr
+  FROM seeded
+), judged AS (
+  SELECT doc_id, text, hdr,
+         hdr <> '' AND ({marks}) AS had
+  FROM cut
+), applied AS (
+  SELECT doc_id, had AS had_license_header,
+         CAST(CASE WHEN had THEN length(hdr)
+              - length(replace(hdr, chr(10), '')) ELSE 0 END AS BIGINT)
+           AS header_lines,
+         CAST(CASE WHEN had THEN length(hdr) ELSE 0 END AS BIGINT)
+           AS removed_chars,
+         CASE WHEN had THEN substr(text, length(hdr) + 1)
+              ELSE text END AS stripped
+  FROM judged
+)
+SELECT doc_id, had_license_header, header_lines, removed_chars,
+       CAST(length(stripped) AS BIGINT) AS stripped_len,
+       sha256(stripped) AS stripped_sha256
+FROM applied
+"""
+
+
+@register("license_header_strip", _strip_header_sql())
+def license_header_strip_query(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Leading license-header removal over deterministically seeded
+    docs: %3 residues get a two-line #/// copyright run (marker style
+    by parity), %5 a single-line /* */ copyright block, %7 a
+    marker-FREE comment run that must survive untouched — exercising
+    both strip branches, the marker gate, and the no-op path. The
+    oracle replays the run regex, marker chain, line/char accounting,
+    and the sha256 of every stripped text."""
+    from dedupe_copy_spark.operators.corpus import strip_license_headers
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hdr = (
+        F.when(did % 3 == 0,
+               F.when(did % 2 == 0,
+                      F.lit("# Copyright (c) 2019 Example Corp\n"
+                            "# Licensed under the MIT License\n"))
+               .otherwise(F.lit("// Copyright (c) 2021 Other Org\n"
+                                "// All Rights Reserved\n")))
+        .when(did % 5 == 0, F.lit("/* Copyright 2020 Example Corp */\n"))
+        .when(did % 7 == 0, F.lit("// utility helpers\n"
+                                  "// grouped by topic\n"))
+        .otherwise(F.lit("")))
+    seeded = docs.select(
+        "doc_id",
+        F.concat(hdr, F.coalesce(F.col("text"), F.lit(""))).alias("text"))
+    return strip_license_headers(seeded).select(
+        "doc_id", "had_license_header", "header_lines", "removed_chars",
+        F.length("stripped").cast("long").alias("stripped_len"),
+        F.sha2("stripped", 256).alias("stripped_sha256"))
+
+
 _SEC_AWS = r"\bAKIA[0-9A-Z]{16}\b"
 _SEC_GH = r"\bghp_[A-Za-z0-9]{36}\b"
 _SEC_PEM = r"-----BEGIN (?:[A-Z]+ )?PRIVATE KEY-----"

@@ -1,0 +1,61 @@
+"""strip_license_headers — leading license-block removal
+(operators/corpus.py)."""
+
+from dedupe_copy_spark.operators.corpus import strip_license_headers
+
+
+def _run(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return {r.doc_id: r for r in strip_license_headers(df).collect()}
+
+
+def test_hash_style_header_stripped(spark):
+    t = "# Copyright (c) 2019 Corp\n# MIT License\nimport os\nx = 1\n"
+    r = _run(spark, [t])[0]
+    assert r.had_license_header
+    assert r.header_lines == 2
+    assert r.stripped == "import os\nx = 1\n"
+    assert r.removed_chars == len(t) - len(r.stripped)
+
+
+def test_star_continuation_block_stripped(spark):
+    t = ("/* Copyright 2020 Example\n"
+         " * All Rights Reserved\n"
+         " */\n"
+         "int main() {}\n")
+    r = _run(spark, [t])[0]
+    assert r.had_license_header and r.header_lines == 3
+    assert r.stripped == "int main() {}\n"
+
+
+def test_marker_free_comments_survive(spark):
+    t = "// utility helpers\n// grouped by topic\ncode()\n"
+    r = _run(spark, [t])[0]
+    assert not r.had_license_header
+    assert r.stripped == t and r.removed_chars == 0
+
+
+def test_docstring_license_is_not_a_comment_header(spark):
+    """Marker words inside a docstring must not trigger a strip — the
+    gate requires COMMENT-marked lines, not just the phrase."""
+    t = '"""This module is about license parsing."""\nx = 1\n'
+    r = _run(spark, [t])[0]
+    assert not r.had_license_header and r.stripped == t
+
+
+def test_header_normalizes_year_variants_to_one_digest(spark):
+    """The operator's purpose: same body, different header year →
+    identical stripped text."""
+    body = "def f():\n    return 42\n"
+    rows = _run(spark, [
+        f"# Copyright (c) 2019 Corp\n{body}",
+        f"# Copyright (c) 2024 Corp\n{body}",
+    ])
+    assert rows[0].stripped == rows[1].stripped == body
+
+
+def test_null_and_empty_text(spark):
+    rows = _run(spark, [None, ""])
+    assert not rows[0].had_license_header and rows[0].stripped == ""
+    assert not rows[1].had_license_header and rows[1].stripped == ""
