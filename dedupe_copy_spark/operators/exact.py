@@ -435,9 +435,18 @@ def bottom_k_sketch(rs: DataFrame, k: int) -> DataFrame:
     megarepo costs its partitions k rows each, not a skewed full-repo
     sort (the domain_frequency_cap trick; plan pinned by
     tests/test_fork_sketch.py)."""
+    return bottom_k_cut(
+        rs.select("repo", F.md5("content_sha256").alias("h")), k)
+
+
+def bottom_k_cut(hs: DataFrame, k: int) -> DataFrame:
+    """(repo, h) → the k smallest h per repo. Idempotent and
+    associative under union (bottom-k of a union = bottom-k of merged
+    bottom-ks), which is what lets streaming maintenance
+    (streaming/fork_stream.py) fold batch sketches into a stored one
+    without ever revisiting history."""
     w = Window.partitionBy("repo").orderBy("h")
-    return (rs.select("repo", F.md5("content_sha256").alias("h"))
-            .withColumn("rk", F.row_number().over(w))
+    return (hs.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k).drop("rk"))
 
 
@@ -489,8 +498,6 @@ def fork_pairs_sketch(hashed: DataFrame, k: int = 128,
     rows, two k-bounded-array joins. No stage is corpus-sized after
     the first distinct.
     """
-    from dedupe_copy_spark.operators.pairs import bucket_pairs
-
     rs = (hashed.filter(~F.col("is_empty"))
           .select("repo", "content_sha256").distinct()
           .localCheckpoint())  # feeds sketch + exact per-repo counts
@@ -498,6 +505,19 @@ def fork_pairs_sketch(hashed: DataFrame, k: int = 128,
         F.count(F.lit(1)).cast("long").alias("n_hashes"))
     # ≤ k rows/repo; materialized once — it feeds buckets + both arrays
     sk = bottom_k_sketch(rs, k).localCheckpoint()
+    return fork_pairs_from_sketches(sk, counts, k=k, threshold=threshold,
+                                    max_hash_repos=max_hash_repos)
+
+
+def fork_pairs_from_sketches(sk: DataFrame, counts: DataFrame,
+                             k: int = 128, threshold: float = 0.1,
+                             max_hash_repos: int = 64) -> DataFrame:
+    """The estimator tail of :func:`fork_pairs_sketch` over PREBUILT
+    sketch (repo, h) and count (repo, n_hashes) relations — the entry
+    point streaming maintenance uses (streaming/fork_stream.py keeps
+    both as stores and evaluates fork pairs as-of any batch)."""
+    from dedupe_copy_spark.operators.pairs import bucket_pairs
+
     cand = bucket_pairs(sk, ["h"], "repo", max_hash_repos)
     arrs = sk.groupBy("repo").agg(
         F.array_sort(F.collect_list("h")).alias("sa"))

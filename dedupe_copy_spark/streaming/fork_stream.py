@@ -1,0 +1,192 @@
+"""Incremental repo-fork detection over a file stream.
+
+The batch form (operators/exact.py fork_pairs_sketch) cuts each repo to
+its k smallest md5(digest) values and estimates the overlap coefficient
+from merged bottom-k sketches. The cut is ASSOCIATIVE under union —
+bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — so a
+continuously ingesting corpus maintains per-repo sketches incrementally:
+each micro-batch folds its own sketch into the stored one (k-bounded
+per repo, latest-batch-wins), and the exact per-repo digest counts the
+estimator needs accrue additively from definitely-new rows. Fork pairs
+evaluated between batches are byte-identical to running
+fork_pairs_sketch on the concatenation of all batches (test-pinned).
+
+This is the streaming analogue of the reference's resumable manifest
+accumulation (dedupe_copy core.py:893-961: load state, fold new walk
+results in, report at any point), lifted to REPO granularity.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py):
+
+    digests/batch_id=N/  (repo, h) — batch N's definitely-new distinct
+                         md5(digest) rows (anti-joined against history,
+                         so the union of all batches stays a distinct
+                         relation; the manifest analogue)
+    sketch/batch_id=N/   (repo, h) — the MERGED ≤k-row sketch of every
+                         repo batch N touched (latest-batch-wins)
+    counts/batch_id=N/   (repo, n_new) — additive distinct-digest
+                         contribution of batch N
+
+At-least-once replay: a re-delivered batch reads only history strictly
+BEFORE its own id and overwrites its own subdirectories, so nothing
+double-counts. ``compact`` folds counts (sums) and digests (pass-
+through distinct) into a base contribution; the sketch store needs no
+compaction — reads already take one row-set per repo.
+
+Scale notes: the per-batch anti-join probes the digest store on
+(repo, h) — batch-sized traffic against an indexed-by-partition
+relation, never a history rescan. fork_pairs() touches only the
+k-bounded sketch rows and the repo-sized count rollup. APPEND-ONLY
+corpora (file deletions would need retractions; none exist here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.exact import (
+    bottom_k_cut, fork_pairs_from_sketches, with_digest)
+from dedupe_copy_spark.streaming import statestore
+from dedupe_copy_spark.streaming.tree_stream import FILES_STREAM_SCHEMA
+
+
+class IncrementalForkIndex:
+    """Streaming fork detection: digest/sketch/count stores; fork
+    pairs readable between batches, equal to the batch operator on
+    all files seen so far."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, k: int = 128,
+                 threshold: float = 0.1, max_hash_repos: int = 64):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.k = k
+        self.threshold = threshold
+        self.max_hash_repos = max_hash_repos
+        self.digests_path = f"{out_dir}/digests"
+        self.sketch_path = f"{out_dir}/sketch"
+        self.counts_path = f"{out_dir}/counts"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    # -- state reads ------------------------------------------------------
+
+    def _read(self, path: str) -> DataFrame | None:
+        statestore.recover(path)
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def _before(self, path: str, batch_id: int) -> DataFrame | None:
+        df = self._read(path)
+        if df is None:
+            return None
+        if "batch_id" in df.columns:
+            df = df.filter(F.col("batch_id") < batch_id)
+        return df
+
+    @staticmethod
+    def _latest_per_repo(store: DataFrame) -> DataFrame:
+        """Latest-batch-wins sketch fold: each repo's rows from the
+        newest batch that touched it (the cc_stream assignment rule)."""
+        last = (store.groupBy("repo").agg(F.max("batch_id").alias("_b"))
+                .withColumnRenamed("repo", "_r"))
+        return (store.join(last, (F.col("repo") == F.col("_r"))
+                           & (F.col("batch_id") == F.col("_b")))
+                .select("repo", "h"))
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch of raw file rows (FILES_STREAM_SCHEMA)
+        into the three stores."""
+        hashed = with_digest(batch_df)
+        bh = (hashed.filter(~F.col("is_empty"))
+              .select("repo", F.md5("content_sha256").alias("h"))
+              .distinct().localCheckpoint())
+        hist = self._before(self.digests_path, batch_id)
+        new = (bh if hist is None
+               else bh.join(hist.select("repo", "h"), ["repo", "h"],
+                            "left_anti")).localCheckpoint()
+        new.write.mode("overwrite").parquet(
+            f"{self.digests_path}/batch_id={batch_id}")
+        new.groupBy("repo").agg(
+            F.count(F.lit(1)).cast("long").alias("n_new")
+        ).write.mode("overwrite").parquet(
+            f"{self.counts_path}/batch_id={batch_id}")
+        # merge: prior sketch of TOUCHED repos ∪ new rows, re-cut to k
+        touched = new.select("repo").distinct()
+        prior = self._before(self.sketch_path, batch_id)
+        if prior is None:
+            merged_in = new
+        else:
+            prior_touched = self._latest_per_repo(prior).join(
+                touched, "repo", "left_semi")
+            merged_in = new.unionByName(prior_touched).distinct()
+        bottom_k_cut(merged_in, self.k).write.mode("overwrite").parquet(
+            f"{self.sketch_path}/batch_id={batch_id}")
+
+    # -- read-side views --------------------------------------------------
+
+    def current_sketches(self) -> DataFrame:
+        store = self._read(self.sketch_path)
+        if store is None:
+            return self.spark.createDataFrame([], "repo string, h string")
+        return self._latest_per_repo(store)
+
+    def current_counts(self) -> DataFrame:
+        store = self._read(self.counts_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "repo string, n_hashes long")
+        return store.groupBy("repo").agg(
+            F.sum("n_new").cast("long").alias("n_hashes"))
+
+    def fork_pairs(self) -> DataFrame:
+        """The batch operator's fork-pair relation over the
+        accumulated corpus — identical output to fork_pairs_sketch on
+        the concatenation of all batches (sketch associativity +
+        additive exact counts)."""
+        return fork_pairs_from_sketches(
+            self.current_sketches().localCheckpoint(),
+            self.current_counts(), k=self.k, threshold=self.threshold,
+            max_hash_repos=self.max_hash_repos)
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold history into one base contribution per store — bounded
+        file counts, identical answers."""
+        dig = self._read(self.digests_path)
+        if dig is None:
+            return
+        statestore.compact_into(
+            dig.select("repo", "h").distinct(), self.digests_path,
+            f"{self.out_dir}/_digests_compact", into_batch_id)
+        cnt = self._read(self.counts_path)
+        statestore.compact_into(
+            cnt.groupBy("repo").agg(
+                F.sum("n_new").cast("long").alias("n_new")),
+            self.counts_path, f"{self.out_dir}/_counts_compact",
+            into_batch_id)
+        sk = self._read(self.sketch_path)
+        statestore.compact_into(
+            self._latest_per_repo(sk), self.sketch_path,
+            f"{self.out_dir}/_sketch_compact", into_batch_id)
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(FILES_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,117 @@
+"""Incremental fork detection (streaming/fork_stream.py): sketch
+associativity makes the accumulated fork pairs equal the batch
+operator on the concatenation; replay follows the batch_id-overwrite
+idempotency contract; compaction preserves answers; e2e readStream."""
+
+import time
+
+from dedupe_copy_spark.operators.exact import fork_pairs_sketch, with_digest
+from dedupe_copy_spark.streaming.fork_stream import IncrementalForkIndex
+
+FILES_SCHEMA = ("repo string, path string, commit string, lang string, "
+                "content string")
+
+K, THRESH = 16, 0.1
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, FILES_SCHEMA)
+
+
+def _repo_rows(repo, contents):
+    return [(repo, f"f{i}.py", "c", "py", c)
+            for i, c in enumerate(contents)]
+
+
+def _pairs(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _batch_answer(spark, rows):
+    return _pairs(fork_pairs_sketch(with_digest(_files(spark, rows)),
+                                    k=K, threshold=THRESH))
+
+
+def _mk(spark, tmp_path, name):
+    return IncrementalForkIndex(spark, str(tmp_path / name), k=K,
+                                threshold=THRESH)
+
+
+def test_accumulated_pairs_equal_batch_operator(spark, tmp_path):
+    """Three batches, including repos split ACROSS batches and
+    re-arriving duplicate digests; after every batch the streaming
+    answer must equal fork_pairs_sketch on everything so far."""
+    a = [f"content-a-{i}" for i in range(40)]
+    b0 = _repo_rows("org/a", a[:25])
+    b1 = _repo_rows("org/a", a[25:]) + _repo_rows("org/b", a[:20])
+    b2 = (_repo_rows("org/b", a[:20])            # pure re-arrival
+          + _repo_rows("org/c", [f"c-{i}" for i in range(30)]))
+    job = _mk(spark, tmp_path, "fork_stream")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    assert _pairs(job.fork_pairs()) == _batch_answer(spark, b0) == []
+    job.process_batch(_files(spark, b1), batch_id=1)
+    got1 = _pairs(job.fork_pairs())
+    assert got1 == _batch_answer(spark, b0 + b1)
+    assert got1  # the fork is visible once org/b lands
+    job.process_batch(_files(spark, b2), batch_id=2)
+    assert _pairs(job.fork_pairs()) == _batch_answer(spark, b0 + b1 + b2)
+
+
+def test_rearrival_does_not_inflate_counts(spark, tmp_path):
+    """Digests seen again in later batches are anti-joined away, so
+    n_hashes stays the DISTINCT count (the estimator's denominator)."""
+    a = [f"x-{i}" for i in range(12)]
+    job = _mk(spark, tmp_path, "fork_counts")
+    job.process_batch(_files(spark, _repo_rows("r/a", a)), batch_id=0)
+    job.process_batch(_files(spark, _repo_rows("r/a", a)), batch_id=1)
+    counts = {r.repo: r.n_hashes for r in job.current_counts().collect()}
+    assert counts == {"r/a": 12}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    a = [f"y-{i}" for i in range(30)]
+    b0 = _repo_rows("p/a", a)
+    b1 = _repo_rows("p/b", a[:15])
+    job = _mk(spark, tmp_path, "fork_replay")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    job.process_batch(_files(spark, b1), batch_id=1)
+    want = _pairs(job.fork_pairs())
+    job.process_batch(_files(spark, b1), batch_id=1)   # redelivery
+    assert _pairs(job.fork_pairs()) == want
+    counts = {r.repo: r.n_hashes for r in job.current_counts().collect()}
+    assert counts == {"p/a": 30, "p/b": 15}
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    a = [f"z-{i}" for i in range(30)]
+    b0 = _repo_rows("q/a", a)
+    b1 = _repo_rows("q/b", a[:15])
+    job = _mk(spark, tmp_path, "fork_compact")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    job.process_batch(_files(spark, b1), batch_id=1)
+    want = _pairs(job.fork_pairs())
+    job.compact()
+    assert _pairs(job.fork_pairs()) == want
+    # and the index keeps working after compaction
+    job.process_batch(
+        _files(spark, _repo_rows("q/c", a[:18])), batch_id=2)
+    assert _pairs(job.fork_pairs()) == _batch_answer(
+        spark, b0 + b1 + _repo_rows("q/c", a[:18]))
+
+
+def test_e2e_readstream(spark, tmp_path):
+    a = [f"s-{i}" for i in range(24)]
+    src = tmp_path / "fork_src"
+    src.mkdir()
+    _files(spark, _repo_rows("s/a", a)).write.mode("overwrite").parquet(
+        str(src / "b0"))
+    _files(spark, _repo_rows("s/b", a[:12])).write.mode(
+        "overwrite").parquet(str(src / "b1"))
+    job = _mk(spark, tmp_path, "fork_e2e")
+    q = job.start(str(src / "*"), trigger_once=True)
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    got = _pairs(job.fork_pairs())
+    assert got == _batch_answer(
+        spark, _repo_rows("s/a", a) + _repo_rows("s/b", a[:12]))
+    assert got
