@@ -206,6 +206,7 @@ HEADLINE = [
     "fork_pairs_sketch",
     "unreferenced_files",
     "license_header_strip",
+    "fork_clusters",
 ]
 
 

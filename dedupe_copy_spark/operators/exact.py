@@ -552,6 +552,58 @@ def fork_pairs_from_sketches(sk: DataFrame, counts: DataFrame,
         .alias("overlap_est"))
 
 
+def fork_clusters(hashed: DataFrame, k: int = 128,
+                  threshold: float = 0.1,
+                  max_hash_repos: int = 64) -> DataFrame:
+    """Repo FAMILIES: connected components over the sketch fork-pair
+    relation, labeled by each family's lexicographically smallest repo
+    — the stable cluster id the north-star pipeline emits at file
+    granularity (dedupe_clusters), lifted to repo granularity. A
+    mirror chain A↔B, B↔C lands all three in one family even when A
+    and C never pair directly; corpus policy (keep one repo per
+    family, downweight the rest) keys on ``cluster_repo``.
+
+    Every repo in the corpus gets a row: paired repos carry their
+    component's min-repo label, untouched repos label themselves, and
+    ``n_members`` counts the family. Node ids for the CC loop are
+    60-bit md5 prefixes of the repo name (the dir-signature trick —
+    collisions could only ever MERGE two families, never split one,
+    and the birthday bound at 10^9 repos is ~1e-2 for one spurious
+    merge corpus-wide); labels come back from the min STRING per
+    component, so output never depends on the numeric ids' order.
+
+    Shape: fork_pairs_sketch (all k-bounded) → CC on a repo-pair-sized
+    edge relation → two repo-sized joins + one repo-keyed window.
+    """
+    from dedupe_copy_spark.operators.cc import connected_components
+
+    rid = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10)  # noqa: E731
+    pairs = (fork_pairs_sketch(hashed, k=k, threshold=threshold,
+                               max_hash_repos=max_hash_repos)
+             .select("repo_a", "repo_b").localCheckpoint())
+    edges = pairs.select(rid(F.col("repo_a")).cast("long").alias("src"),
+                         rid(F.col("repo_b")).cast("long").alias("dst"))
+    asg = connected_components(edges)
+    names = (pairs.select(F.col("repo_a").alias("repo"))
+             .unionByName(pairs.select(F.col("repo_b").alias("repo")))
+             .distinct()
+             .withColumn("nid", rid(F.col("repo")).cast("long")))
+    joined = names.join(asg, names["nid"] == asg["file_id"]).select(
+        "repo", "cluster_id")
+    lab = joined.groupBy("cluster_id").agg(
+        F.min("repo").alias("cluster_repo"))
+    labeled = joined.join(lab, "cluster_id").select("repo", "cluster_repo")
+    nodes = (hashed.filter(~F.col("is_empty"))
+             .select("repo").distinct())
+    assigned = (nodes.join(labeled, "repo", "left")
+                .select("repo", F.coalesce("cluster_repo", "repo")
+                        .alias("cluster_repo")))
+    w = Window.partitionBy("cluster_repo")
+    return assigned.select(
+        "repo", "cluster_repo",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"))
+
+
 def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     """Log2-bucketed group-size histogram of a prospective shuffle key
     — the diagnostic that sizes a 100 TB job's partitioning BEFORE it

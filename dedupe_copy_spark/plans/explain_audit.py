@@ -1020,6 +1020,15 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "fork_clusters": [
+        ("no python eval (CC + labeling all Catalyst/driver-UF)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("family labels come from min-string aggregation, not id order",
+         lambda p: "min(repo" in p),
+        ("no cartesian / nested-loop anywhere in the label joins",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "license_header_strip": [
         ("no python eval (regex cut + marker chain all codegen)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

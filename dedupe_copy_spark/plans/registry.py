@@ -6205,7 +6205,9 @@ def dup_group_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_files(spark, sf_dir), "content_sha256")
 
 
-@register("fork_pairs_sketch", FILES_CTE_SQL + """
+# CTE chain shared by the fork_pairs_sketch oracle and the
+# fork_clusters closure oracle (which needs WITH RECURSIVE up front).
+_FORK_SKETCH_CHAIN = """
 , rs AS (
   SELECT DISTINCT repo, sha256(content) AS d FROM files
   WHERE length(content) > 0
@@ -6241,15 +6243,21 @@ est AS (
   SELECT repo_a, repo_b, y, u, n_a, n_b,
          CAST(floor(y * (n_a + n_b) / (u + y)) AS BIGINT) AS inter_est
   FROM scored
-)
-SELECT repo_a, repo_b, y, u, n_a, n_b, inter_est,
-       CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
-         AS ov_micro,
-       round(CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
-             / 1000000.0, 6) AS overlap_est
-FROM fin
-WHERE CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
-      >= 100000
+), prs AS (
+  SELECT repo_a, repo_b, y, u, n_a, n_b, inter_est,
+         CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
+           AS ov_micro,
+         round(CAST(floor(inter_est * 1000000 / least(n_a, n_b))
+               AS BIGINT) / 1000000.0, 6) AS overlap_est
+  FROM fin
+  WHERE CAST(floor(inter_est * 1000000 / least(n_a, n_b)) AS BIGINT)
+        >= 100000
+)"""
+
+
+@register("fork_pairs_sketch", FILES_CTE_SQL + _FORK_SKETCH_CHAIN + """
+SELECT repo_a, repo_b, y, u, n_a, n_b, inter_est, ov_micro, overlap_est
+FROM prs
 """)
 def fork_pairs_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k sketch fork detection — fork_pairs' 10^12-file scale
@@ -6265,6 +6273,44 @@ def fork_pairs_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return fork_pairs_sketch(_files(spark, sf_dir), k=128,
                              threshold=0.1, max_hash_repos=64)
+
+
+@register("fork_clusters", "WITH RECURSIVE "
+          + FILES_CTE_SQL.replace("WITH files AS", "files AS", 1)
+          + _FORK_SKETCH_CHAIN + """
+, und AS (
+  SELECT repo_a AS a, repo_b AS b FROM prs
+  UNION
+  SELECT repo_b AS a, repo_a AS b FROM prs
+), reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), labels AS (
+  SELECT a AS repo, least(a, min(b)) AS cluster_repo
+  FROM reach GROUP BY a
+), nodes AS (SELECT DISTINCT repo FROM rs),
+assigned AS (
+  SELECT n.repo, coalesce(l.cluster_repo, n.repo) AS cluster_repo
+  FROM nodes n LEFT JOIN labels l ON l.repo = n.repo
+)
+SELECT repo, cluster_repo,
+       CAST(count(*) OVER (PARTITION BY cluster_repo) AS BIGINT)
+         AS n_members
+FROM assigned
+""")
+def fork_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo families over the sketch fork pairs: CC labels by min repo
+    string, every non-empty repo assigned (singletons label
+    themselves). The oracle replays the full estimator chain, then
+    computes the transitive closure as a recursive CTE and the same
+    min-string labels — on the synthetic corpus each (repo, mirror)
+    pair must form a 2-member family and all other repos stay
+    singletons."""
+    from dedupe_copy_spark.operators.exact import fork_clusters
+
+    return fork_clusters(_files(spark, sf_dir), k=128, threshold=0.1,
+                         max_hash_repos=64)
 
 
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

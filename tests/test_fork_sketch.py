@@ -148,6 +148,30 @@ def test_sketch_cut_is_window_group_limited(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_fork_clusters_transitive_family(spark):
+    """A↔B and B↔C pair (50% overlap each) but A and C share nothing
+    direct above threshold at the pair level — the family must still
+    merge all three, labeled by the min repo string."""
+    from dedupe_copy_spark.operators.exact import fork_clusters
+
+    a = _contents("a", 20)
+    c = _contents("c", 20)
+    repos = {
+        "fam/a": a,
+        "fam/b": a[:10] + c[:10],
+        "fam/c": c,
+        "solo/x": _contents("x", 15),
+    }
+    out = {r.repo: r for r in
+           fork_clusters(_hashed(spark, repos), k=64,
+                         threshold=0.4).collect()}
+    assert {out[r].cluster_repo for r in ("fam/a", "fam/b", "fam/c")} \
+        == {"fam/a"}
+    assert all(out[r].n_members == 3 for r in ("fam/a", "fam/b", "fam/c"))
+    assert out["solo/x"].cluster_repo == "solo/x"
+    assert out["solo/x"].n_members == 1
+
+
 def test_empty_rows_excluded(spark):
     rows = [("e/a", "sha-x", True), ("e/b", "sha-x", True)]
     df = spark.createDataFrame(
