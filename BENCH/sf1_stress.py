@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Once-per-round scale-stress: run named registry queries at sf0.1
+and at the synthesized sf1 fixture (BENCH/sf1_make.py), record both
+timings + row counts + pre-run load, and flag any super-linear blowup
+(sf1 > 10x data; > ~12x time after warmup slack is suspicious — the
+CDC 40x and minhash 17x constants were caught exactly this way).
+
+Usage:
+    python BENCH/sf1_make.py /tmp/sfsynth1          # once
+    python BENCH/sf1_stress.py out.json q1 q2 ...   # then per round
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfsynth1")
+
+
+def main() -> int:
+    out_path, names = sys.argv[1], sys.argv[2:]
+    from dedupe_copy_spark.plans import registry
+    from dedupe_copy_spark.session import get_spark
+
+    with open("/proc/loadavg") as fh:
+        pre_load = float(fh.read().split()[0])
+    spark = get_spark(app_name="sf1-stress")
+    result = {
+        "note": ("sf0.1 vs sf1 (BENCH/sf1_make.py synth) on local[32]; "
+                 "sf0.1 figures include first-run warmup on a fresh "
+                 "JVM, so the comparison is conservative"),
+        "pre_run_loadavg": pre_load,
+        "queries": {},
+    }
+    for name in names:
+        fn = registry.BENCH_QUERIES[name]
+        per = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            t0 = time.monotonic()
+            n = fn(spark, sf_dir).count()
+            per[label] = {"sec": round(time.monotonic() - t0, 3),
+                          "rows": int(n)}
+        per["time_ratio"] = round(per["sf1"]["sec"]
+                                  / max(per["sf0.1"]["sec"], 1e-9), 2)
+        result["queries"][name] = per
+        print(name, json.dumps(per))
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print("wrote", out_path)
+    bad = [n for n, p in result["queries"].items() if p["time_ratio"] > 12]
+    print("super-linear suspects (>12x):", bad or "none")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
