@@ -6438,8 +6438,10 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # media_clip_pairs, video_clip_pairs, code_quality_gate,
     # import_depth_order, cms_heavy_grams, vocab_growth, file_pagerank,
     # notebook_cells, notebook_scripts, repo_license_rollup,
-    # pipeline_funnel, lsh_calibration, lang_infer, dup_group_skew)
-    # has no driver-green row — round 5 must move those ~37 names to
+    # pipeline_funnel, lsh_calibration, lang_infer, dup_group_skew,
+    # and the round-4 session-3 additions: fork_pairs_sketch,
+    # unreferenced_files, license_header_strip, fork_clusters)
+    # has no driver-green row — round 5 must move those ~41 names to
     # the head of this list.
 ]
 

@@ -1,0 +1,186 @@
+"""Incremental ANN (IVF) similarity index over an embedding stream.
+
+The batch form (operators/similarity.py ivf_topk) trains a spherical-
+k-means codebook, assigns every corpus vector to its nearest cell, and
+answers queries by probing n_probe cells. Cell assignment under a
+FROZEN codebook is a pure per-row function, so a continuously
+ingesting corpus maintains the inverted file incrementally: the
+codebook is trained once on the first batch and persisted; every later
+batch appends its (vec_id, embedding, cell) rows; queries at any point
+probe the accumulated store — identical answers to ivf_topk over the
+concatenation with the same codebook (test-pinned).
+
+This is the similarity-search analogue of the manifest-accumulation
+pattern every other streaming module follows (the reference resumes
+collision state the same way, dedupe_copy core.py:893-961): state on
+disk, new arrivals fold in, queries readable between batches. It is
+what "dedup new crawl data against the existing corpus by embedding"
+needs: the corpus index never rebuilds, only appends.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py):
+
+    codebook/          (cell, pos, val) — the frozen centroid matrix,
+                       written by the training batch only; retraining
+                       on a replayed first batch is deterministic
+                       (bounded sample, fixed seed), so replay is safe
+    cells/batch_id=N/  (vec_id, embedding, cell) — batch N's vectors
+                       under the frozen codebook
+
+Frozen-codebook drift: as the corpus grows past the training batch's
+distribution, cells skew — visible via ``cell_stats`` (occupancy per
+cell); the documented rule is retrain+rebuild offline when the max/
+median occupancy ratio degrades, the same raise-n_cells rule
+semdedup's docstring carries. Scale: per-batch work is one Arrow
+assignment pass over the batch; queries move n_probe/n_cells of the
+store through one cell-keyed join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.similarity import (
+    cosine_similarity_col, make_cell_udf, train_ivf_centroids)
+from dedupe_copy_spark.streaming import statestore
+
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>"
+
+
+class IncrementalAnnIndex:
+    """Streaming IVF index: frozen codebook + additive cell store;
+    top-k readable between batches."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 n_cells: int = 16, n_probe: int = 4,
+                 train_sample: int = 20_000, seed: int = 42):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self.train_sample = train_sample
+        self.seed = seed
+        self.codebook_path = f"{out_dir}/codebook"
+        self.cells_path = f"{out_dir}/cells"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    # -- codebook persistence ---------------------------------------------
+
+    def _read_centroids(self) -> np.ndarray | None:
+        try:
+            rows = self.spark.read.parquet(self.codebook_path).collect()
+        except Exception:
+            return None
+        if not rows:
+            return None
+        n = max(r.cell for r in rows) + 1
+        d = max(r.pos for r in rows) + 1
+        cents = np.zeros((n, d), dtype=np.float64)
+        for r in rows:
+            cents[r.cell, r.pos] = r.val
+        return cents
+
+    def _write_centroids(self, cents: np.ndarray) -> None:
+        rows = [(int(i), int(j), float(v))
+                for i, row in enumerate(cents) for j, v in enumerate(row)]
+        self.spark.createDataFrame(
+            rows, "cell int, pos int, val double"
+        ).coalesce(1).write.mode("overwrite").parquet(self.codebook_path)
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Assign this batch's vectors under the frozen codebook
+        (training it first if absent) and append them to the store."""
+        batch = batch_df.localCheckpoint()
+        cents = self._read_centroids()
+        if cents is None:
+            cents = train_ivf_centroids(
+                batch, self.n_cells, "vec_id", "embedding",
+                self.train_sample, seed=self.seed)
+            self._write_centroids(cents)
+        cell_of = make_cell_udf(cents, 1)
+        (batch.select(
+            "vec_id", "embedding",
+            F.element_at(cell_of(F.col("embedding")), 1).alias("cell"))
+         .write.mode("overwrite")
+         .parquet(f"{self.cells_path}/batch_id={batch_id}"))
+
+    # -- read-side views --------------------------------------------------
+
+    def _store(self) -> DataFrame | None:
+        statestore.recover(self.cells_path)
+        try:
+            return self.spark.read.parquet(self.cells_path)
+        except Exception:
+            return None
+
+    def cell_stats(self) -> DataFrame:
+        """(cell, n_vectors) occupancy — the drift/skew gauge that
+        decides when the frozen codebook earns an offline retrain."""
+        store = self._store()
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "cell long, n_vectors long")
+        return store.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+    def topk(self, queries: DataFrame, k: int = 5) -> DataFrame:
+        """IVF top-k over everything ingested so far — identical to
+        ivf_topk(concatenation, queries, centroids=<frozen codebook>)
+        because assignment is per-row under the same codebook and the
+        probe/re-rank tail is replicated exactly."""
+        store = self._store()
+        cents = self._read_centroids()
+        if store is None or cents is None:
+            return self.spark.createDataFrame(
+                [], "query_id long, neighbor_id long, rank long, "
+                    "score double")
+        probe = make_cell_udf(cents, self.n_probe)
+        c = store.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("c_vec"), "cell")
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.explode(probe(F.col("embedding"))).alias("cell"))
+        scored = (
+            q.join(c, "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("score", F.round(
+                cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6)))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("long").alias("rank"), "score"))
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        store = self._store()
+        if store is None:
+            return
+        statestore.compact_into(
+            store.select("vec_id", "embedding", "cell"), self.cells_path,
+            f"{self.out_dir}/_cells_compact", into_batch_id)
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(EMB_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

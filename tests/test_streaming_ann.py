@@ -1,0 +1,118 @@
+"""Incremental IVF index (streaming/ann_stream.py): frozen-codebook
+assignment makes the accumulated top-k equal the batch operator on the
+concatenation; replay/compaction follow the store contracts; e2e
+readStream."""
+
+import time
+
+import numpy as np
+
+from dedupe_copy_spark.operators.similarity import ivf_topk
+from dedupe_copy_spark.streaming.ann_stream import IncrementalAnnIndex
+
+DIM, N_CELLS, N_PROBE, K = 8, 4, 2, 3
+
+
+def _vecs(start_id, n, seed):
+    rng = np.random.RandomState(seed)
+    centers = np.eye(DIM)[:4] * 3.0
+    out = []
+    for i in range(n):
+        c = centers[(start_id + i) % 4]
+        v = c + rng.randn(DIM) * 0.3
+        out.append((start_id + i, [float(x) for x in v]))
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _mk(spark, tmp_path, name):
+    return IncrementalAnnIndex(spark, str(tmp_path / name),
+                               n_cells=N_CELLS, n_probe=N_PROBE)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _batch_answer(spark, corpus_rows, queries, cents):
+    return _rows(ivf_topk(_df(spark, corpus_rows), queries, k=K,
+                          n_cells=N_CELLS, n_probe=N_PROBE,
+                          centroids=cents))
+
+
+def test_topk_equals_batch_operator_across_batches(spark, tmp_path):
+    b0, b1 = _vecs(0, 40, 1), _vecs(100, 40, 2)
+    queries = _df(spark, _vecs(1000, 6, 3))
+    job = _mk(spark, tmp_path, "ann")
+    job.process_batch(_df(spark, b0), batch_id=0)
+    cents = job._read_centroids()
+    assert cents is not None and cents.shape == (N_CELLS, DIM)
+    got0 = _rows(job.topk(queries, k=K))
+    assert got0 == _batch_answer(spark, b0, queries, cents)
+    job.process_batch(_df(spark, b1), batch_id=1)
+    got1 = _rows(job.topk(queries, k=K))
+    assert got1 == _batch_answer(spark, b0 + b1, queries, cents)
+    assert got1 != got0  # the new batch actually changed some answers
+
+
+def test_codebook_is_frozen_after_first_batch(spark, tmp_path):
+    job = _mk(spark, tmp_path, "ann_frozen")
+    job.process_batch(_df(spark, _vecs(0, 40, 1)), batch_id=0)
+    before = job._read_centroids()
+    job.process_batch(_df(spark, _vecs(100, 40, 9)), batch_id=1)
+    assert np.array_equal(before, job._read_centroids())
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    b0, b1 = _vecs(0, 30, 1), _vecs(100, 30, 2)
+    queries = _df(spark, _vecs(1000, 4, 3))
+    job = _mk(spark, tmp_path, "ann_replay")
+    job.process_batch(_df(spark, b0), batch_id=0)
+    job.process_batch(_df(spark, b1), batch_id=1)
+    want = _rows(job.topk(queries, k=K))
+    stats = _rows(job.cell_stats())
+    job.process_batch(_df(spark, b1), batch_id=1)   # redelivery
+    assert _rows(job.topk(queries, k=K)) == want
+    assert _rows(job.cell_stats()) == stats
+
+
+def test_cell_stats_account_for_every_vector(spark, tmp_path):
+    job = _mk(spark, tmp_path, "ann_stats")
+    job.process_batch(_df(spark, _vecs(0, 25, 1)), batch_id=0)
+    job.process_batch(_df(spark, _vecs(100, 15, 2)), batch_id=1)
+    assert sum(r.n_vectors for r in job.cell_stats().collect()) == 40
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    b0, b1 = _vecs(0, 30, 1), _vecs(100, 30, 2)
+    queries = _df(spark, _vecs(1000, 4, 3))
+    job = _mk(spark, tmp_path, "ann_compact")
+    job.process_batch(_df(spark, b0), batch_id=0)
+    job.process_batch(_df(spark, b1), batch_id=1)
+    want = _rows(job.topk(queries, k=K))
+    job.compact()
+    assert _rows(job.topk(queries, k=K)) == want
+    job.process_batch(_df(spark, _vecs(200, 20, 4)), batch_id=2)
+    cents = job._read_centroids()
+    assert _rows(job.topk(queries, k=K)) == _batch_answer(
+        spark, b0 + b1 + _vecs(200, 20, 4), queries, cents)
+
+
+def test_e2e_readstream(spark, tmp_path):
+    b0, b1 = _vecs(0, 24, 1), _vecs(100, 24, 2)
+    src = tmp_path / "ann_src"
+    src.mkdir()
+    _df(spark, b0).write.mode("overwrite").parquet(str(src / "b0"))
+    _df(spark, b1).write.mode("overwrite").parquet(str(src / "b1"))
+    job = _mk(spark, tmp_path, "ann_e2e")
+    q = job.start(str(src / "*"), trigger_once=True)
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    queries = _df(spark, _vecs(1000, 4, 3))
+    got = _rows(job.topk(queries, k=K))
+    assert got == _batch_answer(spark, b0 + b1, queries,
+                                job._read_centroids())
+    assert got
