@@ -348,6 +348,11 @@ def lsh_calibration(grams: DataFrame, cfg: DedupeConfig,
     :func:`calibration_table`), and the expected number of detected
     pairs (integer multiply — exact). All codegen; the only Python is
     the 20-row constant table inlined into the plan."""
+    # the gram relation feeds THREE consumers (posts + both exact-J
+    # sides) — materialize once or the upstream shingle Arrow pass
+    # runs three times (the make_signature_udf duplication lesson:
+    # measured 3x = +12 s at sf0.1)
+    grams = grams.localCheckpoint()
     posts = grams.select(F.col(id_col).alias("_id"),
                          F.explode(gram_col).alias("gram"))
     rare = (posts.groupBy("gram")
