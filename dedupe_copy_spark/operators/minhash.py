@@ -330,7 +330,8 @@ def calibration_table(cfg: DedupeConfig, n_bins: int = 20,
 
 def lsh_calibration(grams: DataFrame, cfg: DedupeConfig,
                     id_col: str = "doc_id", gram_col: str = "g",
-                    df_cap: int = 50, n_bins: int = 20) -> DataFrame:
+                    df_cap: int = 50, n_bins: int = 20,
+                    pair_sample_micro: int = 1_000_000) -> DataFrame:
     """LSH calibration curve: the empirical Jaccard histogram of the
     corpus's co-shingling pairs joined against the theoretical
     band-collision S-curve for the configured (bands, rows) — the
@@ -347,7 +348,18 @@ def lsh_calibration(grams: DataFrame, cfg: DedupeConfig,
     the S-curve probability (driver-computed integer literals, see
     :func:`calibration_table`), and the expected number of detected
     pairs (integer multiply — exact). All codegen; the only Python is
-    the 20-row constant table inlined into the plan."""
+    the 20-row constant table inlined into the plan.
+
+    ``pair_sample_micro`` < 1e6 evaluates the exact-Jaccard stage on a
+    deterministic md5-keyed fraction of the candidate pairs — the
+    scale valve for the one stage whose cost is pairs × array-width
+    (BENCH/sf1_stress.py measured the full path 19x at 10x data: each
+    candidate drags both shingle arrays through the join). Membership
+    depends only on the (doc_a, doc_b) key — the hash_sample
+    contract — so the sampled histogram is a fixed subset of the full
+    one and the curve SHAPE (what calibration reads) is preserved;
+    n_pairs counts sampled pairs, so absolute counts scale by
+    1e6/pair_sample_micro in the caller's hands."""
     # the gram relation feeds THREE consumers (posts + both exact-J
     # sides) — materialize once or the upstream shingle Arrow pass
     # runs three times (the make_signature_udf duplication lesson:
@@ -367,6 +379,11 @@ def lsh_calibration(grams: DataFrame, cfg: DedupeConfig,
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if pair_sample_micro < 1_000_000:
+        thresh = f"{pair_sample_micro * 16**6 // 1_000_000:06x}"
+        cand = cand.filter(F.substring(F.md5(F.concat_ws(
+            ":", F.col("doc_a").cast("string"),
+            F.col("doc_b").cast("string"))), 1, 6) < F.lit(thresh))
     ga = grams.select(F.col(id_col).alias("doc_a"),
                       F.col(gram_col).alias("_ga"))
     gb = grams.select(F.col(id_col).alias("doc_b"),

@@ -196,6 +196,35 @@ def test_lsh_calibration_bins_and_expectations(spark):
         assert out[b].j_hi_micro == (b + 1) * 50_000
 
 
+def test_lsh_calibration_pair_sampling(spark):
+    """pair_sample_micro: rate 1e6 is exactly the full path; a partial
+    rate keeps a deterministic md5-keyed SUBSET per bin (never more),
+    is stable across calls, and a tiny corpus at a high rate keeps the
+    curve non-empty (the shape survives sampling)."""
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators.minhash import lsh_calibration
+
+    cfg = DedupeConfig()
+    rows = [(i, [f"g{i}", f"g{i+1}", f"g{i+2}", "common%d" % (i % 7)])
+            for i in range(60)]
+    grams = spark.createDataFrame(rows, "doc_id long, g array<string>")
+    full = {r.bin_idx: r.n_pairs for r in
+            lsh_calibration(grams, cfg, df_cap=50, n_bins=20,
+                            pair_sample_micro=1_000_000).collect()}
+    same = {r.bin_idx: r.n_pairs for r in
+            lsh_calibration(grams, cfg, df_cap=50, n_bins=20).collect()}
+    assert full == same and full
+    half = {r.bin_idx: r.n_pairs for r in
+            lsh_calibration(grams, cfg, df_cap=50, n_bins=20,
+                            pair_sample_micro=500_000).collect()}
+    assert sum(half.values()) < sum(full.values())
+    assert all(half[b] <= full[b] for b in half)
+    again = {r.bin_idx: r.n_pairs for r in
+             lsh_calibration(grams, cfg, df_cap=50, n_bins=20,
+                             pair_sample_micro=500_000).collect()}
+    assert half == again
+
+
 def test_lsh_calibration_df_cap_drops_stop_shingles(spark):
     """A gram above the df cap must not generate candidates on its own:
     two docs sharing ONLY a stop shingle produce no pair."""
