@@ -207,6 +207,7 @@ HEADLINE = [
     "unreferenced_files",
     "license_header_strip",
     "fork_clusters",
+    "near_dedupe_weights",
 ]
 
 

@@ -164,6 +164,36 @@ def cluster_canonicals(assigned: DataFrame, quality_col: str,
     )
 
 
+def cluster_weights(assigned: DataFrame, id_col: str = "doc_id",
+                    cluster_col: str = "cluster_id") -> DataFrame:
+    """Soft dedup at NEAR-dup granularity: instead of dropping cluster
+    members, every member carries loss weight 1/|cluster| — the
+    near-dup analogue of exact.dedupe_weights (SoftDeDup-style
+    downweighting), keyed on the pipeline's CC labels so an edited
+    family of five shares one document's worth of loss mass while
+    byte-exact dedup alone would have kept all five at full weight.
+
+    Per member: n_members, weight_micro = floor(1e6/|cluster|) (exact
+    integer — per-cluster mass is 1e6 within |cluster| micro-units of
+    floor loss), weight (one IEEE division, 6 dp), and is_canonical
+    (the min-id member — the row a hard-dedup run would have kept).
+
+    Shape: one partial-aggregated groupBy on the cluster key + one
+    cluster-keyed join back — dedupe_weights' cost class, no window,
+    no sort."""
+    sizes = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(id_col).alias("_canon"))
+    return (assigned.join(sizes, cluster_col)
+            .select(id_col, cluster_col, "n_members",
+                    F.floor(F.lit(1_000_000) / F.col("n_members"))
+                    .cast("long").alias("weight_micro"),
+                    F.round(F.lit(1.0) / F.col("n_members"), 6)
+                    .alias("weight"),
+                    (F.col(id_col) == F.col("_canon"))
+                    .alias("is_canonical")))
+
+
 def incremental_components(prev: DataFrame | None, new_edges: DataFrame,
                            cfg: DedupeConfig | None = None,
                            updated_only: bool = False) -> DataFrame:

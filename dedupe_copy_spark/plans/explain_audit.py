@@ -109,6 +109,14 @@ CHECKS = {
          "(the all-pairs truth harness lives only in the oracle wrapper)",
          lambda p: "CartesianProduct" not in p),
     ],
+    "near_dedupe_weights": [
+        ("weights come from a partial-aggregated cluster count, "
+         "no window, no sort",
+         lambda p: "partial_count" in p and "Window" not in p),
+        ("no cartesian expansion in the operator pipeline "
+         "(the all-pairs truth harness lives only in the oracle wrapper)",
+         lambda p: "CartesianProduct" not in p),
+    ],
     "bloom_compare_exclude": [
         ("sketch words bit_or-aggregated with map-side partials",
          lambda p: "partial_bit_or" in p),

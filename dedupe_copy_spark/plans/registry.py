@@ -1064,6 +1064,89 @@ def cluster_best_pick_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_rows.unionByName(self_rows)
 
 
+@register("near_dedupe_weights", _TRUTH_CTE + """
+SELECT 'pair_shares_mass' AS kind, a.doc_id AS doc_a,
+       b.doc_id AS doc_b, true AS ok
+FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g))::DOUBLE
+      / greatest(len(list_distinct(list_concat(a.g, b.g))), 1) >= 0.8
+UNION ALL
+SELECT 'mass_conserved', doc_id, doc_id, true FROM documents
+UNION ALL
+SELECT 'one_canonical', doc_id, doc_id, true FROM documents
+""")
+def near_dedupe_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup over the FULL near-dup pipeline's clusters
+    (cc.cluster_weights): every doc keeps weight 1/|cluster| instead
+    of being dropped — the loss-downweighting form of dedupe_clusters.
+    Cluster ids are not SQL-reproducible, so the oracle checks the
+    defining contract row-for-row (the cluster_best_pick pattern):
+      (a) every constructed near-dup truth pair shares one cluster and
+          is actually downweighted (weight_micro ≤ 500000),
+      (b) per doc, cluster mass is conserved to floor loss:
+          1e6 - n < n·weight_micro ≤ 1e6,
+      (c) per doc, its cluster has EXACTLY one canonical member.
+    Any cluster split/merge, wrong size, or duplicated canonical flips
+    an `ok` and fails the value hash."""
+    from dedupe_copy_spark.operators.cc import cluster_weights
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    files = files_from_documents(spark, sf_dir)
+    res = DedupePipeline(spark, _near_cfg()).run(files)
+    assigned = (
+        res.clusters.join(res.hashed.select("file_id", "path"), "file_id")
+        .select(_doc_id_from_path(F.col("path")).alias("doc"), "cluster_id")
+    )
+    per_doc = assigned.groupBy("doc").agg(
+        F.min("cluster_id").alias("cluster_id"))
+    w = cluster_weights(per_doc, id_col="doc", cluster_col="cluster_id")
+    mass_rows = w.select(
+        F.lit("mass_conserved").alias("kind"),
+        F.col("doc").alias("doc_a"), F.col("doc").alias("doc_b"),
+        ((F.col("n_members") * F.col("weight_micro") > F.lit(1_000_000)
+          - F.col("n_members"))
+         & (F.col("n_members") * F.col("weight_micro")
+            <= F.lit(1_000_000))).alias("ok"))
+    canon_count = w.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("long")).alias("_n_canon"))
+    canon_rows = w.join(canon_count, "cluster_id").select(
+        F.lit("one_canonical").alias("kind"),
+        F.col("doc").alias("doc_a"), F.col("doc").alias("doc_b"),
+        (F.col("_n_canon") == 1).alias("ok"))
+    truth = _truth_pairs(spark, sf_dir, threshold=0.8)
+    wa = w.select(F.col("doc").alias("doc_a"),
+                  F.col("cluster_id").alias("cl_a"),
+                  F.col("weight_micro").alias("wm_a"))
+    wb = w.select(F.col("doc").alias("doc_b"),
+                  F.col("cluster_id").alias("cl_b"))
+    pair_rows = (
+        truth.join(wa, "doc_a").join(wb, "doc_b")
+        .select(F.lit("pair_shares_mass").alias("kind"), "doc_a", "doc_b",
+                ((F.col("cl_a") == F.col("cl_b"))
+                 & (F.col("wm_a") <= 500_000)).alias("ok"))
+    )
+    return pair_rows.unionByName(mass_rows).unionByName(canon_rows)
+
+
+def near_dedupe_weights_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw soft-dedup weights (bench variant): the operator pipeline
+    WITHOUT the all-pairs truth harness the oracle wrapper adds — the
+    plan that must stay clean at scale."""
+    from dedupe_copy_spark.operators.cc import cluster_weights
+    from dedupe_copy_spark.plans.pipeline import DedupePipeline
+
+    files = files_from_documents(spark, sf_dir)
+    res = DedupePipeline(spark, _near_cfg()).run(files)
+    assigned = (
+        res.clusters.join(res.hashed.select("file_id", "path"), "file_id")
+        .select(_doc_id_from_path(F.col("path")).alias("doc"), "cluster_id")
+    )
+    per_doc = assigned.groupBy("doc").agg(
+        F.min("cluster_id").alias("cluster_id"))
+    return cluster_weights(per_doc, id_col="doc",
+                           cluster_col="cluster_id")
+
+
 def cluster_best_pick_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw quality-aware canonical assignments (bench variant): the
     operator pipeline WITHOUT the all-pairs truth harness the oracle
@@ -6325,6 +6408,7 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk_raw,
     "dedupe_clusters": dedupe_clusters_raw,
     "cluster_best_pick": cluster_best_pick_raw,
+    "near_dedupe_weights": near_dedupe_weights_raw,
     "ivf_topk": ivf_topk_raw,
     "pq_topk": pq_topk_raw,
     "ivf_pq_topk": ivf_pq_topk_raw,

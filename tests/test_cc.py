@@ -123,6 +123,33 @@ def test_cluster_canonicals_argmax_and_tiebreak(spark):
     assert "max_by" in plan
 
 
+def test_cluster_weights_partition_of_mass(spark):
+    from dedupe_copy_spark.operators.cc import cluster_weights
+
+    rows = [(1, 10), (1, 11), (1, 12),   # family of 3
+            (2, 20),                      # singleton
+            (3, 30), (3, 31), (3, 32), (3, 33), (3, 34), (3, 35), (3, 36)]
+    df = spark.createDataFrame(rows, "cluster_id long, doc_id long")
+    got = {r.doc_id: r for r in cluster_weights(df).collect()}
+    assert len(got) == len(rows)
+    # singleton keeps full weight; families split it
+    assert got[20].weight_micro == 1_000_000 and got[20].weight == 1.0
+    assert all(got[d].weight_micro == 333_333 for d in (10, 11, 12))
+    assert got[30].weight_micro == 142_857 and got[30].n_members == 7
+    # per-cluster mass conserved to floor loss: 1e6 - n < n*wm <= 1e6
+    for r in got.values():
+        assert 1_000_000 - r.n_members < r.n_members * r.weight_micro \
+            <= 1_000_000
+    # exactly one canonical per cluster, at the min id
+    canon = {r.cluster_id for r in got.values() if r.is_canonical
+             and r.doc_id in (10, 20, 30)}
+    assert canon == {1, 2, 3}
+    assert sum(bool(r.is_canonical) for r in got.values()) == 3
+    # dedupe_weights' cost class: no window, no sort
+    plan = cluster_weights(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def _assign_map(df):
     return {r["file_id"]: r["cluster_id"] for r in df.collect()}
 
