@@ -6524,8 +6524,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # notebook_cells, notebook_scripts, repo_license_rollup,
     # pipeline_funnel, lsh_calibration, lang_infer, dup_group_skew,
     # and the round-4 session-3 additions: fork_pairs_sketch,
-    # unreferenced_files, license_header_strip, fork_clusters)
-    # has no driver-green row — round 5 must move those ~41 names to
+    # unreferenced_files, license_header_strip, fork_clusters,
+    # near_dedupe_weights)
+    # has no driver-green row — round 5 must move those ~42 names to
     # the head of this list.
 ]
 
