@@ -147,6 +147,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "heavy or junk files score high)")
     p.add_argument("--report-extensions", action="store_true",
                    help="also write the top-extension report (reference -e)")
+    p.add_argument("--fork-report", action="store_true",
+                   help="also write fork_pairs/ (bottom-k sketch repo "
+                        "overlap estimates) and fork_families/ (CC "
+                        "families labeled by min repo; keep one repo "
+                        "per family) over the scanned corpus")
     p.add_argument("--verify", default=None, metavar="MANIFEST_PARQUET",
                    help="audit MANIFEST against --input rows and exit "
                         "(reference verify_manifest_fs, core.py:690-750)")
@@ -388,6 +393,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.report_extensions:
             exact.extension_report(hashed).write.mode("overwrite") \
                 .option("header", True).csv(f"{out}/extension_report")
+        if args.fork_report:
+            exact.fork_pairs_sketch(hashed).write.mode("overwrite") \
+                .parquet(f"{out}/fork_pairs")
+            exact.fork_clusters(hashed).write.mode("overwrite") \
+                .parquet(f"{out}/fork_families")
         if args.export_manifest:
             from dedupe_copy_spark.sources.reference_manifest import (
                 write_reference_manifest,

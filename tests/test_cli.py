@@ -113,6 +113,21 @@ def test_cli_report_extensions(input_parquet, tmp_path):
     assert (out / "extension_report").exists()
 
 
+def test_cli_fork_report(input_parquet, tmp_path):
+    path, _ = input_parquet
+    out = tmp_path / "out_fork"
+    _run_cli(["--input", path, "--output", str(out), "--no-near-dup",
+              "--fork-report", "--cores", "4"])
+    import duckdb
+
+    fam = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT cluster_repo), max(n_members) "
+        f"FROM '{out}/fork_families/*.parquet'").fetchone()
+    # every non-empty repo assigned; families never exceed repo count
+    assert fam[0] >= fam[1] >= 1 and fam[2] >= 1
+    assert (out / "fork_pairs").exists()
+
+
 def test_cli_corpus_stats(input_parquet, tmp_path):
     path, _ = input_parquet
     out = tmp_path / "out_cs"
