@@ -208,6 +208,7 @@ HEADLINE = [
     "license_header_strip",
     "fork_clusters",
     "near_dedupe_weights",
+    "fork_pairs_type2",
 ]
 
 

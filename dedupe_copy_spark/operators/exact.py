@@ -452,7 +452,8 @@ def bottom_k_cut(hs: DataFrame, k: int) -> DataFrame:
 
 def fork_pairs_sketch(hashed: DataFrame, k: int = 128,
                       threshold: float = 0.1,
-                      max_hash_repos: int = 64) -> DataFrame:
+                      max_hash_repos: int = 64,
+                      key_col: str = "content_sha256") -> DataFrame:
     """Repo-level fork detection from BOTTOM-K digest sketches — the
     10^12-file scale path for :func:`fork_pairs`.
 
@@ -497,9 +498,16 @@ def fork_pairs_sketch(hashed: DataFrame, k: int = 128,
     domain_frequency_cap trick), one capped bucket join over sketch
     rows, two k-bounded-array joins. No stage is corpus-sized after
     the first distinct.
+
+    ``key_col`` swaps the identity the sketch is built over: the raw
+    digest detects byte-exact sharing; a Type-1/2 clone key
+    (functions/code.normalize_code → sha256) detects forks that
+    REFORMATTED or IDENTIFIER-RENAMED files — same sketch math, same
+    cost shape (the `fork_pairs_type2` registration).
     """
     rs = (hashed.filter(~F.col("is_empty"))
-          .select("repo", "content_sha256").distinct()
+          .select("repo", F.col(key_col).alias("content_sha256"))
+          .distinct()
           .localCheckpoint())  # feeds sketch + exact per-repo counts
     counts = rs.groupBy("repo").agg(
         F.count(F.lit(1)).cast("long").alias("n_hashes"))

@@ -1045,6 +1045,15 @@ CHECKS = {
         ("scan pruned to doc_id+text",
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "fork_pairs_type2": [
+        ("no python eval (normalizer chain + sketch all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("vendored-minimum bucket cap visible in candidate filter",
+         lambda p: "size(ids" in p and "<= 64" in p),
+        ("no cartesian / nested-loop anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "unreferenced_files": [
         ("no python eval (pattern table + flags all Catalyst)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

@@ -6288,13 +6288,20 @@ def dup_group_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_files(spark, sf_dir), "content_sha256")
 
 
-# CTE chain shared by the fork_pairs_sketch oracle and the
-# fork_clusters closure oracle (which needs WITH RECURSIVE up front).
-_FORK_SKETCH_CHAIN = """
+# CTE chain shared by the fork_pairs_sketch / fork_pairs_type2 oracles
+# and the fork_clusters closure oracle (which needs WITH RECURSIVE up
+# front). ``key_expr`` is the per-file identity the sketch is built
+# over (raw digest, or a clone-normalized digest).
+def _fork_sketch_chain(key_expr: str = "sha256(content)") -> str:
+    return f"""
 , rs AS (
-  SELECT DISTINCT repo, sha256(content) AS d FROM files
+  SELECT DISTINCT repo, {key_expr} AS d FROM files
   WHERE length(content) > 0
-), hs AS (SELECT repo, md5(d) AS h FROM rs),
+)""" + _FORK_CHAIN_TAIL
+
+
+_FORK_CHAIN_TAIL = """
+, hs AS (SELECT repo, md5(d) AS h FROM rs),
 sk AS (
   SELECT repo, h FROM (
     SELECT repo, h,
@@ -6338,7 +6345,7 @@ est AS (
 )"""
 
 
-@register("fork_pairs_sketch", FILES_CTE_SQL + _FORK_SKETCH_CHAIN + """
+@register("fork_pairs_sketch", FILES_CTE_SQL + _fork_sketch_chain() + """
 SELECT repo_a, repo_b, y, u, n_a, n_b, inter_est, ov_micro, overlap_est
 FROM prs
 """)
@@ -6360,7 +6367,7 @@ def fork_pairs_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fork_clusters", "WITH RECURSIVE "
           + FILES_CTE_SQL.replace("WITH files AS", "files AS", 1)
-          + _FORK_SKETCH_CHAIN + """
+          + _fork_sketch_chain() + """
 , und AS (
   SELECT repo_a AS a, repo_b AS b FROM prs
   UNION
@@ -6394,6 +6401,55 @@ def fork_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return fork_clusters(_files(spark, sf_dir), k=128, threshold=0.1,
                          max_hash_repos=64)
+
+
+def _fork_type2_sql() -> str:
+    from dedupe_copy_spark.functions.code import normalize_code_sql
+
+    key = f"sha256({normalize_code_sql('content', abstract_identifiers=True)})"
+    return ("""
+WITH files AS (
+  SELECT source || '/repo' AS repo, coalesce(text, '') AS content
+  FROM documents
+  UNION ALL
+  SELECT source || '/t2fork',
+         regexp_replace(coalesce(text, ''), '\\bthe\\b', 'zqx', 'g')
+  FROM documents WHERE doc_id % 3 = 0
+)""" + _fork_sketch_chain(key) + """
+SELECT repo_a, repo_b, y, u, n_a, n_b, inter_est, ov_micro, overlap_est
+FROM prs
+""")
+
+
+@register("fork_pairs_type2", _fork_type2_sql())
+def fork_pairs_type2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch fork detection over TYPE-2 clone keys: the per-file
+    identity is sha256 of the identifier-abstracted normalized token
+    stream, so a fork that RENAMED identifiers (here: a seeded
+    't2fork' repo per source with every literal token 'the' renamed)
+    still shares sketch minima with its origin — the byte-digest
+    sketch sees those files as disjoint. Same KMV math, same cost
+    shape; the oracle replays the full normalizer chain inside the
+    sketch chain. Non-vacuity: every (srcN/repo, srcN/t2fork) pair
+    must surface near overlap 1.0 (the fork's key set is a subset)."""
+    from dedupe_copy_spark.functions.code import normalize_code
+    from dedupe_copy_spark.operators.exact import fork_pairs_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    base = docs.select(
+        F.concat(F.col("source"), F.lit("/repo")).alias("repo"),
+        text.alias("content"))
+    fork = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.col("source"), F.lit("/t2fork")).alias("repo"),
+        F.regexp_replace(text, r"\bthe\b", "zqx").alias("content"))
+    rel = base.unionByName(fork).select(
+        "repo",
+        F.sha2(normalize_code(F.col("content"), abstract_identifiers=True),
+               256).alias("clone_key"),
+        (F.length("content") == 0).alias("is_empty"))
+    return fork_pairs_sketch(rel, k=128, threshold=0.1,
+                             max_hash_repos=64, key_col="clone_key")
 
 
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -131,6 +131,31 @@ def test_threshold_gates_on_ov_micro(spark):
     assert len(fork_pairs_sketch(hashed, k=128, threshold=0.5).collect()) == 1
 
 
+def test_type2_keys_catch_renamed_forks(spark):
+    """key_col swap: over raw digests a fork that renamed identifiers
+    shares nothing; over Type-2 clone keys it is a perfect fork."""
+    import pyspark.sql.functions as F
+
+    from dedupe_copy_spark.functions.code import normalize_code
+
+    mk = lambda v, i: f"int {v}_{i} = {i};\nreturn {v}_{i} + 1;"  # noqa: E731
+    rows = ([("t2/a", mk("alpha", i)) for i in range(30)]
+            + [("t2/b", mk("beta", i)) for i in range(15)])
+    df = spark.createDataFrame(rows, "repo string, content string")
+    rel = df.select(
+        "repo",
+        F.sha2(F.col("content"), 256).alias("raw_key"),
+        F.sha2(normalize_code(F.col("content"), abstract_identifiers=True),
+               256).alias("clone_key"),
+        F.lit(False).alias("is_empty"))
+    exact = fork_pairs_sketch(rel, k=64, threshold=0.1,
+                              key_col="raw_key").collect()
+    t2 = fork_pairs_sketch(rel, k=64, threshold=0.1,
+                           key_col="clone_key").collect()
+    assert exact == []                      # byte-level: disjoint repos
+    assert len(t2) == 1 and t2[0].ov_micro == 1_000_000
+
+
 def test_sketch_cut_is_window_group_limited(spark):
     """The row_number+filter sketch cut must compile to Catalyst's
     WindowGroupLimit rewrite: each input partition forwards ≤ k rows
