@@ -209,6 +209,11 @@ HEADLINE = [
     "fork_clusters",
     "near_dedupe_weights",
     "fork_pairs_type2",
+    # round 4 session 4: CCNet head/middle/tail perplexity terciles
+    # (histogram cuts, no doc-sized window) + SantaCoder comment-ratio
+    # gate (map-only codegen)
+    "ccnet_buckets",
+    "comment_density",
 ]
 
 

@@ -293,6 +293,79 @@ def code_quality(docs: DataFrame, id_col: str = "doc_id",
          & ~F.col("is_autogenerated")).alias("keep"))
 
 
+# Line-comment openers counted by comment_density: #, //, --. Block
+# comments (/* */) and docstring INTERIOR lines are deliberately not
+# line-counted (precision over recall, same policy as the imports
+# pattern table); docstrings are detected via triple-quote marks
+# instead. Literal alternation in the Java-regex ∩ RE2 dialect.
+COMMENT_LINE_PATTERN = "^[ \\t]*(#|//|--)"
+BLANK_LINE_PATTERN = "^[ \\t\\r]*$"
+
+
+def comment_density(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", min_comment_pct: int = 1,
+                    max_comment_pct: int = 80) -> DataFrame:
+    """Comment-to-code ratio gate (SantaCoder, Allal et al. 2023 §4;
+    StarCoder, Li et al. 2023 §3.1): source files with near-zero
+    comments are disproportionately autogenerated or low-quality, and
+    files that are almost ALL comments are license stubs or prose
+    disguised as code — both ends get filtered. This is the
+    documentation-density signal :func:`code_quality` (structural
+    shape) does not measure.
+
+    Per file, exact integer counters:
+
+      - ``n_comment_lines``: lines whose first non-blank chars open a
+        line comment (``#``, ``//``, ``--``);
+      - ``n_blank_lines`` / ``n_code_lines``: the remainder split;
+      - ``n_docstring_marks``: triple-quote (``\"\"\"`` / ``'''``)
+        occurrences — ≥2 marks means at least one docstring, which
+        counts as documentation even when no ``#`` lines exist (the
+        dominant Python style);
+
+    and the gate: keep iff nonempty AND comment-line share is within
+    [min_comment_pct, max_comment_pct]% of lines (the lower bound is
+    waived when a docstring is present). All thresholds are integer
+    cross-multiplications — the DuckDB oracle replays every counter
+    and both cut tests bit-for-bit. Pure codegen map-only scan: no
+    shuffle, no Python, O(bytes) per row at any corpus size."""
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    n_chars = F.length(text)
+    lines = F.split(text, "\n", -1)
+    n_comment = F.size(F.filter(
+        lines, lambda l: l.rlike(COMMENT_LINE_PATTERN)))
+    n_blank = F.size(F.filter(
+        lines, lambda l: l.rlike(BLANK_LINE_PATTERN)))
+    dq_diff = n_chars - F.length(F.regexp_replace(text, '"""', ""))
+    sq_diff = n_chars - F.length(F.regexp_replace(text, "'''", ""))
+    n_marks = F.floor((dq_diff + sq_diff) / F.lit(3))
+
+    staged = docs.select(
+        F.col(id_col),
+        F.when(n_chars == 0, F.lit(0)).otherwise(F.size(lines))
+        .cast("long").alias("n_lines"),
+        F.when(n_chars == 0, F.lit(0)).otherwise(n_comment)
+        .cast("long").alias("n_comment_lines"),
+        F.when(n_chars == 0, F.lit(0)).otherwise(n_blank)
+        .cast("long").alias("n_blank_lines"),
+        n_marks.cast("long").alias("n_docstring_marks"))
+
+    has_doc = F.col("n_docstring_marks") >= 2
+    ok_min = (F.col("n_comment_lines") * 100
+              >= F.col("n_lines") * min_comment_pct)
+    ok_max = (F.col("n_comment_lines") * 100
+              <= F.col("n_lines") * max_comment_pct)
+    return staged.select(
+        "*",
+        (F.col("n_lines") - F.col("n_comment_lines")
+         - F.col("n_blank_lines")).cast("long").alias("n_code_lines"),
+        has_doc.alias("has_docstring"),
+        ok_min.alias("ok_min_comments"),
+        ok_max.alias("ok_max_comments"),
+        ((F.col("n_lines") > 0) & (ok_min | has_doc) & ok_max)
+        .alias("keep"))
+
+
 # extension → source language (the code-corpus slice of the reference's
 # extension normalization, utils.py:89-99, promoted to a language label)
 EXT_LANG: tuple[tuple[str, str], ...] = (

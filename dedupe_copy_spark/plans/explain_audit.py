@@ -280,6 +280,31 @@ CHECKS = {
          lambda p: "partial_count" in p),
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
+    "ccnet_buckets": [
+        # audited plan is post-checkpoint (the per-doc score relation is
+        # localCheckpointed so its two consumers don't re-run the
+        # corpus-sized scoring explode — pinned in tests/test_lm.py)
+        ("no python eval (scores, histogram, cuts all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("tercile cuts join back as a broadcast (docs never shuffle "
+         "on lang)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("histogram aggregation is map-side combinable",
+         lambda p: "partial_count" in p),
+        ("zero gram explodes after the checkpoint (the scoring "
+         "subtree runs once, not per consumer)",
+         lambda p: "Generate" not in p),
+        ("no doc-sized ntile window anywhere",
+         lambda p: "ntile" not in p),
+    ],
+    "comment_density": [
+        ("pure codegen scan — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+        ("column-pruned scan (only doc_id, text read)",
+         lambda p: re.search(
+             r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+         or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
+    ],
     "snapshot_diff": [
         ("one full-outer hash/merge join on the key",
          lambda p: "FullOuter" in p),

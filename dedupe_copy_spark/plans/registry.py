@@ -3974,6 +3974,133 @@ def lm_perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, model)
 
 
+@register("ccnet_buckets", r"""
+WITH norm AS (
+  SELECT doc_id, substr(lower(coalesce(text, '')), 1, 512) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_transform(
+      generate_series(1, len(t) - 1), i -> substr(t, i, 2))) AS gram
+  FROM norm WHERE len(t) >= 2
+), model AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM grams
+  WHERE doc_id % 10 < 8 GROUP BY gram
+), cont AS (
+  SELECT substr(gram, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS cont_cnt
+  FROM model GROUP BY 1
+), vocab AS (
+  SELECT CAST(count(DISTINCT substr(gram, 2, 1)) AS DOUBLE) AS v
+  FROM model
+), lp AS (
+  SELECT g.doc_id,
+    CASE WHEN c.cont_cnt IS NULL
+         THEN -CAST(round(ln(v.v) * 1000000) AS BIGINT)
+         ELSE CAST(round(ln(coalesce(m.cnt, 0) + 1) * 1000000) AS BIGINT)
+            - CAST(round(ln(c.cont_cnt + v.v) * 1000000) AS BIGINT)
+    END AS lp_micro
+  FROM grams g
+  LEFT JOIN model m USING (gram)
+  LEFT JOIN cont c ON substr(g.gram, 1, 1) = c.c1
+  CROSS JOIN vocab v
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(lp_micro) AS BIGINT) AS sum_lp
+  FROM lp GROUP BY doc_id
+), perdoc AS (
+  SELECT d.doc_id, coalesce(d.lang, 'und') AS lang,
+         CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(CASE WHEN a.n_bigrams > 0
+              THEN (-a.sum_lp) // (a.n_bigrams * 1000)
+              ELSE 0 END AS BIGINT) AS nll_milli
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+), vals AS (
+  SELECT lang, nll_milli, CAST(count(*) AS BIGINT) AS cnt
+  FROM perdoc GROUP BY lang, nll_milli
+), cum AS (
+  SELECT lang, nll_milli,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY nll_milli) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM vals
+), cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN cum * 3 >= n THEN nll_milli END) AS t_head,
+         MIN(CASE WHEN cum * 3 >= n * 2 THEN nll_milli END) AS t_mid
+  FROM cum GROUP BY lang
+)
+SELECT p.doc_id, p.lang, p.nll_milli, p.n_bigrams,
+       CASE WHEN p.nll_milli <= c.t_head THEN 'head'
+            WHEN p.nll_milli <= c.t_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM perdoc p JOIN cuts c USING (lang)
+""")
+def ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language (Wenzek
+    et al. LREC 2020 §4.3) — the curation step downstream of
+    lm_perplexity: each language is cut into thirds by LM score, and
+    pipelines keep head+middle or weight by bucket. NO document-sized
+    window: scores quantize to integer millinats, a (lang, value)
+    histogram (bounded by the score RANGE, not the corpus) carries the
+    cumulative counts, and the two tercile cut values broadcast back.
+    Ties at a cut all land in the lower bucket, so every assignment is
+    a pure function of exact integers — DuckDB replays the histogram,
+    both cuts, and each bucket label bit-for-bit."""
+    from dedupe_copy_spark.operators.lm import (ppl_buckets,
+                                                train_char_bigram_lm)
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_char_bigram_lm(docs.filter(F.col("doc_id") % 10 < 8))
+    return ppl_buckets(docs, model)
+
+
+@register("comment_density", r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         str_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(lines) END
+         AS BIGINT) AS n_lines,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(list_filter(lines,
+         l -> regexp_matches(l, '^[ \t]*(#|//|--)')))
+         END AS BIGINT) AS n_comment_lines,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(list_filter(lines,
+         l -> regexp_matches(l, '^[ \t\r]*$')))
+         END AS BIGINT) AS n_blank_lines,
+    CAST(((length(t) - length(replace(t, repeat(chr(34), 3), '')))
+        + (length(t) - length(replace(t, repeat(chr(39), 3), ''))))
+        // 3 AS BIGINT) AS n_docstring_marks
+  FROM base
+)
+SELECT doc_id, n_lines, n_comment_lines, n_blank_lines,
+  n_docstring_marks,
+  CAST(n_lines - n_comment_lines - n_blank_lines AS BIGINT)
+    AS n_code_lines,
+  n_docstring_marks >= 2 AS has_docstring,
+  n_comment_lines * 100 >= n_lines * 1 AS ok_min_comments,
+  n_comment_lines * 100 <= n_lines * 80 AS ok_max_comments,
+  (n_lines > 0
+   AND (n_comment_lines * 100 >= n_lines * 1
+        OR n_docstring_marks >= 2)
+   AND n_comment_lines * 100 <= n_lines * 80) AS keep
+FROM counted
+""")
+def comment_density_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SantaCoder/StarCoder comment-to-code ratio gate (Allal et al.
+    2023 §4; Li et al. 2023 §3.1): files with near-zero documentation
+    are disproportionately autogenerated, files that are nearly ALL
+    comments are license stubs — both tails dropped. Exact integer
+    line counters (line-comment openers #/`//`/--, blank lines,
+    triple-quote docstring marks) with cross-multiplied thresholds;
+    the docstring presence waives the lower bound for the dominant
+    Python style. Pure codegen map-only scan — zero exchanges, no
+    Python; DuckDB replays every counter and gate."""
+    from dedupe_copy_spark.operators.textstats import comment_density
+
+    docs = load_table(spark, sf_dir, "documents")
+    return comment_density(docs)
+
+
 _DSIR_SQL = r"""
 WITH norm AS (
   SELECT doc_id, lang, substr(lower(coalesce(text, '')), 1, 512) AS t
@@ -6581,8 +6708,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # pipeline_funnel, lsh_calibration, lang_infer, dup_group_skew,
     # and the round-4 session-3 additions: fork_pairs_sketch,
     # unreferenced_files, license_header_strip, fork_clusters,
-    # near_dedupe_weights)
-    # has no driver-green row — round 5 must move those ~42 names to
+    # near_dedupe_weights, fork_pairs_type2, plus session-4:
+    # ccnet_buckets, comment_density)
+    # has no driver-green row — round 5 must move those ~44 names to
     # the head of this list.
 ]
 

@@ -94,3 +94,93 @@ def test_scoring_plan_broadcasts_the_model(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _lang_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestPplBuckets:
+    def test_tercile_assignment_one_language(self, spark):
+        from dedupe_copy_spark.operators.lm import ppl_buckets
+        fluent = "the cat sat on the mat and the dog ran to the log "
+        mixed = "the cat zq flew jx over kw the vast qv moon crater "
+        noise = "zq xj vk wz qz jx kv zw qx jz kx wv zj xq vq wk zx "
+        model = train_char_bigram_lm(
+            _docs(spark, [(i, fluent * 5) for i in range(20)]))
+        docs = _lang_docs(spark, [
+            *[(i, fluent * 3, "en") for i in range(3)],
+            *[(10 + i, mixed * 3, "en") for i in range(3)],
+            *[(20 + i, noise * 3, "en") for i in range(3)],
+        ])
+        out = {r.doc_id: r for r in ppl_buckets(docs, model).collect()}
+        assert len(out) == 9
+        # three distinct scores, three docs each: cum = 3,6,9 of n=9 ->
+        # cuts at the 1st and 2nd distinct values
+        for i in range(3):
+            assert out[i].ppl_bucket == "head"
+            assert out[10 + i].ppl_bucket == "middle"
+            assert out[20 + i].ppl_bucket == "tail"
+        # bucket is a pure function of the quantized score
+        by_val = {}
+        for r in out.values():
+            assert by_val.setdefault(r.nll_milli, r.ppl_bucket) \
+                == r.ppl_bucket
+        assert out[0].nll_milli < out[10].nll_milli < out[20].nll_milli
+
+    def test_cuts_are_per_language(self, spark):
+        from dedupe_copy_spark.operators.lm import ppl_buckets
+        fluent = "the cat sat on the mat and the dog ran to the log "
+        noise = "zq xj vk wz qz jx kv zw qx jz kx wv zj xq vq wk zx "
+        model = train_char_bigram_lm(
+            _docs(spark, [(i, fluent * 5) for i in range(20)]))
+        # lang a: fluent + noise docs; lang b: ONLY noise docs.  The
+        # same noise text is "tail" among fluent company but "head"
+        # where everyone scores identically (uniform language).
+        docs = _lang_docs(spark, [
+            *[(i, fluent, "a") for i in range(4)],
+            (4, noise, "a"), (5, noise, "a"),
+            (6, noise, "b"), (7, noise, "b"), (8, noise, "b"),
+        ])
+        out = {r.doc_id: r for r in ppl_buckets(docs, model).collect()}
+        assert out[4].ppl_bucket == "tail" and out[5].ppl_bucket == "tail"
+        for k in (6, 7, 8):
+            assert out[k].ppl_bucket == "head"
+        assert out[4].nll_milli == out[6].nll_milli  # same text, same score
+
+    def test_empty_docs_and_null_lang(self, spark):
+        from dedupe_copy_spark.operators.lm import ppl_buckets
+        model = train_char_bigram_lm(_docs(spark, [(0, "abcabc" * 20)]))
+        docs = _lang_docs(spark, [
+            (1, "", None), (2, None, None), (3, "abcabc", "en"),
+        ])
+        out = {r.doc_id: r for r in ppl_buckets(docs, model).collect()}
+        # zero-bigram docs quantize to 0 (the lowest possible score) and
+        # NULL lang folds to 'und' rather than dropping rows
+        for k in (1, 2):
+            assert out[k].lang == "und" and out[k].nll_milli == 0
+            assert out[k].n_bigrams == 0 and out[k].ppl_bucket == "head"
+        assert out[3].lang == "en" and out[3].ppl_bucket == "head"
+
+    def test_no_doc_sized_window_and_broadcast_cuts(self, spark):
+        from dedupe_copy_spark.operators.lm import ppl_buckets
+        model = train_char_bigram_lm(
+            _docs(spark, [(i, "alpha beta gamma " * 4) for i in range(10)]))
+        docs = _lang_docs(spark, [(i, "alpha beta", "en") for i in range(5)])
+        plan = ppl_buckets(docs, model) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # the tercile cuts join back as a broadcast, never a shuffle join
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the only Window sorts the (lang, value) histogram — its input
+        # is the aggregated value relation, not the document relation:
+        # a doc-sized ntile would hash-partition docs by lang only
+        assert "ntile" not in plan
+        # the per-doc score relation is checkpointed, so the final plan
+        # holds ZERO gram explodes (both consumers read the checkpoint;
+        # without it the corpus-sized scoring subtree appears twice)
+        assert "Generate" not in plan
+        unmat = ppl_buckets(docs, model, materialize=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert unmat.count("Generate") == 2  # the re-evaluation the
+        # default path exists to remove

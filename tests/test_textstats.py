@@ -227,3 +227,69 @@ def test_infer_source_lang_version_suffix_and_env(spark):
     assert out["a"].shebang_lang == "python"
     assert out["b"].shebang_lang == "shell"
     assert out["c"].shebang_lang == ""              # anchored at byte 0
+
+
+class TestCommentDensity:
+    def _cd(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r.asDict()
+                for r in textstats.comment_density(df, **kw).collect()}
+
+    def test_counters_and_gate(self, spark):
+        rows = [
+            # 1 comment, 1 blank, 2 code (trailing \n -> last blank line)
+            (0, "# adds two ints\ndef add(a, b):\n    return a + b\n"),
+            (1, "x = 1\ny = 2\nz = 3\n"),                 # zero comments
+            (2, "# one\n// two\n-- three\n"),             # all comments
+            (3, ""),
+            (4, None),
+        ]
+        got = self._cd(spark, rows)
+        assert got[0]["n_lines"] == 4 and got[0]["n_comment_lines"] == 1
+        assert got[0]["n_blank_lines"] == 1 and got[0]["n_code_lines"] == 2
+        assert got[0]["keep"]
+        # no comments, no docstring -> below the 1% floor
+        assert got[1]["n_comment_lines"] == 0 and not got[1]["keep"]
+        # 3 comment lines of 4 (trailing blank) = 75% <= 80% passes;
+        # all three opener styles count
+        assert got[2]["n_comment_lines"] == 3 and got[2]["keep"]
+        for k in (3, 4):
+            assert got[k]["n_lines"] == 0 and not got[k]["keep"]
+
+    def test_docstring_waives_comment_floor(self, spark):
+        doc = 'def f():\n    """Doc."""\n    return 1\n'
+        bare = "def f():\n    return 1\n"
+        got = self._cd(spark, [(1, doc), (2, bare)])
+        assert got[1]["n_docstring_marks"] == 2 and got[1]["has_docstring"]
+        assert got[1]["keep"] and got[1]["n_comment_lines"] == 0
+        assert not got[2]["keep"]
+        # single-quoted docstrings count too
+        got2 = self._cd(spark, [(1, "x = '''one'''\ny = 2\n")])
+        assert got2[1]["n_docstring_marks"] == 2
+
+    def test_all_comment_license_stub_dropped(self, spark):
+        stub = "".join(f"# license line {i}\n" for i in range(10))
+        got = self._cd(spark, [(1, stub)])
+        # 10 comment lines / 11 (trailing blank) = 90% > 80% -> drop
+        assert not got[1]["ok_max_comments"] and not got[1]["keep"]
+        # boundary via kwargs: at 91% cap it survives
+        got2 = self._cd(spark, [(1, stub)], max_comment_pct=91)
+        assert got2[1]["keep"]
+
+    def test_indented_and_crlf_lines(self, spark):
+        got = self._cd(spark, [
+            (1, "    # indented comment\n\t// tabbed\ncode()\n"),
+            (2, "# win\r\n\r\ncode()\r\n"),
+        ])
+        assert got[1]["n_comment_lines"] == 2
+        # \r-terminated comment + \r-only blank both classified
+        assert got[2]["n_comment_lines"] == 1
+        assert got[2]["n_blank_lines"] == 2   # "\r" line + trailing ""
+
+    def test_map_only_codegen_plan(self, spark):
+        df = spark.createDataFrame([(1, "# c\nx=1\n")],
+                                   "doc_id long, text string")
+        plan = textstats.comment_density(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
