@@ -214,6 +214,8 @@ HEADLINE = [
     # gate (map-only codegen)
     "ccnet_buckets",
     "comment_density",
+    # round 4 session 4: keep-one-per-fork-family policy relation
+    "repo_canonicals",
 ]
 
 

@@ -612,6 +612,55 @@ def fork_clusters(hashed: DataFrame, k: int = 128,
         F.count(F.lit(1)).over(w).cast("long").alias("n_members"))
 
 
+def repo_canonicals(hashed: DataFrame, k: int = 128,
+                    threshold: float = 0.1,
+                    max_hash_repos: int = 64) -> DataFrame:
+    """Keep-one-per-fork-family POLICY over :func:`fork_clusters` —
+    the decision relation a corpus build actually acts on. Detection
+    (fork_pairs_sketch) and grouping (fork_clusters) say which repos
+    are the same project; this picks WHICH member survives: the repo
+    with the most distinct non-empty content digests (the fullest
+    checkout — a fork that added files beats its pruned mirror),
+    ties broken by the lexicographically smallest repo name so the
+    winner is stable run-over-run.
+
+    One row per non-empty repo: family label + per-repo exact counts
+    (n_files, n_distinct_files, total_bytes), the family's
+    ``canonical_repo``, and ``is_kept``. Training-set assembly keeps
+    ``is_kept`` rows; dedup accounting reads the dropped mass straight
+    off the complement. The reference's keep-first copy policy
+    (/root/reference/dedupe_copy/core.py:428-453) is this decision at
+    file granularity — lifted here to repo granularity, where
+    keep-FIRST would be path-order luck and keep-FULLEST is the policy
+    StarCoder-style code pipelines apply to fork networks.
+
+    Shape: fork_clusters (every stage k-bounded or repo-pair-sized) +
+    one corpus-sized partial-agg rollup for the stats, then
+    repo-relation-sized work only: the joined (repo, family, stats)
+    relation is localCheckpointed once — it feeds the per-family
+    argmax AND the final join, and without the checkpoint the whole
+    sketch/CC chain re-runs per consumer. The argmax is a min_by
+    partial aggregate (no per-family sort window).
+    """
+    clusters = fork_clusters(hashed, k=k, threshold=threshold,
+                             max_hash_repos=max_hash_repos)
+    stats = (hashed.filter(~F.col("is_empty"))
+             .groupBy("repo").agg(
+                 F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.countDistinct("content_sha256").cast("long")
+                 .alias("n_distinct_files"),
+                 F.sum("size").cast("long").alias("total_bytes")))
+    joined = clusters.join(stats, "repo").localCheckpoint()
+    canon = joined.groupBy("cluster_repo").agg(
+        F.min_by("repo", F.struct(
+            (-F.col("n_distinct_files")).alias("neg_distinct"),
+            F.col("repo").alias("repo"))).alias("canonical_repo"))
+    return joined.join(canon, "cluster_repo").select(
+        "repo", "cluster_repo", "n_members", "n_files",
+        "n_distinct_files", "total_bytes", "canonical_repo",
+        (F.col("repo") == F.col("canonical_repo")).alias("is_kept"))
+
+
 def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
     """Log2-bucketed group-size histogram of a prospective shuffle key
     — the diagnostic that sizes a 100 TB job's partitioning BEFORE it

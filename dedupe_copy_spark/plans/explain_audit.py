@@ -1062,6 +1062,20 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "repo_canonicals": [
+        # audited plan is post-checkpoint: the (repo, family, stats)
+        # relation is localCheckpointed once for its two consumers
+        # (per-family argmax + final join); the sketch/CC chain ahead
+        # of it is audited under fork_clusters/fork_pairs_sketch
+        ("no python eval (argmax + policy join all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("per-family canonical via min_by partial aggregate, not a "
+         "per-family sort window",
+         lambda p: "min_by" in p),
+        ("no cartesian / nested-loop anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "license_header_strip": [
         ("no python eval (regex cut + marker chain all codegen)",
          lambda p: "EvalPython" not in p and "MapInPandas" not in p),

@@ -6530,6 +6530,64 @@ def fork_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                          max_hash_repos=64)
 
 
+@register("repo_canonicals", "WITH RECURSIVE "
+          + FILES_CTE_SQL.replace("WITH files AS", "files AS", 1)
+          + _fork_sketch_chain() + """
+, und AS (
+  SELECT repo_a AS a, repo_b AS b FROM prs
+  UNION
+  SELECT repo_b AS a, repo_a AS b FROM prs
+), reach AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), labels AS (
+  SELECT a AS repo, least(a, min(b)) AS cluster_repo
+  FROM reach GROUP BY a
+), nodes AS (SELECT DISTINCT repo FROM rs),
+assigned AS (
+  SELECT n.repo, coalesce(l.cluster_repo, n.repo) AS cluster_repo
+  FROM nodes n LEFT JOIN labels l ON l.repo = n.repo
+), stats AS (
+  SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(count(DISTINCT sha256(content)) AS BIGINT)
+           AS n_distinct_files,
+         CAST(sum(length(content)) AS BIGINT) AS total_bytes
+  FROM files WHERE length(content) > 0 GROUP BY repo
+), fam AS (
+  SELECT a.repo, a.cluster_repo, s.n_files, s.n_distinct_files,
+         s.total_bytes
+  FROM assigned a JOIN stats s USING (repo)
+), canon AS (
+  SELECT cluster_repo, repo AS canonical_repo FROM (
+    SELECT cluster_repo, repo,
+           row_number() OVER (PARTITION BY cluster_repo
+                              ORDER BY n_distinct_files DESC, repo)
+             AS rk
+    FROM fam) WHERE rk = 1
+)
+SELECT f.repo, f.cluster_repo,
+       CAST(count(*) OVER (PARTITION BY f.cluster_repo) AS BIGINT)
+         AS n_members,
+       f.n_files, f.n_distinct_files, f.total_bytes,
+       c.canonical_repo, f.repo = c.canonical_repo AS is_kept
+FROM fam f JOIN canon c USING (cluster_repo)
+""")
+def repo_canonicals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-fork-family policy: for every repo family from
+    fork_clusters, keep the member with the most distinct non-empty
+    content digests (ties → smallest repo name) and mark the rest
+    dropped — the decision relation training-set assembly filters on.
+    The oracle replays the sketch estimator, the recursive-CTE family
+    closure, the per-repo exact counters, and the argmax; on the
+    synthetic corpus every mirror (a digest-subset of its source) must
+    lose to its source repo, and all singletons keep themselves."""
+    from dedupe_copy_spark.operators.exact import repo_canonicals
+
+    return repo_canonicals(_files(spark, sf_dir), k=128, threshold=0.1,
+                           max_hash_repos=64)
+
+
 def _fork_type2_sql() -> str:
     from dedupe_copy_spark.functions.code import normalize_code_sql
 
@@ -6709,8 +6767,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # and the round-4 session-3 additions: fork_pairs_sketch,
     # unreferenced_files, license_header_strip, fork_clusters,
     # near_dedupe_weights, fork_pairs_type2, plus session-4:
-    # ccnet_buckets, comment_density)
-    # has no driver-green row — round 5 must move those ~44 names to
+    # ccnet_buckets, comment_density, repo_canonicals)
+    # has no driver-green row — round 5 must move those ~45 names to
     # the head of this list.
 ]
 

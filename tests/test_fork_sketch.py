@@ -202,3 +202,68 @@ def test_empty_rows_excluded(spark):
     df = spark.createDataFrame(
         rows, "repo string, content_sha256 string, is_empty boolean")
     assert fork_pairs_sketch(df, k=16, threshold=0.01).collect() == []
+
+
+def _hashed_sized(spark, repos: dict[str, list[str]], size: int = 10):
+    rows = [(r, f"sha-{c}", False, size)
+            for r, cs in repos.items() for c in cs]
+    return spark.createDataFrame(
+        rows,
+        "repo string, content_sha256 string, is_empty boolean, size long")
+
+
+class TestRepoCanonicals:
+    def test_fullest_checkout_wins_ties_by_name(self, spark):
+        from dedupe_copy_spark.operators.exact import repo_canonicals
+
+        a = _contents("a", 40)
+        repos = {
+            "org/a": a,                                # 40 distinct
+            "org/b": a[:20],                           # pruned mirror
+            "org/c": a[:24] + _contents("c", 16),      # fork, 40 distinct
+            "solo/d": _contents("d", 30),
+        }
+        out = {r.repo: r for r in repo_canonicals(
+            _hashed_sized(spark, repos), k=64, threshold=0.1).collect()}
+        fam = {"org/a", "org/b", "org/c"}
+        assert {out[r].cluster_repo for r in fam} == {"org/a"}
+        # org/a and org/c tie at 40 distinct files -> min repo string
+        for r in fam:
+            assert out[r].canonical_repo == "org/a"
+        assert out["org/a"].is_kept
+        assert not out["org/b"].is_kept and not out["org/c"].is_kept
+        # the pruned mirror's counters are exact
+        assert out["org/b"].n_files == 20
+        assert out["org/b"].n_distinct_files == 20
+        assert out["org/b"].total_bytes == 200
+        # singleton keeps itself
+        assert out["solo/d"].is_kept
+        assert out["solo/d"].canonical_repo == "solo/d"
+        assert out["solo/d"].n_members == 1
+
+    def test_exactly_one_kept_per_family(self, spark):
+        from dedupe_copy_spark.operators.exact import repo_canonicals
+
+        a = _contents("a", 30)
+        c = _contents("c", 30)
+        repos = {
+            "fam/a": a, "fam/b": a[:15] + c[:15], "fam/c": c,
+            "solo/x": _contents("x", 12), "solo/y": _contents("y", 9),
+        }
+        rows = repo_canonicals(_hashed_sized(spark, repos), k=64,
+                               threshold=0.4).collect()
+        kept_per_cluster: dict = {}
+        for r in rows:
+            kept_per_cluster.setdefault(r.cluster_repo, 0)
+            kept_per_cluster[r.cluster_repo] += int(r.is_kept)
+        assert set(kept_per_cluster.values()) == {1}
+        assert len(rows) == len(repos)
+
+    def test_argmax_is_min_by_not_a_sort_window(self, spark):
+        from dedupe_copy_spark.operators.exact import repo_canonicals
+
+        repos = {"p/a": _contents("a", 8), "p/b": _contents("b", 8)}
+        plan = repo_canonicals(_hashed_sized(spark, repos), k=16) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "min_by" in plan
+        assert "EvalPython" not in plan
