@@ -216,6 +216,8 @@ HEADLINE = [
     "comment_density",
     # round 4 session 4: keep-one-per-fork-family policy relation
     "repo_canonicals",
+    # round 4 session 4: NFC-canonicalization dedup (Arrow NFC pass)
+    "unicode_dedup_groups",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Unicode-canonicalization dedup — NFC-equivalent exact duplicates.
+
+Web text reaches a corpus in mixed Unicode normalization forms: the
+same visible string arrives precomposed (U+00E9 "é") from one CMS and
+decomposed (U+0065 U+0301 "e" + combining acute) from another, mac
+filesystems emit NFD paths, and copy-paste chains mix both. Byte-exact
+dedup (the reference's whole model — md5 over raw bytes,
+/root/reference/dedupe_copy/utils.py:102-144) sees distinct digests
+for canonically-IDENTICAL text, so every such pair leaks through the
+exact pass and silently burdens the (much more expensive) near-dup
+stages. Normalizing to NFC before hashing closes the class at
+exact-dedup cost — the same motivation as whitespace/case
+normalization (`normalized_dup_groups`), one axis deeper.
+
+Spark has no Unicode-normalization built-in (SPARK-34111 area), so
+this is one of the few sanctioned Arrow-batch UDF hot paths in the
+package (the §2.9 rule: pandas/Arrow only, never row-at-a-time).
+``str.normalize`` is pandas' vectorized wrapper over the same
+``unicodedata`` tables, so the batch never drops to a Python-level
+per-row loop inside the worker either. Everything after the projected
+key is pure Catalyst: the usual partial+final hash aggregation, so at
+100 TB the shape is exact_dup_groups plus one Arrow pass.
+
+The DuckDB oracle replays the key with its native ``nfc_normalize``
+— two INDEPENDENT NFC implementations (CPython's unicodedata vs
+DuckDB's utf8proc) must agree on every digest for the value hash to
+match, which doubles as a conformance check on the normalizer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def make_nfc_udf():
+    """Arrow-batched NFC normalizer: NULL → NULL, '' → ''."""
+
+    @F.pandas_udf(T.StringType())
+    def nfc(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batch_iter:
+            yield texts.str.normalize("NFC")
+
+    return nfc
+
+
+def unicode_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "content") -> DataFrame:
+    """Groups of docs whose NFC forms are byte-identical.
+
+    Output one row per collided canonical form: (nfc_sha256, n_docs,
+    n_distinct_raw), HAVING n_docs > 1. ``n_distinct_raw > 1`` marks
+    exactly the groups byte-exact dedup would have MISSED — the
+    reporting split `normalized_dup_groups` uses. Shape: one Arrow
+    normalization pass + one partial+final hash aggregation; no join,
+    no window, nothing corpus-sized after the aggregation.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL folds to '':
+    # groupBy treats NULL keys as equal, so leaving NULL through would
+    # invent a "duplicate group" of unrelated NULL-text rows
+    norm = make_nfc_udf()(text)
+    return (
+        docs.select(F.sha2(norm, 256).alias("nfc_sha256"),
+                    F.sha2(text, 256).alias("_raw"))
+        .groupBy("nfc_sha256")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.count_distinct("_raw").cast("long").alias("n_distinct_raw"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1062,6 +1062,19 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "unicode_dedup_groups": [
+        # Spark has no NFC built-in, so this is a sanctioned
+        # Arrow-batch UDF hot path (§2.9) — assert the FORM, not
+        # absence: Arrow yes, row-at-a-time never
+        ("normalization is Arrow-batched, never row-at-a-time",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("map-side partial aggregation before the one digest exchange",
+         lambda p: "partial_count" in p),
+        ("at most two exchanges — the (key, raw) distinct pre-shuffle "
+         "and the final group-by-digest shuffle (the standard "
+         "two-phase distinct-count shape)",
+         lambda p: len(re.findall(r"\(\d+\) Exchange", p)) <= 2),
+    ],
     "repo_canonicals": [
         # audited plan is post-checkpoint: the (repo, family, stats)
         # relation is localCheckpointed once for its two consumers

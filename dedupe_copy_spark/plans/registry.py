@@ -1898,6 +1898,51 @@ def normalized_dup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The same visible suffix in two canonically-equivalent encodings,
+# from explicit escapes so no editor/tool silently re-normalizes them.
+_NFC_COMPOSED = "caf\u00e9"      # precomposed U+00E9
+_NFC_DECOMPOSED = "cafe\u0301"   # e + combining acute U+0301
+
+
+@register("unicode_dedup_groups", FILES_CTE_SQL + f"""
+, seeded AS (
+  SELECT coalesce(content, '') ||
+         CASE WHEN substr(md5(repo || chr(0) || path), 1, 1)
+                   BETWEEN '0' AND '7'
+             THEN '{_NFC_COMPOSED}' ELSE '{_NFC_DECOMPOSED}' END AS content
+  FROM files
+)
+SELECT sha256(nfc_normalize(content)) AS nfc_sha256,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT sha256(content)) AS BIGINT) AS n_distinct_raw
+FROM seeded GROUP BY 1 HAVING count(*) > 1
+""")
+def unicode_dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-canonicalization dedup: files identical after Unicode NFC
+    normalization group together even when their raw bytes differ
+    (precomposed vs combining-mark encodings of the same text — the
+    mixed-CMS / mac-NFD leak byte dedup misses). The corpus is ASCII,
+    so every file is seeded with the SAME visible 'cafe' suffix in
+    composed (U+00E9) or decomposed (U+0065+U+0301) form chosen by an
+    md5 coin flip on the file identity: a repo/mirror dup group whose
+    members draw both forms MUST collapse under NFC while its raw
+    digests stay distinct (n_distinct_raw > 1 — non-vacuity pinned in
+    tests/test_unicode_norm.py). The oracle recomputes every key with
+    DuckDB's independent utf8proc NFC — the value hash doubles as a
+    normalizer conformance check against CPython's unicodedata."""
+    from dedupe_copy_spark.operators.unicode_norm import unicode_dup_groups
+
+    files = files_from_documents(spark, sf_dir)
+    coin = F.substring(
+        F.md5(F.concat_ws("\x00", F.col("repo"), F.col("path"))), 1, 1)
+    seeded = files.select(
+        F.concat(
+            F.coalesce(F.col("content"), F.lit("")),
+            F.when(coin.rlike("[0-7]"), F.lit(_NFC_COMPOSED))
+            .otherwise(F.lit(_NFC_DECOMPOSED))).alias("content"))
+    return unicode_dup_groups(seeded)
+
+
 @register("repo_dup_stats", FILES_CTE_SQL + """
 , keyed AS (
   SELECT repo, length(content) AS sz,
@@ -6767,8 +6812,9 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # and the round-4 session-3 additions: fork_pairs_sketch,
     # unreferenced_files, license_header_strip, fork_clusters,
     # near_dedupe_weights, fork_pairs_type2, plus session-4:
-    # ccnet_buckets, comment_density, repo_canonicals)
-    # has no driver-green row — round 5 must move those ~45 names to
+    # ccnet_buckets, comment_density, repo_canonicals,
+    # unicode_dedup_groups)
+    # has no driver-green row — round 5 must move those ~46 names to
     # the head of this list.
 ]
 

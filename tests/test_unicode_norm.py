@@ -1,0 +1,65 @@
+"""NFC-canonicalization dedup (operators/unicode_norm.py)."""
+
+import unicodedata
+
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.unicode_norm import (make_nfc_udf,
+                                                      unicode_dup_groups)
+
+COMPOSED = "na\u00efve caf\u00e9"        # precomposed
+DECOMPOSED = "nai\u0308ve cafe\u0301"    # combining marks
+ANGSTROM = "\u212b"                       # angstrom sign
+A_RING = "\u00c5"                         # letter A with ring
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_canonically_equal_docs_collapse(spark):
+    assert COMPOSED != DECOMPOSED
+    assert unicodedata.normalize("NFC", DECOMPOSED) == COMPOSED
+    rows = [(1, COMPOSED), (2, DECOMPOSED), (3, ANGSTROM), (4, A_RING),
+            (5, "unrelated"), (6, "unrelated"), (7, "solo")]
+    out = unicode_dup_groups(_docs(spark, rows)).collect()
+    got = [(r.n_docs, r.n_distinct_raw) for r in out]
+    # composed/decomposed pair + angstrom/A-ring pair: 2 raw digests
+    # each; the byte-identical 'unrelated' pair: 1 raw digest
+    assert sorted(got) == [(2, 1), (2, 2), (2, 2)]
+    # singleton never appears
+    assert all(r.n_docs > 1 for r in out)
+
+
+def test_nulls_and_empties_fold_together_without_false_groups(spark):
+    rows = [(1, None), (2, ""), (3, "x")]
+    out = unicode_dup_groups(_docs(spark, rows)).collect()
+    # NULL folds to '' by contract -> one group of the two empty docs
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].n_distinct_raw == 1
+
+
+def test_udf_matches_unicodedata_and_is_arrow_batched(spark):
+    df = _docs(spark, [(1, DECOMPOSED), (2, None), (3, "plain")])
+    vals = {r.doc_id: r.n for r in df.select(
+        "doc_id", make_nfc_udf()(F.col("content")).alias("n")).collect()}
+    assert vals[1] == COMPOSED
+    assert vals[2] is None
+    assert vals[3] == "plain"
+    plan = unicode_dup_groups(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in plan       # the sanctioned UDF form
+    assert "BatchEvalPython" not in plan   # never row-at-a-time
+    assert "partial_count" in plan         # map-side combine survives
+
+
+def test_registry_seeding_is_non_vacuous(spark):
+    """At sf0.001 the seeded composed/decomposed suffixes must make at
+    least one exact-dup group collapse across parities — otherwise the
+    registered query degenerates to byte dedup and proves nothing."""
+    from dedupe_copy_spark.plans.registry import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["unicode_dedup_groups"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert any(r.n_distinct_raw > 1 for r in rows)
+    assert all(r.n_docs > 1 for r in rows)
