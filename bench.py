@@ -218,6 +218,8 @@ HEADLINE = [
     "repo_canonicals",
     # round 4 session 4: NFC-canonicalization dedup (Arrow NFC pass)
     "unicode_dedup_groups",
+    # round 4 session 4: tabs/spaces/mixed indentation profile
+    "indentation_profile",
 ]
 
 

@@ -366,6 +366,69 @@ def comment_density(docs: DataFrame, id_col: str = "doc_id",
         .alias("keep"))
 
 
+def indentation_profile(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Indentation-style profile per source file — the normalization
+    signal that explains why byte dedup misses reformatted clones
+    (tabs→spaces conversion is the single most common whole-file
+    rewrite) and the hygiene gate editorconfig-style pipelines filter
+    on (mixed tab/space leading runs break Python outright).
+
+    Exact integer line counters, all from one split + anchored-regex
+    classification in the Java-regex ∩ RE2 dialect:
+
+      - ``n_tab_lines`` / ``n_space_lines``: lines whose leading
+        whitespace starts with a tab / a space;
+      - ``n_mixed_lines``: spaces-then-tab leading runs (the malformed
+        class — a tab after spaces has no well-defined column);
+      - ``n_two_space`` / ``n_four_space``: exactly-2 / exactly-4
+        space indents followed by a non-space (depth-1 evidence the
+        unit inference votes on);
+
+    and two verdicts: ``indent_style`` ('tabs' / 'spaces' / 'mixed' /
+    'none' by which side has strictly more lines, 'mixed' when both
+    appear and tie) and ``inferred_unit`` (4 iff four-space depth-1
+    evidence strictly beats two-space, else 2 when any space evidence
+    exists, else 0 — fixed priority, no data-order dependence). Pure
+    codegen map-only scan; DuckDB replays every counter and both CASE
+    ladders bit-for-bit."""
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    n_chars = F.length(text)
+    lines = F.split(text, "\n", -1)
+    cnt = (lambda pat: F.size(F.filter(lines, lambda l: l.rlike(pat))))
+
+    staged = docs.select(
+        F.col(id_col),
+        F.when(n_chars == 0, F.lit(0)).otherwise(F.size(lines))
+        .cast("long").alias("n_lines"),
+        F.when(n_chars == 0, F.lit(0)).otherwise(cnt("^\\t"))
+        .cast("long").alias("n_tab_lines"),
+        F.when(n_chars == 0, F.lit(0)).otherwise(cnt("^ "))
+        .cast("long").alias("n_space_lines"),
+        F.when(n_chars == 0, F.lit(0)).otherwise(cnt("^ +\\t"))
+        .cast("long").alias("n_mixed_lines"),
+        F.when(n_chars == 0, F.lit(0)).otherwise(cnt("^  [^ ]"))
+        .cast("long").alias("n_two_space"),
+        F.when(n_chars == 0, F.lit(0)).otherwise(cnt("^    [^ ]"))
+        .cast("long").alias("n_four_space"))
+
+    tabs, spaces = F.col("n_tab_lines"), F.col("n_space_lines")
+    style = (
+        F.when((tabs == 0) & (spaces == 0), F.lit("none"))
+        .when((F.col("n_mixed_lines") > 0) | ((tabs > 0) & (tabs == spaces)),
+              F.lit("mixed"))
+        .when(tabs > spaces, F.lit("tabs"))
+        .when(spaces > tabs, F.lit("spaces"))
+        .otherwise(F.lit("mixed")))
+    unit = (
+        F.when(spaces == 0, F.lit(0))
+        .when(F.col("n_four_space") > F.col("n_two_space"), F.lit(4))
+        .otherwise(F.lit(2)))
+    return staged.select(
+        "*", style.alias("indent_style"),
+        unit.cast("long").alias("inferred_unit"))
+
+
 # extension → source language (the code-corpus slice of the reference's
 # extension normalization, utils.py:89-99, promoted to a language label)
 EXT_LANG: tuple[tuple[str, str], ...] = (

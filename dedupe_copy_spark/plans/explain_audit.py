@@ -1062,6 +1062,14 @@ CHECKS = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p),
     ],
+    "indentation_profile": [
+        ("pure codegen scan — zero exchanges, no python",
+         lambda p: "Exchange" not in p and "EvalPython" not in p),
+        ("column-pruned scan (only doc_id, text read)",
+         lambda p: re.search(
+             r"ReadSchema: struct<doc_id:bigint,text:string>", p)
+         or re.search(r"ReadSchema: struct<text:string,doc_id:bigint>", p)),
+    ],
     "unicode_dedup_groups": [
         # Spark has no NFC built-in, so this is a sanctioned
         # Arrow-batch UDF hot path (§2.9) — assert the FORM, not

@@ -1943,6 +1943,79 @@ def unicode_dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unicode_dup_groups(seeded)
 
 
+@register("indentation_profile", r"""
+WITH seeded AS (
+  SELECT doc_id, coalesce(text, '') ||
+    CASE doc_id % 7
+      WHEN 0 THEN chr(10)||chr(9)||'x'||chr(10)||chr(9)||'y'
+      WHEN 1 THEN chr(10)||'  a'||chr(10)||'  b'
+      WHEN 2 THEN chr(10)||'    a'||chr(10)||'    b'
+      WHEN 3 THEN chr(10)||' '||chr(9)||'z'
+      WHEN 4 THEN chr(10)||chr(9)||'x'||chr(10)||' x'
+      ELSE ''
+    END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, str_split(t, chr(10)) AS lines FROM seeded
+), counted AS (
+  SELECT doc_id,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(lines) END
+         AS BIGINT) AS n_lines,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(list_filter(lines,
+         l -> regexp_matches(l, '^\t'))) END AS BIGINT) AS n_tab_lines,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(list_filter(lines,
+         l -> regexp_matches(l, '^ '))) END AS BIGINT) AS n_space_lines,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(list_filter(lines,
+         l -> regexp_matches(l, '^ +\t'))) END AS BIGINT)
+      AS n_mixed_lines,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(list_filter(lines,
+         l -> regexp_matches(l, '^  [^ ]'))) END AS BIGINT)
+      AS n_two_space,
+    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(list_filter(lines,
+         l -> regexp_matches(l, '^    [^ ]'))) END AS BIGINT)
+      AS n_four_space
+  FROM base
+)
+SELECT doc_id, n_lines, n_tab_lines, n_space_lines, n_mixed_lines,
+  n_two_space, n_four_space,
+  CASE WHEN n_tab_lines = 0 AND n_space_lines = 0 THEN 'none'
+       WHEN n_mixed_lines > 0
+            OR (n_tab_lines > 0 AND n_tab_lines = n_space_lines)
+         THEN 'mixed'
+       WHEN n_tab_lines > n_space_lines THEN 'tabs'
+       WHEN n_space_lines > n_tab_lines THEN 'spaces'
+       ELSE 'mixed' END AS indent_style,
+  CAST(CASE WHEN n_space_lines = 0 THEN 0
+            WHEN n_four_space > n_two_space THEN 4
+            ELSE 2 END AS BIGINT) AS inferred_unit
+FROM counted
+""")
+def indentation_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indentation-style profile — tabs/spaces/mixed verdicts and the
+    inferred space unit per file, the normalization signal behind the
+    tabs→spaces reformatted-clone miss class and the editorconfig-style
+    hygiene gate. The ASCII corpus is seeded per doc_id residue so
+    every branch fires on its own class: tab-indented, 2-space,
+    4-space, spaces-then-tab malformed, and tab/space tie. Exact
+    integer counters, fixed-priority CASE ladders — pure codegen
+    map-only scan; DuckDB replays every counter and verdict."""
+    from dedupe_copy_spark.operators.textstats import indentation_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id") % 7
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(did == 0, F.lit("\n\tx\n\ty"))
+            .when(did == 1, F.lit("\n  a\n  b"))
+            .when(did == 2, F.lit("\n    a\n    b"))
+            .when(did == 3, F.lit("\n \tz"))
+            .when(did == 4, F.lit("\n\tx\n x"))
+            .otherwise(F.lit(""))).alias("text"))
+    return indentation_profile(seeded)
+
+
 @register("repo_dup_stats", FILES_CTE_SQL + """
 , keyed AS (
   SELECT repo, length(content) AS sz,
@@ -6813,8 +6886,8 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # unreferenced_files, license_header_strip, fork_clusters,
     # near_dedupe_weights, fork_pairs_type2, plus session-4:
     # ccnet_buckets, comment_density, repo_canonicals,
-    # unicode_dedup_groups)
-    # has no driver-green row — round 5 must move those ~46 names to
+    # unicode_dedup_groups, indentation_profile)
+    # has no driver-green row — round 5 must move those ~47 names to
     # the head of this list.
 ]
 

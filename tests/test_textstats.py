@@ -293,3 +293,53 @@ class TestCommentDensity:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestIndentationProfile:
+    def _ip(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r.asDict()
+                for r in textstats.indentation_profile(df).collect()}
+
+    def test_styles_and_units(self, spark):
+        got = self._ip(spark, [
+            (0, "def f():\n\treturn 1\n\tpass\n"),          # tabs
+            (1, "def f():\n  a = 1\n  return a\n"),         # 2-space
+            (2, "def f():\n    a = 1\n    return a\n"),     # 4-space
+            (3, "def f():\n \tbroken\n"),                   # space-then-tab
+            (4, "a\n\tx\n y\n"),                            # 1:1 tie
+            (5, "flat\nno indent\n"),
+            (6, ""), (7, None),
+        ])
+        assert got[0]["indent_style"] == "tabs"
+        assert got[0]["n_tab_lines"] == 2 and got[0]["inferred_unit"] == 0
+        assert got[1]["indent_style"] == "spaces"
+        assert got[1]["inferred_unit"] == 2 and got[1]["n_two_space"] == 2
+        assert got[2]["indent_style"] == "spaces"
+        assert got[2]["inferred_unit"] == 4 and got[2]["n_four_space"] == 2
+        assert got[3]["indent_style"] == "mixed"
+        assert got[3]["n_mixed_lines"] == 1
+        assert got[4]["indent_style"] == "mixed"   # both present, tied
+        assert got[5]["indent_style"] == "none"
+        for k in (6, 7):
+            assert got[k]["indent_style"] == "none"
+            assert got[k]["n_lines"] == 0 and got[k]["inferred_unit"] == 0
+
+    def test_majority_wins_when_both_clean(self, spark):
+        # 2 tab lines vs 1 space line, no mixed runs -> tabs by majority
+        got = self._ip(spark, [(1, "a\n\tx\n\ty\n z\n")])
+        assert got[1]["indent_style"] == "tabs"
+        assert got[1]["n_tab_lines"] == 2 and got[1]["n_space_lines"] == 1
+
+    def test_deeper_nesting_still_counts_unit_evidence_once(self, spark):
+        # depth-2 eight-space lines don't match the exactly-4 pattern
+        got = self._ip(spark, [(1, "def f():\n    if x:\n        y()\n")])
+        assert got[1]["n_four_space"] == 1
+        assert got[1]["inferred_unit"] == 4 or got[1]["n_two_space"] >= 1
+
+    def test_map_only_codegen_plan(self, spark):
+        df = spark.createDataFrame([(1, "\tx\n")], "doc_id long, text string")
+        plan = textstats.indentation_profile(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
