@@ -6787,108 +6787,65 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # set fills the window, anchored by four SURVEY §2 staples that were green in
 # CORRECTNESS_r01..r03 (a round-over-round regression signal).
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # The driver samples the first ~50 registered queries. Round 3
-    # checked 50; this list puts the EXACT complement (the 50 queries
-    # with no driver-green row yet) inside the round-4 window, so the
-    # union of CORRECTNESS_r03 + r04 covers all 100 registered
-    # queries. The §2 anchors (exact_dup_groups, collision_report,
-    # minhash_near_pairs, dedupe_clusters) follow at positions 51+ and
-    # rotate back in next round for the cross-round regression signal.
-    # round-4 additions (never driver-checked by construction)
-    "ignore_old_collisions",
-    "fs_collision_report",
-    "session_durations",
-    "robots_gate",
-    "move_reconcile",
-    "media_resize_dedupe",
-    "media_frame_pairs",
-    "url_canonicalize",
-    # round-4 closing additions: tree/commit + UniMax operators
-    "dir_dup_groups",
-    "head_snapshot",
-    "commit_churn",
-    "unimax_allocation",
-    # round-4 late additions (registered after the first window reorder,
-    # so never driver-checked by construction): the newest, highest-risk
-    # operators take window slots ahead of simple scan-shaped queries
-    "cluster_split",
-    "nb_classify",
-    "clone_groups_type1",
-    "clone_groups_type2",
-    "eval_carve",
-    "weighted_sample",
-    "eval_decontaminate",
-    "sequence_packing",
-    "sequence_assembly",
-    "dsir_weights",
-    "dsir_select",
-    "domain_frequency_cap",
-    # the queries registered after the round-3 window closed
-    "fork_pairs",
-    "ivf_topk",
-    "ivf_pq_topk",
-    "pq_topk",
-    "semdedup_prune",
-    "dup_span_stats",
-    "contamination_check",
-    "domain_mix_sample",
-    "tfidf_top_terms",
-    "encoding_sanity",
-    "url_scan",
-    "license_scan",
-    "secret_scan",
-    "line_dedup",
-    "span_dedup",
-    "gopher_repetition",
-    "shard_packing",
-    "token_percentiles_approx",
-    "cdc_chunks",
-    "cdc_shared_pairs",
-    "ctph_signatures",
-    "cdc_dedup_ratio",
-    "lm_perplexity",
-    "bpe_encode_contract",
-    "char_entropy",
-    "sessionize_events",
-    "common_ngrams",
+    # ROUND-5 WINDOW (set 2026-08-20): the driver samples the first ~50
+    # registered queries.  Rounds 1-4 cumulatively drove 105 of the 148
+    # registered queries green; the 43 names below are the exact
+    # complement (union of CORRECTNESS_r01..r04 keys vs registry order),
+    # so CORRECTNESS_r05 green rows here complete 148/148 cumulative
+    # driver coverage.  Seven SURVEY-S2 anchors (all green r03/r04)
+    # fill the window to 50 for the cross-round regression signal.
+    # -- never driver-checked (round-4 session additions + displaced) --
     "stratified_quality_sample",
     "ngram_novelty",
     "cluster_size_histogram",
-    # displaced to 51+ by the round-4 late additions: simple scan-shaped
-    # queries with the strongest local parity evidence — first in line
-    # for the round-5 window alongside the §2 anchors
-    "hash_sample",
     "dataset_split",
-    "quality_filter",
     "pii_redaction",
     "markup_extract",
     "embedding_sanity",
     "passage_chunks",
     "jsonl_roundtrip",
-    "snapshot_diff",
-    "token_percentiles",
     "cardinality_report",
     "cross_source_overlap",
-    # §2 anchors at 51+ — first in line for the round-5 re-check
+    "pair_precision_audit",
+    "near_dedupe_weights",
+    "media_clip_pairs",
+    "video_clip_pairs",
+    "unicode_dedup_groups",
+    "indentation_profile",
+    "license_header_strip",
+    "ccnet_buckets",
+    "comment_density",
+    "temperature_mix",
+    "vendored_digest_report",
+    "package_popularity",
+    "function_clone_groups",
+    "function_clone_pairs",
+    "type3_doc_pairs",
+    "import_depth_order",
+    "unreferenced_files",
+    "file_pagerank",
+    "notebook_cells",
+    "notebook_scripts",
+    "code_quality_gate",
+    "cms_heavy_grams",
+    "vocab_growth",
+    "repo_license_rollup",
+    "pipeline_funnel",
+    "lsh_calibration",
+    "lang_infer",
+    "dup_group_skew",
+    "fork_pairs_sketch",
+    "fork_clusters",
+    "repo_canonicals",
+    "fork_pairs_type2",
+    # -- S2 anchors, green in r03/r04, re-checked for regression --
     "exact_dup_groups",
     "collision_report",
     "minhash_near_pairs",
     "dedupe_clusters",
-    # ROUND-5 WINDOW TODO: everything from "hash_sample" down plus the
-    # session's post-window registrations (temperature_mix,
-    # vendored_digest_report, package_popularity, function_clone_groups,
-    # function_clone_pairs, type3_doc_pairs, pair_precision_audit,
-    # media_clip_pairs, video_clip_pairs, code_quality_gate,
-    # import_depth_order, cms_heavy_grams, vocab_growth, file_pagerank,
-    # notebook_cells, notebook_scripts, repo_license_rollup,
-    # pipeline_funnel, lsh_calibration, lang_infer, dup_group_skew,
-    # and the round-4 session-3 additions: fork_pairs_sketch,
-    # unreferenced_files, license_header_strip, fork_clusters,
-    # near_dedupe_weights, fork_pairs_type2, plus session-4:
-    # ccnet_buckets, comment_density, repo_canonicals,
-    # unicode_dedup_groups, indentation_profile)
-    # has no driver-green row — round 5 must move those ~47 names to
-    # the head of this list.
+    "keep_first_winners",
+    "containment_pairs",
+    "simhash_short_pairs",
 ]
 
 
