@@ -394,10 +394,18 @@ def main(argv: list[str] | None = None) -> int:
             exact.extension_report(hashed).write.mode("overwrite") \
                 .option("header", True).csv(f"{out}/extension_report")
         if args.fork_report:
-            exact.fork_pairs_sketch(hashed).write.mode("overwrite") \
+            # ONE sketch/estimator run feeds both outputs: checkpoint
+            # the pair relation, write it, and build the family
+            # labeling from the same relation (fork_clusters(hashed)
+            # would recompute the corpus-wide sketch from scratch)
+            fork_pairs = exact.fork_pairs_sketch(hashed).localCheckpoint()
+            fork_pairs.write.mode("overwrite") \
                 .parquet(f"{out}/fork_pairs")
-            exact.fork_clusters(hashed).write.mode("overwrite") \
-                .parquet(f"{out}/fork_families")
+            fork_nodes = (hashed.filter(~F.col("is_empty"))
+                          .select("repo").distinct())
+            exact.fork_clusters_from_pairs(
+                fork_pairs.select("repo_a", "repo_b"), fork_nodes) \
+                .write.mode("overwrite").parquet(f"{out}/fork_families")
         if args.export_manifest:
             from dedupe_copy_spark.sources.reference_manifest import (
                 write_reference_manifest,

@@ -792,12 +792,19 @@ def license_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# A leading run of comment lines: #, //, --, * continuation, or a
-# single-line /* ... */. Multi-line block comments whose interior lines
-# carry no leading marker are a documented miss (license headers almost
-# universally use ' * ' continuations). Java-regex ∩ RE2 dialect: no
-# lookaround, no backrefs, anchored at input start only.
-LICENSE_HEADER_RUN = r"^((?:[ \t]*(?:#|//|--|/?\*)[^\n]*\n)+)"
+# A leading run of comment lines: #, //, -- line comments, or a /*
+# block whose continuation lines start with '*' (including the closing
+# '*/'). Bare '*' lines are a continuation ONLY after an opening '/*'
+# — a Markdown bullet at file start is prose, not a comment header.
+# Multi-line block comments whose interior lines carry no leading
+# marker are a documented miss (license headers almost universally use
+# ' * ' continuations). Java-regex ∩ RE2 dialect: no lookaround, no
+# backrefs, anchored at input start only.
+LICENSE_HEADER_RUN = (r"^((?:[ \t]*(?:#|//|--)[^\n]*\n"
+                      r"|[ \t]*/\*[^\n]*\n(?:[ \t]*\*[^\n]*\n)*)+)")
+# An interpreter directive is not a comment: preserve it and look for
+# the header run immediately after it.
+SHEBANG_LINE = r"^(#![^\n]*\n)"
 LICENSE_HEADER_MARKERS = ("copyright", "license", "all rights reserved")
 
 
@@ -816,14 +823,18 @@ def strip_license_headers(docs: DataFrame,
     unbroken run of comment lines (LICENSE_HEADER_RUN), and that run
     contains a marker phrase (case-insensitive 'copyright', 'license',
     or 'all rights reserved') — so module docstrings and ordinary
-    leading comments survive untouched.
+    leading comments survive untouched. A shebang line is an
+    interpreter directive, not part of the header: it is preserved in
+    ``stripped`` and the run is matched immediately after it.
 
     Adds ``had_license_header``, ``header_lines``, ``removed_chars``,
     and ``stripped`` (the text with the header cut; unchanged text
-    otherwise). Pure codegen — one regexp_extract + contains chain +
+    otherwise). Pure codegen — two regexp_extracts + contains chain +
     substring, no shuffle, no Python."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    header = F.regexp_extract(text, LICENSE_HEADER_RUN, 1)
+    shebang = F.regexp_extract(text, SHEBANG_LINE, 1)
+    after_sb = F.substring(text, F.length(shebang) + 1, F.length(text))
+    header = F.regexp_extract(after_sb, LICENSE_HEADER_RUN, 1)
     low = F.lower(header)
     marked = None
     for m in LICENSE_HEADER_MARKERS:
@@ -839,8 +850,10 @@ def strip_license_headers(docs: DataFrame,
         .alias("header_lines"),
         F.when(had, F.length(header)).otherwise(F.lit(0)).cast("long")
         .alias("removed_chars"),
-        F.when(had, F.substring(text, F.length(header) + 1,
-                                F.length(text)))
+        F.when(had, F.concat(
+            shebang,
+            F.substring(after_sb, F.length(header) + 1,
+                        F.length(text))))
         .otherwise(text).alias("stripped"))
 
 

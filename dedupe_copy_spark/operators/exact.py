@@ -583,12 +583,26 @@ def fork_clusters(hashed: DataFrame, k: int = 128,
     Shape: fork_pairs_sketch (all k-bounded) → CC on a repo-pair-sized
     edge relation → two repo-sized joins + one repo-keyed window.
     """
-    from dedupe_copy_spark.operators.cc import connected_components
-
-    rid = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10)  # noqa: E731
     pairs = (fork_pairs_sketch(hashed, k=k, threshold=threshold,
                                max_hash_repos=max_hash_repos)
              .select("repo_a", "repo_b").localCheckpoint())
+    nodes = (hashed.filter(~F.col("is_empty"))
+             .select("repo").distinct())
+    return fork_clusters_from_pairs(pairs, nodes)
+
+
+def fork_clusters_from_pairs(pairs: DataFrame,
+                             nodes: DataFrame) -> DataFrame:
+    """The CC + labeling tail of :func:`fork_clusters` over a PREBUILT
+    (repo_a, repo_b) fork-pair relation and a (repo) node relation —
+    the entry point callers that already hold the pair relation use
+    (cli --fork-report writes pairs AND families from ONE sketch run;
+    streaming maintenance evaluates families as-of a batch). ``pairs``
+    should be materialized (localCheckpoint / written parquet): the CC
+    loop and the name join both consume it."""
+    from dedupe_copy_spark.operators.cc import connected_components
+
+    rid = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10)  # noqa: E731
     edges = pairs.select(rid(F.col("repo_a")).cast("long").alias("src"),
                          rid(F.col("repo_b")).cast("long").alias("dst"))
     asg = connected_components(edges)
@@ -601,8 +615,6 @@ def fork_clusters(hashed: DataFrame, k: int = 128,
     lab = joined.groupBy("cluster_id").agg(
         F.min("repo").alias("cluster_repo"))
     labeled = joined.join(lab, "cluster_id").select("repo", "cluster_repo")
-    nodes = (hashed.filter(~F.col("is_empty"))
-             .select("repo").distinct())
     assigned = (nodes.join(labeled, "repo", "left")
                 .select("repo", F.coalesce("cluster_repo", "repo")
                         .alias("cluster_repo")))

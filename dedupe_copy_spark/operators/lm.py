@@ -190,8 +190,11 @@ def ppl_buckets(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
 
     1. per-doc score quantized to integer millinats:
        ``nll_milli = (-sum_lp) div (n_bigrams*1000)`` — exact integer
-       division of the order-independent micro-nat sum (docs with no
-       bigrams score 0);
+       division of the order-independent micro-nat sum. Docs with no
+       bigrams (empty/1-char/NULL text) carry no quality evidence at
+       all, so they are EXCLUDED from the histogram and routed to a
+       sentinel ``empty`` bucket — scoring them 0 would pile mass at
+       the best-quality end and shift their language's tercile cuts;
     2. a (lang, nll_milli) value histogram — bounded by the score
        RANGE (~10⁴ distinct millinat values per language regardless of
        corpus size), map-side combinable;
@@ -229,8 +232,9 @@ def ppl_buckets(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
     if materialize:
         per_doc = per_doc.localCheckpoint()
 
-    vals = per_doc.groupBy("lang", "nll_milli").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
+    vals = per_doc.filter(F.col("n_bigrams") > 0) \
+        .groupBy("lang", "nll_milli").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"))
     w_cum = (Window.partitionBy("lang").orderBy("nll_milli")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_all = Window.partitionBy("lang")
@@ -244,8 +248,11 @@ def ppl_buckets(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
         F.min(F.when(F.col("cum") * 3 >= F.col("n") * 2, F.col("nll_milli")))
         .alias("t_mid"))
 
-    return per_doc.join(F.broadcast(cuts), "lang").select(
+    # left join: a language whose docs are ALL empty has no histogram
+    # row and no cuts — its docs still surface, in the sentinel bucket
+    return per_doc.join(F.broadcast(cuts), "lang", "left").select(
         id_col, "lang", "nll_milli", "n_bigrams",
-        F.when(F.col("nll_milli") <= F.col("t_head"), F.lit("head"))
+        F.when(F.col("n_bigrams") == 0, F.lit("empty"))
+        .when(F.col("nll_milli") <= F.col("t_head"), F.lit("head"))
         .when(F.col("nll_milli") <= F.col("t_mid"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("ppl_bucket"))

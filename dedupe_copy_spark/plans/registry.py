@@ -1392,14 +1392,25 @@ def snapshot_pinned_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed): v1 commits the even doc_ids, v2 appends the odd ones, and
     the read PINNED to v1 must return exactly v1's rows despite the
     later append — which is what lets every stage of a resumed run
-    consume the same immutable input the first attempt saw."""
+    consume the same immutable input the first attempt saw.
+
+    Scratch space is a FIXED per-sf path under the system tempdir,
+    cleared and rebuilt each run, so repeated bench/correctness runs
+    reuse one directory instead of accumulating mkdtemp leftovers
+    (same pattern as jsonl_roundtrip)."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from dedupe_copy_spark.sources import snapshots
 
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "lang", "source")
-    table_dir = tempfile.mkdtemp(prefix="snap_table_")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    table_dir = f"{tempfile.gettempdir()}/snap_table_{tag}"
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.makedirs(table_dir, exist_ok=True)
     v1 = snapshots.append_snapshot(
         docs.filter(F.col("doc_id") % 2 == 0), table_dir)
     snapshots.append_snapshot(
@@ -3185,13 +3196,16 @@ def license_scan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _strip_header_sql() -> str:
     from dedupe_copy_spark.operators.corpus import (LICENSE_HEADER_MARKERS,
-                                                    LICENSE_HEADER_RUN)
+                                                    LICENSE_HEADER_RUN,
+                                                    SHEBANG_LINE)
 
     marks = " OR ".join(f"contains(lower(hdr), '{m}')"
                         for m in LICENSE_HEADER_MARKERS)
     return f"""
 WITH seeded AS (
   SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN '#!/usr/bin/env python' || chr(10) ELSE '' END ||
          CASE WHEN doc_id % 3 = 0 THEN
                 CASE WHEN doc_id % 2 = 0
                   THEN '# Copyright (c) 2019 Example Corp' || chr(10)
@@ -3207,12 +3221,17 @@ WITH seeded AS (
   FROM documents
 ), cut AS (
   SELECT doc_id, text,
-         regexp_extract(text, '{LICENSE_HEADER_RUN}', 1) AS hdr
+         regexp_extract(text, '{SHEBANG_LINE}', 1) AS sb
   FROM seeded
-), judged AS (
-  SELECT doc_id, text, hdr,
-         hdr <> '' AND ({marks}) AS had
+), cut2 AS (
+  SELECT doc_id, text, sb,
+         regexp_extract(substr(text, length(sb) + 1),
+                        '{LICENSE_HEADER_RUN}', 1) AS hdr
   FROM cut
+), judged AS (
+  SELECT doc_id, text, sb, hdr,
+         hdr <> '' AND ({marks}) AS had
+  FROM cut2
 ), applied AS (
   SELECT doc_id, had AS had_license_header,
          CAST(CASE WHEN had THEN length(hdr)
@@ -3220,7 +3239,8 @@ WITH seeded AS (
            AS header_lines,
          CAST(CASE WHEN had THEN length(hdr) ELSE 0 END AS BIGINT)
            AS removed_chars,
-         CASE WHEN had THEN substr(text, length(hdr) + 1)
+         CASE WHEN had
+              THEN sb || substr(text, length(sb) + length(hdr) + 1)
               ELSE text END AS stripped
   FROM judged
 )
@@ -3237,10 +3257,12 @@ def license_header_strip_query(spark: SparkSession,
     """Leading license-header removal over deterministically seeded
     docs: %3 residues get a two-line #/// copyright run (marker style
     by parity), %5 a single-line /* */ copyright block, %7 a
-    marker-FREE comment run that must survive untouched — exercising
-    both strip branches, the marker gate, and the no-op path. The
-    oracle replays the run regex, marker chain, line/char accounting,
-    and the sha256 of every stripped text."""
+    marker-FREE comment run that must survive untouched, and %4==1
+    rows additionally open with a shebang line that must be PRESERVED
+    through the strip — exercising both strip branches, the marker
+    gate, the shebang carve-out, and the no-op path. The oracle
+    replays the shebang + run regexes, marker chain, line/char
+    accounting, and the sha256 of every stripped text."""
     from dedupe_copy_spark.operators.corpus import strip_license_headers
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3256,9 +3278,12 @@ def license_header_strip_query(spark: SparkSession,
         .when(did % 7 == 0, F.lit("// utility helpers\n"
                                   "// grouped by topic\n"))
         .otherwise(F.lit("")))
+    sb = F.when(did % 4 == 1, F.lit("#!/usr/bin/env python\n")) \
+        .otherwise(F.lit(""))
     seeded = docs.select(
         "doc_id",
-        F.concat(hdr, F.coalesce(F.col("text"), F.lit(""))).alias("text"))
+        F.concat(sb, hdr,
+                 F.coalesce(F.col("text"), F.lit(""))).alias("text"))
     return strip_license_headers(seeded).select(
         "doc_id", "had_license_header", "header_lines", "removed_chars",
         F.length("stripped").cast("long").alias("stripped_len"),
@@ -4133,7 +4158,7 @@ WITH norm AS (
   FROM documents d LEFT JOIN agg a USING (doc_id)
 ), vals AS (
   SELECT lang, nll_milli, CAST(count(*) AS BIGINT) AS cnt
-  FROM perdoc GROUP BY lang, nll_milli
+  FROM perdoc WHERE n_bigrams > 0 GROUP BY lang, nll_milli
 ), cum AS (
   SELECT lang, nll_milli,
          SUM(cnt) OVER (PARTITION BY lang ORDER BY nll_milli) AS cum,
@@ -4146,10 +4171,11 @@ WITH norm AS (
   FROM cum GROUP BY lang
 )
 SELECT p.doc_id, p.lang, p.nll_milli, p.n_bigrams,
-       CASE WHEN p.nll_milli <= c.t_head THEN 'head'
+       CASE WHEN p.n_bigrams = 0 THEN 'empty'
+            WHEN p.nll_milli <= c.t_head THEN 'head'
             WHEN p.nll_milli <= c.t_mid THEN 'middle'
             ELSE 'tail' END AS ppl_bucket
-FROM perdoc p JOIN cuts c USING (lang)
+FROM perdoc p LEFT JOIN cuts c USING (lang)
 """)
 def ccnet_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity terciles per language (Wenzek

@@ -42,6 +42,8 @@ corpora (file deletions would need retractions; none exist here).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -154,12 +156,38 @@ class IncrementalForkIndex:
 
     # -- maintenance ------------------------------------------------------
 
+    @staticmethod
+    def _max_batch(path: str) -> int | None:
+        """Newest batch_id partition of a store, from the directory
+        listing (driver-side, no Spark job); None when absent/empty."""
+        statestore.recover(path)
+        try:
+            ids = [int(d.split("=", 1)[1]) for d in os.listdir(path)
+                   if d.startswith("batch_id=")]
+        except FileNotFoundError:
+            return None
+        return max(ids, default=None)
+
     def compact(self, into_batch_id: int = -1) -> None:
         """Fold history into one base contribution per store — bounded
-        file counts, identical answers."""
-        dig = self._read(self.digests_path)
-        if dig is None:
+        file counts, identical answers.
+
+        The three writes in process_batch are sequential (digests →
+        counts → sketch), not atomic: a crash mid-batch leaves the
+        digests store ahead of the others (or the others absent
+        entirely). Compacting in that state would be WORSE than a
+        crash — folding the orphaned digests into the base partition
+        puts them in history-strictly-before-every-batch, so the
+        replayed batch anti-joins its rows away and the counts/sketch
+        contributions are lost permanently. Compaction therefore
+        proceeds only when all three stores exist and agree on their
+        newest batch_id; otherwise it is a no-op and the streaming
+        checkpoint's replay restores consistency first."""
+        tops = [self._max_batch(p) for p in
+                (self.digests_path, self.counts_path, self.sketch_path)]
+        if None in tops or len(set(tops)) != 1:
             return
+        dig = self._read(self.digests_path)
         statestore.compact_into(
             dig.select("repo", "h").distinct(), self.digests_path,
             f"{self.out_dir}/_digests_compact", into_batch_id)

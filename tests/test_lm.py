@@ -155,12 +155,39 @@ class TestPplBuckets:
             (1, "", None), (2, None, None), (3, "abcabc", "en"),
         ])
         out = {r.doc_id: r for r in ppl_buckets(docs, model).collect()}
-        # zero-bigram docs quantize to 0 (the lowest possible score) and
-        # NULL lang folds to 'und' rather than dropping rows
+        # zero-bigram docs carry no quality evidence: they land in the
+        # sentinel 'empty' bucket (NOT 'head' — scoring them 0 would
+        # shift the tercile cuts) and NULL lang folds to 'und' rather
+        # than dropping rows. 'und' here has ONLY empty docs, so it has
+        # no histogram rows and no cuts — the left join keeps its docs.
         for k in (1, 2):
             assert out[k].lang == "und" and out[k].nll_milli == 0
-            assert out[k].n_bigrams == 0 and out[k].ppl_bucket == "head"
+            assert out[k].n_bigrams == 0 and out[k].ppl_bucket == "empty"
         assert out[3].lang == "en" and out[3].ppl_bucket == "head"
+
+    def test_empty_docs_do_not_shift_cuts(self, spark):
+        from dedupe_copy_spark.operators.lm import ppl_buckets
+        fluent = "the cat sat on the mat and the dog ran to the log "
+        mixed = "the cat zq flew jx over kw the vast qv moon crater "
+        noise = "zq xj vk wz qz jx kv zw qx jz kx wv zj xq vq wk zx "
+        model = train_char_bigram_lm(
+            _docs(spark, [(i, fluent * 5) for i in range(20)]))
+        scored = [
+            *[(i, fluent * 3, "en") for i in range(3)],
+            *[(10 + i, mixed * 3, "en") for i in range(3)],
+            *[(20 + i, noise * 3, "en") for i in range(3)],
+        ]
+        empties = [(30 + i, "", "en") for i in range(9)]
+        base = {r.doc_id: r.ppl_bucket for r in
+                ppl_buckets(_lang_docs(spark, scored), model).collect()}
+        out = {r.doc_id: r.ppl_bucket for r in
+               ppl_buckets(_lang_docs(spark, scored + empties),
+                           model).collect()}
+        # a flood of empty docs leaves every scored doc's bucket alone
+        for k, b in base.items():
+            assert out[k] == b
+        for i in range(9):
+            assert out[30 + i] == "empty"
 
     def test_no_doc_sized_window_and_broadcast_cuts(self, spark):
         from dedupe_copy_spark.operators.lm import ppl_buckets

@@ -99,6 +99,30 @@ def test_compaction_preserves_answers(spark, tmp_path):
         spark, b0 + b1 + _repo_rows("q/c", a[:18]))
 
 
+def test_compact_survives_partial_batch_crash(spark, tmp_path):
+    """The three stores in process_batch are written sequentially, not
+    atomically: a crash after the digests write leaves counts/sketch
+    absent. compact() must skip the absent stores (not raise) and the
+    replayed batch must restore full answers on resume."""
+    import shutil
+
+    a = [f"w-{i}" for i in range(30)]
+    b0 = _repo_rows("v/a", a)
+    b1 = _repo_rows("v/b", a[:15])
+    job = _mk(spark, tmp_path, "fork_crash")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    # simulate the crash: batch 0's digests landed, counts/sketch never
+    shutil.rmtree(job.counts_path)
+    shutil.rmtree(job.sketch_path)
+    job.compact()          # must not raise on the absent stores
+    # the streaming-checkpoint replay of batch 0 restores both stores
+    job.process_batch(_files(spark, b0), batch_id=0)
+    job.process_batch(_files(spark, b1), batch_id=1)
+    assert _pairs(job.fork_pairs()) == _batch_answer(spark, b0 + b1)
+    counts = {r.repo: r.n_hashes for r in job.current_counts().collect()}
+    assert counts == {"v/a": 30, "v/b": 15}
+
+
 def test_e2e_readstream(spark, tmp_path):
     a = [f"s-{i}" for i in range(24)]
     src = tmp_path / "fork_src"

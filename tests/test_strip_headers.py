@@ -55,6 +55,31 @@ def test_header_normalizes_year_variants_to_one_digest(spark):
     assert rows[0].stripped == rows[1].stripped == body
 
 
+def test_shebang_preserved_through_strip(spark):
+    t = ("#!/usr/bin/env python\n"
+         "# Copyright (c) 2019 Corp\n"
+         "# MIT License\n"
+         "import os\n")
+    r = _run(spark, [t])[0]
+    assert r.had_license_header and r.header_lines == 2
+    assert r.stripped == "#!/usr/bin/env python\nimport os\n"
+    assert r.removed_chars == len(t) - len(r.stripped)
+
+
+def test_shebang_alone_is_not_a_header(spark):
+    t = "#!/bin/sh\necho license-check\n"
+    r = _run(spark, [t])[0]
+    assert not r.had_license_header and r.stripped == t
+
+
+def test_markdown_bullets_are_not_comment_lines(spark):
+    """A '*' line at file start is prose (a Markdown bullet), not a
+    block-comment continuation — it may only continue an opening /*."""
+    t = "* licensed produce\n* organic marketing copy\n\nBody text.\n"
+    r = _run(spark, [t])[0]
+    assert not r.had_license_header and r.stripped == t
+
+
 def test_null_and_empty_text(spark):
     rows = _run(spark, [None, ""])
     assert not rows[0].had_license_header and rows[0].stripped == ""
