@@ -220,6 +220,10 @@ HEADLINE = [
     "unicode_dedup_groups",
     # round 4 session 4: tabs/spaces/mixed indentation profile
     "indentation_profile",
+    # round 5: the end-to-end curation chain (ingest → hygiene →
+    # exact → near-dup CC → soft weights → cluster split → pack) as
+    # one instrumented relation — "the query that is the product"
+    "curation_funnel",
 ]
 
 

@@ -141,3 +141,205 @@ def pipeline_funnel(hashed: DataFrame,
             "CAST(floor((rows_in - rows_out) * 1000000.0 / "
             "greatest(rows_in, 1)) AS BIGINT) AS drop_micro")
     )
+
+
+CURATION_STAGES = ("ingest", "hygiene_gate", "exact_winner",
+                   "near_clusters", "soft_weights", "cluster_split",
+                   "pack")
+
+# hygiene gate defaults: credential material (the secret_scan family)
+# and mojibake (a replacement char means the decode already lost bytes)
+CURATION_SECRET_RUN = r"\bAKIA[0-9A-Z]{16}\b|\bghp_[A-Za-z0-9]{36}\b"
+
+
+def curation_funnel(files: DataFrame, cfg=None, *,
+                    secret_pattern: str = CURATION_SECRET_RUN,
+                    train_hex: str = "e6666666",
+                    seq_len: int = 512,
+                    jaccard_micro: int = 800_000) -> DataFrame:
+    """The WHOLE corpus-build chain as one instrumented relation:
+
+        ingest → hygiene gates → exact keep-first → near-dup clusters
+        → soft weights → cluster-safe train split → sequence packing
+
+    — the end-to-end composition a training-data pipeline actually
+    runs (the reference runs walk → hash → report → copy as one
+    program, run_dupe_copy core.py:754-944; this is that program
+    re-based on the LLM-curation stages), emitting one row per stage
+    with rows in/out, the drop rate, and the surviving TRAINING MASS
+    in integer micro-units. Rows and mass tell different stories:
+    hard gates drop rows; soft-dedup keeps every row but shrinks each
+    near-dup cluster's mass to one document's worth (w = 1e6/|C|);
+    packing reshapes documents into fixed-length sequences (the row
+    delta there is layout, not loss — mass carries through).
+
+    Stage semantics (every number exactly replayable in SQL):
+      s0 ingest         all file rows
+      s1 hygiene_gate   drop rows matching ``secret_pattern`` or
+                        containing U+FFFD (decode-loss marker)
+      s2 exact_winner   keep min composite key per content digest
+      s3 near_clusters  LSH candidates between winners, EXACT
+                        distinct-shingle Jaccard >= ``jaccard_micro``
+                        verify, connected components; no rows drop —
+                        clusters are labeled by min member key
+      s4 soft_weights   w_micro = 1e6 div |cluster|; mass = Σ w
+      s5 cluster_split  keep clusters with md5(cluster_key) <
+                        ``train_hex`` (leakage-safe: a near-dup pair
+                        can never straddle the split boundary)
+      s6 pack           rows_out = Σ(n_tokens+1) div ``seq_len`` —
+                        the GPT-style concat-and-chunk sequence count
+
+    Scale shape: the only corpus-sized wide ops are the digest
+    exchange the exact stage needs anyway and the LSH band exchange;
+    the exact-Jaccard verify touches CANDIDATE-sized data only (the
+    audit.sampled_pair_precision discipline applied to every emitted
+    pair — exact verification is affordable precisely because LSH
+    already cut the pair space), CC runs on the verified-edge
+    relation, and every later stage is winner-relation-sized. Each
+    stage boundary is localCheckpointed once (at production scale the
+    pipeline's parquet checkpoint stages play this role — the resume
+    contract), so no stage's lineage re-runs per consumer. The final
+    window orders SEVEN rows — not a data-sized sort. The exact
+    verify (not the signature estimate) also makes every count a pure
+    function of the input: DuckDB replays the whole funnel, CC
+    included, bit-for-bit.
+
+    Cluster node ids for the CC loop are 60-bit md5 prefixes of the
+    member key (collisions could only MERGE clusters; ~1e-13 at 10^3
+    winners, and still <1e-2 corpus-wide at 10^9 — the fork_clusters
+    bound); labels come back from the min STRING key per component,
+    so output never depends on the numeric ids.
+    """
+    from pyspark.sql import Window
+
+    from dedupe_copy_spark.config import DedupeConfig
+    from dedupe_copy_spark.operators import cc as ccm
+    from dedupe_copy_spark.operators import minhash as mh
+    from dedupe_copy_spark.operators.textstats import array_ngrams
+
+    cfg = cfg or DedupeConfig()
+    rid = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    content = F.coalesce(F.col("content"), F.lit(""))
+    key = F.concat_ws("|", "repo", "path", "commit")
+    base = files.select(key.alias("k"), content.alias("content"))
+
+    # s1: hygiene gates (pure codegen scan)
+    bad = (F.col("content").rlike(secret_pattern)
+           | F.col("content").contains("�"))
+    clean = base.filter(~bad).localCheckpoint()
+
+    # s2: exact keep-first winner per digest (content is constant
+    # within a digest group, so max() is deterministic in value)
+    winners = (clean.groupBy(F.sha2("content", 256).alias("_dg"))
+               .agg(F.min("k").alias("k"), F.max("content").alias("content"))
+               .drop("_dg")
+               .localCheckpoint())
+
+    # shared shingle relation: verify sides + the pack token counts
+    toks = F.regexp_extract_all(F.lower(F.col("content")),
+                                F.lit(r"[a-z0-9_]+"), 0)
+    grams = winners.select(
+        "k", F.size(toks).cast("long").alias("n_tokens"),
+        F.array_distinct(array_ngrams(toks, 3)).alias("g"),
+    ).localCheckpoint()
+
+    # s3: LSH candidates → exact-Jaccard verify → connected components
+    wid = winners.withColumn("file_id", rid(F.col("k")))
+    sigs = (mh.minhash_signatures(wid, cfg)
+            .select("file_id", "sig").localCheckpoint())
+    bandable = sigs.filter(
+        F.element_at("sig", 1) != F.lit(mh._SENTINEL))
+    cands = mh.candidate_pairs(mh.lsh_bands(bandable, cfg), cfg)
+    idmap = wid.select("file_id", "k")
+    ck = (cands
+          .join(idmap.select(F.col("file_id").alias("id_a"),
+                             F.col("k").alias("k_a")), "id_a")
+          .join(idmap.select(F.col("file_id").alias("id_b"),
+                             F.col("k").alias("k_b")), "id_b"))
+    ga = grams.select(F.col("k").alias("k_a"), F.col("g").alias("_ga"))
+    gb = grams.select(F.col("k").alias("k_b"), F.col("g").alias("_gb"))
+    j_micro = F.floor(
+        F.size(F.array_intersect("_ga", "_gb")).cast("double")
+        / F.greatest(F.size(F.array_union("_ga", "_gb")),
+                     F.lit(1)).cast("double")
+        * F.lit(float(MICRO))).cast("long")
+    edges = (ck.join(ga, "k_a").join(gb, "k_b")
+             .filter(j_micro >= F.lit(int(jaccard_micro)))
+             .select("k_a", "k_b")
+             .localCheckpoint())
+    asg = ccm.connected_components(
+        edges.select(rid(F.col("k_a")).alias("src"),
+                     rid(F.col("k_b")).alias("dst")), cfg)
+    names = (edges.select(F.col("k_a").alias("k"))
+             .unionByName(edges.select(F.col("k_b").alias("k")))
+             .distinct()
+             .withColumn("nid", rid(F.col("k"))))
+    lbl = names.join(asg, names["nid"] == asg["file_id"]) \
+        .select("k", "cluster_id")
+    labels = lbl.groupBy("cluster_id").agg(F.min("k").alias("cluster_key"))
+    kl = lbl.join(labels, "cluster_id").select("k", "cluster_key")
+    clustered = (grams.select("k", "n_tokens")
+                 .join(kl, "k", "left")
+                 .withColumn("cluster_key",
+                             F.coalesce("cluster_key", F.col("k")))
+                 .localCheckpoint())
+
+    # s4: soft weights from cluster sizes (winner-relation-sized agg)
+    sizes = clustered.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).cast("long").alias("_csize"))
+    weighted = (clustered.join(sizes, "cluster_key")
+                .withColumn("w_micro",
+                            F.expr(f"CAST({MICRO} div _csize AS BIGINT)"))
+                .localCheckpoint())
+
+    # s5: leakage-safe split — membership is a pure function of the
+    # CLUSTER key, so near-dups move together
+    train = weighted.filter(F.md5("cluster_key") < F.lit(train_hex))
+
+    def stage_row(idx: int, name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("_rows").cast("long").alias("rows_out"),
+            F.col("_mass").cast("long").alias("mass_out_micro"))
+
+    def count_mass(df: DataFrame) -> DataFrame:
+        n = F.count(F.lit(1)).cast("long")
+        return df.agg(n.alias("_rows"), (n * MICRO).alias("_mass"))
+
+    def weight_mass(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("_rows"),
+            F.coalesce(F.sum("w_micro"), F.lit(0)).cast("long")
+            .alias("_mass"))
+
+    packed = train.agg(
+        F.expr(f"CAST(coalesce(sum(n_tokens + 1), 0) div {int(seq_len)} "
+               "AS BIGINT)").alias("_rows"),
+        F.coalesce(F.sum("w_micro"), F.lit(0)).cast("long").alias("_mass"))
+
+    u = (stage_row(0, CURATION_STAGES[0], count_mass(base))
+         .unionByName(stage_row(1, CURATION_STAGES[1], count_mass(clean)))
+         .unionByName(stage_row(2, CURATION_STAGES[2], count_mass(winners)))
+         .unionByName(stage_row(3, CURATION_STAGES[3],
+                                count_mass(clustered)))
+         .unionByName(stage_row(4, CURATION_STAGES[4],
+                                weight_mass(weighted)))
+         .unionByName(stage_row(5, CURATION_STAGES[5],
+                                weight_mass(train)))
+         .unionByName(stage_row(6, CURATION_STAGES[6], packed)))
+    # seven rows — the one place a global window is exactly right
+    rows_in = F.coalesce(
+        F.lag("rows_out").over(Window.orderBy("stage_idx")),
+        F.col("rows_out"))
+    return u.select(
+        "stage_idx", "stage", rows_in.alias("rows_in"), "rows_out",
+        "mass_out_micro",
+    ).selectExpr(
+        "stage_idx", "stage", "rows_in", "rows_out",
+        "rows_in - rows_out AS dropped",
+        "CAST(floor((rows_in - rows_out) * 1000000.0 / "
+        "greatest(rows_in, 1)) AS BIGINT) AS drop_micro",
+        "mass_out_micro")

@@ -18,6 +18,22 @@ SF = "/root/testdata/sf0.01"
 
 # query → list of (label, predicate) over the formatted plan text
 CHECKS = {
+    "curation_funnel": [
+        # the heavy stages (hygiene scan, winner election, signatures,
+        # LSH join, exact verify, CC) each end at a localCheckpoint —
+        # the audited final plan is the stage-counter assembly over
+        # those materialized boundaries (interior plans are pinned by
+        # tests/test_curation_funnel.py via formatted_plan)
+        ("no python eval in the assembly plan",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("per-stage counters are combinable hash aggregates",
+         lambda p: "HashAggregate" in p),
+        ("seven stage rows union before the lag window",
+         lambda p: "Union" in p),
+        ("the only window orders the 7-row stage relation (lag), "
+         "never a corpus-sized relation",
+         lambda p: "lag(rows_out" in p),
+    ],
     "move_reconcile": [
         # whole flow is relational: keep-first window + digest probe +
         # two anti-joins (removal, set difference) — no python anywhere
