@@ -662,6 +662,17 @@ def repo_canonicals(hashed: DataFrame, k: int = 128,
                  F.countDistinct("content_sha256").cast("long")
                  .alias("n_distinct_files"),
                  F.sum("size").cast("long").alias("total_bytes")))
+    return repo_canonicals_from_stats(clusters, stats)
+
+
+def repo_canonicals_from_stats(clusters: DataFrame,
+                               stats: DataFrame) -> DataFrame:
+    """The keep-fullest policy tail of :func:`repo_canonicals` over a
+    PREBUILT family relation (repo, cluster_repo, n_members) and a
+    per-repo stats relation (repo, n_files, n_distinct_files,
+    total_bytes) — the entry point streaming maintenance uses
+    (streaming/fork_stream.py keeps the stats as additive stores and
+    evaluates the policy as-of any batch)."""
     joined = clusters.join(stats, "repo").localCheckpoint()
     canon = joined.groupBy("cluster_repo").agg(
         F.min_by("repo", F.struct(

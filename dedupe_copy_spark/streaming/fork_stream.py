@@ -26,6 +26,9 @@ the replay contract of incremental.py):
                          repo batch N touched (latest-batch-wins)
     counts/batch_id=N/   (repo, n_new) — additive distinct-digest
                          contribution of batch N
+    stats/batch_id=N/    (repo, n_files, total_bytes) — additive
+                         per-repo rollup of batch N's raw rows (feeds
+                         the keep-fullest canonical policy)
 
 At-least-once replay: a re-delivered batch reads only history strictly
 BEFORE its own id and overwrites its own subdirectories, so nothing
@@ -68,6 +71,7 @@ class IncrementalForkIndex:
         self.digests_path = f"{out_dir}/digests"
         self.sketch_path = f"{out_dir}/sketch"
         self.counts_path = f"{out_dir}/counts"
+        self.stats_path = f"{out_dir}/stats"
         self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
 
     # -- state reads ------------------------------------------------------
@@ -127,6 +131,16 @@ class IncrementalForkIndex:
             merged_in = new.unionByName(prior_touched).distinct()
         bottom_k_cut(merged_in, self.k).write.mode("overwrite").parquet(
             f"{self.sketch_path}/batch_id={batch_id}")
+        # per-repo file/byte rollup of the RAW batch rows (n_files and
+        # total_bytes count every arriving row, duplicates included —
+        # the batch operator's semantics over a concatenated corpus);
+        # additive across batches, replay-overwritten like the rest
+        (hashed.filter(~F.col("is_empty"))
+         .groupBy("repo").agg(
+             F.count(F.lit(1)).cast("long").alias("n_files"),
+             F.sum("size").cast("long").alias("total_bytes"))
+         .write.mode("overwrite")
+         .parquet(f"{self.stats_path}/batch_id={batch_id}"))
 
     # -- read-side views --------------------------------------------------
 
@@ -153,6 +167,41 @@ class IncrementalForkIndex:
             self.current_sketches().localCheckpoint(),
             self.current_counts(), k=self.k, threshold=self.threshold,
             max_hash_repos=self.max_hash_repos)
+
+    def current_stats(self) -> DataFrame:
+        """(repo, n_files, n_distinct_files, total_bytes) over every
+        batch so far: files/bytes sum additively from the per-batch
+        rollups; the distinct-digest count IS the counts store (its
+        rows are anti-joined to definitely-new digests on write)."""
+        store = self._read(self.stats_path)
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "repo string, n_files long, n_distinct_files long, "
+                    "total_bytes long")
+        summed = store.groupBy("repo").agg(
+            F.sum("n_files").cast("long").alias("n_files"),
+            F.sum("total_bytes").cast("long").alias("total_bytes"))
+        distinct = self.current_counts().withColumnRenamed(
+            "n_hashes", "n_distinct_files")
+        return summed.join(distinct, "repo").select(
+            "repo", "n_files", "n_distinct_files", "total_bytes")
+
+    def repo_canonicals(self) -> DataFrame:
+        """The batch keep-one-per-fork-family policy relation
+        (operators/exact.py repo_canonicals) evaluated as-of the last
+        ingested batch — identical output to the batch operator on the
+        concatenation of all batches (test-pinned): families from the
+        maintained sketches, fullest-checkout argmax from the
+        maintained stats. Every input here is k-bounded or repo-sized;
+        nothing rescans history."""
+        from dedupe_copy_spark.operators.exact import (
+            fork_clusters_from_pairs, repo_canonicals_from_stats)
+
+        pairs = (self.fork_pairs()
+                 .select("repo_a", "repo_b").localCheckpoint())
+        stats = self.current_stats().localCheckpoint()
+        clusters = fork_clusters_from_pairs(pairs, stats.select("repo"))
+        return repo_canonicals_from_stats(clusters, stats)
 
     # -- maintenance ------------------------------------------------------
 
@@ -184,7 +233,8 @@ class IncrementalForkIndex:
         newest batch_id; otherwise it is a no-op and the streaming
         checkpoint's replay restores consistency first."""
         tops = [self._max_batch(p) for p in
-                (self.digests_path, self.counts_path, self.sketch_path)]
+                (self.digests_path, self.counts_path, self.sketch_path,
+                 self.stats_path)]
         if None in tops or len(set(tops)) != 1:
             return
         dig = self._read(self.digests_path)
@@ -201,6 +251,13 @@ class IncrementalForkIndex:
         statestore.compact_into(
             self._latest_per_repo(sk), self.sketch_path,
             f"{self.out_dir}/_sketch_compact", into_batch_id)
+        st = self._read(self.stats_path)
+        statestore.compact_into(
+            st.groupBy("repo").agg(
+                F.sum("n_files").cast("long").alias("n_files"),
+                F.sum("total_bytes").cast("long").alias("total_bytes")),
+            self.stats_path, f"{self.out_dir}/_stats_compact",
+            into_batch_id)
 
     # -- stream wiring ----------------------------------------------------
 

@@ -1,0 +1,135 @@
+"""Incremental NFC-canonicalization dedup over a document stream.
+
+The batch form (operators/unicode_norm.py unicode_dup_groups) is one
+Arrow NFC pass plus a hash aggregation over (nfc_sha256, raw_sha256).
+Both aggregates are ASSOCIATIVE — n_docs is a sum, n_distinct_raw is
+the distinct count over the union of per-batch key pairs — so a
+continuously ingesting corpus maintains the whole answer from one
+additive store: each micro-batch contributes its local
+(nfc_sha256, raw_sha256, n) rollup, and the global groups are the
+per-key sums over contributions — identical to ``unicode_dup_groups``
+on the concatenation of all batches (test-pinned).
+
+This is the NFC analogue of the reference's accumulating collision
+manifest (md5 → [paths], /root/reference/dedupe_copy/threads.py:
+403-425): the store keys on the CANONICAL digest, so precomposed and
+decomposed arrivals of the same text meet in one group no matter how
+many batches apart they land.
+
+State layout under ``out_dir`` (parquet, batch_id-keyed overwrite —
+the replay contract of incremental.py):
+
+    pairs/batch_id=N/  (nfc_sha256, raw_sha256, n) — batch N's local
+                       rollup (bounded by the batch's DISTINCT
+                       (canonical, raw) key pairs, not its rows)
+
+At-least-once replay: a re-delivered batch recomputes its rollup from
+its own rows alone and overwrites its subdirectory, so counts never
+double. ``compact`` folds history into one base contribution
+(write-then-swap, the crash-safe statestore.compact_into order) —
+bounded file counts, identical answers, and the store after
+compaction is exactly the batch operator's pre-HAVING aggregate.
+
+Scale notes: per-batch work is the batch-linear Arrow pass + a
+partial+final hash agg; reads roll up a store bounded by distinct key
+pairs seen (≤ corpus distinct texts), never by row count, and nothing
+rescans history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_copy_spark.operators.unicode_norm import make_nfc_udf
+from dedupe_copy_spark.streaming import statestore
+from dedupe_copy_spark.streaming.corpus_stream import DOCS_STREAM_SCHEMA
+
+
+class IncrementalNfcIndex:
+    """Streaming NFC dedup: one additive (canonical, raw, n) store;
+    dup groups readable between batches, equal to the batch operator
+    on all documents seen so far."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 text_col: str = "text"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.pairs_path = f"{out_dir}/pairs"
+        self.checkpoint_path = f"{out_dir}/_stream_checkpoint"
+
+    def _read_state(self) -> DataFrame | None:
+        statestore.recover(self.pairs_path)
+        try:
+            return self.spark.read.parquet(self.pairs_path)
+        except Exception:
+            return None
+
+    # -- per-batch work ---------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Fold one micro-batch of document rows into the store."""
+        text = F.coalesce(F.col(self.text_col), F.lit(""))
+        norm = make_nfc_udf()(text)
+        (batch_df
+         .select(F.sha2(norm, 256).alias("nfc_sha256"),
+                 F.sha2(text, 256).alias("raw_sha256"))
+         .groupBy("nfc_sha256", "raw_sha256")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+         .write.mode("overwrite")
+         .parquet(f"{self.pairs_path}/batch_id={batch_id}"))
+
+    # -- read-side views --------------------------------------------------
+
+    def current_pairs(self) -> DataFrame:
+        """Accumulated (nfc_sha256, raw_sha256, n) — the batch
+        operator's pre-HAVING aggregate over everything ingested."""
+        store = self._read_state()
+        if store is None:
+            return self.spark.createDataFrame(
+                [], "nfc_sha256 string, raw_sha256 string, n long")
+        return store.groupBy("nfc_sha256", "raw_sha256").agg(
+            F.sum("n").cast("long").alias("n"))
+
+    def dup_groups(self) -> DataFrame:
+        """(nfc_sha256, n_docs, n_distinct_raw) with n_docs > 1 —
+        identical to unicode_dup_groups on the concatenation of all
+        batches."""
+        return (self.current_pairs()
+                .groupBy("nfc_sha256")
+                .agg(F.sum("n").cast("long").alias("n_docs"),
+                     F.count(F.lit(1)).cast("long")
+                     .alias("n_distinct_raw"))
+                .filter(F.col("n_docs") > 1))
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(self, into_batch_id: int = -1) -> None:
+        """Fold history into one base contribution — bounded file
+        counts, identical answers."""
+        store = self._read_state()
+        if store is None:
+            return
+        statestore.compact_into(
+            store.groupBy("nfc_sha256", "raw_sha256").agg(
+                F.sum("n").cast("long").alias("n")),
+            self.pairs_path, f"{self.out_dir}/_pairs_compact",
+            into_batch_id)
+
+    # -- stream wiring ----------------------------------------------------
+
+    def start(self, watch_dir: str, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema(DOCS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(watch_dir)
+        )
+        writer = (
+            stream.writeStream
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

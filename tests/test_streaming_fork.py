@@ -99,6 +99,57 @@ def test_compaction_preserves_answers(spark, tmp_path):
         spark, b0 + b1 + _repo_rows("q/c", a[:18]))
 
 
+def _canon_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _batch_canonicals(spark, rows):
+    from dedupe_copy_spark.operators.exact import repo_canonicals
+    return _canon_rows(repo_canonicals(with_digest(_files(spark, rows)),
+                                       k=K, threshold=THRESH))
+
+
+def test_incremental_repo_canonicals_equal_batch(spark, tmp_path):
+    """The keep-one-per-family policy relation, evaluated as-of each
+    batch, equals the batch operator on everything so far — families,
+    stats, argmax and is_kept all included."""
+    a = [f"rc-{i}" for i in range(40)]
+    b0 = _repo_rows("org/full", a)                       # fullest
+    b1 = _repo_rows("org/fork", a[:25]) + _repo_rows(
+        "org/other", [f"solo-{i}" for i in range(20)])
+    b2 = _repo_rows("org/fork", a[:25])                  # re-arrival
+    job = _mk(spark, tmp_path, "fork_canon")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    assert _canon_rows(job.repo_canonicals()) == \
+        _batch_canonicals(spark, b0)
+    job.process_batch(_files(spark, b1), batch_id=1)
+    got = _canon_rows(job.repo_canonicals())
+    assert got == _batch_canonicals(spark, b0 + b1)
+    kept = {r[0]: r[-1] for r in got}
+    assert kept["org/full"] and not kept["org/fork"]     # fullest wins
+    job.process_batch(_files(spark, b2), batch_id=2)
+    assert _canon_rows(job.repo_canonicals()) == \
+        _batch_canonicals(spark, b0 + b1 + b2)
+
+
+def test_canonicals_survive_replay_and_compaction(spark, tmp_path):
+    a = [f"rp-{i}" for i in range(30)]
+    b0 = _repo_rows("c/full", a)
+    b1 = _repo_rows("c/fork", a[:20])
+    job = _mk(spark, tmp_path, "fork_canon_rc")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    job.process_batch(_files(spark, b1), batch_id=1)
+    want = _canon_rows(job.repo_canonicals())
+    job.process_batch(_files(spark, b1), batch_id=1)     # redelivery
+    assert _canon_rows(job.repo_canonicals()) == want
+    job.compact()
+    assert _canon_rows(job.repo_canonicals()) == want
+    job.process_batch(
+        _files(spark, _repo_rows("c/solo", a[:5])), batch_id=2)
+    assert _canon_rows(job.repo_canonicals()) == \
+        _batch_canonicals(spark, b0 + b1 + _repo_rows("c/solo", a[:5]))
+
+
 def test_compact_survives_partial_batch_crash(spark, tmp_path):
     """The three stores in process_batch are written sequentially, not
     atomically: a crash after the digests write leaves counts/sketch

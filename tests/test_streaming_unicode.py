@@ -1,0 +1,96 @@
+"""Incremental NFC dedup (streaming/unicode_stream.py): additive
+(canonical, raw) store equals the batch operator on the concatenation;
+replay follows the batch_id-overwrite idempotency contract; compaction
+preserves answers; e2e readStream."""
+
+import time
+
+from dedupe_copy_spark.operators.unicode_norm import unicode_dup_groups
+from dedupe_copy_spark.streaming.unicode_stream import IncrementalNfcIndex
+
+SCHEMA = "doc_id long, text string, lang string, source string"
+
+PRE = "café menu"            # precomposed é
+DEC = "café menu"           # decomposed e + combining acute
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "web") for i, t in rows], SCHEMA)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _batch_answer(spark, rows):
+    return _rows(unicode_dup_groups(_docs(spark, rows), text_col="text"))
+
+
+def _mk(spark, tmp_path, name):
+    return IncrementalNfcIndex(spark, str(tmp_path / name))
+
+
+def test_accumulated_groups_equal_batch_operator(spark, tmp_path):
+    """NFC-equivalent texts meet across batch boundaries: the
+    precomposed form lands in batch 0, its decomposed twin in batch 1,
+    and the group must appear only once both halves arrived."""
+    b0 = [(0, PRE), (1, "unique one"), (2, "dup plain"), (3, "dup plain")]
+    b1 = [(4, DEC), (5, "unique two")]
+    b2 = [(6, PRE), (7, None), (8, "")]      # NULL and '' fold together
+    job = _mk(spark, tmp_path, "nfc_stream")
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    got0 = _rows(job.dup_groups())
+    assert got0 == _batch_answer(spark, b0)
+    assert len(got0) == 1                     # only the byte-exact pair
+    job.process_batch(_docs(spark, b1), batch_id=1)
+    got1 = _rows(job.dup_groups())
+    assert got1 == _batch_answer(spark, b0 + b1)
+    assert len(got1) == 2                     # + the cross-batch NFC pair
+    nfc_groups = {r for r in got1 if r[2] == 2}
+    assert len(nfc_groups) == 1               # two raw forms, one canon
+    job.process_batch(_docs(spark, b2), batch_id=2)
+    assert _rows(job.dup_groups()) == _batch_answer(spark, b0 + b1 + b2)
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    b0 = [(0, PRE), (1, DEC)]
+    b1 = [(2, PRE), (3, "solo")]
+    job = _mk(spark, tmp_path, "nfc_replay")
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    job.process_batch(_docs(spark, b1), batch_id=1)
+    want = _rows(job.dup_groups())
+    job.process_batch(_docs(spark, b1), batch_id=1)   # redelivery
+    assert _rows(job.dup_groups()) == want
+    (grp,) = want
+    assert grp[1] == 3 and grp[2] == 2       # n_docs, n_distinct_raw
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    b0 = [(0, PRE), (1, DEC), (2, "x"), (3, "x")]
+    b1 = [(4, PRE)]
+    job = _mk(spark, tmp_path, "nfc_compact")
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    job.process_batch(_docs(spark, b1), batch_id=1)
+    want = _rows(job.dup_groups())
+    job.compact()
+    assert _rows(job.dup_groups()) == want
+    # and the index keeps working after compaction
+    job.process_batch(_docs(spark, [(5, DEC)]), batch_id=2)
+    assert _rows(job.dup_groups()) == _batch_answer(
+        spark, b0 + b1 + [(5, DEC)])
+
+
+def test_e2e_readstream(spark, tmp_path):
+    src = tmp_path / "nfc_src"
+    src.mkdir()
+    _docs(spark, [(0, PRE), (1, "a"), (2, "a")]).write.mode(
+        "overwrite").parquet(str(src / "b0"))
+    _docs(spark, [(3, DEC)]).write.mode("overwrite").parquet(
+        str(src / "b1"))
+    job = _mk(spark, tmp_path, "nfc_e2e")
+    q = job.start(str(src / "*"))
+    q.awaitTermination(120)
+    time.sleep(0.5)
+    want = _batch_answer(spark, [(0, PRE), (1, "a"), (2, "a"), (3, DEC)])
+    assert _rows(job.dup_groups()) == want
