@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""North-rule recall evidence at sf1 (10x the per-round driver scale):
+every exact-shingle-Jaccard >= 0.8 document pair must land in one
+cluster after the FULL pipeline. Same measurement as recall_sf01.py
+(cluster membership, not rep-level LSH pairs — see that file's header
+for why), pointed at the synthetic sf1 tables and emitting a JSON
+artifact so the >= 0.99 criterion is evidenced at 10x scale every
+round, not just at sf0.1.
+
+Usage: python BENCH/recall_sf1.py [sf_dir] [out.json]
+       (defaults: /tmp/sfsynth1, BENCH/recall_sf1.json)
+
+Truth is the inverted-index equi-join of recall_sf01.truth_pairs —
+linear shuffles; at sf1 the gram-df distribution of the synthetic
+word-salad corpus keeps the shared-gram pair relation bounded (no df
+cap is applied: a cap could silently undercount truth)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dedupe_copy_spark.plans import registry  # noqa: E402
+from dedupe_copy_spark.plans.pipeline import DedupePipeline  # noqa: E402
+from dedupe_copy_spark.session import get_spark, warm_python_workers  # noqa: E402
+from dedupe_copy_spark.sources.tables import files_from_documents  # noqa: E402
+
+THRESHOLD = 0.8
+
+
+def truth_pairs(spark, sf_dir):
+    """Exact shingle-Jaccard >= THRESHOLD doc pairs via inverted index
+    (the recall_sf01.py relation, parameterized by sf_dir)."""
+    grams = registry._doc_grams(spark, sf_dir)
+    ex = grams.select("doc_id", F.explode("g").alias("gram"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = grams.select("doc_id", F.size("g").alias("sz"))
+    return (
+        shared
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sa")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("sb")), "doc_b")
+        .withColumn("jac", F.col("inter")
+                    / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .filter(F.col("jac") >= THRESHOLD)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth1"
+    out = sys.argv[2] if len(sys.argv) > 2 else \
+        os.path.join(os.path.dirname(__file__), "recall_sf1.json")
+    spark = get_spark(app_name="recall-sf1", cores=32,
+                      shuffle_partitions=64)
+    warm_python_workers(spark)
+    pre_load = float(open("/proc/loadavg").read().split()[0])
+    t0 = time.time()
+    truth = truth_pairs(spark, sf_dir).localCheckpoint()
+    n_truth = truth.count()
+    t_truth = time.time() - t0
+    t1 = time.time()
+    res = DedupePipeline(spark, registry._near_cfg()).run(
+        files_from_documents(spark, sf_dir))
+    assigned = (
+        res.clusters.join(res.hashed.select("file_id", "path"), "file_id")
+        .select(registry._doc_id_from_path(F.col("path")).alias("doc"),
+                "cluster_id"))
+    per_doc = assigned.groupBy("doc").agg(
+        F.min("cluster_id").alias("c")).localCheckpoint()
+    ok = (
+        truth
+        .join(per_doc.select(F.col("doc").alias("doc_a"),
+                             F.col("c").alias("ca")), "doc_a")
+        .join(per_doc.select(F.col("doc").alias("doc_b"),
+                             F.col("c").alias("cb")), "doc_b")
+        .withColumn("same", F.col("ca") == F.col("cb")))
+    n_same = ok.filter("same").count()
+    t_pipe = time.time() - t1
+    recall = n_same / max(n_truth, 1)
+    record = {
+        "sf_dir": sf_dir,
+        "threshold": THRESHOLD,
+        "truth_pairs": n_truth,
+        "same_cluster": n_same,
+        "recall": round(recall, 6),
+        "criterion": "recall >= 0.99 (BASELINE.json north_rule)",
+        "met": recall >= 0.99,
+        "truth_seconds": round(t_truth, 1),
+        "pipeline_and_check_seconds": round(t_pipe, 1),
+        "pre_run_loadavg": pre_load,
+    }
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(json.dumps(record))
+    for r in ok.filter("NOT same").collect()[:20]:
+        print(f"  SPLIT {r.doc_a} {r.doc_b} J={r.jac:.4f}")
+    return 0 if recall >= 0.99 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
