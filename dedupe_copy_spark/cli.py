@@ -152,6 +152,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "overlap estimates) and fork_families/ (CC "
                         "families labeled by min repo; keep one repo "
                         "per family) over the scanned corpus")
+    p.add_argument("--funnel-report", action="store_true",
+                   help="also write funnel/ — the end-to-end curation "
+                        "chain (ingest → hygiene gates → exact keep-"
+                        "first → near-dup clusters → soft weights → "
+                        "cluster-safe split → sequence packing) as one "
+                        "per-stage rows/mass relation (operators/"
+                        "audit.py curation_funnel); requires a "
+                        "content-bearing --input (not --read-path)")
     p.add_argument("--verify", default=None, metavar="MANIFEST_PARQUET",
                    help="audit MANIFEST against --input rows and exit "
                         "(reference verify_manifest_fs, core.py:690-750)")
@@ -406,6 +414,16 @@ def main(argv: list[str] | None = None) -> int:
             exact.fork_clusters_from_pairs(
                 fork_pairs.select("repo_a", "repo_b"), fork_nodes) \
                 .write.mode("overwrite").parquet(f"{out}/fork_families")
+        if args.funnel_report:
+            from dedupe_copy_spark.operators.audit import curation_funnel
+
+            if "content" not in files.columns:
+                raise SystemExit(
+                    "--funnel-report needs a content-bearing --input "
+                    "(fs walks carry digests only; the near-dup and "
+                    "packing stages read text)")
+            curation_funnel(files).write.mode("overwrite") \
+                .option("header", True).csv(f"{out}/funnel")
         if args.export_manifest:
             from dedupe_copy_spark.sources.reference_manifest import (
                 write_reference_manifest,

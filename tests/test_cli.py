@@ -113,6 +113,27 @@ def test_cli_report_extensions(input_parquet, tmp_path):
     assert (out / "extension_report").exists()
 
 
+def test_cli_funnel_report(input_parquet, tmp_path):
+    path, _ = input_parquet
+    out = tmp_path / "out_funnel"
+    _run_cli(["--input", path, "--output", str(out), "--no-near-dup",
+              "--funnel-report", "--cores", "4"])
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT stage, rows_in, rows_out FROM "
+        f"read_csv_auto('{out}/funnel/*.csv', header=true) "
+        f"ORDER BY stage_idx").fetchall()
+    stages = [r[0] for r in rows]
+    assert stages == ["ingest", "hygiene_gate", "exact_winner",
+                      "near_clusters", "soft_weights", "cluster_split",
+                      "pack"]
+    # chaining invariant: each stage's rows_in = previous rows_out
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur[1] == prev[2]
+    assert rows[0][2] >= 1
+
+
 def test_cli_fork_report(input_parquet, tmp_path):
     path, _ = input_parquet
     out = tmp_path / "out_fork"
