@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Precision/calibration evidence at sf1 — BENCH/precision_sf01.py
+parameterized to the synthesized sf1 fixture, with a JSON artifact so
+the over-claim bound ships alongside BENCH/recall_sf1.json every
+round. Every pair the MinHash pipeline emits is re-verified with the
+exact distinct-shingle Jaccard (emitted-pair-sized join, the
+audit.sampled_pair_precision discipline at audit-everything scale —
+affordable here because sf1 emits thousands of pairs, not billions).
+
+Usage: python BENCH/precision_sf1.py [sf_dir] [out.json]
+       (defaults: /tmp/sfsynth1, BENCH/precision_sf1.json)"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dedupe_copy_spark.operators import minhash as mh  # noqa: E402
+from dedupe_copy_spark.plans import registry  # noqa: E402
+from dedupe_copy_spark.session import get_spark, warm_python_workers  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth1"
+    out = sys.argv[2] if len(sys.argv) > 2 else \
+        os.path.join(os.path.dirname(__file__), "precision_sf1.json")
+    spark = get_spark(app_name="precision-sf1", cores=32,
+                      shuffle_partitions=64)
+    warm_python_workers(spark)
+    t0 = time.time()
+    reps = registry._reps(spark, sf_dir)
+    pairs = mh.minhash_pairs(reps, registry._near_cfg()).localCheckpoint()
+
+    grams = registry._doc_grams(spark, sf_dir)
+    ids = reps.select(
+        "file_id", registry._doc_id_from_path(F.col("path")).alias("doc_id"))
+    g = ids.join(grams, "doc_id").select("file_id", "g")
+    joined = (
+        pairs
+        .join(g.select(F.col("file_id").alias("id_a"),
+                       F.col("g").alias("g_a")), "id_a")
+        .join(g.select(F.col("file_id").alias("id_b"),
+                       F.col("g").alias("g_b")), "id_b")
+        .withColumn("exact_j",
+                    F.size(F.array_intersect("g_a", "g_b")).cast("double")
+                    / F.greatest(F.size(F.array_union("g_a", "g_b")),
+                                 F.lit(1)).cast("double"))
+        .withColumn("err", F.abs(F.col("est_jaccard") - F.col("exact_j")))
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("exact_j").alias("min_j"),
+        F.expr("percentile(exact_j, array(0.1, 0.5))").alias("pct"),
+        F.sum((F.col("exact_j") < 0.5).cast("long")).alias("n_below_half"),
+        F.round(F.avg("err"), 4).alias("mean_err"),
+        F.round(F.max("err"), 4).alias("max_err"),
+    ).collect()[0]
+    record = {
+        "sf_dir": sf_dir,
+        "emitted_pairs": row.n,
+        "min_exact_j": round(row.min_j, 4),
+        "p10_exact_j": round(row.pct[0], 4),
+        "median_exact_j": round(row.pct[1], 4),
+        "emitted_below_j_half": row.n_below_half,
+        "estimator_err_mean": row.mean_err,
+        "estimator_err_max": row.max_err,
+        "seconds": round(time.time() - t0, 1),
+    }
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+        f.write("\n")
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
