@@ -224,6 +224,10 @@ HEADLINE = [
     # exact → near-dup CC → soft weights → cluster split → pack) as
     # one instrumented relation — "the query that is the product"
     "curation_funnel",
+    # round 5: embedding-space benchmark decontamination (broadcast
+    # eval side, one combinable argmax agg — the paraphrase complement
+    # of the 13-gram eval_decontaminate scan)
+    "semantic_decontaminate",
 ]
 
 

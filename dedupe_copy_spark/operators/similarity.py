@@ -709,3 +709,53 @@ def embedding_sanity(emb: DataFrame, vec_col: str = "embedding",
         norm.alias("norm"),
         (dim_ok & (n_bad == 0) & (norm > min_norm)).alias("is_valid"),
     )
+
+
+def semantic_decontaminate(train: DataFrame, evalset: DataFrame,
+                           threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           eval_id_col: str = "eval_id") -> DataFrame:
+    """Semantic benchmark decontamination: flag every training vector
+    whose best cosine against ANY eval-set vector clears ``threshold``
+    — the embedding-space complement of the 13-gram exact scan
+    (corpus.eval_decontaminate). Exact n-gram overlap catches verbatim
+    leakage; a PARAPHRASED eval item (same meaning, different surface)
+    sails through it but sits next to its source in embedding space —
+    the contamination class modern data cards report via
+    embedding-similarity sweeps.
+
+    Output: one row per training vector — (id, best_eval_id,
+    best_score, flagged). best_eval_id ties break to the smallest eval
+    id at the best (rounded) score, so the relation is deterministic
+    run-over-run and engine-over-engine; scores round to 6 dp through
+    the same JVM aggregate/zip_with cosine the green cosine_topk
+    oracle pins against DuckDB's list_cosine_similarity.
+
+    Scale shape: the EVAL side is the small one by construction (a
+    benchmark suite is 10^3-10^5 rows) — it broadcasts, the training
+    corpus never shuffles on a join key, and the scored (train x eval)
+    relation is pipelined straight into ONE map-side-combinable
+    partial aggregation (max over a (score, -eval_id) struct = argmax
+    with min-id tie-break, no window over anything corpus-sized).
+    At 10^12 train rows the plan is a scan + broadcast + partial agg;
+    for eval sets too large to broadcast, route both sides through the
+    IVF cells above (cell-restricted scoring, same agg tail).
+    """
+    t = train.select(F.col(id_col), F.col(vec_col).alias("_tv"))
+    e = evalset.select(F.col(eval_id_col).alias("_eid"),
+                       F.col(vec_col).alias("_ev"))
+    scored = (
+        t.join(F.broadcast(e))
+        .withColumn("_s", F.round(
+            cosine_similarity_col(F.col("_tv"), F.col("_ev")), 6))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("_s").alias("s"),
+                       (-F.col("_eid")).alias("n"))).alias("_b"))
+    return best.select(
+        id_col,
+        (-F.col("_b.n")).cast("long").alias("best_eval_id"),
+        F.col("_b.s").alias("best_score"),
+        (F.col("_b.s") >= F.lit(float(threshold))).alias("flagged"),
+    )

@@ -18,6 +18,20 @@ SF = "/root/testdata/sf0.01"
 
 # query → list of (label, predicate) over the formatted plan text
 CHECKS = {
+    "semantic_decontaminate": [
+        ("eval side broadcasts (nested-loop over the broadcast, never "
+         "a CartesianProduct; the train scan never shuffles on a key)",
+         lambda p: "BroadcastNestedLoopJoin" in p
+         and "CartesianProduct" not in p),
+        ("argmax is ONE combinable aggregation (max over a "
+         "(score, -eval_id) struct), not a corpus-sized window",
+         lambda p: "Window" not in p and "Aggregate" in p),
+        ("no python eval (cosine is JVM aggregate/zip_with)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("column-pruned scans (vec_id + embedding only)",
+         lambda p: "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+         in p),
+    ],
     "curation_funnel": [
         # the heavy stages (hygiene scan, winner election, signatures,
         # LSH join, exact verify, CC) each end at a localCheckpoint —

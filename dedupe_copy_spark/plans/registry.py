@@ -6900,6 +6900,64 @@ def curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.curation_funnel(seeded)
 
 
+
+@register("semantic_decontaminate", """
+WITH ev AS (
+  SELECT vec_id + 100000 AS eval_id,
+         list_transform(embedding, x -> x * 2) AS v
+  FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 200000, list_transform(embedding, x -> -x)
+  FROM embeddings WHERE vec_id % 50 = 25
+), scored AS (
+  SELECT t.vec_id, e.eval_id,
+         ROUND(list_cosine_similarity(t.embedding::DOUBLE[],
+                                      e.v::DOUBLE[]), 6) AS s
+  FROM embeddings t, ev e
+), ranked AS (
+  SELECT vec_id, eval_id, s,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, eval_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, CAST(eval_id AS BIGINT) AS best_eval_id,
+       s AS best_score, s >= 0.9 AS flagged
+FROM ranked WHERE rn = 1
+""")
+def semantic_decontaminate_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/similarity.py semantic_decontaminate) — the paraphrase
+    complement of the 13-gram exact scan (`eval_decontaminate`): flag
+    training vectors whose best cosine against the eval set clears
+    0.9. The seeded eval set makes the answer exactly checkable: %50
+    residues contribute a SCALED twin (x2 per component — cosine is
+    scale-invariant, so the source trains doc scores exactly 1.0 and
+    MUST flag) and %50==25 residues a NEGATED vector (cosine -1 to its
+    source, =< ~0.45 to everything else in this corpus — clean eval
+    rows that must flag nothing). Scaling and negation are exact in
+    IEEE float, so both engines score identical doubles; the oracle
+    replays the seeding, every rounded score, the min-id tie-break,
+    and each flag."""
+    from dedupe_copy_spark.operators.similarity import (
+        semantic_decontaminate)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    ev = (
+        emb.filter(vid % 50 == 0)
+        .select((vid + 100000).alias("eval_id"),
+                F.transform("embedding",
+                            lambda x: x * F.lit(2.0)).alias("embedding"))
+        .unionByName(
+            emb.filter(vid % 50 == 25)
+            .select((vid + 200000).alias("eval_id"),
+                    F.transform("embedding",
+                                lambda x: -x).alias("embedding")))
+    )
+    return semantic_decontaminate(emb, ev, threshold=0.9)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
@@ -6941,6 +6999,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # fill the window to 50 for the cross-round regression signal.
     # -- never driver-checked (round-4 session additions + displaced) --
     "curation_funnel",
+    "semantic_decontaminate",
     "stratified_quality_sample",
     "ngram_novelty",
     "cluster_size_histogram",

@@ -1,0 +1,62 @@
+"""semantic_decontaminate — embedding-space benchmark decontamination
+(operators/similarity.py)."""
+
+from dedupe_copy_spark.operators.similarity import semantic_decontaminate
+
+T_SCHEMA = "vec_id long, embedding array<float>"
+E_SCHEMA = "eval_id long, embedding array<float>"
+
+
+def _out(spark, train, evalset, **kw):
+    t = spark.createDataFrame(train, T_SCHEMA)
+    e = spark.createDataFrame(evalset, E_SCHEMA)
+    return {r.vec_id: r for r in
+            semantic_decontaminate(t, e, **kw).collect()}
+
+
+def test_flags_scaled_paraphrase_not_orthogonal(spark):
+    train = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+             (2, [0.0, 0.0, 1.0])]
+    evalset = [(100, [2.0, 0.0, 0.0]),          # scaled twin of 0
+               (101, [0.6, 0.8, 0.0])]          # 0.6/0.8 mix
+    out = _out(spark, train, evalset, threshold=0.9)
+    assert out[0].flagged and out[0].best_eval_id == 100
+    assert out[0].best_score == 1.0
+    # doc 1's best is the mix at cos 0.8 — below the 0.9 bar
+    assert not out[1].flagged and out[1].best_eval_id == 101
+    assert abs(out[1].best_score - 0.8) < 1e-6
+    # doc 2 is orthogonal to everything
+    assert not out[2].flagged and out[2].best_score == 0.0
+
+
+def test_tie_breaks_to_smallest_eval_id(spark):
+    train = [(7, [1.0, 1.0])]
+    evalset = [(300, [2.0, 2.0]), (200, [3.0, 3.0])]   # both cos 1.0
+    out = _out(spark, train, evalset)
+    assert out[7].best_eval_id == 200 and out[7].flagged
+
+
+def test_every_train_row_surfaces_once(spark):
+    train = [(i, [float(i + 1), 1.0]) for i in range(6)]
+    evalset = [(900, [1.0, 0.0])]
+    out = _out(spark, train, evalset, threshold=0.99)
+    assert sorted(out) == list(range(6))
+    assert not any(r.flagged for r in out.values())
+
+
+def test_threshold_boundary_inclusive(spark):
+    train = [(1, [0.6, 0.8])]
+    evalset = [(10, [1.0, 0.0])]                        # cos = 0.6
+    out = _out(spark, train, evalset, threshold=0.6)
+    assert out[1].flagged and out[1].best_score == 0.6
+
+
+def test_plan_shape(spark):
+    t = spark.createDataFrame([(0, [1.0, 0.0])], T_SCHEMA)
+    e = spark.createDataFrame([(9, [1.0, 0.0])], E_SCHEMA)
+    plan = semantic_decontaminate(t, e)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
