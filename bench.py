@@ -228,6 +228,10 @@ HEADLINE = [
     # eval side, one combinable argmax agg — the paraphrase complement
     # of the 13-gram eval_decontaminate scan)
     "semantic_decontaminate",
+    # round 5: banding selection from the corpus's own Jaccard
+    # histogram (scores every (bands, rows) split of the signature
+    # budget; validates the shipped 16x8 from data, not convention)
+    "lsh_autotune",
 ]
 
 

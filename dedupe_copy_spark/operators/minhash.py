@@ -328,6 +328,57 @@ def calibration_table(cfg: DedupeConfig, n_bins: int = 20,
     return rows
 
 
+
+def empirical_j_histogram(grams: DataFrame, id_col: str = "doc_id",
+                          gram_col: str = "g", df_cap: int = 50,
+                          n_bins: int = 20,
+                          pair_sample_micro: int = 1_000_000) -> DataFrame:
+    """The empirical exact-Jaccard histogram of the corpus's
+    co-shingling pairs — (bin_idx, n_pairs) — shared by
+    :func:`lsh_calibration` (is THIS banding right?) and
+    :func:`lsh_autotune` (WHICH banding is right?). Inverted-index
+    candidate generation with the stop-shingle df cut and the
+    md5-keyed pair-sample valve; see lsh_calibration's docstring for
+    the scale analysis of every stage."""
+    # the gram relation feeds THREE consumers (posts + both exact-J
+    # sides) — materialize once or the upstream shingle Arrow pass
+    # runs three times (the make_signature_udf duplication lesson:
+    # measured 3x = +12 s at sf0.1)
+    grams = grams.localCheckpoint()
+    posts = grams.select(F.col(id_col).alias("_id"),
+                         F.explode(gram_col).alias("gram"))
+    rare = (posts.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
+            .select("gram"))
+    rare_posts = posts.join(rare, "gram")
+    cand = (
+        rare_posts.select("gram", F.col("_id").alias("doc_a"))
+        .join(rare_posts.select("gram", F.col("_id").alias("doc_b")), "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    if pair_sample_micro < 1_000_000:
+        thresh = f"{pair_sample_micro * 16**6 // 1_000_000:06x}"
+        cand = cand.filter(F.substring(F.md5(F.concat_ws(
+            ":", F.col("doc_a").cast("string"),
+            F.col("doc_b").cast("string"))), 1, 6) < F.lit(thresh))
+    ga = grams.select(F.col(id_col).alias("doc_a"),
+                      F.col(gram_col).alias("_ga"))
+    gb = grams.select(F.col(id_col).alias("doc_b"),
+                      F.col(gram_col).alias("_gb"))
+    j = (F.size(F.array_intersect("_ga", "_gb")).cast("double")
+         / F.greatest(F.size(F.array_union("_ga", "_gb")),
+                      F.lit(1)).cast("double"))
+    return (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select(F.least(F.floor(j * F.lit(float(n_bins))).cast("long"),
+                        F.lit(n_bins - 1)).alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
 def lsh_calibration(grams: DataFrame, cfg: DedupeConfig,
                     id_col: str = "doc_id", gram_col: str = "g",
                     df_cap: int = 50, n_bins: int = 20,
@@ -360,44 +411,10 @@ def lsh_calibration(grams: DataFrame, cfg: DedupeConfig,
     one and the curve SHAPE (what calibration reads) is preserved;
     n_pairs counts sampled pairs, so absolute counts scale by
     1e6/pair_sample_micro in the caller's hands."""
-    # the gram relation feeds THREE consumers (posts + both exact-J
-    # sides) — materialize once or the upstream shingle Arrow pass
-    # runs three times (the make_signature_udf duplication lesson:
-    # measured 3x = +12 s at sf0.1)
-    grams = grams.localCheckpoint()
-    posts = grams.select(F.col(id_col).alias("_id"),
-                         F.explode(gram_col).alias("gram"))
-    rare = (posts.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
-            .select("gram"))
-    rare_posts = posts.join(rare, "gram")
-    cand = (
-        rare_posts.select("gram", F.col("_id").alias("doc_a"))
-        .join(rare_posts.select("gram", F.col("_id").alias("doc_b")), "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    if pair_sample_micro < 1_000_000:
-        thresh = f"{pair_sample_micro * 16**6 // 1_000_000:06x}"
-        cand = cand.filter(F.substring(F.md5(F.concat_ws(
-            ":", F.col("doc_a").cast("string"),
-            F.col("doc_b").cast("string"))), 1, 6) < F.lit(thresh))
-    ga = grams.select(F.col(id_col).alias("doc_a"),
-                      F.col(gram_col).alias("_ga"))
-    gb = grams.select(F.col(id_col).alias("doc_b"),
-                      F.col(gram_col).alias("_gb"))
-    j = (F.size(F.array_intersect("_ga", "_gb")).cast("double")
-         / F.greatest(F.size(F.array_union("_ga", "_gb")),
-                      F.lit(1)).cast("double"))
-    binned = (
-        cand.join(ga, "doc_a").join(gb, "doc_b")
-        .select(F.least(F.floor(j * F.lit(float(n_bins))).cast("long"),
-                        F.lit(n_bins - 1)).alias("bin_idx"))
-        .groupBy("bin_idx")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    )
+    binned = empirical_j_histogram(grams, id_col=id_col,
+                                   gram_col=gram_col, df_cap=df_cap,
+                                   n_bins=n_bins,
+                                   pair_sample_micro=pair_sample_micro)
     lo = dict(); hi = dict(); pm = dict()
     for i, jl, jh, p in calibration_table(cfg, n_bins):
         lo[i], hi[i], pm[i] = jl, jh, p
@@ -424,3 +441,103 @@ def add_file_id(files: DataFrame) -> DataFrame:
     across runs/retries (unlike monotonically_increasing_id)."""
     return files.withColumn(
         "file_id", F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")))
+
+
+def autotune_configs(num_perm: int,
+                     rows_options: tuple[int, ...] = (2, 4, 8, 16, 32),
+                     ) -> list[tuple[int, int]]:
+    """Candidate (bands, rows_per_band) pairs spending the full
+    signature budget: every divisor split of ``num_perm`` with r in
+    ``rows_options``. At num_perm=128: (64,2) (32,4) (16,8) (8,16)
+    (4,32)."""
+    return [(num_perm // r, r) for r in rows_options
+            if num_perm % r == 0 and num_perm // r >= 1]
+
+
+def autotune_table(num_perm: int, n_bins: int = 20,
+                   rows_options: tuple[int, ...] = (2, 4, 8, 16, 32),
+                   ) -> list[tuple[int, int, int, int]]:
+    """The S-curve for EVERY candidate banding as integer micro-unit
+    constants: (bands, rows_per_band, bin_idx, p_collide_micro) rows,
+    p = 1 - (1 - s^r)^b at the bin center. Driver-computed once and
+    inlined on BOTH engine sides (a literal relation in the Spark
+    plan, a VALUES list in the SQL oracle) — bit-identical by
+    construction, no cross-engine pow() trust."""
+    out = []
+    for b, r in autotune_configs(num_perm, rows_options):
+        for i in range(n_bins):
+            s = (i + 0.5) / n_bins
+            p = 1.0 - (1.0 - s ** r) ** b
+            out.append((b, r, i, int(round(p * 1_000_000))))
+    return out
+
+
+def lsh_autotune(grams: DataFrame, cfg: DedupeConfig,
+                 id_col: str = "doc_id", gram_col: str = "g",
+                 df_cap: int = 50, n_bins: int = 20,
+                 pair_sample_micro: int = 1_000_000,
+                 threshold_micro: int = 800_000,
+                 fn_weight: int = 10,
+                 rows_options: tuple[int, ...] = (2, 4, 8, 16, 32),
+                 ) -> DataFrame:
+    """Banding SELECTION from the corpus's own similarity structure —
+    the decision step on top of :func:`lsh_calibration`'s diagnosis:
+    score every candidate (bands, rows) split of the signature budget
+    against the empirical Jaccard histogram and recommend the argmin
+    of ``fn_weight · expected-missed + expected-false-candidates``.
+    A corpus whose near-dup mass hugs the threshold wants a sharper
+    knee (more rows/band); one with well-separated dups can spend
+    fewer bands on the same recall and prune candidate volume. This
+    answers "which banding should THIS corpus's 100 TB run commit to"
+    from a histogram-sized relation, before any signature is built.
+
+    Per config: expected found / missed micro-pairs over the bins at
+    or above ``threshold_micro`` (bin classified by its lower edge),
+    expected false-positive candidate micro-pairs below it, the
+    integer cost, and ``recommended`` for the (cost, bands)-minimal
+    row — all exact integer arithmetic over (histogram bins ×
+    configs) rows, replayed bit-for-bit by the SQL oracle.
+
+    Scale shape: everything downstream of the histogram is
+    constant-sized (n_bins × |configs| ≤ 100 rows): the S-curve
+    constants enter as a broadcast literal relation, the per-config
+    rollup is one combinable aggregation, and the argmin is a 1-row
+    broadcast compare (the key_skew_report pattern) — cost is the
+    histogram build (see :func:`empirical_j_histogram`), which
+    lsh_calibration already pays."""
+    spark = grams.sparkSession
+    binned = empirical_j_histogram(grams, id_col=id_col,
+                                   gram_col=gram_col, df_cap=df_cap,
+                                   n_bins=n_bins,
+                                   pair_sample_micro=pair_sample_micro)
+    consts = spark.createDataFrame(
+        autotune_table(cfg.num_perm, n_bins, rows_options),
+        "bands long, rows_per_band long, bin_idx long, p_micro long")
+    above = (F.expr(f"bin_idx * 1000000 div {int(n_bins)}")
+             >= F.lit(int(threshold_micro)))
+    joined = binned.join(F.broadcast(consts), "bin_idx")
+    per_cfg = joined.groupBy("bands", "rows_per_band").agg(
+        F.coalesce(F.sum(F.when(
+            above, F.col("n_pairs") * F.col("p_micro"))), F.lit(0))
+        .cast("long").alias("exp_found_micro"),
+        F.coalesce(F.sum(F.when(
+            above,
+            F.col("n_pairs") * (1_000_000 - F.col("p_micro")))), F.lit(0))
+        .cast("long").alias("exp_missed_micro"),
+        F.coalesce(F.sum(F.when(
+            ~above, F.col("n_pairs") * F.col("p_micro"))), F.lit(0))
+        .cast("long").alias("exp_fp_micro"),
+    ).withColumn(
+        "cost_micro",
+        (F.lit(int(fn_weight)) * F.col("exp_missed_micro")
+         + F.col("exp_fp_micro")).cast("long"))
+    best = per_cfg.agg(F.min(F.struct(
+        F.col("cost_micro").alias("c"),
+        F.col("bands").alias("b"))).alias("_m"))
+    # 1-row broadcast compare (key_skew_report pattern): without the
+    # hint the planner emits CartesianProduct for the join-less join
+    return per_cfg.crossJoin(F.broadcast(best)).select(
+        "bands", "rows_per_band", "exp_found_micro", "exp_missed_micro",
+        "exp_fp_micro", "cost_micro",
+        ((F.col("cost_micro") == F.col("_m.c"))
+         & (F.col("bands") == F.col("_m.b"))).alias("recommended"))

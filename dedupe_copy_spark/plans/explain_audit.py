@@ -18,6 +18,18 @@ SF = "/root/testdata/sf0.01"
 
 # query → list of (label, predicate) over the formatted plan text
 CHECKS = {
+    "lsh_autotune": [
+        ("S-curve constants enter as a broadcast literal relation; "
+         "the argmin is a 1-row broadcast compare, never a "
+         "CartesianProduct",
+         lambda p: "CartesianProduct" not in p
+         and "Broadcast" in p),
+        ("no window anywhere (per-config rollup is a combinable "
+         "aggregation; argmin via struct-min)",
+         lambda p: "Window" not in p),
+        ("no python eval (histogram + rollup + argmin all Catalyst)",
+         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+    ],
     "semantic_decontaminate": [
         ("eval side broadcasts (nested-loop over the broadcast, never "
          "a CartesianProduct; the train scan never shuffles on a key)",

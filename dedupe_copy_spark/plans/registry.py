@@ -6958,6 +6958,76 @@ def semantic_decontaminate_query(spark: SparkSession,
     return semantic_decontaminate(emb, ev, threshold=0.9)
 
 
+
+def _lsh_autotune_sql() -> str:
+    from dedupe_copy_spark.operators.minhash import autotune_table
+
+    n_bins, thr, fnw = 20, 800_000, 10
+    vals = ", ".join(f"({b}, {r}, {i}, {p})"
+                     for b, r, i, p in autotune_table(128, n_bins))
+    return _TRUTH_CTE + f"""
+, posts AS (SELECT doc_id, unnest(g) AS gram FROM grams
+), rare AS (
+  SELECT gram FROM posts GROUP BY gram HAVING count(*) BETWEEN 2 AND 50
+), rp AS (SELECT p.doc_id, p.gram FROM posts p JOIN rare USING (gram)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rp a JOIN rp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), jac AS (
+  SELECT least(CAST(floor(
+           len(list_intersect(ga.g, gb.g))::DOUBLE
+           / greatest(len(list_distinct(list_concat(ga.g, gb.g))), 1)::DOUBLE
+           * {n_bins}.0) AS BIGINT), {n_bins - 1}) AS bin_idx
+  FROM cand JOIN grams ga ON ga.doc_id = cand.doc_a
+            JOIN grams gb ON gb.doc_id = cand.doc_b
+), binned AS (
+  SELECT bin_idx, CAST(count(*) AS BIGINT) AS n_pairs FROM jac
+  GROUP BY bin_idx
+), consts(bands, rows_per_band, bin_idx, p_micro) AS (
+  VALUES {vals}
+), per_cfg AS (
+  SELECT CAST(c.bands AS BIGINT) AS bands,
+         CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+         CAST(coalesce(sum(CASE WHEN b.bin_idx * 1000000 // {n_bins}
+                >= {thr} THEN b.n_pairs * c.p_micro END), 0) AS BIGINT)
+           AS exp_found_micro,
+         CAST(coalesce(sum(CASE WHEN b.bin_idx * 1000000 // {n_bins}
+                >= {thr} THEN b.n_pairs * (1000000 - c.p_micro) END), 0)
+              AS BIGINT) AS exp_missed_micro,
+         CAST(coalesce(sum(CASE WHEN b.bin_idx * 1000000 // {n_bins}
+                < {thr} THEN b.n_pairs * c.p_micro END), 0) AS BIGINT)
+           AS exp_fp_micro
+  FROM binned b JOIN consts c USING (bin_idx)
+  GROUP BY 1, 2
+), costed AS (
+  SELECT *, CAST({fnw} * exp_missed_micro + exp_fp_micro AS BIGINT)
+         AS cost_micro
+  FROM per_cfg
+)
+SELECT bands, rows_per_band, exp_found_micro, exp_missed_micro,
+       exp_fp_micro, cost_micro,
+       row_number() OVER (ORDER BY cost_micro, bands) = 1 AS recommended
+FROM costed
+"""
+
+
+@register("lsh_autotune", _lsh_autotune_sql())
+def lsh_autotune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding SELECTION from the corpus's empirical Jaccard histogram
+    (operators/minhash.py lsh_autotune) — the decision on top of
+    lsh_calibration's diagnosis: every (bands, rows) split of the
+    128-perm budget is scored 10x expected-missed + expected-false-
+    candidates against the histogram, and the argmin row carries
+    ``recommended``. The S-curves for all five candidate bandings are
+    driver-computed integer literals inlined on BOTH engine sides; the
+    oracle replays the histogram, every per-config rollup, the cost,
+    and the argmin tie-break."""
+    from dedupe_copy_spark.operators.minhash import lsh_autotune
+
+    grams = _doc_grams(spark, sf_dir).select("doc_id", "g")
+    return lsh_autotune(grams, _near_cfg(), df_cap=50, n_bins=20)
+
+
 BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **SPARK_QUERIES,
     "minhash_signatures": minhash_signatures_stage,
@@ -7000,6 +7070,7 @@ _DRIVER_WINDOW_FIRST: list[str] = [
     # -- never driver-checked (round-4 session additions + displaced) --
     "curation_funnel",
     "semantic_decontaminate",
+    "lsh_autotune",
     "stratified_quality_sample",
     "ngram_novelty",
     "cluster_size_histogram",

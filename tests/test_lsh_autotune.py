@@ -1,0 +1,80 @@
+"""lsh_autotune — banding selection from the empirical Jaccard
+histogram (operators/minhash.py)."""
+
+from dedupe_copy_spark.config import DedupeConfig
+from dedupe_copy_spark.operators.minhash import (autotune_configs,
+                                                 autotune_table,
+                                                 lsh_autotune)
+
+
+def _grams(spark, docs):
+    """docs: list of (doc_id, token list) → (doc_id, g) distinct
+    3-gram relation (string grams, same shape as registry grams)."""
+    rows = []
+    for did, toks in docs:
+        g = sorted({" ".join(toks[i:i + 3])
+                    for i in range(max(len(toks) - 2, 0))})
+        rows.append((did, g))
+    return spark.createDataFrame(rows, "doc_id long, g array<string>")
+
+
+def _near_docs(n_pairs, sim_tokens, total_tokens, start=0):
+    """Pairs of docs sharing a prefix of sim_tokens of total_tokens."""
+    docs = []
+    for p in range(n_pairs):
+        base = [f"w{p}_{i}" for i in range(total_tokens)]
+        var = base[:sim_tokens] + [f"x{p}_{i}" for i in
+                                   range(total_tokens - sim_tokens)]
+        docs.append((start + 2 * p, base))
+        docs.append((start + 2 * p + 1, var))
+    return docs
+
+
+def test_configs_and_table_shapes():
+    cfgs = autotune_configs(128)
+    assert (16, 8) in cfgs and (64, 2) in cfgs and len(cfgs) == 5
+    tab = autotune_table(128, n_bins=20)
+    assert len(tab) == 100
+    # monotone S-curve per config; micro-bounded
+    for b, r in cfgs:
+        ps = [p for bb, rr, _, p in tab if (bb, rr) == (b, r)]
+        assert ps == sorted(ps) and 0 <= ps[0] and ps[-1] <= 1_000_000
+
+
+def test_recommends_sharp_knee_for_high_j_corpus(spark):
+    """Near-identical pairs (J~0.9): every config finds them, so the
+    cheapest (fewest false candidates at the same recall) must win —
+    and OR-heavy (64,2) must never be recommended over (16,8)."""
+    docs = _near_docs(8, 36, 40)
+    out = {(r.bands, r.rows_per_band): r for r in
+           lsh_autotune(_grams(spark, docs), DedupeConfig()).collect()}
+    assert len(out) == 5
+    rec = [k for k, v in out.items() if v.recommended]
+    assert len(rec) == 1
+    assert out[(64, 2)].exp_fp_micro >= out[(16, 8)].exp_fp_micro
+    assert not out[(64, 2)].recommended
+
+
+def test_found_plus_missed_is_total_above_mass(spark):
+    docs = _near_docs(6, 36, 40)
+    rows = lsh_autotune(_grams(spark, docs), DedupeConfig()).collect()
+    totals = {(r.bands, r.rows_per_band):
+              r.exp_found_micro + r.exp_missed_micro for r in rows}
+    # same above-threshold pair mass under every config
+    assert len(set(totals.values())) == 1
+
+
+def test_cost_is_the_documented_formula(spark):
+    docs = _near_docs(5, 34, 40)
+    for r in lsh_autotune(_grams(spark, docs), DedupeConfig(),
+                          fn_weight=10).collect():
+        assert r.cost_micro == 10 * r.exp_missed_micro + r.exp_fp_micro
+
+
+def test_plan_shape(spark):
+    docs = _near_docs(3, 36, 40)
+    plan = lsh_autotune(_grams(spark, docs), DedupeConfig()) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
