@@ -234,6 +234,14 @@ def main(argv: list[str] | None = None) -> int:
             spark, metrics_root=args.checkpoint).start()
     if bool(args.input) == bool(args.read_path):
         raise SystemExit("exactly one of --input / --read-path is required")
+    if args.funnel_report and args.read_path:
+        # fail BEFORE the walk/hash pipeline runs, not after: fs rows
+        # carry digests only, and the funnel's near-dup/packing stages
+        # read text — the incompatibility is knowable right here
+        raise SystemExit(
+            "--funnel-report needs a content-bearing --input "
+            "(--read-path walks carry digests only; the near-dup and "
+            "packing stages read text)")
     if args.read_path:
         from dedupe_copy_spark.sources.fs import scan_fs
 
@@ -417,12 +425,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.funnel_report:
             from dedupe_copy_spark.operators.audit import curation_funnel
 
-            if "content" not in files.columns:
-                raise SystemExit(
-                    "--funnel-report needs a content-bearing --input "
-                    "(fs walks carry digests only; the near-dup and "
-                    "packing stages read text)")
-            curation_funnel(files).write.mode("overwrite") \
+            # reuse the pipeline's S0 digests (hashed carries content
+            # + content_sha256) — the funnel's exact stage must not
+            # re-hash every byte the ingest stage already hashed
+            curation_funnel(hashed, digest_col="content_sha256") \
+                .write.mode("overwrite") \
                 .option("header", True).csv(f"{out}/funnel")
         if args.export_manifest:
             from dedupe_copy_spark.sources.reference_manifest import (

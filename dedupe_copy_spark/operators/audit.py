@@ -156,7 +156,8 @@ def curation_funnel(files: DataFrame, cfg=None, *,
                     secret_pattern: str = CURATION_SECRET_RUN,
                     train_hex: str = "e6666666",
                     seq_len: int = 512,
-                    jaccard_micro: int = 800_000) -> DataFrame:
+                    jaccard_micro: int = 800_000,
+                    digest_col: str | None = None) -> DataFrame:
     """The WHOLE corpus-build chain as one instrumented relation:
 
         ingest → hygiene gates → exact keep-first → near-dup clusters
@@ -199,10 +200,22 @@ def curation_funnel(files: DataFrame, cfg=None, *,
     stage boundary is localCheckpointed once (at production scale the
     pipeline's parquet checkpoint stages play this role — the resume
     contract), so no stage's lineage re-runs per consumer. The final
-    window orders SEVEN rows — not a data-sized sort. The exact
-    verify (not the signature estimate) also makes every count a pure
-    function of the input: DuckDB replays the whole funnel, CC
-    included, bit-for-bit.
+    window orders SEVEN rows — not a data-sized sort.
+
+    Determinism and its precondition: the exact verify (not the
+    signature estimate) makes the edge set — and so every downstream
+    count — a pure function of the CANDIDATE set, and an all-pairs
+    SQL replay agrees with it exactly WHEN the LSH candidates cover
+    every >= threshold pair (candidates ⊇ truth). That recall is
+    probabilistic by construction (a J=0.80 pair misses all 16 bands
+    w.p. ~5%, and a > max_band_bucket hot bucket drops its pairs from
+    candidate generation) — it is pinned empirically, not
+    guaranteed: the driver-green minhash_near_pairs oracle asserts
+    candidates ⊇ truth on the fixtures at every tested scale, and
+    the fixtures are deterministic, so the registered funnel oracle
+    cannot flake; on a corpus whose near-dup mass hugs the threshold,
+    raise bands/rows (see minhash.lsh_autotune) before trusting an
+    all-pairs audit to match.
 
     Cluster node ids for the CC loop are 60-bit md5 prefixes of the
     member key (collisions could only MERGE clusters; ~1e-13 at 10^3
@@ -223,7 +236,17 @@ def curation_funnel(files: DataFrame, cfg=None, *,
 
     content = F.coalesce(F.col("content"), F.lit(""))
     key = F.concat_ws("|", "repo", "path", "commit")
-    base = files.select(key.alias("k"), content.alias("content"))
+    # ``digest_col``: callers that already hashed the corpus (the CLI
+    # pipeline's S0 output) pass their digest column so the funnel
+    # does not re-run sha256 over every byte; the self-contained
+    # default derives it
+    if digest_col and digest_col in files.columns:
+        base = files.select(key.alias("k"), content.alias("content"),
+                            F.col(digest_col).alias("_dg"))
+        dg = F.col("_dg")
+    else:
+        base = files.select(key.alias("k"), content.alias("content"))
+        dg = F.sha2("content", 256)
 
     # s1: hygiene gates (pure codegen scan)
     bad = (F.col("content").rlike(secret_pattern)
@@ -232,7 +255,7 @@ def curation_funnel(files: DataFrame, cfg=None, *,
 
     # s2: exact keep-first winner per digest (content is constant
     # within a digest group, so max() is deterministic in value)
-    winners = (clean.groupBy(F.sha2("content", 256).alias("_dg"))
+    winners = (clean.groupBy(dg.alias("_dg"))
                .agg(F.min("k").alias("k"), F.max("content").alias("content"))
                .drop("_dg")
                .localCheckpoint())

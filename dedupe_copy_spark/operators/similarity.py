@@ -753,9 +753,14 @@ def semantic_decontaminate(train: DataFrame, evalset: DataFrame,
     best = scored.groupBy(id_col).agg(
         F.max(F.struct(F.col("_s").alias("s"),
                        (-F.col("_eid")).alias("n"))).alias("_b"))
-    return best.select(
+    # left join back to the train ids: an EMPTY eval set (an upstream
+    # filter matched nothing) must still yield one row per training
+    # vector — flagged=false with NULL best columns — or a caller
+    # keeping `~flagged` rows would silently drop the whole corpus
+    return t.select(id_col).join(best, id_col, "left").select(
         id_col,
         (-F.col("_b.n")).cast("long").alias("best_eval_id"),
         F.col("_b.s").alias("best_score"),
-        (F.col("_b.s") >= F.lit(float(threshold))).alias("flagged"),
+        F.coalesce(F.col("_b.s") >= F.lit(float(threshold)),
+                   F.lit(False)).alias("flagged"),
     )

@@ -1394,10 +1394,14 @@ def snapshot_pinned_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     later append — which is what lets every stage of a resumed run
     consume the same immutable input the first attempt saw.
 
-    Scratch space is a FIXED per-sf path under the system tempdir,
-    cleared and rebuilt each run, so repeated bench/correctness runs
-    reuse one directory instead of accumulating mkdtemp leftovers
-    (same pattern as jsonl_roundtrip)."""
+    Scratch space is a FIXED per-(sf, pid) path under the system
+    tempdir, cleared and rebuilt each run: repeated runs in one
+    process reuse one directory instead of accumulating mkdtemp
+    leftovers (same pattern as jsonl_roundtrip), and the pid in the
+    key keeps two CONCURRENT processes (a correctness drive next to a
+    bench) from rmtree-ing the snapshot table the other is lazily
+    scanning — one bounded dir per process lifetime, not one per
+    call."""
     import hashlib
     import os
     import shutil
@@ -1408,7 +1412,7 @@ def snapshot_pinned_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "lang", "source")
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    table_dir = f"{tempfile.gettempdir()}/snap_table_{tag}"
+    table_dir = f"{tempfile.gettempdir()}/snap_table_{tag}_{os.getpid()}"
     shutil.rmtree(table_dir, ignore_errors=True)
     os.makedirs(table_dir, exist_ok=True)
     v1 = snapshots.append_snapshot(
@@ -6881,12 +6885,16 @@ def curation_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     a U+FFFD decode-loss marker; mirror rows collapse at the exact
     stage; the constructed near-dup pairs shrink mass at the
     soft-weight stage. The oracle replays EVERY stage in SQL — the
-    near-dup clusters via exact-Jaccard pairs + a recursive-CTE
-    connected-components (exact verify makes cluster structure a pure
-    function of the input), the split off md5(cluster_key), and the
+    near-dup clusters via ALL-PAIRS exact-Jaccard + a recursive-CTE
+    connected-components, the split off md5(cluster_key), and the
     packed-sequence count — so any drift anywhere in the chain fails
-    the value hash. Per-stage composition (exchanges, checkpoints) is
-    plan-audited; sf1 stress covers the end-to-end chain."""
+    the value hash. The Spark side generates pairs through LSH and
+    verifies them EXACTLY, so the engines agree iff the LSH
+    candidates cover every truth pair — the recall the driver-green
+    minhash_near_pairs oracle pins on these deterministic fixtures
+    (see curation_funnel's docstring for the precondition on other
+    configs/corpora). Per-stage composition (exchanges, checkpoints)
+    is plan-audited; sf1 stress covers the end-to-end chain."""
     from dedupe_copy_spark.operators import audit
 
     files = files_from_documents(spark, sf_dir)
@@ -7061,13 +7069,17 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # CORRECTNESS_r01..r03 (a round-over-round regression signal).
 _DRIVER_WINDOW_FIRST: list[str] = [
     # ROUND-5 WINDOW (set 2026-08-20): the driver samples the first ~50
-    # registered queries.  Rounds 1-4 cumulatively drove 105 of the 148
-    # registered queries green; the 43 names below are the exact
-    # complement (union of CORRECTNESS_r01..r04 keys vs registry order),
-    # so CORRECTNESS_r05 green rows here complete 148/148 cumulative
-    # driver coverage.  Seven SURVEY-S2 anchors (all green r03/r04)
-    # fill the window to 50 for the cross-round regression signal.
-    # -- never driver-checked (round-4 session additions + displaced) --
+    # registered queries.  Rounds 1-4 cumulatively drove 105 of the
+    # (then-)148 registered queries green; the 46 names below are the
+    # exact complement against the 151-query registry — the 43
+    # round-4-era never-checked names (union of CORRECTNESS_r01..r04
+    # keys vs registry order) plus the three round-5 registrations —
+    # so CORRECTNESS_r05 green rows here complete 151/151 cumulative
+    # driver coverage.  SURVEY-S2 anchors (all green r03/r04) follow;
+    # the first FOUR land inside a 50-query window for the cross-round
+    # regression signal, the rest are next in line if the driver
+    # samples deeper.
+    # -- never driver-checked (round-5 + round-4 additions + displaced) --
     "curation_funnel",
     "semantic_decontaminate",
     "lsh_autotune",

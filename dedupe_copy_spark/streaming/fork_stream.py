@@ -105,7 +105,15 @@ class IncrementalForkIndex:
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Fold one micro-batch of raw file rows (FILES_STREAM_SCHEMA)
-        into the three stores."""
+        into the four stores.
+
+        Batches at or below the compaction watermark are already
+        folded into the base partitions — a post-compaction redelivery
+        must be a no-op, not a fresh contribution (the digests store
+        would anti-join itself clean, but the additive stats rollup
+        would double-count files and bytes)."""
+        if batch_id <= statestore.read_watermark(self.out_dir):
+            return
         hashed = with_digest(batch_df)
         bh = (hashed.filter(~F.col("is_empty"))
               .select("repo", F.md5("content_sha256").alias("h"))
@@ -221,17 +229,19 @@ class IncrementalForkIndex:
         """Fold history into one base contribution per store — bounded
         file counts, identical answers.
 
-        The three writes in process_batch are sequential (digests →
-        counts → sketch), not atomic: a crash mid-batch leaves the
-        digests store ahead of the others (or the others absent
+        The four writes in process_batch are sequential (digests →
+        counts → sketch → stats), not atomic: a crash mid-batch leaves
+        earlier stores ahead of later ones (or the later ones absent
         entirely). Compacting in that state would be WORSE than a
         crash — folding the orphaned digests into the base partition
         puts them in history-strictly-before-every-batch, so the
-        replayed batch anti-joins its rows away and the counts/sketch
+        replayed batch anti-joins its rows away and the later stores'
         contributions are lost permanently. Compaction therefore
-        proceeds only when all three stores exist and agree on their
+        proceeds only when all four stores exist and agree on their
         newest batch_id; otherwise it is a no-op and the streaming
-        checkpoint's replay restores consistency first."""
+        checkpoint's replay restores consistency first. On success the
+        folded-through watermark is recorded so a later redelivery of
+        an already-folded batch cannot double its contribution."""
         tops = [self._max_batch(p) for p in
                 (self.digests_path, self.counts_path, self.sketch_path,
                  self.stats_path)]
@@ -258,6 +268,10 @@ class IncrementalForkIndex:
                 F.sum("total_bytes").cast("long").alias("total_bytes")),
             self.stats_path, f"{self.out_dir}/_stats_compact",
             into_batch_id)
+        # all four stores folded through tops[0]: record it so a
+        # redelivered already-folded batch no-ops instead of adding a
+        # second contribution on top of the base (see process_batch)
+        statestore.write_watermark(self.out_dir, tops[0])
 
     # -- stream wiring ----------------------------------------------------
 

@@ -60,3 +60,43 @@ def compact_into(folded: DataFrame, store_path: str, tmp_path: str,
     os.rename(store_path, old)
     os.rename(tmp_path, store_path)
     shutil.rmtree(old)
+
+
+def write_watermark(out_dir: str, through_batch_id: int) -> None:
+    """Record that every batch id <= ``through_batch_id`` has been
+    folded into a base partition somewhere under ``out_dir``.
+
+    Why this exists: batch_id-keyed OVERWRITE makes redelivery
+    idempotent only while the batch's own partition still exists.
+    After compaction folds partition N into the base, a redelivered
+    batch N writes a FRESH partition whose rows add to the base
+    contribution — additive stores double-count. The watermark closes
+    the window: process_batch consults it and treats any batch at or
+    below it as already-applied (the base holds it), so the replay is
+    a no-op instead of a duplicate. Written atomically (tmp + rename)
+    AFTER all of a module's stores are folded; a crash before the
+    rename leaves a stale-LOW watermark, which is safe — the guard
+    just doesn't fire and the per-partition overwrite semantics still
+    apply to every unfolded batch.
+
+    MONOTONE: a later compaction of a store that holds only the base
+    partition sees max batch_id = the base id and would otherwise
+    LOWER the watermark, re-opening the double-count window for every
+    previously-folded batch — so the recorded value never decreases."""
+    path = os.path.join(out_dir, "_compacted_through")
+    value = max(int(through_batch_id), read_watermark(out_dir))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(value))
+    os.replace(tmp, path)
+
+
+def read_watermark(out_dir: str) -> int:
+    """Highest batch id folded into a base partition; -2**63 when no
+    compaction has recorded one (every real batch id exceeds it)."""
+    path = os.path.join(out_dir, "_compacted_through")
+    try:
+        with open(path) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -(2 ** 63)

@@ -69,7 +69,16 @@ class IncrementalNfcIndex:
     # -- per-batch work ---------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Fold one micro-batch of document rows into the store."""
+        """Fold one micro-batch of document rows into the store.
+
+        Batches at or below the compaction watermark are already
+        folded into the base partition: a post-compaction redelivery
+        must be a no-op — writing a fresh contribution for a folded
+        batch would add to the base and double-count every text in
+        the batch (the additive-store replay hazard
+        statestore.write_watermark exists for)."""
+        if batch_id <= statestore.read_watermark(self.out_dir):
+            return
         text = F.coalesce(F.col(self.text_col), F.lit(""))
         norm = make_nfc_udf()(text)
         (batch_df
@@ -107,15 +116,22 @@ class IncrementalNfcIndex:
 
     def compact(self, into_batch_id: int = -1) -> None:
         """Fold history into one base contribution — bounded file
-        counts, identical answers."""
+        counts, identical answers. Records the folded-through
+        watermark so a later redelivery of an already-folded batch
+        cannot double its contribution."""
         store = self._read_state()
         if store is None:
             return
+        top = None
+        if "batch_id" in store.columns:
+            top = store.agg(F.max("batch_id")).collect()[0][0]
         statestore.compact_into(
             store.groupBy("nfc_sha256", "raw_sha256").agg(
                 F.sum("n").cast("long").alias("n")),
             self.pairs_path, f"{self.out_dir}/_pairs_compact",
             into_batch_id)
+        if top is not None:
+            statestore.write_watermark(self.out_dir, top)
 
     # -- stream wiring ----------------------------------------------------
 

@@ -115,6 +115,20 @@ def test_final_plan_shape(spark):
     assert "Union" in plan
 
 
+def test_precomputed_digest_column_gives_identical_funnel(spark):
+    """digest_col reuse (the CLI path: S0 already hashed every byte)
+    must produce the exact relation the self-hashing default does."""
+    from dedupe_copy_spark.operators.exact import with_digest
+
+    df = spark.createDataFrame(_rows(), SCHEMA)
+    base = {r.stage: r for r in curation_funnel(df).collect()}
+    reused = {r.stage: r for r in
+              curation_funnel(with_digest(df),
+                              digest_col="content_sha256").collect()}
+    for name in CURATION_STAGES:
+        assert tuple(base[name]) == tuple(reused[name])
+
+
 def test_weights_sum_to_cluster_count_micro(spark):
     """Σ w over a cluster is 1e6 - (1e6 mod |C|) ≈ one doc's mass."""
     rows = [("r", f"n{i}.py", f"c{i}", "py", LONG_A) for i in range(3)]

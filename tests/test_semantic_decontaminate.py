@@ -51,6 +51,18 @@ def test_threshold_boundary_inclusive(spark):
     assert out[1].flagged and out[1].best_score == 0.6
 
 
+def test_empty_eval_set_keeps_every_train_row(spark):
+    """An empty eval set must yield one unflagged row per training
+    vector, not an empty relation — a `~flagged` keep-filter
+    downstream would otherwise drop the whole corpus."""
+    train = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = _out(spark, train, [])
+    assert sorted(out) == [0, 1]
+    for r in out.values():
+        assert not r.flagged
+        assert r.best_eval_id is None and r.best_score is None
+
+
 def test_plan_shape(spark):
     t = spark.createDataFrame([(0, [1.0, 0.0])], T_SCHEMA)
     e = spark.createDataFrame([(9, [1.0, 0.0])], E_SCHEMA)

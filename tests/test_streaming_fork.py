@@ -150,6 +150,30 @@ def test_canonicals_survive_replay_and_compaction(spark, tmp_path):
         _batch_canonicals(spark, b0 + b1 + _repo_rows("c/solo", a[:5]))
 
 
+def test_stats_survive_redelivery_after_compaction(spark, tmp_path):
+    """The additive stats store has no anti-join anchor: after
+    compaction folds a batch into the base, redelivering that batch
+    must not double n_files/total_bytes (the watermark guard)."""
+    a = [f"wc-{i}" for i in range(30)]
+    b0 = _repo_rows("w/full", a)
+    b1 = _repo_rows("w/fork", a[:20])
+    job = _mk(spark, tmp_path, "fork_wm")
+    job.process_batch(_files(spark, b0), batch_id=0)
+    job.process_batch(_files(spark, b1), batch_id=1)
+    want = _canon_rows(job.repo_canonicals())
+    job.compact()
+    job.process_batch(_files(spark, b1), batch_id=1)   # redelivery
+    assert _canon_rows(job.repo_canonicals()) == want
+    stats = {r.repo: (r.n_files, r.total_bytes)
+             for r in job.current_stats().collect()}
+    assert stats["w/fork"][0] == 20                    # not 40
+    # new batches after the watermark still land
+    job.process_batch(_files(spark, _repo_rows("w/solo", a[:5])),
+                      batch_id=2)
+    assert _canon_rows(job.repo_canonicals()) == _batch_canonicals(
+        spark, b0 + b1 + _repo_rows("w/solo", a[:5]))
+
+
 def test_compact_survives_partial_batch_crash(spark, tmp_path):
     """The three stores in process_batch are written sequentially, not
     atomically: a crash after the digests write leaves counts/sketch

@@ -81,6 +81,28 @@ def test_compaction_preserves_answers(spark, tmp_path):
         spark, b0 + b1 + [(5, DEC)])
 
 
+def test_redelivery_after_compaction_is_a_noop(spark, tmp_path):
+    """Compaction folds a batch's partition into the base; an
+    at-least-once redelivery of that batch afterwards must NOT add a
+    second contribution (the watermark guard)."""
+    b0 = [(0, PRE), (1, DEC), (2, "x"), (3, "x")]
+    job = _mk(spark, tmp_path, "nfc_replay_compact")
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    want = _rows(job.dup_groups())
+    job.compact()
+    job.process_batch(_docs(spark, b0), batch_id=0)   # redelivery
+    assert _rows(job.dup_groups()) == want
+    # a second compact (store now holds only the base) must not lower
+    # the watermark and re-open the window
+    job.compact()
+    job.process_batch(_docs(spark, b0), batch_id=0)
+    assert _rows(job.dup_groups()) == want
+    # genuinely new batches still land
+    job.process_batch(_docs(spark, [(9, PRE)]), batch_id=1)
+    assert _rows(job.dup_groups()) == _batch_answer(
+        spark, b0 + [(9, PRE)])
+
+
 def test_e2e_readstream(spark, tmp_path):
     src = tmp_path / "nfc_src"
     src.mkdir()
