@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness (bench.py stays FROZEN — guide §1).
+
+Times a named subset of BENCH_QUERIES with the same methodology as
+bench.py (warmed JVM + python worker pools, cold plan per trial,
+best-of-K) and optionally:
+  - isolates computation from the count() sink with the noop sink
+    (guide §1.4) via --noop;
+  - dumps .explain("formatted") per query to plans/r06/<q>_<tag>.txt
+    via --plans <tag>;
+  - labels jobs with setJobDescription (guide §1.5).
+
+Usage:
+  python bench_extra.py q1 q2 ...            # time with count() like bench.py
+  python bench_extra.py --noop q1 ...        # noop-sink isolation
+  python bench_extra.py --plans before q1 .. # dump plans, no timing
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    noop = "--noop" in args
+    if noop:
+        args.remove("--noop")
+    plan_tag = None
+    if "--plans" in args:
+        i = args.index("--plans")
+        plan_tag = args[i + 1]
+        del args[i:i + 2]
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+
+    from dedupe_copy_spark.plans import registry
+    from dedupe_copy_spark.session import get_spark, warm_python_workers
+
+    names = args or list(registry.BENCH_QUERIES)
+    spark = get_spark(app_name="dedupe-bench-extra", cores=CPUS,
+                      shuffle_partitions=CPUS)
+    warm_python_workers(spark)
+
+    if plan_tag is not None:
+        out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "plans", "r06")
+        os.makedirs(out_dir, exist_ok=True)
+        for name in names:
+            df = registry.BENCH_QUERIES[name](spark, SF_DIR)
+            path = os.path.join(out_dir, f"{name}_{plan_tag}.txt")
+            with open(path, "w") as fh:
+                fh.write(df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"))
+            print(f"# wrote {path}", file=sys.stderr)
+        return
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.BENCH_QUERIES[name]
+        best, n = None, 0
+        for _ in range(trials):
+            spark.sparkContext.setJobDescription(f"r06:{name}")
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            if noop:
+                df.write.format("noop").mode("overwrite").save()
+                n = -1
+            else:
+                n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        spark.sparkContext.setJobDescription(None)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    print(json.dumps({"metric": "bench_extra", "sink": "noop" if noop
+                      else "count", "queries": timings,
+                      "total": round(sum(timings.values()), 3),
+                      "sf": SF_DIR, "load": round(os.getloadavg()[0], 1)}))
+
+
+if __name__ == "__main__":
+    main()

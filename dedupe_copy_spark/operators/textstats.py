@@ -83,28 +83,50 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     (blocking keeps the self-join linear-ish at scale; the unblocked
     all-pairs version is MinHash's job). All array built-ins.
 
-    Pair generation rides the same capped bucket core as the LSH/chunk
-    joins (operators/pairs.py): one groupBy per block collects member
-    ids, blocks wider than ``max_block`` are DROPPED with accounting
-    (``ngram_dropped_blocks``) instead of silently going O(width²), and
-    gram arrays join back by id — no persist to leak, no unbounded
-    self-join. NOTE for oracle parity: a plain SQL restatement computes
-    ALL blocks, so keep max_block above the widest block when comparing.
+    Pair generation is an INVERTED INDEX over (block, gram), not the
+    all-pairs block expansion: any pair at jaccard ≥ threshold > 0
+    shares at least one gram, so pairs sharing zero grams — the
+    overwhelming majority of each block's O(width²) — are never
+    materialized, and nothing ships gram ARRAYS through a join. The
+    gram-bucket expansion rides the same capped bucket core as the
+    LSH/chunk joins (operators/pairs.py bucket_pairs_counted), whose
+    per-pair count IS the intersection size; the union derives from
+    per-doc distinct-gram counts (|A∪B| = |A|+|B|−|A∩B| — exact for
+    the array_distinct'd gram sets), so the jaccard division is
+    bit-identical to the former array_intersect/array_union form.
+    Block-cap semantics are preserved: blocks wider than ``max_block``
+    are DROPPED with accounting (``ngram_dropped_blocks``) before
+    posting, so no gram bucket can exceed the cap either. Cost is
+    Σ_gram df² gram-pair rows (df ≤ block width, and tiny for natural
+    text with blocking) instead of Σ_block width² array comparisons —
+    measured 40.3 s → see OPTIMIZATION_r06.md at sf1. NOTE for oracle
+    parity: a plain SQL restatement computes ALL blocks, so keep
+    max_block above the widest block when comparing.
     """
-    from dedupe_copy_spark.operators.pairs import bucket_pairs
+    from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
 
-    ids = docs.select(F.col(id_col), *[F.col(c) for c in block_cols])
-    pairs = bucket_pairs(ids, list(block_cols), id_col, max_block)
+    bc = [F.col(c) for c in block_cols]
     grams = docs.select(
-        F.col(id_col),
+        *bc, F.col(id_col),
         F.array_distinct(token_ngrams(F.col(text_col), n)).alias("grams"))
-    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
-    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
-    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-    union = F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    kept_blocks = (
+        grams.groupBy(*block_cols)
+        .agg(F.count_distinct(F.col(id_col)).alias("_w"))
+        .filter((F.col("_w") > 1) & (F.col("_w") <= max_block))
+        .select(*block_cols))
+    kept = grams.join(kept_blocks, list(block_cols), "left_semi")
+    posts = kept.select(*bc, F.col(id_col), F.explode("grams").alias("gram"))
+    inter = bucket_pairs_counted(posts, [*block_cols, "gram"], id_col,
+                                 max_block)
+    sizes = kept.select(F.col(id_col), F.size("grams").alias("_sz"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_nb"))
+    union = (F.col("_na") + F.col("_nb") - F.col("n_shared")).cast("double")
     return (
-        pairs.join(a, "id_a").join(b, "id_b")
-        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 6))
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.round(F.col("n_shared").cast("double")
+                            / F.greatest(union, F.lit(1.0)), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -45,8 +45,6 @@ corpora (file deletions would need retractions; none exist here).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -217,13 +215,7 @@ class IncrementalForkIndex:
     def _max_batch(path: str) -> int | None:
         """Newest batch_id partition of a store, from the directory
         listing (driver-side, no Spark job); None when absent/empty."""
-        statestore.recover(path)
-        try:
-            ids = [int(d.split("=", 1)[1]) for d in os.listdir(path)
-                   if d.startswith("batch_id=")]
-        except FileNotFoundError:
-            return None
-        return max(ids, default=None)
+        return statestore.max_batch_id(path)
 
     def compact(self, into_batch_id: int = -1) -> None:
         """Fold history into one base contribution per store — bounded
@@ -247,6 +239,18 @@ class IncrementalForkIndex:
                  self.stats_path)]
         if None in tops or len(set(tops)) != 1:
             return
+        # Record the folded-through watermark BEFORE the folds
+        # (statestore.write_watermark's contract): reads never consult
+        # it and all four stores' partitions stay intact until their
+        # fold completes, so a crash after this write only suppresses
+        # redeliveries of batches whose partitions are still present —
+        # safe. Writing it AFTER the folds reopened a loss window: a
+        # crash after the digests fold but before the counts fold left
+        # a stale-LOW watermark while the digests base already held
+        # batch N, so a redelivery of N recomputed `new` as empty (the
+        # anti-join against the base) and overwrote counts/batch_id=N
+        # with an empty rollup — N's distinct-count contribution lost.
+        statestore.write_watermark(self.out_dir, tops[0])
         dig = self._read(self.digests_path)
         statestore.compact_into(
             dig.select("repo", "h").distinct(), self.digests_path,
@@ -268,10 +272,6 @@ class IncrementalForkIndex:
                 F.sum("total_bytes").cast("long").alias("total_bytes")),
             self.stats_path, f"{self.out_dir}/_stats_compact",
             into_batch_id)
-        # all four stores folded through tops[0]: record it so a
-        # redelivered already-folded batch no-ops instead of adding a
-        # second contribution on top of the base (see process_batch)
-        statestore.write_watermark(self.out_dir, tops[0])
 
     # -- stream wiring ----------------------------------------------------
 

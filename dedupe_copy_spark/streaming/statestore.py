@@ -63,8 +63,9 @@ def compact_into(folded: DataFrame, store_path: str, tmp_path: str,
 
 
 def write_watermark(out_dir: str, through_batch_id: int) -> None:
-    """Record that every batch id <= ``through_batch_id`` has been
-    folded into a base partition somewhere under ``out_dir``.
+    """Record that every batch id <= ``through_batch_id`` is (or is
+    about to be) folded into a base partition somewhere under
+    ``out_dir``.
 
     Why this exists: batch_id-keyed OVERWRITE makes redelivery
     idempotent only while the batch's own partition still exists.
@@ -72,12 +73,19 @@ def write_watermark(out_dir: str, through_batch_id: int) -> None:
     batch N writes a FRESH partition whose rows add to the base
     contribution — additive stores double-count. The watermark closes
     the window: process_batch consults it and treats any batch at or
-    below it as already-applied (the base holds it), so the replay is
-    a no-op instead of a duplicate. Written atomically (tmp + rename)
-    AFTER all of a module's stores are folded; a crash before the
-    rename leaves a stale-LOW watermark, which is safe — the guard
-    just doesn't fire and the per-partition overwrite semantics still
-    apply to every unfolded batch.
+    below it as already-applied, so the replay is a no-op instead of a
+    duplicate. Written atomically (tmp + rename) BEFORE a module folds
+    its stores: reads never consult the watermark and every batch
+    partition stays intact until its fold completes, so a crash after
+    the early write merely suppresses redeliveries of batches whose
+    partitions are still present — their contribution is still counted,
+    which is safe. Writing it AFTER the folds would be wrong for
+    derived stores: a crash between an early fold and the watermark
+    write leaves partitions already folded while the stale-LOW
+    watermark admits a redelivery, which (for a store derived by e.g.
+    an anti-join against the folded base) recomputes as empty and
+    overwrites the batch partition of a not-yet-folded sibling store,
+    permanently losing that batch's contribution.
 
     MONOTONE: a later compaction of a store that holds only the base
     partition sees max batch_id = the base id and would otherwise
@@ -89,6 +97,18 @@ def write_watermark(out_dir: str, through_batch_id: int) -> None:
     with open(tmp, "w") as fh:
         fh.write(str(value))
     os.replace(tmp, path)
+
+
+def max_batch_id(store_path: str) -> int | None:
+    """Newest ``batch_id=`` partition of a store, from the directory
+    listing (driver-side, no Spark job); None when absent/empty."""
+    recover(store_path)
+    try:
+        ids = [int(d.split("=", 1)[1]) for d in os.listdir(store_path)
+               if d.startswith("batch_id=")]
+    except FileNotFoundError:
+        return None
+    return max(ids, default=None)
 
 
 def read_watermark(out_dir: str) -> int:

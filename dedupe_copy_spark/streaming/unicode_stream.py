@@ -117,21 +117,21 @@ class IncrementalNfcIndex:
     def compact(self, into_batch_id: int = -1) -> None:
         """Fold history into one base contribution — bounded file
         counts, identical answers. Records the folded-through
-        watermark so a later redelivery of an already-folded batch
-        cannot double its contribution."""
+        watermark BEFORE the fold (statestore.write_watermark's
+        contract) so a later redelivery of an already-folded batch
+        cannot double its contribution; the top batch id comes from
+        the directory listing, not a Spark job."""
         store = self._read_state()
         if store is None:
             return
-        top = None
-        if "batch_id" in store.columns:
-            top = store.agg(F.max("batch_id")).collect()[0][0]
+        top = statestore.max_batch_id(self.pairs_path)
+        if top is not None:
+            statestore.write_watermark(self.out_dir, top)
         statestore.compact_into(
             store.groupBy("nfc_sha256", "raw_sha256").agg(
                 F.sum("n").cast("long").alias("n")),
             self.pairs_path, f"{self.out_dir}/_pairs_compact",
             into_batch_id)
-        if top is not None:
-            statestore.write_watermark(self.out_dir, top)
 
     # -- stream wiring ----------------------------------------------------
 
