@@ -55,7 +55,8 @@ def _gram_counts(docs: DataFrame, text_col: str,
 
 def dsir_weights(docs: DataFrame, target: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
-                 head_chars: int = 512) -> DataFrame:
+                 head_chars: int = 512,
+                 target_predicate=None) -> DataFrame:
     """Importance weight per raw doc: how target-like its features
     are. ``target`` is the trusted slice (a filtered view of ``docs``
     or a separate corpus with the same text column).
@@ -66,11 +67,30 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     Positive = more target-like than corpus-average; the resampling
     step is a top-k or Gumbel draw on this column.
 
-    Both count relations are materialized once (localCheckpoint) —
-    they are alphabet²-bounded, and the scoring plan branches each of
-    them two ways (domain join + totals), which would otherwise re-run
-    the corpus-sized training pass per branch (the train_char_bigram_lm
-    lesson, operators/lm.py)."""
+    ``target_predicate`` (a boolean Column over ``docs``' columns)
+    declares that ``target`` ≡ ``docs.filter(target_predicate)``; both
+    count relations then come from ONE corpus-sized explode+agg with a
+    conditional count (``cnt_t = count(when(pred))``) instead of two —
+    the domain union is free because target grams are a subset of raw
+    grams by construction. Counts are identical to the two-pass form
+    (same rows aggregated, associative count), so weights are
+    bit-for-bit unchanged. Without it, both relations are materialized
+    once (localCheckpoint) — alphabet²-bounded, and the scoring plan
+    branches each two ways (domain join + totals), which would
+    otherwise re-run the corpus-sized training pass per branch (the
+    train_char_bigram_lm lesson, operators/lm.py)."""
+    if target_predicate is not None:
+        grams = _with_bigrams(
+            docs.select(F.col(text_col),
+                        target_predicate.alias("_is_t")),
+            text_col, head_chars, keep=["_is_t"]) \
+            .filter(F.col("gram").isNotNull())
+        dom = grams.groupBy("gram").agg(
+            F.count(F.when(F.col("_is_t"), F.lit(1))).cast("long")
+            .alias("cnt_t"),
+            F.count(F.lit(1)).cast("long").alias("cnt_r"))
+        return _dsir_score(docs, dom.localCheckpoint(), id_col=id_col,
+                           text_col=text_col, head_chars=head_chars)
     m_t = _gram_counts(target, text_col, head_chars)
     m_r = _gram_counts(docs, text_col, head_chars)
     return dsir_weights_from_models(docs, m_t, m_r, id_col=id_col,
@@ -96,6 +116,20 @@ def dsir_weights_from_models(docs: DataFrame, target_model: DataFrame,
            .select("gram",
                    F.coalesce("cnt_t", F.lit(0)).alias("cnt_t"),
                    F.coalesce("cnt_r", F.lit(0)).alias("cnt_r")))
+    return _dsir_score(docs, dom, id_col=id_col, text_col=text_col,
+                       head_chars=head_chars)
+
+
+def _dsir_score(docs: DataFrame, dom: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text",
+                head_chars: int = 512) -> DataFrame:
+    """Score ``docs`` against a merged (gram, cnt_t, cnt_r) domain
+    relation. The per-gram log-weight is a constant of the MODELS, so
+    it is quantized once on the alphabet²-bounded domain relation and
+    broadcast — the corpus-sized scoring explode is pure
+    broadcast-hash-join + long sum, no ln()/round() per gram row (the
+    operators/lm.py lm_score hoist). The quantized terms are
+    bit-identical to computing them per row (same inputs, same ops)."""
     # Empty-model guard (the lm.py ADVICE-r3 lesson): with BOTH models
     # empty, NULL totals would null every per-gram term and erase
     # n_grams. coalesce(0) + a domain floor of 1 degrade to uniform
@@ -106,19 +140,31 @@ def dsir_weights_from_models(docs: DataFrame, target_model: DataFrame,
         F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double").alias("d"))
 
     lnq = (lambda x: F.round(F.log(x) * MICRO, 0).cast("long"))
+    # lw(g) = lnq(cnt_t+1) - lnq(tot_t+d) - lnq(cnt_r+1) + lnq(tot_r+d):
+    # per-gram for the first/third terms, global for the rest — all
+    # model-sized. A gram absent from the domain scores the same
+    # formula at cnt_t = cnt_r = 0 (lnq(1) = 0 twice), kept as the
+    # coalesce fallback; with raw models trained on the scored corpus
+    # that branch never fires.
+    dom_lp = (dom.crossJoin(F.broadcast(totals))
+              .select("gram",
+                      (lnq(F.col("cnt_t") + 1)
+                       - lnq(F.col("tot_t") + F.col("d"))
+                       - lnq(F.col("cnt_r") + 1)
+                       + lnq(F.col("tot_r") + F.col("d")))
+                      .alias("_lw")))
     grams = _with_bigrams(docs, text_col, head_chars, keep=[id_col])
     scored = (
         grams
-        .join(F.broadcast(dom), "gram", "left")
+        .join(F.broadcast(dom_lp), "gram", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,
             F.when(F.col("gram").isNull(), F.lit(None).cast("long"))
-            .otherwise(
-                lnq(F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
-                - lnq(F.col("tot_t") + F.col("d"))
-                - lnq(F.coalesce(F.col("cnt_r"), F.lit(0)) + 1)
-                + lnq(F.col("tot_r") + F.col("d")))
+            .otherwise(F.coalesce(
+                F.col("_lw"),
+                -lnq(F.col("tot_t") + F.col("d"))
+                + lnq(F.col("tot_r") + F.col("d"))))
             .alias("lw_micro")))
 
     agg = scored.groupBy(id_col).agg(
@@ -133,12 +179,13 @@ def dsir_weights_from_models(docs: DataFrame, target_model: DataFrame,
 
 def dsir_select(docs: DataFrame, target: DataFrame, k: int,
                 id_col: str = "doc_id", text_col: str = "text",
-                head_chars: int = 512) -> DataFrame:
+                head_chars: int = 512, target_predicate=None) -> DataFrame:
     """The resampling step, deterministic variant: global top-k docs
     by importance weight, ties by id — the greedy selection the DSIR
     paper's Gumbel draw converges to at low temperature. A TakeOrdered
     over (k)-bounded state per partition, no full sort materialized."""
-    w = dsir_weights(docs, target, id_col, text_col, head_chars)
+    w = dsir_weights(docs, target, id_col, text_col, head_chars,
+                     target_predicate=target_predicate)
     return (w.orderBy(F.col("log_weight_micro").desc(),
                       F.col(id_col).asc())
             .limit(k))

@@ -138,18 +138,36 @@ def lm_score(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
     grams = _with_bigrams(docs, text_col, head_chars, keep=keep)
 
     lnq = (lambda x: F.round(F.log(x) * MICRO, 0).cast("long"))
+    # Per-gram log-probs are constants of the MODEL, not the corpus:
+    # quantize them once on the alphabet²-bounded model/continuation
+    # relations (broadcast), so the corpus-sized scoring pass is pure
+    # broadcast-hash-join + coalesce — no ln()/round() per exploded
+    # gram row (guide §2.3 "aggregate before you shuffle" applied to
+    # scalar math: hoist loop-invariant work off the big side).
+    #   gram in model          → lnq(cnt+1)  - lnq(cont(c1)+V)
+    #   gram absent, c1 seen   → lnq(0+1)=0  - lnq(cont(c1)+V)
+    #   c1 never seen          → -lnq(V)
+    # model ⊆ cont by construction, so a three-way coalesce replays the
+    # original when/otherwise chain exactly.
+    cont_lp = (cont.crossJoin(vocab)
+               .select("c1", (-lnq(F.col("cont_cnt") + F.col("_v")))
+                       .alias("_lp_c1")))
+    model_lp = (model.select("gram", F.substring("gram", 1, 1).alias("c1"),
+                             lnq(F.col("cnt") + 1).alias("_lq"))
+                .join(F.broadcast(cont_lp), "c1")
+                .select("gram", (F.col("_lq") + F.col("_lp_c1"))
+                        .alias("_lp_gram")))
     scored = (
         grams
-        .join(F.broadcast(model), "gram", "left")
-        .join(F.broadcast(cont),
+        .join(F.broadcast(model_lp), "gram", "left")
+        .join(F.broadcast(cont_lp),
               F.substring("gram", 1, 1) == F.col("c1"), "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             *keep, "gram",
             F.when(F.col("gram").isNull(), F.lit(None).cast("long"))
-            .when(F.col("cont_cnt").isNull(), -lnq(F.col("_v")))
-            .otherwise(lnq(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
-                       - lnq(F.col("cont_cnt") + F.col("_v")))
+            .otherwise(F.coalesce(F.col("_lp_gram"), F.col("_lp_c1"),
+                                  -lnq(F.col("_v"))))
             .alias("lp_micro")))
 
     agg = scored.groupBy(*keep).agg(

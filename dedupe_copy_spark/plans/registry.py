@@ -4303,7 +4303,11 @@ def dsir_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_copy_spark.operators.dsir import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    # target ≡ docs.filter(lang='en'): declare the predicate so both
+    # models come from ONE corpus pass (dsir.py fused path — counts and
+    # weights bit-identical to the two-pass form)
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                        target_predicate=F.col("lang") == "en")
 
 
 @register("dsir_select", _DSIR_SQL.replace(
@@ -4318,7 +4322,8 @@ def dsir_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_copy_spark.operators.dsir import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=200)
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=200,
+                       target_predicate=F.col("lang") == "en")
 
 
 @register("markup_extract", r"""
