@@ -234,6 +234,12 @@ def curation_funnel(files: DataFrame, cfg=None, *,
     rid = lambda c: F.conv(  # noqa: E731
         F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
+    from dedupe_copy_spark.sources.tables import spread_scan
+
+    # the s1 hygiene scan (rlike + decode-loss probe over every byte)
+    # is a heavy narrow chain; spread a low-parallelism scan first
+    # (no-op at production scan parallelism)
+    files = spread_scan(files)
     content = F.coalesce(F.col("content"), F.lit(""))
     key = F.concat_ws("|", "repo", "path", "commit")
     # ``digest_col``: callers that already hashed the corpus (the CLI

@@ -102,12 +102,54 @@ def containment_candidates(sketches: DataFrame, cfg: DedupeConfig,
                            id_col: str = "file_id",
                            size_col: str = "size") -> DataFrame:
     """Size-skewed candidate pairs sharing enough rare sketch hashes.
-    Output: (id_small, id_big)."""
-    from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
+    Output: (id_small, id_big).
 
-    exploded = sketches.select(F.col(id_col), F.explode("sketch").alias("h"))
+    Two changes versus the naive bucket expansion, output identical:
+
+    - the size-ratio predicate is evaluated DURING pair generation
+      (it is a pair-level constant, so a ratio-passing pair's
+      co-occurrence count is untouched and a ratio-failing pair was
+      dropped after counting anyway) — buckets of same-sized
+      boilerplate (the wrapped-doc case) or of same-sized near-dup
+      family members emit nothing instead of O(width²) rows;
+    - generation is a codegen'd self-EQUI-JOIN of the width-capped
+      posting list, not an array-combinatorics transform: nested
+      higher-order lambdas evaluate interpreted (~µs per comparison —
+      measured 8-10 s for ~20M comparisons at sf1), while the join
+      probe + ratio predicate run inside whole-stage codegen; both
+      join sides are the same relation keyed on h, so the planner
+      reuses one Exchange (ReusedExchange).
+
+    Width-cap semantics unchanged: a hash held by more than
+    max_band_bucket docs is dropped with its whole bucket before
+    pairing ((id, h) is unique — sketches are np.unique — so
+    count(*) == count_distinct)."""
+    exploded = sketches.select(F.col(id_col).alias("_id"),
+                               F.col(size_col).alias("_sz"),
+                               F.explode("sketch").alias("h"))
+    kept = (exploded.groupBy("h").agg(F.count(F.lit(1)).alias("_w"))
+            .filter((F.col("_w") > 1) & (F.col("_w") <= cfg.max_band_bucket))
+            .select("h"))
+    posts = exploded.join(kept, "h", "left_semi")
+    a = posts.select("h", F.col("_id").alias("id_a"),
+                     F.col("_sz").alias("size_a"))
+    b = posts.select("h", F.col("_id").alias("id_b"),
+                     F.col("_sz").alias("size_b"))
+    ratio_ok = (
+        F.greatest("size_a", "size_b").cast("double")
+        / F.least("size_a", "size_b").cast("double")
+        >= cfg.containment_min_ratio
+    )
     shared = (
-        bucket_pairs_counted(exploded, ["h"], id_col, cfg.max_band_bucket)
+        a.join(b, "h")
+        .filter((F.col("id_a") < F.col("id_b")) & ratio_ok)
+        # project to bare ids before the co-occurrence aggregate: the
+        # pair-event relation is the widest in the stage (Σ df² rows),
+        # so every dropped column halves real shuffle/agg bytes; sizes
+        # rejoin below on the candidate-sized survivor set only
+        .select("id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= cfg.containment_min_shared)
     )
     sizes = sketches.select(F.col(id_col), F.col(size_col))
@@ -118,13 +160,7 @@ def containment_candidates(sketches: DataFrame, cfg: DedupeConfig,
         .join(sizes.select(F.col(id_col).alias("id_b"),
                            F.col(size_col).alias("size_b")), "id_b")
     )
-    ratio_ok = (
-        F.greatest("size_a", "size_b").cast("double")
-        / F.least("size_a", "size_b").cast("double")
-        >= cfg.containment_min_ratio
-    )
-    skewed = shared.filter(ratio_ok)
-    return skewed.select(
+    return shared.select(
         F.when(F.col("size_a") <= F.col("size_b"), F.col("id_a"))
         .otherwise(F.col("id_b")).alias("id_small"),
         F.when(F.col("size_a") <= F.col("size_b"), F.col("id_b"))

@@ -70,7 +70,16 @@ def doc_grams(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     Tokenization is projected into an attribute FIRST so the n-gram
     construction (which references the token array n+1 times) never
     re-runs the regex — Catalyst's CollapseProject keeps multi-use
-    non-cheap expressions un-inlined."""
+    non-cheap expressions un-inlined.
+
+    The input is spread across the cluster first (spread_scan): the
+    tokenize + ngram + explode chain is the heavy narrow pass of every
+    gram consumer, and a single-row-group scan would otherwise run it
+    on one core; at production scan parallelism the spread is a
+    no-op."""
+    from dedupe_copy_spark.sources.tables import spread_scan
+
+    docs = spread_scan(docs)
     toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
     return toks.select(
         F.col(id_col),

@@ -59,7 +59,15 @@ def _with_bigrams(df: DataFrame, text_col: str, head_chars: int,
     re-scans the string from the start for every position —
     O(head²) per row; at head=512 that is a 250× blowup measured at
     16.9 s vs 0.5 s on the sf0.1 fixture.)
+
+    The input is spread across the cluster first (spread_scan): the
+    ~512× explode is the heaviest narrow chain in the LM family and a
+    single-row-group scan would otherwise run it on one core; at
+    production parallelism the spread is a no-op.
     """
+    from dedupe_copy_spark.sources.tables import spread_scan
+
+    df = spread_scan(df)
     staged = df.select(*keep, _norm_text(text_col, head_chars).alias("_t"))
     staged = staged.select(
         *keep, F.length("_t").alias("_n"), F.split("_t", "").alias("_c"))

@@ -104,7 +104,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2,
     max_block above the widest block when comparing.
     """
     from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
+    from dedupe_copy_spark.sources.tables import spread_scan
 
+    docs = spread_scan(docs)  # gram build is the heavy narrow chain
     bc = [F.col(c) for c in block_cols]
     grams = docs.select(
         *bc, F.col(id_col),

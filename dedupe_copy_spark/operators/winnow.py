@@ -49,6 +49,28 @@ def _normalize(s: str) -> str:
     return re.sub(r"\s+", " ", s).strip().lower()
 
 
+def _select(acc: np.ndarray, w: int) -> np.ndarray:
+    """Window-min selection over one doc's gram-hash array ``acc``:
+    (m, 2) int64 array of (1-based pos, hash-as-int64) rows, deduped
+    and sorted — the winnowing selection step shared by the per-doc
+    and batched entry points (bit-identical by construction)."""
+    cnt = len(acc)
+    if cnt <= w:
+        # single (possibly partial) window: rightmost min of all grams
+        rev_idx = cnt - 1 - int(acc[::-1].argmin())
+        return np.array([[rev_idx + 1,
+                          int(acc[rev_idx:rev_idx + 1].view(np.int64)[0])]],
+                        dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(acc, w)   # (cnt-w+1, w)
+    # argmin of the REVERSED window = rightmost minimum (tie-break)
+    j = sw[:, ::-1].argmin(axis=1)
+    col = w - 1 - j
+    starts = np.arange(cnt - w + 1)
+    pos = starts + col
+    sel = np.stack([pos + 1, sw[starts, col].view(np.int64)], axis=1)
+    return np.unique(sel, axis=0)
+
+
 def winnow_one(text: str, k: int, w: int) -> list[tuple[int, int]]:
     """Selected fingerprints of one doc: [(pos, hash_uint64_as_int)].
 
@@ -65,19 +87,52 @@ def winnow_one(text: str, k: int, w: int) -> list[tuple[int, int]]:
         acc = np.zeros(cnt, dtype=np.uint64)
         for j in range(k):
             acc = acc * _BASE + cp[j:j + cnt]
-    if cnt <= w:
-        # single (possibly partial) window: rightmost min of all grams
-        rev_idx = cnt - 1 - int(acc[::-1].argmin())
-        return [(rev_idx + 1, int(acc[rev_idx:rev_idx + 1].view(np.int64)[0]))]
-    sw = np.lib.stride_tricks.sliding_window_view(acc, w)   # (cnt-w+1, w)
-    # argmin of the REVERSED window = rightmost minimum (tie-break)
-    j = sw[:, ::-1].argmin(axis=1)
-    col = w - 1 - j
-    starts = np.arange(cnt - w + 1)
-    pos = starts + col
-    sel = np.stack([pos + 1, sw[starts, col].view(np.int64)], axis=1)
-    uniq = np.unique(sel, axis=0)
-    return [(int(p), int(h)) for p, h in uniq]
+    return [(int(p), int(h)) for p, h in _select(acc, w)]
+
+
+def _winnow_batch(texts, k: int, w: int):
+    """Flat (counts, pos, h) numpy arrays for a whole Arrow batch.
+
+    The k rolling-hash multiply-adds run ONCE over the batch's
+    concatenated codepoints instead of per doc (each doc's valid gram
+    range reads only its own codepoints, so the per-doc slices are
+    bit-identical to winnow_one's acc); only the cheap window-min
+    selection and dedup remain per doc. This removes the per-doc
+    Python/numpy dispatch overhead that dominated the fingerprint pass
+    (guide §4.2: hand whole batches to vectorized native code)."""
+    enc: list[bytes] = []
+    lens: list[int] = []
+    for t in texts:
+        s = _normalize(t or "")
+        b = s.encode("utf-32-le")
+        enc.append(b)
+        lens.append(len(b) >> 2)
+    cp = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+    offs = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total >= k:
+        cnt_all = total - k + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(cnt_all, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * _BASE + cp[j:j + cnt_all]
+    else:
+        acc = np.zeros(0, dtype=np.uint64)
+    counts = np.zeros(len(texts), dtype=np.int64)
+    pos_parts: list[np.ndarray] = []
+    h_parts: list[np.ndarray] = []
+    for i, n in enumerate(lens):
+        if n < k:
+            continue
+        sel = _select(acc[offs[i]: offs[i] + (n - k + 1)], w)
+        counts[i] = len(sel)
+        pos_parts.append(sel[:, 0])
+        h_parts.append(sel[:, 1])
+    if pos_parts:
+        return counts, np.concatenate(pos_parts), np.concatenate(h_parts)
+    empty = np.zeros(0, dtype=np.int64)
+    return counts, empty, empty
 
 
 def make_winnow_udf(k: int, w: int):
@@ -99,16 +154,72 @@ def make_winnow_udf(k: int, w: int):
 def winnow_fingerprints(docs: DataFrame, k: int = 16, w: int = 8,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, h) — one row per selected fingerprint."""
-    fp = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(make_winnow_udf(k, w)(F.col(text_col))).alias("f"),
-    )
-    return fp.select(
-        "doc_id",
-        F.element_at("f", 1).alias("pos"),
-        F.element_at("f", 2).alias("h"),
-    )
+    """(doc_id, pos, h) — one row per selected fingerprint.
+
+    mapInArrow emits the exploded rows DIRECTLY as flat Arrow columns
+    (doc ids repeated by per-doc fingerprint count): no per-doc Python
+    list-of-lists, no nested-array Arrow transfer, no JVM explode —
+    the three costs that dominated the former pandas-UDF + explode
+    form (measured 23.3 s → see OPTIMIZATION_r06.md at sf1)."""
+    import pyarrow as pa
+
+    def emit(batch_iter):
+        for batch in batch_iter:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            counts, pos, h = _winnow_batch(texts, k, w)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids, counts), pa.int64()),
+                 pa.array(pos, pa.int64()), pa.array(h, pa.int64())],
+                ["doc_id", "pos", "h"])
+
+    from dedupe_copy_spark.sources.tables import spread_scan
+
+    src = spread_scan(docs.select(F.col(id_col).cast("long")
+                                  .alias("doc_id"),
+                                  F.col(text_col).alias("_t")))
+    return src.mapInArrow(emit, "doc_id long, pos long, h long")
+
+
+def winnow_doc_hashes(docs: DataFrame, k: int = 16, w: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(doc_id, h) with h DISTINCT per doc — winnow_fingerprints minus
+    positions, deduped inside the Arrow batch (np.unique per doc) so
+    the pair path needs no corpus-sized ``.distinct()`` shuffle. Same
+    selected hash set per doc as ``select distinct doc_id, h from
+    winnow_fingerprints`` (the selection is identical; only the
+    per-position multiplicity is dropped)."""
+    import pyarrow as pa
+
+    def emit(batch_iter):
+        for batch in batch_iter:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            counts, _pos, h = _winnow_batch(texts, k, w)
+            offs = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            u_counts = np.zeros(len(counts), dtype=np.int64)
+            parts: list[np.ndarray] = []
+            for i in range(len(counts)):
+                if counts[i] == 0:
+                    continue
+                u = np.unique(h[offs[i]:offs[i + 1]])
+                u_counts[i] = len(u)
+                parts.append(u)
+            hu = (np.concatenate(parts) if parts
+                  else np.zeros(0, dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids, u_counts), pa.int64()),
+                 pa.array(hu, pa.int64())],
+                ["doc_id", "h"])
+
+    from dedupe_copy_spark.sources.tables import spread_scan
+
+    src = spread_scan(docs.select(F.col(id_col).cast("long")
+                                  .alias("doc_id"),
+                                  F.col(text_col).alias("_t")))
+    return src.mapInArrow(emit, "doc_id long, h long")
 
 
 def winnow_near_pairs(docs: DataFrame, k: int = 16, w: int = 8,
@@ -127,9 +238,10 @@ def winnow_near_pairs(docs: DataFrame, k: int = 16, w: int = 8,
     """
     from dedupe_copy_spark.operators.pairs import bucket_pairs_counted
 
-    fps = (winnow_fingerprints(docs, k, w, id_col, text_col)
-           .select("doc_id", "h").distinct()
+    fps = (winnow_doc_hashes(docs, k, w, id_col, text_col)
            .localCheckpoint())  # feeds the bucket join + both count sides
+    # (already distinct per doc — deduped inside the Arrow batch, so no
+    # corpus-sized distinct() shuffle here)
     pairs = (
         bucket_pairs_counted(fps, ["h"], "doc_id", max_bucket)
         .filter(F.col("n_shared") >= min_shared)

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from dedupe_copy_spark.config import DedupeConfig
 from dedupe_copy_spark.functions import path_prefix_rewrite, yyyy_mm
 from dedupe_copy_spark.operators import exact, filters
-from dedupe_copy_spark.sources.tables import FILES_CTE_SQL, files_from_documents, load_table
+from dedupe_copy_spark.sources.tables import (FILES_CTE_SQL, files_from_documents,
+                                              load_table, spread_scan)
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -554,7 +555,7 @@ def cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for query vectors vec_id<10."""
     from dedupe_copy_spark.operators.similarity import cosine_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries_df, k=5)
 
@@ -580,7 +581,7 @@ def ann_lsh_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCH_QUERIES."""
     from dedupe_copy_spark.operators.similarity import cosine_topk, lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     ann = lsh_topk(emb, queries_df, k=5,
                    n_tables=_ANN_TABLES, bits=_ANN_BITS)
@@ -599,7 +600,7 @@ def ann_lsh_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw ANN top-k rows (bench variant of ann_lsh_topk)."""
     from dedupe_copy_spark.operators.similarity import lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries_df, k=5, n_tables=_ANN_TABLES, bits=_ANN_BITS)
 
@@ -655,10 +656,13 @@ WITH toks AS (
 
 
 def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _TRUTH_CTE's `grams` relation."""
+    """Spark twin of _TRUTH_CTE's `grams` relation. Spread before the
+    tokenize/ngram narrow chain (single-row-group scan otherwise runs
+    it on one core; no-op at production scan parallelism)."""
     from dedupe_copy_spark.operators.textstats import array_ngrams
+    from dedupe_copy_spark.sources.tables import spread_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9_]+"), 0)
     return docs.select(
         "doc_id",
@@ -1661,7 +1665,7 @@ def embedding_near_dups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     from dedupe_copy_spark.operators.similarity import blocked_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     return blocked_near_dups(emb, threshold=0.3, exact_block_limit=500)
 
 
@@ -2118,7 +2122,7 @@ def ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows in BENCH_QUERIES."""
     from dedupe_copy_spark.operators.similarity import cosine_topk, ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     ann = ivf_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
     exact_nb = cosine_topk(emb, queries_df, k=5) \
@@ -2135,7 +2139,7 @@ def ivf_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw IVF top-k rows (bench variant)."""
     from dedupe_copy_spark.operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
 
@@ -2154,7 +2158,7 @@ def ivf_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001, sf0.01 and sf0.1. Raw top-k rows in BENCH_QUERIES."""
     from dedupe_copy_spark.operators.similarity import cosine_topk, ivf_pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     ann = ivf_pq_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=6,
                       m=16, ksub=16, refine=8)
@@ -2172,7 +2176,7 @@ def ivf_pq_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw IVF-PQ top-k rows (bench variant)."""
     from dedupe_copy_spark.operators.similarity import ivf_pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(emb, queries_df, k=5, n_cells=_IVF_CELLS, n_probe=6,
                        m=16, ksub=16, refine=8)
@@ -2194,7 +2198,7 @@ def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCH_QUERIES."""
     from dedupe_copy_spark.operators.similarity import cosine_topk, pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     ann = pq_topk(emb, queries_df, k=5, m=16, ksub=16, refine=8)
     exact_nb = cosine_topk(emb, queries_df, k=5) \
@@ -2211,7 +2215,7 @@ def pq_topk_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw PQ top-k rows (bench variant)."""
     from dedupe_copy_spark.operators.similarity import pq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_topk(emb, queries_df, k=5, m=16, ksub=16, refine=8)
 
@@ -2259,7 +2263,7 @@ def semdedup_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     `semdedup_prune` in BENCH_QUERIES."""
     from dedupe_copy_spark.operators.similarity import cosine_topk, semdedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     res = semdedup(emb, threshold=_SEMDEDUP_TH,
                    n_cells=_semdedup_cells(emb))
     pruned_ids = res.filter(~F.col("keep")).select("vec_id")
@@ -2299,7 +2303,7 @@ def semdedup_prune_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw SemDeDup assignments (bench variant)."""
     from dedupe_copy_spark.operators.similarity import semdedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
     return semdedup(emb, threshold=_SEMDEDUP_TH,
                     n_cells=_semdedup_cells(emb))
 
@@ -2566,7 +2570,9 @@ _SNIPPETS = ((0, _SNIPPET_A), (1, _SNIPPET_B), (2, _SNIPPET_C))
 
 
 def _seeded_code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the clone-key normalization chains downstream are heavy
+    # narrow passes over a single-row-group scan (no-op at scale)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     expr = None
     for k, s in _SNIPPETS:
         cond = F.col("doc_id") % 17 == k

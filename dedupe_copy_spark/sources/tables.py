@@ -32,6 +32,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin-spread a LOW-PARALLELISM relation before a heavy
+    narrow chain (explodes, Arrow UDFs, digests).
+
+    A parquet scan parallelizes at ROW-GROUP granularity: a
+    single-row-group file is one task no matter what
+    files.maxPartitionBytes/minPartitionNum say, so every narrow
+    operator before the first exchange runs on ONE core (the driver
+    testdata tables are exactly this shape). Conditional by design
+    (guide §2 scale-adaptive rule): when the source already has at
+    least cluster-parallelism partitions — the 100 TB case, where a
+    blanket repartition would be a pointless full shuffle of the
+    corpus — this is a NO-OP. The partition-count probe is driver-side
+    metadata only (no job). Row-to-partition assignment stays
+    deterministic under retries via Spark's sort-before-repartition
+    default (SPARK-23207)."""
+    spark = df.sparkSession
+    n = int(min_parts or spark.sparkContext.defaultParallelism or 1)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _doc_ext() -> F.Column:
     ext = F.lit("dat")
     for lang, e in LANG_EXT.items():
