@@ -41,6 +41,80 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def make_arrow_cosine_udf():
+    """Arrow-vectorized cosine over (vec_a, vec_b) column pairs,
+    BIT-IDENTICAL to ``cosine_similarity_col``'s JVM expression.
+
+    The JVM form is a sequential left fold: dot = ((0.0+p0)+p1)+…,
+    norms likewise, then dot / (sqrt(na)·sqrt(nb)) — every step an
+    IEEE-754 double op in a fixed order. This replays exactly that
+    order with numpy: float32→float64 casts are exact, element
+    products are the same IEEE muls, and ``np.add.accumulate`` over a
+    leading-0.0 column IS the sequential fold (accumulate is defined
+    sequentially, unlike pairwise ``np.sum``), so the final doubles
+    are bit-equal and the JVM-side round(…, 6) that callers apply is
+    unchanged. Why bother: the fold lambdas evaluate INTERPRETED per
+    element (~µs) — at millions of pairs × dim the scoring stage is
+    ~10× the Arrow batch cost (guide §4.2).
+
+    Rows where either side is NULL or the lengths differ return NULL
+    (the JVM fold null-propagates the padded zip_with the same way).
+    """
+
+    def _fold_cosine(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        z = np.zeros((A.shape[0], 1), dtype=np.float64)
+        dot = np.add.accumulate(np.hstack([z, A * B]), axis=1)[:, -1]
+        na = np.sqrt(np.add.accumulate(np.hstack([z, A * A]), axis=1)[:, -1])
+        nb = np.sqrt(np.add.accumulate(np.hstack([z, B * B]), axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return dot / (na * nb)
+
+    @F.pandas_udf("double")
+    def cos(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+        n = len(a_s)
+        # fast path: uniform non-null batch stacks rectangular in one
+        # C pass (np.stack raises on ragged/None → slow path below)
+        try:
+            A = np.stack(a_s.values).astype(np.float64)
+            B = np.stack(b_s.values).astype(np.float64)
+            if A.ndim == 2 and B.ndim == 2 and A.shape == B.shape:
+                return pd.Series(_fold_cosine(A, B))
+        except (ValueError, TypeError):
+            pass
+        valid = a_s.notna().to_numpy() & b_s.notna().to_numpy()
+        lens_ok = valid.copy()
+        idx = np.nonzero(valid)[0]
+        if idx.size:
+            la = np.fromiter((len(a_s.iat[i]) for i in idx),
+                             dtype=np.int64, count=idx.size)
+            lb = np.fromiter((len(b_s.iat[i]) for i in idx),
+                             dtype=np.int64, count=idx.size)
+            lens_ok[idx] = la == lb
+        res = np.full(n, np.nan, dtype=np.float64)
+        good = np.nonzero(lens_ok)[0]
+        if good.size:
+            # group by vector length so each group stacks rectangular
+            glens = np.fromiter((len(a_s.iat[i]) for i in good),
+                                dtype=np.int64, count=good.size)
+            for length in np.unique(glens):
+                rows = good[glens == length]
+                if length == 0:
+                    # dot = 0.0, norms = 0.0 → 0.0 / 0.0 = NaN (JVM same)
+                    res[rows] = np.nan
+                    continue
+                A = np.stack([np.asarray(a_s.iat[i], dtype=np.float64)
+                              for i in rows])
+                B = np.stack([np.asarray(b_s.iat[i], dtype=np.float64)
+                              for i in rows])
+                res[rows] = _fold_cosine(A, B)
+        if lens_ok.all():
+            return pd.Series(res)
+        return pd.Series([float(res[i]) if lens_ok[i] else None
+                          for i in range(n)], dtype="object")
+
+    return cos
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors per query (excluding self): broadcast the
@@ -55,8 +129,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine_similarity_col(F.col("q_vec"),
-                                                           F.col("c_vec")), 6))
+        .withColumn("score", F.round(make_arrow_cosine_udf()(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -252,8 +325,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = (
         q.join(c, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine_similarity_col(F.col("q_vec"),
-                                                           F.col("c_vec")), 6))
+        .withColumn("score", F.round(make_arrow_cosine_udf()(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -317,7 +389,7 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
         return (
             pairs.join(va, "id_a").join(vb, "id_b")
             .withColumn("cosine",
-                        F.round(cosine_similarity_col(F.col("e_a"), F.col("e_b")), 6))
+                        F.round(make_arrow_cosine_udf()(F.col("e_a"), F.col("e_b")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
@@ -330,7 +402,7 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
         a.join(b, label_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine",
-                    F.round(cosine_similarity_col(F.col("e_a"), F.col("e_b")), 6))
+                    F.round(make_arrow_cosine_udf()(F.col("e_a"), F.col("e_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -426,8 +498,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     scored = (
         cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
-        .withColumn("score", F.round(cosine_similarity_col(F.col("q_vec"),
-                                                           F.col("c_vec")), 6))
+        .withColumn("score", F.round(make_arrow_cosine_udf()(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -604,8 +675,7 @@ def _pq_refine(approx: DataFrame, corpus: DataFrame, k: int, refine: int,
     full = corpus.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("c_vec"))
     scored = cand.join(full, "neighbor_id").withColumn(
-        "score", F.round(cosine_similarity_col(F.col("q_vec"),
-                                               F.col("c_vec")), 6))
+        "score", F.round(make_arrow_cosine_udf()(F.col("q_vec"), F.col("c_vec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("neighbor_id"))
     return (
