@@ -130,7 +130,11 @@ def containment_candidates(sketches: DataFrame, cfg: DedupeConfig,
     kept = (exploded.groupBy("h").agg(F.count(F.lit(1)).alias("_w"))
             .filter((F.col("_w") > 1) & (F.col("_w") <= cfg.max_band_bucket))
             .select("h"))
-    posts = exploded.join(kept, "h", "left_semi")
+    # materialize the capped posting list ONCE: the two join sides are
+    # differently-aliased projections of it, so without a barrier each
+    # side re-runs the explode + width aggregate + semi-join chain
+    # (Spark's exchange reuse needs bit-identical subplans)
+    posts = exploded.join(kept, "h", "left_semi").localCheckpoint()
     a = posts.select("h", F.col("_id").alias("id_a"),
                      F.col("_sz").alias("size_a"))
     b = posts.select("h", F.col("_id").alias("id_b"),

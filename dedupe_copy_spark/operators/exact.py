@@ -45,17 +45,13 @@ def with_digest(files: DataFrame, cfg: DedupeConfig | None = None) -> DataFrame:
     algorithm, and manifest exchange with md5-keyed reference manifests
     needs the same keying.
 
-    All codegen'd built-ins. The input is spread across the cluster
-    first (sources.tables.spread_scan): content hashing is the
-    heaviest narrow chain of the exact family and a single-row-group
-    scan would otherwise run it on one core; at production scan
-    parallelism the spread is a no-op, keeping this effectively
-    narrow at scale.
+    Narrow (no shuffle); all codegen'd built-ins, pushed onto the scan.
+    (Round-6 note: a spread_scan here was measured a NET LOSS — the
+    sha256 pass over the driver tables is ~0.2 s single-core, cheaper
+    than the round-robin exchange it bought; heavy downstreams that
+    need parallelism repartition on their own keys.)
     """
-    from dedupe_copy_spark.sources.tables import spread_scan
-
     cfg = cfg or DedupeConfig()
-    files = spread_scan(files)
     # NULL content normalizes to '' BEFORE hashing: otherwise every
     # null row gets a null digest AND a null dup_key, and groupBy
     # treats nulls as equal — all unreadable rows would silently become

@@ -89,8 +89,15 @@ SELECT CAST(dense_rank() OVER (ORDER BY content_sha256) AS BIGINT) AS group_id,
 FROM dups WHERE n > 1
 """)
 def collision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Group-numbered CSV duplicate report (core.py:136-170)."""
-    hashed = _files(spark, sf_dir)
+    """Group-numbered CSV duplicate report (core.py:136-170).
+
+    The report branches its input (member window + group numbering +
+    the fan-out join), so the content-free digest relation is
+    materialized once — otherwise each branch re-runs the scan +
+    sha256 pass. Dropping ``content`` first keeps the checkpoint
+    row-metadata-sized at any corpus scale (the report never reads
+    content)."""
+    hashed = _files(spark, sf_dir).drop("content").localCheckpoint()
     return exact.collision_report(hashed) \
         .withColumn("group_id", F.col("group_id").cast("long")) \
         .withColumn("size", F.col("size").cast("long"))
@@ -300,8 +307,12 @@ def ignore_old_collisions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     with at least one NEW member, group-numbered densely over the
     reported set (reference bin/dedupecopy_cli.py:185-191,
     core.py:964-971)."""
-    hashed = _files(spark, sf_dir)
-    old_manifest = hashed.filter(F.length("content") < 250)
+    # the incremental report branches `hashed` four ways (anti-join,
+    # member window, numbering, fan-out join): checkpoint the
+    # content-free digest relation once (size == length(content), so
+    # the manifest filter needs no content column either)
+    hashed = _files(spark, sf_dir).drop("content").localCheckpoint()
+    old_manifest = hashed.filter(F.col("size") < 250)
     return (
         exact.collision_report_ignore_old(hashed, old_manifest)
         .withColumn("group_id", F.col("group_id").cast("long"))
@@ -4976,28 +4987,41 @@ def fs_collision_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(f"{root}/docs", exist_ok=True)
 
-    def _write_one(r):
-        targets = [f"{root}/docs/{r['lang']}/doc_{r['doc_id']}.txt"]
-        if r["doc_id"] % 14 == 0:
-            targets.append(f"{root}/mirror/{r['lang']}/doc_{r['doc_id']}.txt")
-        for p in targets:
-            os.makedirs(os.path.dirname(p), exist_ok=True)
-            with open(p, "wb") as fh:
-                fh.write(r["text"].encode("utf-8"))
-
     # I/O-bound fixture write: serial open/write/close measured 56 s
     # for the 7k files at the sf1 scale-stress; a thread pool cuts it
-    # to seconds and changes nothing about the written bytes.
-    # toLocalIterator keeps driver memory one-partition-bounded (the
-    # subset is |documents|/7 rows by construction).
+    # to seconds and changes nothing about the written bytes. The
+    # subset (|documents|/7 rows of short text) arrives in ONE Arrow
+    # collect — toLocalIterator streamed it one partition-job at a
+    # time and serialized row conversion on the driver, which
+    # dominated the write phase; directories are pre-created once per
+    # (tree, lang) instead of per file.
     from concurrent.futures import ThreadPoolExecutor
 
+    pdf = docs.toPandas()
+    langs = set(pdf["lang"])
+    for lg in langs:
+        os.makedirs(f"{root}/docs/{lg}", exist_ok=True)
+        os.makedirs(f"{root}/mirror/{lg}", exist_ok=True)
+
+    def _write_row(t):
+        doc_id, lang, text = t
+        data = text.encode("utf-8")
+        with open(f"{root}/docs/{lang}/doc_{doc_id}.txt", "wb") as fh:
+            fh.write(data)
+        if doc_id % 14 == 0:
+            with open(f"{root}/mirror/{lang}/doc_{doc_id}.txt", "wb") as fh:
+                fh.write(data)
+
     with ThreadPoolExecutor(max_workers=32) as pool:
-        list(pool.map(_write_one, docs.toLocalIterator()))
+        list(pool.map(_write_row, pdf.itertuples(index=False, name=None)))
     for name in ("empty_a.txt", "empty_b.txt"):
         open(f"{root}/docs/{name}", "wb").close()
 
-    hashed = scan_fs(spark, root, cfg=DedupeConfig(hash_algo="md5"))
+    # the report branches `hashed` into two consumers (group numbering
+    # + the member join): checkpoint the content-free scan output once
+    # so the binaryFile scan + digest pass runs ONCE, not per branch
+    hashed = scan_fs(spark, root,
+                     cfg=DedupeConfig(hash_algo="md5")).localCheckpoint()
     report = exact.collision_report(hashed)
     return report.select(
         F.col("group_id").cast("long").alias("group_id"),
@@ -5712,7 +5736,9 @@ def function_clone_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t3_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the Type-3 normalizer chain downstream is a heavy narrow
+    # pass over a single-row-group scan (no-op at scale)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     expr = None
     for k, s in _T3_SNIPPETS:
         cond = F.col("doc_id") % 23 == k
@@ -6779,7 +6805,9 @@ def fork_pairs_type2_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dedupe_copy_spark.functions.code import normalize_code
     from dedupe_copy_spark.operators.exact import fork_pairs_sketch
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: type-2 normalization + sha2 per row is the heavy narrow
+    # chain here (no-op at scale)
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     text = F.coalesce(F.col("text"), F.lit(""))
     base = docs.select(
         F.concat(F.col("source"), F.lit("/repo")).alias("repo"),
