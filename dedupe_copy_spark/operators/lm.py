@@ -157,7 +157,7 @@ def lm_score(docs: DataFrame, model: DataFrame, id_col: str = "doc_id",
     #   c1 never seen          → -lnq(V)
     # model ⊆ cont by construction, so a three-way coalesce replays the
     # original when/otherwise chain exactly.
-    cont_lp = (cont.crossJoin(vocab)
+    cont_lp = (cont.crossJoin(F.broadcast(vocab))
                .select("c1", (-lnq(F.col("cont_cnt") + F.col("_v")))
                        .alias("_lp_c1")))
     model_lp = (model.select("gram", F.substring("gram", 1, 1).alias("c1"),

