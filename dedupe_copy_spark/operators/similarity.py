@@ -498,7 +498,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     scored = (
         cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
-        .withColumn("score", F.round(make_arrow_cosine_udf()(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn("score", F.round(cosine_similarity_col(F.col("q_vec"),
+                                                  F.col("c_vec")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -675,7 +676,8 @@ def _pq_refine(approx: DataFrame, corpus: DataFrame, k: int, refine: int,
     full = corpus.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("c_vec"))
     scored = cand.join(full, "neighbor_id").withColumn(
-        "score", F.round(make_arrow_cosine_udf()(F.col("q_vec"), F.col("c_vec")), 6))
+        "score", F.round(cosine_similarity_col(F.col("q_vec"),
+                                      F.col("c_vec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("neighbor_id"))
     return (
