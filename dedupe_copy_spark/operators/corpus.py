@@ -430,13 +430,21 @@ def eval_decontaminate(docs: DataFrame, eval_set: DataFrame,
         eval doc.
 
     ``eval_set`` needs only ``id_col`` (e.g. ``carve_eval`` output).
-    Output lists the DROP set; train = docs anti-join drops."""
-    eval_ids = eval_set.select(F.col(id_col))
+    Output lists the DROP set; train = docs anti-join drops.
+
+    Materialization: ``eval_ids`` is eval_total-bounded and its carve
+    lineage re-runs per consuming join without a barrier; ``keyed``
+    branches FOUR ways (eval/train split × exact/clone tier), and each
+    branch would otherwise re-run the Type-2 normalizer chain + both
+    sha256 passes over the corpus. The checkpoint holds three hash
+    columns per doc — row-metadata-sized at any corpus scale, the same
+    budget as the pipeline's parquet checkpoint stages."""
+    eval_ids = eval_set.select(F.col(id_col)).localCheckpoint()
     keyed = docs.select(
         F.col(id_col),
         F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_sha"),
         F.sha2(normalize_code(F.col(text_col), abstract_identifiers=True),
-               256).alias("_ck"))
+               256).alias("_ck")).localCheckpoint()
     is_eval = keyed.join(eval_ids, id_col, "semi")
     train = keyed.join(eval_ids, id_col, "anti")
     exact_hit = train.join(

@@ -6711,8 +6711,11 @@ def fork_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons."""
     from dedupe_copy_spark.operators.exact import fork_clusters
 
-    return fork_clusters(_files(spark, sf_dir), k=128, threshold=0.1,
-                         max_hash_repos=64)
+    # the chain evaluates `hashed` twice (sketch rows + node set):
+    # checkpoint the content-free digest relation once
+    return fork_clusters(
+        _files(spark, sf_dir).drop("content").localCheckpoint(),
+        k=128, threshold=0.1, max_hash_repos=64)
 
 
 @register("repo_canonicals", "WITH RECURSIVE "
@@ -6769,7 +6772,10 @@ def repo_canonicals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     lose to its source repo, and all singletons keep themselves."""
     from dedupe_copy_spark.operators.exact import repo_canonicals
 
-    return repo_canonicals(_files(spark, sf_dir), k=128, threshold=0.1,
+    # sketch rows + node set + stats rollup all evaluate `hashed`:
+    # checkpoint the content-free digest relation once
+    return repo_canonicals(_files(spark, sf_dir).drop("content")
+                           .localCheckpoint(), k=128, threshold=0.1,
                            max_hash_repos=64)
 
 
