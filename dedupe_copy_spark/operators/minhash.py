@@ -339,40 +339,68 @@ def empirical_j_histogram(grams: DataFrame, id_col: str = "doc_id",
     :func:`lsh_autotune` (WHICH banding is right?). Inverted-index
     candidate generation with the stop-shingle df cut and the
     md5-keyed pair-sample valve; see lsh_calibration's docstring for
-    the scale analysis of every stage."""
-    # the gram relation feeds THREE consumers (posts + both exact-J
-    # sides) — materialize once or the upstream shingle Arrow pass
-    # runs three times (the make_signature_udf duplication lesson:
-    # measured 3x = +12 s at sf0.1)
-    grams = grams.localCheckpoint()
-    posts = grams.select(F.col(id_col).alias("_id"),
-                         F.explode(gram_col).alias("gram"))
-    rare = (posts.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
+    the scale analysis of every stage.
+
+    The per-pair exact Jaccard is computed WITHOUT shipping the two
+    shingle arrays through the pair joins (guide §2.3 — shuffle keys,
+    not payloads; measured 41.8 s of a 52 s total at 11.3M candidate
+    pairs x ~52-gram arrays). Because ``gram_col`` is distinct per
+    doc, |A∩B| splits exactly by document frequency: a shared gram
+    has df >= 2, so it is either RARE (2 <= df <= df_cap) — counted
+    by the candidate equi-join itself, one row per shared rare gram,
+    so the pair-group count IS the rare intersection — or HEAVY
+    (df > df_cap), counted by intersecting the per-doc heavy-gram
+    subsets (tiny arrays drawn from the df-capped stop-shingle
+    vocabulary; empty on corpora with no stop shingles). df=1 grams
+    can never be shared. |A∪B| = |A| + |B| - |A∩B| for distinct
+    sets, so the pair joins carry only (n_g, heavy subset) per side —
+    a narrow per-doc relation the adaptive planner broadcasts at
+    bench scale and shuffle-joins by bare id at 100 TB scale. Same
+    integers -> same double division -> bit-identical bins."""
+    posts = (grams.select(F.col(id_col).alias("_id"),
+                          F.explode(gram_col).alias("gram"))
+             .localCheckpoint())  # feeds df counts, rare core, doc meta
+    dfreq = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    rare = (dfreq.filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
             .select("gram"))
     rare_posts = posts.join(rare, "gram")
-    cand = (
+    core = (
         rare_posts.select("gram", F.col("_id").alias("doc_a"))
         .join(rare_posts.select("gram", F.col("_id").alias("doc_b")), "gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     if pair_sample_micro < 1_000_000:
+        # membership depends only on the (doc_a, doc_b) key, so the
+        # filter commutes with the pair aggregation — applied before
+        # it to cut the shuffle to the sampled fraction
         thresh = f"{pair_sample_micro * 16**6 // 1_000_000:06x}"
-        cand = cand.filter(F.substring(F.md5(F.concat_ws(
+        core = core.filter(F.substring(F.md5(F.concat_ws(
             ":", F.col("doc_a").cast("string"),
             F.col("doc_b").cast("string"))), 1, 6) < F.lit(thresh))
-    ga = grams.select(F.col(id_col).alias("doc_a"),
-                      F.col(gram_col).alias("_ga"))
-    gb = grams.select(F.col(id_col).alias("doc_b"),
-                      F.col(gram_col).alias("_gb"))
-    j = (F.size(F.array_intersect("_ga", "_gb")).cast("double")
-         / F.greatest(F.size(F.array_union("_ga", "_gb")),
+    pairs = (core.groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("_i_rare")))
+    heavy = dfreq.filter(F.col("_df") > df_cap).select("gram")
+    heavy_docs = (posts.join(heavy, "gram")
+                  .groupBy("_id")
+                  .agg(F.collect_list("gram").alias("_hv")))
+    meta = (posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+            .join(heavy_docs, "_id", "left")
+            .select("_id", "_n",
+                    F.coalesce(F.col("_hv"),
+                               F.array().cast("array<string>"))
+                    .alias("_hv")))
+    ma = meta.select(F.col("_id").alias("doc_a"),
+                     F.col("_n").alias("_na"), F.col("_hv").alias("_ha"))
+    mb = meta.select(F.col("_id").alias("doc_b"),
+                     F.col("_n").alias("_nb"), F.col("_hv").alias("_hb"))
+    inter = (F.col("_i_rare")
+             + F.size(F.array_intersect("_ha", "_hb")).cast("long"))
+    j = (inter.cast("double")
+         / F.greatest(F.col("_na") + F.col("_nb") - inter,
                       F.lit(1)).cast("double"))
     return (
-        cand.join(ga, "doc_a").join(gb, "doc_b")
+        pairs.join(ma, "doc_a").join(mb, "doc_b")
         .select(F.least(F.floor(j * F.lit(float(n_bins))).cast("long"),
                         F.lit(n_bins - 1)).alias("bin_idx"))
         .groupBy("bin_idx")
