@@ -360,10 +360,17 @@ def empirical_j_histogram(grams: DataFrame, id_col: str = "doc_id",
     posts = (grams.select(F.col(id_col).alias("_id"),
                           F.explode(gram_col).alias("gram"))
              .localCheckpoint())  # feeds df counts, rare core, doc meta
-    dfreq = posts.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    # materialize the df counts and the rare posting list ONCE: their
+    # consumers are differently-aliased projections, and Spark's
+    # exchange reuse needs bit-identical subplans (the
+    # containment_candidates lesson) — without the barriers the df
+    # aggregation ran 3x and the rare semi-join 2x (plan showed 10
+    # re-scans of the posts checkpoint, zero ReusedExchange)
+    dfreq = (posts.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+             .localCheckpoint())
     rare = (dfreq.filter((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
             .select("gram"))
-    rare_posts = posts.join(rare, "gram")
+    rare_posts = posts.join(rare, "gram").localCheckpoint()
     core = (
         rare_posts.select("gram", F.col("_id").alias("doc_a"))
         .join(rare_posts.select("gram", F.col("_id").alias("doc_b")), "gram")
@@ -389,7 +396,8 @@ def empirical_j_histogram(grams: DataFrame, id_col: str = "doc_id",
             .select("_id", "_n",
                     F.coalesce(F.col("_hv"),
                                F.array().cast("array<string>"))
-                    .alias("_hv")))
+                    .alias("_hv"))
+            .localCheckpoint())  # two aliased consumers (ma, mb)
     ma = meta.select(F.col("_id").alias("doc_a"),
                      F.col("_n").alias("_na"), F.col("_hv").alias("_ha"))
     mb = meta.select(F.col("_id").alias("doc_b"),
