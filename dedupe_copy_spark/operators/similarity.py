@@ -41,6 +41,20 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _fold_cosine(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise cosine over two (n, dim) float64 matrices, replaying
+    the JVM sequential left fold exactly (see make_arrow_cosine_udf's
+    docstring for the bit-equality argument). Shared by the pair-column
+    UDF and the per-block pair generator so every cosine in the engine
+    is the same IEEE-754 op sequence."""
+    z = np.zeros((A.shape[0], 1), dtype=np.float64)
+    dot = np.add.accumulate(np.hstack([z, A * B]), axis=1)[:, -1]
+    na = np.sqrt(np.add.accumulate(np.hstack([z, A * A]), axis=1)[:, -1])
+    nb = np.sqrt(np.add.accumulate(np.hstack([z, B * B]), axis=1)[:, -1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return dot / (na * nb)
+
+
 def make_arrow_cosine_udf():
     """Arrow-vectorized cosine over (vec_a, vec_b) column pairs,
     BIT-IDENTICAL to ``cosine_similarity_col``'s JVM expression.
@@ -60,14 +74,6 @@ def make_arrow_cosine_udf():
     Rows where either side is NULL or the lengths differ return NULL
     (the JVM fold null-propagates the padded zip_with the same way).
     """
-
-    def _fold_cosine(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        z = np.zeros((A.shape[0], 1), dtype=np.float64)
-        dot = np.add.accumulate(np.hstack([z, A * B]), axis=1)[:, -1]
-        na = np.sqrt(np.add.accumulate(np.hstack([z, A * A]), axis=1)[:, -1])
-        nb = np.sqrt(np.add.accumulate(np.hstack([z, B * B]), axis=1)[:, -1])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return dot / (na * nb)
 
     @F.pandas_udf("double")
     def cos(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
@@ -349,6 +355,70 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _exact_block_pairs(small: DataFrame, label_col: str, id_col: str,
+                       vec_col: str, pair_chunk: int = 262_144) -> DataFrame:
+    """All within-label (id_a < id_b) candidate pairs with their RAW
+    sequential-fold cosine, one grouped-map pass per label block.
+
+    Replaces the label-keyed self-join + per-pair cosine UDF: that plan
+    shipped BOTH dim-64 vectors across the Arrow boundary for every
+    pair (O(pairs·dim) bytes — ~2.5 GB at the sf1 semdedup cell shape),
+    while this ships each block's vectors ONCE (O(rows·dim)) and emits
+    only (id_a, id_b, cosine) rows. Parallelism is unchanged: the old
+    join clustered each label into one partition exactly like the
+    grouped map does, so per-label work was single-task either way
+    (exact_block_limit bounds it; hot labels belong on the LSH route).
+
+    Pair-for-pair equal to the old plan: ids sort ascending so triu
+    index pairs ARE the id_a < id_b pairs; rows with NULL vectors and
+    cross-length pairs are not emitted (the join path emitted them with
+    a NULL cosine, which the caller's threshold filter dropped — NULL
+    and absent are indistinguishable after it); the cosine is the
+    shared ``_fold_cosine`` kernel, bit-equal to the pair-column UDF.
+    The caller applies the SAME JVM round(…, 6) + threshold filter, so
+    boundary behavior is untouched. ``pair_chunk`` bounds the fold's
+    working set (chunking a row-wise kernel cannot change its values).
+    """
+    id_type = small.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_type),
+        T.StructField("id_b", id_type),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf.loc[pdf[vec_col].notna(), [id_col, vec_col]] \
+            .sort_values(id_col, kind="mergesort")
+        out: list[pd.DataFrame] = []
+        if len(sub) > 1:
+            lens = sub[vec_col].map(len).to_numpy()
+            for length in np.unique(lens):
+                if length == 0:
+                    continue     # 0/0 = NaN → NULL → threshold-dropped
+                rows = sub.iloc[np.nonzero(lens == length)[0]]
+                n = len(rows)
+                if n < 2:
+                    continue
+                ids = rows[id_col].to_numpy()
+                v = np.stack([np.asarray(x, dtype=np.float64)
+                              for x in rows[vec_col]])
+                ia, ib = np.triu_indices(n, 1)
+                ne = ids[ia] != ids[ib]      # strict < like the join
+                ia, ib = ia[ne], ib[ne]
+                for s in range(0, len(ia), pair_chunk):
+                    ja, jb = ia[s:s + pair_chunk], ib[s:s + pair_chunk]
+                    out.append(pd.DataFrame({
+                        "id_a": ids[ja], "id_b": ids[jb],
+                        "cosine": _fold_cosine(v[ja], v[jb])}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype=object),
+                                 "id_b": pd.Series(dtype=object),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        return pd.concat(out, ignore_index=True)
+
+    return small.groupBy(label_col).applyInPandas(emit, out_schema)
+
+
 def blocked_near_dups(emb: DataFrame, threshold: float,
                       label_col: str = "label", id_col: str = "vec_id",
                       vec_col: str = "embedding",
@@ -397,6 +467,13 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
         big = with_n.filter(F.col("_block_n") > exact_block_limit)
 
     def verify(pairs: DataFrame, source: DataFrame) -> DataFrame:
+        # per-pair vector shipping here was A/B'd against a label-
+        # cogrouped fold (vectors crossing the boundary once, pairs as
+        # bare ids): flat-to-worse at equal load — label cardinality
+        # sits far below the core count, so the cogroup either
+        # serializes (one task per label) or, salted, pays the ×salt
+        # vector replication and per-group matrix rebuild that cancel
+        # the byte savings. The 32-way-pipelined join form stays.
         va = source.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("e_a"))
         vb = source.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("e_b"))
         return (
@@ -407,15 +484,9 @@ def blocked_near_dups(emb: DataFrame, threshold: float,
             .select("id_a", "id_b", "cosine")
         )
 
-    a = small.select(label_col, F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("e_a"))
-    b = small.select(label_col, F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("e_b"))
     exact_pairs = (
-        a.join(b, label_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine",
-                    F.round(make_arrow_cosine_udf()(F.col("e_a"), F.col("e_b")), 6))
+        _exact_block_pairs(small, label_col, id_col, vec_col)
+        .withColumn("cosine", F.round(F.col("cosine"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
