@@ -67,6 +67,8 @@ def _local_components(edge_rows, spark) -> DataFrame:
     fixed scheduling/planning cost PER ROUND regardless of edge count;
     below the threshold the whole graph fits in a few MB of driver
     memory and the exact answer is microseconds."""
+    import pandas as pd
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -81,7 +83,12 @@ def _local_components(edge_rows, spark) -> DataFrame:
         a, b = find(src), find(dst)
         if a != b:
             parent[max(a, b)] = min(a, b)
-    assign = [(v, find(v)) for v in parent]
+    # hand the assignment back through Arrow (pandas → DataFrame) —
+    # the row-pickled list path serialized ~100k tuples one by one;
+    # int64 columns cross Arrow exactly
+    assign = pd.DataFrame(
+        {"file_id": pd.Series([v for v in parent], dtype="int64"),
+         "cluster_id": pd.Series([find(v) for v in parent], dtype="int64")})
     return spark.createDataFrame(assign, "file_id long, cluster_id long")
 
 
@@ -102,10 +109,12 @@ def connected_components(edges: DataFrame, cfg: DedupeConfig | None = None) -> D
     # graphs resolve right out of the probe rows; only the distributed
     # path pays for an exact count (for shuffle sizing, cheap on the
     # checkpoint).
-    probe = cur.limit(cfg.cc_local_threshold + 1).collect()
+    # Arrow transfer (toPandas) for the bounded probe: same rows, same
+    # bound, minus the per-row pickling of up to 100k edge tuples
+    probe = cur.limit(cfg.cc_local_threshold + 1).toPandas()
     if len(probe) <= cfg.cc_local_threshold:
         return _local_components(
-            ((r.src, r.dst) for r in probe),
+            probe.itertuples(index=False, name=None),
             edges.sparkSession)
     n_edges = cur.count()
     # size the loop's shuffles from the ACTUAL edge count (known for
